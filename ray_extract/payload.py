@@ -1,0 +1,262 @@
+"""SPDF: a deterministic binary page/layout payload format.
+
+This is the engine's stand-in for PDF bytes. The reference round-trips PDF bytes
+through Azure Document Intelligence to obtain an ``AnalyzeResult``
+(`azure_wrapper.py:46-61`); this engine instead parses a local byte-stream whose
+layout structure (pages, paragraphs, tables, cells, polygons, spans, roles) is
+encoded directly, so the "layout parse" is a fast, fully deterministic decode.
+
+Layout (little-endian):
+
+    0   magic           8 bytes  b"%SPDF-1\\n"   (cf. PDF magic check, reference tests/helpers.py:17-21)
+    8   header          7 x u32: n_pages, n_paras, n_tables, n_cells,
+                                 text_blob_len, media_blob_len, cell_blob_len
+    36  reserved        u32
+    40  pages           n_pages  x PAGE_DT   (width/height in inches; NaN = missing)
+        paras           n_paras  x PARA_DT   (sorted by page; reading order)
+        tables          n_tables x TAB_DT    (sorted by page; each table on one page)
+        cells           n_cells  x CELL_DT   (grouped by table, table order)
+        text_blob       utf8, paragraph texts concatenated in paragraph order
+        media_blob      utf8, paragraph media refs concatenated in paragraph order
+        cell_blob       utf8, cell texts concatenated in cell order
+
+Span ``offset``/``length`` are in characters into the document's logical content
+string and are document-global (they survive page-range slicing unchanged; only
+page numbers are rebased — cf. reference propagate_page_number, utils.py:35-78).
+``text_len``/``media_len`` are utf8 BYTE lengths into the blobs.
+
+Everything decodes to numpy structured-array views (zero-copy) and pyarrow
+string arrays built directly on the blob buffers.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MAGIC = b"%SPDF-1\n"
+HEADER_BYTES = 40
+
+PAGE_DT = np.dtype([("width", "<f8"), ("height", "<f8")])
+PARA_DT = np.dtype(
+    [
+        ("page", "<i4"),
+        ("role", "<i4"),
+        ("offset", "<i4"),
+        ("length", "<i4"),
+        ("flags", "<i4"),
+        ("text_len", "<i4"),
+        ("media_len", "<i4"),
+        ("pad", "<i4"),
+        ("poly", "<f8", (8,)),
+    ]
+)
+TAB_DT = np.dtype(
+    [
+        ("page", "<i4"),
+        ("row_count", "<i4"),
+        ("col_count", "<i4"),
+        ("ncells", "<i4"),
+        ("offset", "<i4"),
+        ("length", "<i4"),
+        ("poly", "<f8", (8,)),
+    ]
+)
+CELL_DT = np.dtype(
+    [
+        ("kind", "<i4"),
+        ("row", "<i4"),
+        ("col", "<i4"),
+        ("rowspan", "<i4"),
+        ("colspan", "<i4"),
+        ("offset", "<i4"),
+        ("length", "<i4"),
+        ("flags", "<i4"),
+        ("page", "<i4"),
+        ("text_len", "<i4"),
+        ("poly", "<f8", (8,)),
+    ]
+)
+
+
+class Flat(dict):
+    """A decoded SPDF document: numpy structured arrays + utf8 blobs.
+
+    Keys: pages, paras, tables, cells (structured arrays) and text_blob,
+    media_blob, cell_blob (bytes).
+    """
+
+
+def encode(flat: Flat) -> bytes:
+    pages = np.ascontiguousarray(flat["pages"], dtype=PAGE_DT)
+    paras = np.ascontiguousarray(flat["paras"], dtype=PARA_DT)
+    tables = np.ascontiguousarray(flat["tables"], dtype=TAB_DT)
+    cells = np.ascontiguousarray(flat["cells"], dtype=CELL_DT)
+    text_blob = bytes(flat["text_blob"])
+    media_blob = bytes(flat["media_blob"])
+    cell_blob = bytes(flat["cell_blob"])
+    header = np.array(
+        [
+            len(pages),
+            len(paras),
+            len(tables),
+            len(cells),
+            len(text_blob),
+            len(media_blob),
+            len(cell_blob),
+            0,
+        ],
+        dtype="<u4",
+    )
+    return b"".join(
+        [
+            MAGIC,
+            header.tobytes(),
+            pages.tobytes(),
+            paras.tobytes(),
+            tables.tobytes(),
+            cells.tobytes(),
+            text_blob,
+            media_blob,
+            cell_blob,
+        ]
+    )
+
+
+def is_valid(payload: bytes) -> bool:
+    """Magic-byte + length sniff (cf. reference tests/helpers.py:17-21)."""
+    if len(payload) < HEADER_BYTES or payload[:8] != MAGIC:
+        return False
+    h = np.frombuffer(payload, dtype="<u4", count=8, offset=8)
+    need = (
+        HEADER_BYTES
+        + int(h[0]) * PAGE_DT.itemsize
+        + int(h[1]) * PARA_DT.itemsize
+        + int(h[2]) * TAB_DT.itemsize
+        + int(h[3]) * CELL_DT.itemsize
+        + int(h[4])
+        + int(h[5])
+        + int(h[6])
+    )
+    return len(payload) == need
+
+
+def peek_counts(payload: bytes) -> tuple[int, int]:
+    """(n_pages, n_paras) without a full decode."""
+    h = np.frombuffer(payload, dtype="<u4", count=2, offset=8)
+    return int(h[0]), int(h[1])
+
+
+def decode(payload: bytes) -> Flat:
+    """Zero-copy decode of a valid SPDF payload."""
+    buf = memoryview(payload)
+    h = np.frombuffer(buf, dtype="<u4", count=8, offset=8)
+    n_pages, n_paras, n_tables, n_cells = (int(x) for x in h[:4])
+    text_len, media_len, cell_len = (int(x) for x in h[4:7])
+    off = HEADER_BYTES
+    pages = np.frombuffer(buf, dtype=PAGE_DT, count=n_pages, offset=off)
+    off += n_pages * PAGE_DT.itemsize
+    paras = np.frombuffer(buf, dtype=PARA_DT, count=n_paras, offset=off)
+    off += n_paras * PARA_DT.itemsize
+    tables = np.frombuffer(buf, dtype=TAB_DT, count=n_tables, offset=off)
+    off += n_tables * TAB_DT.itemsize
+    cells = np.frombuffer(buf, dtype=CELL_DT, count=n_cells, offset=off)
+    off += n_cells * CELL_DT.itemsize
+    text_blob = bytes(buf[off : off + text_len])
+    off += text_len
+    media_blob = bytes(buf[off : off + media_len])
+    off += media_len
+    cell_blob = bytes(buf[off : off + cell_len])
+    return Flat(
+        pages=pages,
+        paras=paras,
+        tables=tables,
+        cells=cells,
+        text_blob=text_blob,
+        media_blob=media_blob,
+        cell_blob=cell_blob,
+    )
+
+
+def strings_from_lens(byte_lens: np.ndarray, blob: bytes) -> pa.StringArray:
+    """Build a utf8 array over a concatenated blob from per-item byte lengths.
+
+    Zero-copy on the data buffer: only the int32 offsets are materialized.
+    """
+    offsets = np.zeros(len(byte_lens) + 1, dtype=np.int32)
+    np.cumsum(byte_lens, out=offsets[1:])
+    return pa.Array.from_buffers(
+        pa.utf8(),
+        len(byte_lens),
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(blob)],
+    )
+
+
+def slice_pages(flat: Flat, lo: int, hi: int) -> Flat:
+    """Extract pages [lo, hi] (1-indexed inclusive) as a standalone document.
+
+    Page numbers are rebased to 1..k (a standalone sub-document, mirroring the
+    reference's pypdf page-range shards, utils.py:117-163). Span offsets stay
+    document-global (see module docstring).
+    """
+    pages = flat["pages"][lo - 1 : hi]
+
+    paras = flat["paras"]
+    p0 = int(np.searchsorted(paras["page"], lo, side="left"))
+    p1 = int(np.searchsorted(paras["page"], hi, side="right"))
+    text_starts = np.zeros(len(paras) + 1, dtype=np.int64)
+    np.cumsum(paras["text_len"], out=text_starts[1:])
+    media_starts = np.zeros(len(paras) + 1, dtype=np.int64)
+    np.cumsum(paras["media_len"], out=media_starts[1:])
+    sub_paras = paras[p0:p1].copy()
+    sub_paras["page"] -= lo - 1
+    text_blob = flat["text_blob"][text_starts[p0] : text_starts[p1]]
+    media_blob = flat["media_blob"][media_starts[p0] : media_starts[p1]]
+
+    tables = flat["tables"]
+    t0 = int(np.searchsorted(tables["page"], lo, side="left"))
+    t1 = int(np.searchsorted(tables["page"], hi, side="right"))
+    cell_starts = np.zeros(len(tables) + 1, dtype=np.int64)
+    np.cumsum(tables["ncells"], out=cell_starts[1:])
+    sub_tables = tables[t0:t1].copy()
+    sub_tables["page"] -= lo - 1
+
+    cells = flat["cells"]
+    c0, c1 = int(cell_starts[t0]), int(cell_starts[t1])
+    cblob_starts = np.zeros(len(cells) + 1, dtype=np.int64)
+    np.cumsum(cells["text_len"], out=cblob_starts[1:])
+    sub_cells = cells[c0:c1].copy()
+    sub_cells["page"] -= lo - 1
+    cell_blob = flat["cell_blob"][cblob_starts[c0] : cblob_starts[c1]]
+
+    return Flat(
+        pages=pages,
+        paras=sub_paras,
+        tables=sub_tables,
+        cells=sub_cells,
+        text_blob=text_blob,
+        media_blob=media_blob,
+        cell_blob=cell_blob,
+    )
+
+
+def split_page_ranges(n_pages: int, batch_size: int) -> list[tuple[int, int]]:
+    """1-indexed inclusive page ranges of at most ``batch_size`` pages.
+
+    Mirrors the reference's split (utils.py:117-163): ceil(pages/batch_size)
+    shards; e.g. 68 pages / size 12 -> (1,12)...(61,68) (tests/test_utils.py:221-230).
+    Raises ValueError for batch_size < 1 (utils.py:123-124).
+    """
+    if batch_size < 1:
+        raise ValueError("Batch size must be greater than 0.")
+    return [
+        (lo + 1, min(lo + batch_size, n_pages))
+        for lo in range(0, n_pages, batch_size)
+    ]
+
+
+def md5_hex(payload: bytes) -> str:
+    """md5 of the document bytes (reference utils.py:166-168)."""
+    return hashlib.md5(payload).hexdigest()
