@@ -1,0 +1,90 @@
+"""Synthesize the SPDF payload corpus from the driver's ``documents`` table.
+
+The authoritative input shape for this engine is a Lance/parquet table of
+interleaved text+media documents (`BASELINE.json` input_hint / FIXTURES.md
+F-1). The sandbox has no external data, so the corpus is derived
+deterministically from ``/root/testdata/sf*/documents.parquet``
+(doc_id:int64, text, lang, source, n_chars) via `ray_extract.derive` — pure
+modular rules, reproducible everywhere (including in the DuckDB oracle SQL).
+
+``amplify``/``heavy_tail`` deterministically scale the corpus for benchmarks:
+each source row becomes ``amplify`` documents (suffixed ids), and a small
+deterministic subset gets its text repeated to create the heavy-tail
+document-size skew the split stage exists to defuse (FIXTURES.md F-5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..derive import derive_payload, derived_doc_id
+
+
+def make_synth_stage(amplify: int = 1, heavy_tail: bool = False):
+    """map_batches fn: documents.parquet rows -> (doc_id, payload, n_pages, n_spans)."""
+
+    def synth(batch: pa.Table) -> pa.Table:
+        from ..payload import peek_counts
+
+        raw_ids = batch.column("doc_id").to_pylist()
+        sources = batch.column("source").to_pylist()
+        texts = batch.column("text").to_pylist()
+        doc_ids: list[str] = []
+        payloads: list[bytes] = []
+        for rid, src, text in zip(raw_ids, sources, texts):
+            base = derived_doc_id(src, rid)
+            for rep in range(amplify):
+                did = base if rep == 0 else f"{base}.r{rep}"
+                t = text
+                if heavy_tail:
+                    # deterministic skew: ~1% of docs get 32x text, ~0.1% 128x
+                    h = (rid * 2654435761 + rep * 40503) & 0xFFFF
+                    if h % 1024 == 7:
+                        t = " ".join([text] * 128)
+                    elif h % 128 == 5:
+                        t = " ".join([text] * 32)
+                doc_ids.append(did)
+                payloads.append(derive_payload(did, t))
+        n_pages = np.array([peek_counts(p)[0] for p in payloads], dtype=np.int32)
+        n_spans = np.array([peek_counts(p)[1] for p in payloads], dtype=np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.string()),
+                "payload": pa.array(payloads, type=pa.large_binary()),
+                "n_pages": pa.array(n_pages),
+                "n_spans": pa.array(n_spans),
+            }
+        )
+
+    return synth
+
+
+def synth_dataset(documents_path: str, amplify: int = 1, heavy_tail: bool = False):
+    """documents.parquet -> lazy Dataset of (doc_id, payload, n_pages, n_spans)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(documents_path, columns=["doc_id", "source", "text"])
+    return ds.map_batches(
+        make_synth_stage(amplify=amplify, heavy_tail=heavy_tail),
+        batch_format="pyarrow",
+        batch_size=256,
+    )
+
+
+def materialize_corpus(
+    documents_path: str,
+    out_dir: str,
+    amplify: int = 1,
+    heavy_tail: bool = False,
+    min_rows_per_file: int = 2000,
+) -> str:
+    """Write the payload corpus to partitioned parquet (bench input; carries an
+    n_pages column so the extract pipeline can route small/large documents with
+    read-time predicate pushdown)."""
+    ds = synth_dataset(documents_path, amplify=amplify, heavy_tail=heavy_tail)
+    try:
+        ds.write_parquet(out_dir, min_rows_per_file=min_rows_per_file)
+    except TypeError:  # older Ray releases
+        ds.write_parquet(out_dir, num_rows_per_file=min_rows_per_file)
+    return out_dir

@@ -1,0 +1,50 @@
+"""P0: payload validation + md5 + page-count peek (dead-letter, never raise).
+
+Mirrors the reference's input handling: magic-byte format sniff
+(tests/helpers.py:17-21), md5 of the document bytes (utils.py:166-168), and the
+silent-drop-on-failure policy (run.py:38-39) — except failed documents become
+dead-letter rows with ``status="error"`` instead of disappearing, so one bad
+document can't poison a batch and corpus-level error metrics are exact.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..payload import is_valid, peek_counts
+
+
+def decode_stage(batch: pa.Table) -> pa.Table:
+    """(doc_id, payload[, ...]) -> + status, error, md5, n_pages_doc.
+
+    Keeps the payload column for the split stage.
+    """
+    payloads = batch.column("payload").combine_chunks()
+    n = len(batch)
+    status = np.full(n, "ok", dtype=object)
+    error = np.full(n, "", dtype=object)
+    md5 = np.empty(n, dtype=object)
+    n_pages = np.zeros(n, dtype=np.int32)
+    for i in range(n):
+        raw = payloads[i].as_py()  # bytes
+        md5[i] = hashlib.md5(raw).hexdigest()
+        if not is_valid(raw):
+            status[i] = "error"
+            error[i] = "invalid payload: bad magic or truncated"
+            continue
+        np_pages, _ = peek_counts(raw)
+        n_pages[i] = np_pages
+    out = batch
+    for name, arr in [
+        ("status", pa.array(status, type=pa.string())),
+        ("error", pa.array(error, type=pa.string())),
+        ("md5", pa.array(md5, type=pa.string())),
+        ("n_pages_doc", pa.array(n_pages, type=pa.int32())),
+    ]:
+        if name in out.column_names:
+            out = out.drop_columns([name])
+        out = out.append_column(name, arr)
+    return out
