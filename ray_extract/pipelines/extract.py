@@ -48,7 +48,11 @@ class ExtractConfig:
     split_batch_pages: int = 4
     decode_batch_size: int = 1024
     parse_batch_size: int = 512
-    # actor pool size for the parse stage; None -> (1, 8) autoscaling
+    # actor pool size for the parse stage; None -> (1, 8) autoscaling.
+    # Keep pools autoscaling with min=1: the routed topology runs TWO parse
+    # pools concurrently, and fixed pools that together reserve every CPU
+    # starve the task-pool stages (observed deadlock at num_cpus=4 with two
+    # fixed pools of 2).
     parse_concurrency: Union[int, tuple, None] = None
     convert_batch_size: int = 1024
     experimental_tables: bool = True

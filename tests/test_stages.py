@@ -1,0 +1,107 @@
+"""Stage-level unit tests on single Arrow batches (no Ray needed)."""
+
+import numpy as np
+import pyarrow as pa
+
+from ray_extract import payload as P
+from ray_extract.derive import derive_payload
+from ray_extract.fixtures import edge_corpus
+from ray_extract.stages.convert import make_convert_stage, rows_in
+from ray_extract.stages.decode import decode_stage
+from ray_extract.stages.merge import merge_group
+from ray_extract.stages.parse import LayoutParser
+from ray_extract.stages.split import make_split_stage
+
+
+def _batch(docs: dict[str, bytes]) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array(list(docs), type=pa.string()),
+            "payload": pa.array(list(docs.values()), type=pa.large_binary()),
+        }
+    )
+
+
+def _through_front(docs, threshold=4, batch_pages=4):
+    t = decode_stage(_batch(docs))
+    t = make_split_stage(threshold, batch_pages)(t)
+    return LayoutParser()(t)
+
+
+def test_decode_stage_md5_and_errors():
+    docs = {"a": derive_payload("a", "x y z w"), "bad": b"nope"}
+    out = decode_stage(_batch(docs))
+    assert out.column("status").to_pylist() == ["ok", "error"]
+    import hashlib
+
+    assert out.column("md5").to_pylist()[0] == hashlib.md5(docs["a"]).hexdigest()
+    assert out.column("n_pages_doc").to_pylist() == [1, 0]
+
+
+def test_split_stage_shard_counts_and_ranges():
+    ec = edge_corpus()
+    docs = {"edge.sixty8": ec["edge.sixty8"], "small": derive_payload("small", "a b c d")}
+    t = decode_stage(_batch(docs))
+    shards = make_split_stage(4, 12)(t)
+    s68 = shards.filter(pa.compute.equal(shards["doc_id"], "edge.sixty8"))
+    assert s68.num_rows == 6
+    assert s68.column("range_lo").to_pylist() == [1, 13, 25, 37, 49, 61]
+    assert s68.column("range_hi").to_pylist() == [12, 24, 36, 48, 60, 68]
+    assert s68.column("batch_number").to_pylist() == [0, 1, 2, 3, 4, 5]
+    assert set(s68.column("n_shards").to_pylist()) == {6}
+    # every shard payload is itself a valid standalone document
+    for raw in s68.column("payload").to_pylist():
+        assert P.is_valid(raw)
+    small = shards.filter(pa.compute.equal(shards["doc_id"], "small"))
+    assert small.num_rows == 1 and small.column("n_shards").to_pylist() == [1]
+
+
+def test_parse_propagates_global_pages():
+    ec = edge_corpus()
+    parsed = _through_front({"edge.sixty8": ec["edge.sixty8"]}, threshold=4, batch_pages=12)
+    assert parsed.num_rows == 6
+    last = parsed.slice(5, 1)
+    # shard 5 covers pages 61..68; parse emits GLOBAL page numbers
+    assert last.column("page_number").to_pylist()[0] == list(range(61, 69))
+    assert last.column("para_page").to_pylist()[0] == list(range(61, 69))
+
+
+def test_merge_group_ordered_concat():
+    ec = edge_corpus()
+    parsed = _through_front({"edge.sixty8": ec["edge.sixty8"]}, threshold=4, batch_pages=12)
+    # shuffle the shard order to prove merge sorts by batch_number
+    perm = np.array([3, 0, 5, 1, 4, 2])
+    merged = merge_group(parsed.take(pa.array(perm)))
+    assert merged.num_rows == 1
+    assert merged.column("para_page").to_pylist()[0] == list(range(1, 69))
+    assert merged.column("n_shards").to_pylist() == [6]
+    assert merged.column("range_lo").to_pylist() == [1]
+    assert merged.column("range_hi").to_pylist() == [68]
+    texts = merged.column("para_text").to_pylist()[0]
+    assert texts[0] == "page 1 text" and texts[-1] == "page 68 text"
+    # merged output equals the whole-document parse
+    whole = _through_front({"edge.sixty8": ec["edge.sixty8"]}, threshold=100, batch_pages=12)
+    for name in whole.column_names:
+        if name in ("batch_number", "range_lo", "range_hi", "n_shards"):
+            continue
+        assert merged.column(name).to_pylist() == whole.column(name).to_pylist(), name
+
+
+def test_convert_stage_single_shard():
+    docs = {"d": derive_payload("d", " ".join(f"w{i}" for i in range(60)))}
+    parsed = _through_front(docs, threshold=100)
+    out = make_convert_stage(True)(parsed)
+    from ray_extract import oracle as O
+
+    exp = O.extract_document("d", docs["d"])
+    row = out.to_pylist()[0]
+    assert [(s["kind"], s["text"]) for s in row["spans"]] == [
+        (s["kind"], s["text"]) for s in exp["spans"]
+    ]
+
+
+def test_rows_in_key_order():
+    a = np.array([[0, 9, 3], [0, 3, 9]], dtype=np.int64)
+    b = np.array([[0, 3, 9]], dtype=np.int64)
+    assert rows_in(a, b).tolist() == [False, True]
+    assert rows_in(a, np.zeros((0, 3), dtype=np.int64)).tolist() == [False, False]
