@@ -1,16 +1,15 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() vs oracle_sql() correctness gate.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported — nothing here
+calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The extraction queries run the FULL Ray pipeline (synthesize SPDF payloads
+from documents.text by the deterministic rules in ray_extract/derive.py ->
+decode -> page-range split -> actor-pool layout parse -> groupby(doc_id)
+merge -> vectorized convert) and flatten the result; the oracle SQL
+reconstructs the expected span sequence from the same rules in pure SQL.
+Training-data queries (dedup / text / similarity / events) run over the
+driver tables directly.
 """
 
 from __future__ import annotations
@@ -18,27 +17,423 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# ---------------------------------------------------------------- shared SQL
+
+# Derivation rules (ray_extract/derive.py) in SQL: spans + per-doc language.
+_SPANS_CTE = """
+WITH docs AS (
+  SELECT source || '.' || CAST(doc_id AS VARCHAR) AS did,
+         string_split(text, ' ') AS ws
+  FROM documents
+),
+spans0 AS (
+  SELECT did, CAST(u.i AS BIGINT) AS i,
+         array_to_string(ws[(u.i*4+1):(u.i*4+4)], ' ') AS wtext
+  FROM docs, unnest(range(0, CAST(ceil(len(ws)/4.0) AS BIGINT))) AS u(i)
+),
+spans1 AS (
+  SELECT did, i,
+    CASE WHEN i = 0 THEN 'title'
+         WHEN i % 13 = 5 THEN 'sectionHeading'
+         WHEN i % 11 = 7 THEN 'media'
+         WHEN i % 7 = 3 THEN 'TableCell'
+         WHEN i % 19 = 17 THEN 'pageHeader'
+         WHEN i % 23 = 21 THEN 'pageFooter'
+         ELSE 'Text' END AS kind,
+    wtext
+  FROM spans0
+),
+spans AS (
+  SELECT did, i, kind,
+    CASE WHEN kind = 'media' THEN '' ELSE wtext END AS text,
+    CASE WHEN kind = 'media' THEN 'media://' || did || '/' || CAST(i AS VARCHAR)
+         ELSE '' END AS media_ref,
+    CAST(COALESCE(SUM(CASE WHEN kind = 'media' THEN 0 ELSE length(wtext) END + 1)
+         OVER (PARTITION BY did ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS "offset",
+    CAST(length(CASE WHEN kind = 'media' THEN '' ELSE wtext END) AS BIGINT) AS length,
+    i // 6 AS page_number
+  FROM spans1
+),
+langjoin AS (
+  SELECT did, string_agg(trim(text), ' ' ORDER BY i) AS joined FROM spans GROUP BY did
+),
+langscore AS (
+  SELECT did,
+    len(regexp_extract_all(joined, '\\b(the|and|of|to|is|a)\\b')) AS s_en,
+    len(regexp_extract_all(joined, '\\b(der|die|und|ist|das|nicht|ein)\\b')) AS s_de,
+    len(regexp_extract_all(joined, '\\b(le|les|et|est|une|dans|que)\\b')) AS s_fr,
+    len(regexp_extract_all(joined, '\\b(el|los|las|es|una|por|con)\\b')) AS s_es,
+    CASE WHEN regexp_matches(joined, '[一-鿿]') THEN 1 ELSE 0 END AS cjk
+  FROM langjoin
+),
+lang AS (
+  SELECT did,
+    CASE WHEN cjk = 1 THEN 'zh'
+         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         WHEN s_fr >= s_es THEN 'fr'
+         ELSE 'es' END AS language
+  FROM langscore
+)
+"""
+
+_NGRAM_CTE = """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[u.i:u.i+2], ' ') AS shingle
+  FROM docs, unnest(range(1, len(ws) - 1)) AS u(i)
+)
+"""
+
+_ROLL = (
+    "(list_reduce(list_transform(split({col}, ''), x -> unicode(x)::BIGINT),"
+    " (a, b) -> (a * 1000003 + b) % 2147483647) * 2147483648"
+    " + list_reduce(list_transform(split({col}, ''), x -> unicode(x)::BIGINT),"
+    " (a, b) -> (a * 999983 + b) % 2147483647))"
+)
+
+
+def _i64(t, cols):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arrays, names = [], []
+    for name in t.column_names:
+        col = t.column(name)
+        if name in cols:
+            col = pc.cast(col, pa.int64())
+        arrays.append(col)
+        names.append(name)
+    return pa.table(dict(zip(names, arrays)))
+
+
+def _extract_flat(sf_dir: str):
+    from ray_extract.pipelines.extract import (
+        ExtractConfig,
+        extract_from_payloads,
+        flatten_blocks,
+    )
+    from ray_extract.sources.synth import synth_dataset
+
+    out = extract_from_payloads(
+        synth_dataset(f"{sf_dir}/documents.parquet"), ExtractConfig()
+    )
+    return out, out.map_batches(flatten_blocks, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------- queries
+
+def _q_extract_spans(sf_dir: str):
+    _, flat = _extract_flat(sf_dir)
+    return flat.map_batches(
+        lambda t: _i64(t, {"ord", "offset", "length", "page_number"}),
+        batch_format="pyarrow",
+    )
+
+
+def _q_extract_page_metadata(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out, _ = _extract_flat(sf_dir)
+
+    def flat_pages(batch: pa.Table) -> pa.Table:
+        pm = batch.column("page_metadata").combine_chunks()
+        counts = pc.list_value_length(pm).to_numpy().astype(np.int64)
+        parent = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+        f = pm.flatten()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").combine_chunks().take(pa.array(parent)),
+                "page_number": pc.cast(f.field("page_number"), pa.int64()),
+                "width": f.field("width"),
+                "height": f.field("height"),
+            }
+        )
+
+    return out.map_batches(flat_pages, batch_format="pyarrow")
+
+
+def _q_extract_doc_stats(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out, _ = _extract_flat(sf_dir)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        langs = batch.column("languages").combine_chunks()
+        first_lang = pc.list_flatten(pc.list_slice(langs, 0, 1))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_pages": pc.cast(batch.column("n_pages"), pa.int64()),
+                "n_blocks": pc.cast(batch.column("n_text_blocks"), pa.int64()),
+                "language": first_lang,
+            }
+        )
+
+    return out.map_batches(stats, batch_format="pyarrow")
+
+
+def _q_extract_kind_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    _, flat = _extract_flat(sf_dir)
+    return flat.groupby("kind").aggregate(Count(alias_name="n"))
+
+
+def _q_media_decode(sf_dir: str):
+    from ray_extract.pipelines.media import media_features
+
+    return media_features(sf_dir)
+
+
+def _q_dedup_exact(sf_dir: str):
+    from ray_extract.pipelines.dedup import exact_dedup
+
+    return exact_dedup(sf_dir)
+
+
+def _q_dedup_ngram_jaccard(sf_dir: str):
+    from ray_extract.pipelines.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(sf_dir)
+
+
+def _q_dedup_minhash_lsh(sf_dir: str):
+    from ray_extract.pipelines.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(sf_dir)
+
+
+def _q_dedup_simhash(sf_dir: str):
+    from ray_extract.pipelines.dedup import simhash_pairs
+
+    return simhash_pairs(sf_dir)
+
+
+def _q_text_tokens(sf_dir: str):
+    from ray_extract.pipelines.text import token_stats
+
+    return token_stats(sf_dir)
+
+
+def _q_text_quality(sf_dir: str):
+    from ray_extract.pipelines.text import quality_scores
+
+    return quality_scores(sf_dir)
+
+
+def _q_lang_id(sf_dir: str):
+    from ray_extract.pipelines.text import language_id
+
+    return language_id(sf_dir)
+
+
+def _q_fingerprint(sf_dir: str):
+    from ray_extract.pipelines.text import fingerprints
+
+    return fingerprints(sf_dir)
+
+
+def _q_ann_topk(sf_dir: str):
+    from ray_extract.pipelines.similarity import ann_bruteforce
+
+    return ann_bruteforce(sf_dir)
+
+
+def _q_ann_lsh(sf_dir: str):
+    from ray_extract.pipelines.similarity import ann_lsh
+
+    return ann_lsh(sf_dir)
+
+
+def _q_events_window(sf_dir: str):
+    from ray_extract.pipelines.events import windowed_counts
+
+    return windowed_counts(sf_dir)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
+    return _q_extract_spans("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_spans": _q_extract_spans,
+        "extract_page_metadata": _q_extract_page_metadata,
+        "extract_doc_stats": _q_extract_doc_stats,
+        "extract_kind_counts": _q_extract_kind_counts,
+        "media_decode": _q_media_decode,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "text_tokens": _q_text_tokens,
+        "text_quality": _q_text_quality,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh": _q_ann_lsh,  # approximate by design -> no oracle (rows-only)
+        "events_window": _q_events_window,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    roll_text = _ROLL.format(col="text")
+    roll_w = _ROLL.format(col="w")
+    return {
+        "extract_spans": _SPANS_CTE
+        + """
+SELECT s.did AS doc_id, s.i AS ord, CAST(s.i AS VARCHAR) AS block_id, s.kind,
+       s.text, s.media_ref, s."offset" AS "offset", s.length AS length,
+       s.page_number AS page_number, l.language AS language
+FROM spans s JOIN lang l ON s.did = l.did
+""",
+        "extract_page_metadata": """
+WITH docs AS (
+  SELECT source || '.' || CAST(doc_id AS VARCHAR) AS did,
+         CAST(ceil(ceil(len(string_split(text, ' '))/4.0)/6.0) AS BIGINT) AS np
+  FROM documents
+)
+SELECT did AS doc_id, CAST(u.i AS BIGINT) AS page_number,
+       612.0 AS width, 792.0 AS height
+FROM docs, unnest(range(0, np)) AS u(i)
+""",
+        "extract_doc_stats": _SPANS_CTE
+        + """
+SELECT s.did AS doc_id,
+       CAST(ceil(count(*)/6.0) AS BIGINT) AS n_pages,
+       count(*) AS n_blocks,
+       max(l.language) AS language
+FROM spans s JOIN lang l ON s.did = l.did
+GROUP BY s.did
+""",
+        "extract_kind_counts": _SPANS_CTE
+        + """
+SELECT kind, count(*) AS n FROM spans GROUP BY kind
+""",
+        "media_decode": _SPANS_CTE
+        + """
+SELECT did AS doc_id, i AS ord, media_ref, md5(media_ref) AS feature_hash,
+       64 + length(media_ref) % 32 AS width,
+       64 + length(media_ref) % 17 AS height
+FROM spans WHERE kind = 'media'
+""",
+        "dedup_exact": """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+""",
+        "dedup_ngram_jaccard": _NGRAM_CTE
+        + """
+, sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS uni
+FROM p
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 2 * inter >= (sa.n + sb.n - inter)
+""",
+        "dedup_minhash_lsh": _NGRAM_CTE
+        + """
+, mh AS (
+  SELECT doc_id, u.j AS j, min(md5(CAST(u.j AS VARCHAR) || ':' || shingle)) AS h
+  FROM sh, unnest(range(0, 16)) AS u(j) GROUP BY doc_id, u.j
+),
+bands AS (
+  SELECT doc_id, j // 4 AS band_id, md5(string_agg(h, '|' ORDER BY j)) AS band_sig
+  FROM mh GROUP BY doc_id, j // 4
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+            AND a.doc_id < b.doc_id
+""",
+        "dedup_simhash": f"""
+WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+tok AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY doc_id, w),
+h AS (SELECT doc_id, c, {roll_w} AS hv FROM tok),
+bits AS (
+  SELECT doc_id, u.k AS k,
+    CASE WHEN sum(CASE WHEN (hv >> u.k) & 1 = 1 THEN c ELSE -c END) > 0
+         THEN (CAST(1 AS BIGINT) << u.k) ELSE 0 END AS bv
+  FROM h, unnest(range(0, 32)) AS u(k) GROUP BY doc_id, u.k
+),
+sig AS (SELECT doc_id, CAST(sum(bv) AS BIGINT) AS s FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND bit_count(xor(a.s, b.s)) <= 3
+""",
+        "text_tokens": """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       (CAST(length(text) - (len(string_split(text, ' ')) - 1) AS BIGINT) * 1000000)
+         // len(string_split(text, ' ')) AS avg_token_len_ppm
+FROM documents
+""",
+        "text_quality": """
+WITH q AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(len(regexp_extract_all(text, '\\b(the|and|of|to|is|a)\\b')) AS BIGINT) AS stop_hits,
+    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit_chars,
+    CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT doc_id, n_tokens, stop_hits, digit_chars,
+       (stop_hits * 1000000) // n_tokens AS stop_ratio_ppm,
+       (digit_chars * 1000000) // n_chars AS digit_ratio_ppm,
+       (n_tokens >= 15 AND n_tokens <= 120 AND stop_hits * 20 >= n_tokens) AS is_quality
+FROM q
+""",
+        "lang_id": """
+WITH s AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '\\b(the|and|of|to|is|a)\\b')) AS s_en,
+    len(regexp_extract_all(text, '\\b(der|die|und|ist|das|nicht|ein)\\b')) AS s_de,
+    len(regexp_extract_all(text, '\\b(le|les|et|est|une|dans|que)\\b')) AS s_fr,
+    len(regexp_extract_all(text, '\\b(el|los|las|es|una|por|con)\\b')) AS s_es,
+    CASE WHEN regexp_matches(text, '[一-鿿]') THEN 1 ELSE 0 END AS cjk
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN cjk = 1 THEN 'zh'
+       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       WHEN s_fr >= s_es THEN 'fr'
+       ELSE 'es' END AS pred_lang
+FROM s
+""",
+        "fingerprint": f"""
+SELECT doc_id, CAST({roll_text} AS BIGINT) AS fp62, md5(text) AS fp_md5
+FROM documents
+""",
+        "ann_topk": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+s AS (
+  SELECT q.qid, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS sc
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.qid
+),
+r AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id) AS rk
+  FROM s
+)
+SELECT qid AS query_id, CAST(rk AS BIGINT) AS rank, vec_id AS neighbor_id
+FROM r WHERE rk <= 5
+""",
+        "events_window": """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    }

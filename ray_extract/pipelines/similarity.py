@@ -1,0 +1,149 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+- ``ann_bruteforce``: exact cosine top-k — the query matrix is read once
+  (small side), broadcast via ray.put, and every batch computes a float64
+  matmul against it; per-batch partial top-k rows are then reduced per query.
+  This is the scale pattern: the corpus streams, only (n_queries x k) rows per
+  batch leave the workers.
+- ``ann_lsh``: random-hyperplane LSH variant — corpus and queries are bucketed
+  by sign bits; only same-bucket candidates are scored. Approximate (may miss
+  neighbors), so it gets a rows-only correctness check.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.dataset as pads
+
+    tbl = (
+        pads.dataset(f"{sf_dir}/embeddings.parquet")
+        .to_table(columns=["vec_id", "embedding"], filter=pads.field("vec_id") < n_queries)
+    )
+    qids = tbl.column("vec_id").to_numpy()
+    q = np.stack(tbl.column("embedding").to_pylist()).astype(np.float64)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    order = np.argsort(qids)
+    return qids[order], q[order]
+
+
+def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch.column("vec_id").to_numpy()
+    la = batch.column("embedding").combine_chunks()
+    dim = len(la[0])
+    flat = la.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return ids, flat.reshape(len(ids), dim)
+
+
+def ann_bruteforce(sf_dir: str, n_queries: int = 10, k: int = 5):
+    """Exact cosine top-k neighbors (self excluded), deterministic tiebreak
+    (score desc, vec_id asc)."""
+    import ray
+    import ray.data as rd
+
+    qids, q = _read_queries(sf_dir, n_queries)
+    qref = ray.put((qids, q))
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        qids_, q_ = ray.get(qref)
+        ids, e = _emb_matrix(batch)
+        e /= np.linalg.norm(e, axis=1, keepdims=True)
+        scores = e @ q_.T  # (B, Q)
+        out_q, out_v, out_s = [], [], []
+        kk = min(k, len(ids))
+        for j in range(len(qids_)):
+            s = scores[:, j].copy()
+            s[ids == qids_[j]] = -np.inf  # exclude self
+            top = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
+            out_q.append(np.full(len(top), qids_[j], dtype=np.int64))
+            out_v.append(ids[top].astype(np.int64))
+            out_s.append(s[top])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "score": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    def final_topk(g):
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].astype("int64"),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                "neighbor_id": g["vec_id"].astype("int64"),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    partial = ds.map_batches(score_batch, batch_format="pyarrow")
+    return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def ann_lsh(sf_dir: str, n_queries: int = 10, k: int = 5, n_planes: int = 8, seed: int = 7):
+    """LSH-bucketed approximate top-k: score only candidates whose sign-bucket
+    matches the query's. Rows-only correctness (approximate by design)."""
+    import ray
+    import ray.data as rd
+
+    qids, q = _read_queries(sf_dir, n_queries)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((q.shape[1], n_planes))
+    qbuckets = (q @ planes > 0) @ (1 << np.arange(n_planes))
+    qref = ray.put((qids, q, planes, qbuckets))
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        qids_, q_, planes_, qb_ = ray.get(qref)
+        ids, e = _emb_matrix(batch)
+        en = e / np.linalg.norm(e, axis=1, keepdims=True)
+        buckets = (en @ planes_ > 0) @ (1 << np.arange(planes_.shape[1]))
+        out_q, out_v, out_s = [], [], []
+        for j in range(len(qids_)):
+            cand = np.nonzero((buckets == qb_[j]) & (ids != qids_[j]))[0]
+            if len(cand) == 0:
+                continue
+            s = en[cand] @ q_[j]
+            kk = min(k, len(cand))
+            top = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
+            out_q.append(np.full(len(top), qids_[j], dtype=np.int64))
+            out_v.append(ids[cand[top]].astype(np.int64))
+            out_s.append(s[top])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "score": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    def final_topk(g):
+        import pandas as pd
+
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].astype("int64").to_numpy(),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                "neighbor_id": g["vec_id"].astype("int64").to_numpy(),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    partial = ds.map_batches(score_batch, batch_format="pyarrow")
+    return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")

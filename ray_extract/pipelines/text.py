@@ -1,0 +1,104 @@
+"""Text-analysis pipelines over the ``documents`` table: token counting,
+quality scoring, language identification, document fingerprinting.
+
+All thresholds are integer-arithmetic (no float comparisons) and all hashes
+are SQL-reproducible, so every query here has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import hash62, md5_str
+from ..functions.language import MARKER_WORDS, detect_languages_arrow, marker_pattern
+
+STOPWORD_PATTERN = marker_pattern(MARKER_WORDS[0][1])  # en markers as stopwords
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def token_stats(sf_dir: str):
+    """Per-document token/char counts (whitespace tokenization)."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_tokens = pc.add(pc.count_substring(text, " "), 1)
+        n_chars = pc.utf8_length(text)
+        nt = n_tokens.to_numpy().astype(np.int64)
+        nc = n_chars.to_numpy().astype(np.int64)
+        # ratios as integer parts-per-million: exact in both numpy and SQL
+        # (float rounding has banker's-rounding tie hazards; integers don't)
+        avg_ppm = (nc - (nt - 1)) * 1_000_000 // nt
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_tokens": pa.array(nt),
+                "n_chars": pa.array(nc),
+                "avg_token_len_ppm": pa.array(avg_ppm),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(stats, batch_format="pyarrow")
+
+
+def quality_scores(sf_dir: str):
+    """Quality heuristics: stopword hits, length bounds; integer thresholds
+    (is_quality: 15 <= n_tokens <= 120 AND stop_hits * 20 >= n_tokens)."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        nt = pc.add(pc.count_substring(text, " "), 1).to_numpy().astype(np.int64)
+        stop = pc.count_substring_regex(text, STOPWORD_PATTERN).to_numpy().astype(np.int64)
+        digits = pc.count_substring_regex(text, r"[0-9]").to_numpy().astype(np.int64)
+        nc = pc.utf8_length(text).to_numpy().astype(np.int64)
+        quality = (nt >= 15) & (nt <= 120) & (stop * 20 >= nt)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_tokens": pa.array(nt),
+                "stop_hits": pa.array(stop),
+                "digit_chars": pa.array(digits),
+                "stop_ratio_ppm": pa.array(stop * 1_000_000 // nt),
+                "digit_ratio_ppm": pa.array(digits * 1_000_000 // nc),
+                "is_quality": pa.array(quality),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(score, batch_format="pyarrow")
+
+
+def language_id(sf_dir: str):
+    """Marker-word language identification (see functions.language)."""
+
+    def lid(batch: pa.Table) -> pa.Table:
+        langs = detect_languages_arrow(batch.column("text").combine_chunks())
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "pred_lang": pa.array(langs, type=pa.string()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(lid, batch_format="pyarrow")
+
+
+def fingerprints(sf_dir: str):
+    """Document fingerprints: 62-bit polynomial rolling hash + md5."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "fp62": pa.array([hash62(t) for t in texts], type=pa.int64()),
+                "fp_md5": pa.array([md5_str(t) for t in texts], type=pa.string()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(fp, batch_format="pyarrow")
