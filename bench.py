@@ -1,0 +1,174 @@
+"""Benchmark harness: headline extraction pipeline + query timings.
+
+Default: run over $GRAFT_SF_DIR (default /root/testdata/sf0.1) with
+ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32) and print ONE JSON line.
+
+--scaling: run the headline pipeline in two fresh processes at num_cpus=8 and
+num_cpus=32 over the SAME corpus and report throughput at both plus scaling
+efficiency (the sandbox evidence for the two-cluster-size criterion; a real
+deployment would compare N vs 4N nodes via `ray job submit`).
+
+The benchmark corpus is synthesized deterministically from the sf documents
+table (amplify x4, heavy-tail skew on) and cached under /tmp — corpus prep and
+one cache-warming read are untimed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+AMPLIFY = int(os.environ.get("BENCH_AMPLIFY", "64"))
+CACHE_ROOT = "/tmp/ray_extract_bench"
+
+
+def corpus_dir() -> str:
+    tag = SF_DIR.strip("/").replace("/", "_")
+    return f"{CACHE_ROOT}/corpus_{tag}_x{AMPLIFY}"
+
+
+def prepare_corpus() -> dict:
+    """Build (once) and return corpus metadata {docs, spans, pages}."""
+    meta_path = corpus_dir() + ".meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f)
+    from ray_extract.sources.synth import materialize_corpus
+
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    materialize_corpus(
+        f"{SF_DIR}/documents.parquet", corpus_dir(), amplify=AMPLIFY, heavy_tail=True
+    )
+    import duckdb
+
+    docs, spans, pages = duckdb.sql(
+        f"select count(*), sum(n_spans), sum(n_pages) from '{corpus_dir()}/*.parquet'"
+    ).fetchone()
+    meta = {"docs": int(docs), "spans": int(spans), "pages": int(pages)}
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def run_bench() -> dict:
+    import ray
+    from ray.data import DataContext
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.enable_tensor_extension_casting = False
+
+    from ray_extract.job import run_extract_job
+    from ray_extract.pipelines.extract import ExtractConfig
+
+    meta = prepare_corpus()
+
+    # warm the OS page cache (untimed)
+    import pyarrow.dataset as pads
+
+    pads.dataset(corpus_dir()).to_table(columns=["doc_id"])
+
+    cfg = ExtractConfig(
+        split_threshold_pages=8,
+        split_batch_pages=16,
+        decode_batch_size=256,
+        parse_batch_size=256,
+        convert_batch_size=512,
+        large_blocks=3 * NUM_CPUS,
+    )
+
+    # untimed warmup: spins up worker processes and imports the library in
+    # them so the timed run measures steady-state throughput, not cold start
+    from ray_extract.pipelines.extract import extract_from_payloads
+    from ray_extract.sources.synth import synth_dataset
+
+    extract_from_payloads(
+        synth_dataset("/root/testdata/sf0.001/documents.parquet"),
+        ExtractConfig(parse_concurrency=(1, 8)),
+    ).count()
+
+    out_dir = f"{CACHE_ROOT}/out_{NUM_CPUS}_{int(time.time())}"
+    t0 = time.time()
+    run_extract_job(corpus_dir(), out_dir, cfg, partitions_per_branch=1, resume=False)
+    headline = time.time() - t0
+
+    queries: dict[str, float] = {}
+
+    def timed(name, fn):
+        t = time.time()
+        fn()
+        queries[name] = round(time.time() - t, 3)
+
+    from ray_extract.pipelines.dedup import exact_dedup, minhash_lsh_pairs, simhash_pairs
+    from ray_extract.pipelines.events import windowed_counts
+    from ray_extract.pipelines.similarity import ann_bruteforce
+    from ray_extract.pipelines.text import quality_scores
+
+    timed("dedup_exact", lambda: exact_dedup(SF_DIR).count())
+    timed("dedup_minhash_lsh", lambda: minhash_lsh_pairs(SF_DIR).count())
+    timed("dedup_simhash", lambda: simhash_pairs(SF_DIR).count())
+    timed("text_quality", lambda: quality_scores(SF_DIR).count())
+    timed("ann_topk", lambda: ann_bruteforce(SF_DIR).count())
+    timed("events_window", lambda: windowed_counts(SF_DIR).count())
+
+    result = {
+        "metric": "extract_headline",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs": meta["docs"],
+        "spans": meta["spans"],
+        "pages": meta["pages"],
+        "docs_per_sec": round(meta["docs"] / headline, 1),
+        "spans_per_sec": round(meta["spans"] / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, "bench.py"], env=env, capture_output=True, text=True, check=True
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    lo, hi = run(lo_cpus), run(hi_cpus)
+    eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
+    return {
+        "metric": "scaling",
+        "unit": "sec",
+        "value": hi["value"],
+        f"sec_{lo_cpus}": lo["value"],
+        f"sec_{hi_cpus}": hi["value"],
+        f"docs_per_sec_{lo_cpus}": lo["docs_per_sec"],
+        f"docs_per_sec_{hi_cpus}": hi["docs_per_sec"],
+        f"spans_per_sec_{lo_cpus}": lo["spans_per_sec"],
+        f"spans_per_sec_{hi_cpus}": hi["spans_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

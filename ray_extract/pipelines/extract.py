@@ -48,34 +48,61 @@ class ExtractConfig:
     split_batch_pages: int = 4
     decode_batch_size: int = 1024
     parse_batch_size: int = 512
-    # actor pool size for the parse stage; None -> (1, 8) autoscaling.
-    # Keep pools autoscaling with min=1: the routed topology runs TWO parse
-    # pools concurrently, and fixed pools that together reserve every CPU
-    # starve the task-pool stages (observed deadlock at num_cpus=4 with two
-    # fixed pools of 2).
+    # actor pool size for the parse stage. None -> sized from the cluster's
+    # CPU count at pipeline build. Measured behavior (x128 corpus, 32 CPUs):
+    # an autoscaling (1, 24) pool never ramps and runs 2x slower than a fixed
+    # pool, so defaults are FIXED pools — but the two concurrent pools of the
+    # routed topology must together stay well under the CPU count or the
+    # task-pool stages starve (observed deadlock at num_cpus=4 with two fixed
+    # pools of 2). Routing sizes: small branch 55% of CPUs, large branch 20%.
     parse_concurrency: Union[int, tuple, None] = None
     convert_batch_size: int = 1024
     experimental_tables: bool = True
+    # routed topology: read-parallelism overrides. The large-doc side is few
+    # rows but HUGE rows; without an override it collapses into a handful of
+    # blocks and the merge/convert stages lose parallelism (one task per
+    # block). None -> Ray's defaults.
+    small_blocks: Optional[int] = None
+    large_blocks: Optional[int] = None
 
-    def pool(self):
-        return self.parse_concurrency if self.parse_concurrency is not None else (1, 8)
+    def pool(self, share: float = 0.75):
+        if self.parse_concurrency is not None:
+            return self.parse_concurrency
+        cpus = _cluster_cpus()
+        if cpus < 12:
+            # tiny clusters: autoscale so concurrent pools can't reserve every
+            # CPU and starve the task stages
+            return (1, max(2, cpus // 2))
+        return max(2, int(cpus * share))
 
 
-def _front(ds, cfg: ExtractConfig):
+def _cluster_cpus() -> int:
+    import ray
+
+    try:
+        return int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        return 8
+
+
+def _front(ds, cfg: ExtractConfig, pool_share: float = 0.75):
     """decode -> split -> parse (shared by both topologies)."""
     ds = ds.map_batches(
-        decode_stage, batch_format="pyarrow", batch_size=cfg.decode_batch_size
+        decode_stage, batch_format="pyarrow", batch_size=cfg.decode_batch_size,
+        zero_copy_batch=True
     )
     ds = ds.map_batches(
         make_split_stage(cfg.split_threshold_pages, cfg.split_batch_pages),
         batch_format="pyarrow",
         batch_size=cfg.decode_batch_size,
+        zero_copy_batch=True,
     )
     return ds.map_batches(
         LayoutParser,
         batch_format="pyarrow",
         batch_size=cfg.parse_batch_size,
-        concurrency=cfg.pool(),
+        concurrency=cfg.pool(pool_share),
+        zero_copy_batch=True,
     )
 
 
@@ -88,6 +115,7 @@ def extract_from_payloads(ds, cfg: Optional[ExtractConfig] = None):
         make_convert_stage(cfg.experimental_tables),
         batch_format="pyarrow",
         batch_size=cfg.convert_batch_size,
+        zero_copy_batch=True,
     )
 
 
@@ -100,19 +128,28 @@ def extract_routed(corpus_dir: str, cfg: Optional[ExtractConfig] = None):
     cfg = cfg or ExtractConfig()
     cols = ["doc_id", "payload", "n_pages"]
     small = rd.read_parquet(
-        corpus_dir, columns=cols, filter=pads.field("n_pages") <= cfg.split_threshold_pages
+        corpus_dir, columns=cols,
+        filter=pads.field("n_pages") <= cfg.split_threshold_pages,
     )
     large = rd.read_parquet(
-        corpus_dir, columns=cols, filter=pads.field("n_pages") > cfg.split_threshold_pages
+        corpus_dir, columns=cols,
+        filter=pads.field("n_pages") > cfg.split_threshold_pages,
     )
-    small_parsed = _front(small, cfg)  # every doc is a single shard: no shuffle
-    large_merged = _front(large, cfg).groupby("doc_id").map_groups(
+    if cfg.small_blocks:
+        small = small.repartition(cfg.small_blocks)
+    if cfg.large_blocks:
+        # few rows but huge rows: spread them so split/parse/merge/convert all
+        # get block-level parallelism (one map task per block)
+        large = large.repartition(cfg.large_blocks)
+    small_parsed = _front(small, cfg, pool_share=0.55)  # single shard: no shuffle
+    large_merged = _front(large, cfg, pool_share=0.20).groupby("doc_id").map_groups(
         merge_group, batch_format="pyarrow"
     )
     return small_parsed.union(large_merged).map_batches(
         make_convert_stage(cfg.experimental_tables),
         batch_format="pyarrow",
         batch_size=cfg.convert_batch_size,
+        zero_copy_batch=True,
     )
 
 

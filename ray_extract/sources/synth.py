@@ -77,14 +77,21 @@ def materialize_corpus(
     out_dir: str,
     amplify: int = 1,
     heavy_tail: bool = False,
-    min_rows_per_file: int = 2000,
+    num_files: int = 0,
 ) -> str:
     """Write the payload corpus to partitioned parquet (bench input; carries an
     n_pages column so the extract pipeline can route small/large documents with
-    read-time predicate pushdown)."""
+    read-time predicate pushdown).
+
+    The corpus is spread over many files (default ~5000 docs/file) — readers
+    get one task per file group, so a single giant file would serialize the
+    scan (observed: 3-file corpus -> 3-way-parallel read bottleneck)."""
     ds = synth_dataset(documents_path, amplify=amplify, heavy_tail=heavy_tail)
-    try:
-        ds.write_parquet(out_dir, min_rows_per_file=min_rows_per_file)
-    except TypeError:  # older Ray releases
-        ds.write_parquet(out_dir, num_rows_per_file=min_rows_per_file)
+    if num_files <= 0:
+        import pyarrow.parquet as pq
+
+        n_docs = pq.ParquetFile(documents_path).metadata.num_rows * amplify
+        num_files = max(8, min(512, n_docs // 5000))
+    ds = ds.repartition(num_files)
+    ds.write_parquet(out_dir)
     return out_dir
