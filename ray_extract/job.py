@@ -34,27 +34,53 @@ SMALL_SHARE = 0.45
 LARGE_SHARE = 0.30
 
 
-def _branch_build(corpus_files, cfg: ExtractConfig, branch: str):
+def _pin_fsspec_http_stub():
+    """Ray's path resolution does `from fsspec.implementations.http import
+    HTTPFileSystem` catching only ModuleNotFoundError; with aiohttp missing,
+    two branch threads importing it concurrently can observe a partial module
+    and crash with a bare ImportError. Pin a stub once, on the main thread."""
+    import sys
+    import types
+
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except Exception:
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # only ever isinstance-checked
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+
+
+def _branch_build(corpus_files, cfg: ExtractConfig, branch: str, share_div: int = 1):
     import pyarrow.dataset as pads
+    import pyarrow.fs as pafs
     import ray.data as rd
 
+    # explicit local filesystem: path-list resolution otherwise imports
+    # fsspec HTTP support that this container lacks
+    fs = pafs.LocalFileSystem()
     conv = make_convert_stage(cfg.experimental_tables)
     if branch == "small":
         ds = rd.read_parquet(
             corpus_files,
+            filesystem=fs,
             columns=["doc_id", "payload", "n_pages"],
             filter=pads.field("n_pages") <= cfg.split_threshold_pages,
         )
-        ds = _front(ds, cfg, pool_share=SMALL_SHARE)
+        ds = _front(ds, cfg, pool_share=SMALL_SHARE / share_div)
     else:
         ds = rd.read_parquet(
             corpus_files,
+            filesystem=fs,
             columns=["doc_id", "payload", "n_pages"],
             filter=pads.field("n_pages") > cfg.split_threshold_pages,
         )
         if cfg.large_blocks:
             ds = ds.repartition(cfg.large_blocks)
-        ds = _front(ds, cfg, pool_share=LARGE_SHARE)
+        ds = _front(ds, cfg, pool_share=LARGE_SHARE / share_div)
         ds = ds.groupby("doc_id").map_groups(merge_group, batch_format="pyarrow")
     return ds.map_batches(
         conv, batch_format="pyarrow", batch_size=cfg.convert_batch_size,
@@ -68,36 +94,63 @@ def run_extract_job(
     cfg: Optional[ExtractConfig] = None,
     partitions_per_branch: int = 1,
     resume: bool = True,
+    max_concurrent: int = 2,
 ) -> dict:
-    """Run the full job; returns {manifests, rows, wall_s per partition}."""
+    """Run the full job; returns {manifests, rows, wall_s per partition}.
+
+    Partitions (branch x file-group) are drained from a work queue by
+    ``max_concurrent`` driver threads — concurrent Dataset executions overlap
+    each other's barriers (sort/write finalization) on the shared cluster.
+    """
+    import queue
+
     from .state.checkpoint import partition_inputs, run_partition
 
+    _pin_fsspec_http_stub()
     cfg = cfg or ExtractConfig()
     files = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
     if not files:
         raise FileNotFoundError(f"no parquet files under {corpus_dir}")
     groups = partition_inputs(files, partitions_per_branch)
 
+    work: "queue.Queue[tuple[str, int]]" = queue.Queue()
+    # interleave branches so both are in flight early
+    for gi in range(len(groups)):
+        for branch in ("small", "large"):
+            work.put((branch, gi))
+
     results: dict[str, dict] = {}
     errors: list[BaseException] = []
+    lock = threading.Lock()
 
-    def branch_worker(branch: str):
-        try:
-            for gi, group in enumerate(groups):
+    def worker():
+        while True:
+            try:
+                branch, gi = work.get_nowait()
+            except queue.Empty:
+                return
+            try:
                 pid = f"{branch}-{gi:04d}"
-                results[pid] = run_partition(
+                # fixed actor pools must never over-reserve the cluster when
+                # several executions run at once (observed deadlock otherwise)
+                share_div = max(1, max_concurrent // 2)
+                m = run_partition(
                     out_dir,
                     pid,
-                    group,
-                    lambda fs: _branch_build(fs, cfg, branch),
+                    groups[gi],
+                    lambda fs: _branch_build(fs, cfg, branch, share_div=share_div),
                     resume=resume,
                     extra_meta={"branch": branch},
                 )
-        except BaseException as e:  # surface to the main thread
-            errors.append(e)
+                with lock:
+                    results[pid] = m
+            except BaseException as e:  # surface to the main thread
+                errors.append(e)
+                return
 
     threads = [
-        threading.Thread(target=branch_worker, args=(b,)) for b in ("small", "large")
+        threading.Thread(target=worker)
+        for _ in range(min(max_concurrent, 2 * len(groups)))
     ]
     for t in threads:
         t.start()
