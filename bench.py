@@ -24,7 +24,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-AMPLIFY = int(os.environ.get("BENCH_AMPLIFY", "64"))
+AMPLIFY = int(os.environ.get("BENCH_AMPLIFY", "128"))
 CACHE_ROOT = "/tmp/ray_extract_bench"
 
 
