@@ -257,6 +257,30 @@ def _q_events_window(sf_dir: str):
     return windowed_counts(sf_dir)
 
 
+def _q_events_sessionize(sf_dir: str):
+    from ray_extract.pipelines.events import sessionize
+
+    return sessionize(sf_dir)
+
+
+def _q_html_main_content(sf_dir: str):
+    from ray_extract.pipelines.html import html_main_content
+
+    return html_main_content(sf_dir)
+
+
+def _q_embedding_dedup(sf_dir: str):
+    from ray_extract.pipelines.similarity import embedding_dedup
+
+    return embedding_dedup(sf_dir)
+
+
+def _q_top_docs_by_tokens(sf_dir: str):
+    from ray_extract.pipelines.text import top_docs_by_tokens
+
+    return top_docs_by_tokens(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -279,7 +303,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,  # approximate by design -> no oracle (rows-only)
+        "embedding_dedup": _q_embedding_dedup,
         "events_window": _q_events_window,
+        "events_sessionize": _q_events_sessionize,
+        "html_main_content": _q_html_main_content,
+        "top_docs_by_tokens": _q_top_docs_by_tokens,
     }
 
 
@@ -420,7 +448,8 @@ FROM documents
         "ann_topk": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
 s AS (
-  SELECT q.qid, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS sc
+  SELECT q.qid, e.vec_id,
+         list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS sc
   FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.qid
 ),
 r AS (
@@ -435,5 +464,41 @@ FROM r WHERE rk <= 5
 SELECT event_type, date_trunc('hour', ts) AS window_start,
        CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+        "events_sessionize": """
+WITH o AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts
+FROM s GROUP BY 1, 2
+""",
+        "embedding_dedup": """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+""",
+        "html_main_content": """
+SELECT doc_id, text AS main_text FROM documents
+""",
+        "top_docs_by_tokens": """
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+FROM documents
+ORDER BY n_tokens DESC, doc_id
+LIMIT 20
 """,
     }

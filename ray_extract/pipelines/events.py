@@ -50,3 +50,35 @@ def windowed_counts(sf_dir: str, window: str = "hour"):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Gap-based session windows per user (the streaming-shaped workload as a
+    batch computation): events are partitioned by user (the one shuffle) and
+    each group is sessionized over its time-sorted events with pandas. A new
+    session starts when the gap to the previous event exceeds ``gap_minutes``.
+
+    Output: (user_id, session_id [1-based per user], n_events, start_ts,
+    end_ts). Ordering assumption: only intra-user order matters, established
+    by the in-group sort.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        new_session = (g["ts"].diff() > gap) | g["ts"].diff().isna()
+        g["session_id"] = new_session.cumsum().astype("int64")
+        out = (
+            g.groupby("session_id")
+            .agg(n_events=("ts", "size"), start_ts=("ts", "min"), end_ts=("ts", "max"))
+            .reset_index()
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")

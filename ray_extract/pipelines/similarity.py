@@ -88,6 +88,44 @@ def ann_bruteforce(sf_dir: str, n_queries: int = 10, k: int = 5):
     return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+def embedding_dedup(sf_dir: str, threshold: float = 0.4):
+    """Embedding-cosine near-duplicate pairs: all (a < b) with cosine >=
+    threshold. The full signature matrix (n_docs x dim floats) is broadcast
+    once via ray.put; each batch computes a vectorized matmul against it —
+    at larger scale the matrix shards by vec_id range and batches sweep the
+    shards (same pattern, one more loop)."""
+    import ray
+    import ray.data as rd
+
+    import pyarrow.dataset as pads
+
+    tbl = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"]
+    )
+    ids = tbl.column("vec_id").to_numpy()
+    E = np.stack(tbl.column("embedding").to_pylist()).astype(np.float64)
+    E /= np.linalg.norm(E, axis=1, keepdims=True)
+    ref = ray.put((ids, E))
+
+    def pair_batch(batch: pa.Table) -> pa.Table:
+        all_ids, allE = ray.get(ref)
+        bids, e = _emb_matrix(batch)
+        e /= np.linalg.norm(e, axis=1, keepdims=True)
+        scores = e @ allE.T
+        keep = (scores >= threshold) & (bids[:, None] < all_ids[None, :])
+        ai, bi = np.nonzero(keep)
+        return pa.table(
+            {
+                "vec_a": pa.array(bids[ai].astype(np.int64)),
+                "vec_b": pa.array(all_ids[bi].astype(np.int64)),
+                "cos_sim": pa.array(np.round(scores[ai, bi], 6)),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ds.map_batches(pair_batch, batch_format="pyarrow")
+
+
 def ann_lsh(sf_dir: str, n_queries: int = 10, k: int = 5, n_planes: int = 8, seed: int = 7):
     """LSH-bucketed approximate top-k: score only candidates whose sign-bucket
     matches the query's. Rows-only correctness (approximate by design)."""

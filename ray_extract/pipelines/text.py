@@ -88,6 +88,19 @@ def language_id(sf_dir: str):
     return _docs(sf_dir).map_batches(lid, batch_format="pyarrow")
 
 
+def top_docs_by_tokens(sf_dir: str, k: int = 20):
+    """Distributed sort + limit: top-k documents by token count with a
+    deterministic tiebreak (n_tokens desc, doc_id asc)."""
+    return (
+        token_stats(sf_dir)
+        .sort(["n_tokens", "doc_id"], descending=[True, False])
+        .limit(k)
+        .map_batches(
+            lambda t: t.select(["doc_id", "n_tokens"]), batch_format="pyarrow"
+        )
+    )
+
+
 def fingerprints(sf_dir: str):
     """Document fingerprints: 62-bit polynomial rolling hash + md5."""
 
