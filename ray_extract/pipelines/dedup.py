@@ -80,30 +80,63 @@ def _shingle_stage(k: int):
     return shingles
 
 
-def _pairs_from_group(g):
-    """All ordered pairs (a < b) of docs sharing one shingle value."""
-    import pandas as pd
+def _add_bucket(key_col: str, num_buckets: int):
+    """Deterministic hash bucket for a string key column (vectorized)."""
 
-    g = g.sort_values("doc_id")
-    ids = g["doc_id"].to_numpy()
-    ns = g["n_sh"].to_numpy()
-    if len(ids) < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "na": [], "nb": []}).astype(
-            {"doc_a": "int64", "doc_b": "int64", "na": "int64", "nb": "int64"}
+    def bucket(df):
+        import pandas as pd
+
+        df = df.copy()
+        df["bucket"] = (
+            pd.util.hash_pandas_object(df[key_col], index=False) % num_buckets
+        ).astype("int64")
+        return df
+
+    return bucket
+
+
+def _bucket_pairs(join_cols: list[str], carry: list[str]):
+    """Vectorized within-bucket self-join: all (doc_a < doc_b) pairs sharing
+    the join_cols value. One pandas merge per BUCKET (a few dozen calls total)
+    instead of one Python call per distinct key (tens of thousands)."""
+
+    def pairs(g):
+        import pandas as pd
+
+        left = g[join_cols + ["doc_id"] + carry]
+        m = left.merge(left, on=join_cols, suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        out = pd.DataFrame(
+            {"doc_a": m["doc_id_a"].to_numpy(), "doc_b": m["doc_id_b"].to_numpy()}
         )
-    ai, bi = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame(
-        {"doc_a": ids[ai], "doc_b": ids[bi], "na": ns[ai], "nb": ns[bi]}
-    )
+        for c in carry:
+            out["na" if c == "n_sh" else c + "_a"] = m[c + "_a"].to_numpy()
+            out["nb" if c == "n_sh" else c + "_b"] = m[c + "_b"].to_numpy()
+        if out.empty:
+            out = out.astype("int64", errors="ignore")
+        return out
+
+    return pairs
 
 
-def ngram_jaccard_pairs(sf_dir: str, k: int = 3, num: int = 1, den: int = 2):
+def ngram_jaccard_pairs(sf_dir: str, k: int = 3, num: int = 1, den: int = 2,
+                        num_buckets: int = 64):
     """Pairs with Jaccard(shingles_a, shingles_b) >= num/den (default 1/2),
-    verified exactly with integer arithmetic (no float thresholds)."""
+    verified exactly with integer arithmetic (no float thresholds).
+
+    Candidate generation is an inverted-index self-join: shingles are hash-
+    bucketed (the one shuffle) and each bucket does a single vectorized merge.
+    Complete for any threshold > 0 (a pair with J > 0 shares a shingle).
+    Scale note: stopword-like shingles with huge document frequency explode
+    the pair count — production sweeps would cap shingle document frequency
+    before pairing (disabled here so the SQL oracle stays exhaustive)."""
     from ray.data.aggregate import Count, Max
 
     sh = _docs(sf_dir).map_batches(_shingle_stage(k), batch_format="pyarrow")
-    pairs = sh.groupby("shingle").map_groups(_pairs_from_group, batch_format="pandas")
+    sh = sh.map_batches(_add_bucket("shingle", num_buckets), batch_format="pandas")
+    pairs = sh.groupby("bucket").map_groups(
+        _bucket_pairs(["shingle"], ["n_sh"]), batch_format="pandas"
+    )
     agg = pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Count(alias_name="inter"), Max("na", alias_name="na"), Max("nb", alias_name="nb")
     )
@@ -148,21 +181,10 @@ def minhash_lsh_pairs(sf_dir: str, k: int = 3, num_perm: int = 16, band_rows: in
             }
         )
 
-    def bucket_pairs(g):
-        import pandas as pd
-
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(
-                {"doc_a": "int64", "doc_b": "int64"}
-            )
-        ai, bi = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bi]})
-
     bands = _docs(sf_dir).map_batches(band_stage, batch_format="pyarrow")
-    pairs = bands.groupby(["band_id", "band_sig"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    bands = bands.map_batches(_add_bucket("band_sig", 64), batch_format="pandas")
+    pairs = bands.groupby("bucket").map_groups(
+        _bucket_pairs(["band_id", "band_sig"], []), batch_format="pandas"
     )
     # distinct pairs (a pair can collide in several bands)
     out = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))

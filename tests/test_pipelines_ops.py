@@ -1,0 +1,104 @@
+"""Operator-level pipeline tests: dedup / similarity / events over tiny data.
+
+The exhaustive pipeline-vs-SQL-oracle comparison lives in
+tools/check_queries.py (the driver's gate); these tests pin key semantic
+properties cheaply in the regular pytest run.
+"""
+
+import numpy as np
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_exact_dedup_groups(ray_session):
+    from ray_extract.pipelines.dedup import exact_dedup
+
+    df = exact_dedup(SF).to_pandas()
+    # sf documents are unique -> every group size 1, keep_id = the doc itself
+    assert len(df) == 500
+    assert (df.n_dups == 1).all()
+
+
+def test_ngram_jaccard_symmetric_and_thresholded(ray_session):
+    from ray_extract.pipelines.dedup import ngram_jaccard_pairs
+
+    df = ngram_jaccard_pairs(SF).to_pandas()
+    assert (df.doc_a < df.doc_b).all()
+    assert (2 * df.inter >= df.uni).all()
+    assert (df.inter <= df.uni).all()
+
+
+def test_minhash_candidates_superset_check(ray_session):
+    from ray_extract.pipelines.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    cand = minhash_lsh_pairs(SF).to_pandas()
+    assert (cand.doc_a < cand.doc_b).all()
+    # high-Jaccard pairs should be recalled by LSH banding on this corpus
+    exact = ngram_jaccard_pairs(SF, num=4, den=5).to_pandas()  # J >= 0.8
+    cand_set = set(zip(cand.doc_a, cand.doc_b))
+    for a, b in zip(exact.doc_a, exact.doc_b):
+        assert (a, b) in cand_set
+
+
+def test_simhash_hamming_bound(ray_session):
+    from ray_extract.pipelines.dedup import simhash_pairs
+
+    df = simhash_pairs(SF, max_hamming=2).to_pandas()
+    assert (df.hamming <= 2).all()
+    assert (df.doc_a < df.doc_b).all()
+
+
+def test_ann_bruteforce_topk(ray_session):
+    from ray_extract.pipelines.similarity import ann_bruteforce
+
+    df = ann_bruteforce(SF, n_queries=3, k=4).to_pandas()
+    assert set(df.query_id) == {0, 1, 2}
+    for q in (0, 1, 2):
+        g = df[df.query_id == q]
+        assert list(g["rank"]) == [1, 2, 3, 4]
+        assert q not in set(g.neighbor_id)  # self excluded
+
+
+def test_ann_lsh_subset_of_corpus(ray_session):
+    from ray_extract.pipelines.similarity import ann_lsh
+
+    df = ann_lsh(SF, n_queries=5, k=3).to_pandas()
+    assert (df["rank"] >= 1).all() and (df["rank"] <= 3).all()
+
+
+def test_sessionize_gap_semantics(ray_session):
+    import pandas as pd
+
+    from ray_extract.pipelines.events import sessionize
+
+    df = sessionize(SF, gap_minutes=30).to_pandas()
+    assert (df.n_events >= 1).all()
+    assert (df.end_ts >= df.start_ts).all()
+    # sessions of one user are disjoint and separated by > gap
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values("session_id")
+        assert list(g.session_id) == list(range(1, len(g) + 1))
+        prev_end = None
+        for _, r in g.iterrows():
+            if prev_end is not None:
+                assert r.start_ts - prev_end > pd.Timedelta(minutes=30)
+            prev_end = r.end_ts
+
+
+def test_media_decoder_stub(ray_session):
+    import pyarrow as pa
+    import pytest
+
+    from ray_extract.pipelines.media import MediaDecoder
+
+    dec = MediaDecoder()
+    batch = pa.table(
+        {"doc_id": ["d"], "ord": pa.array([7], type=pa.int32()), "media_ref": ["media://d/7"]}
+    )
+    out = dec(batch)
+    assert out.column("feature_hash").to_pylist()[0] == __import__("hashlib").md5(
+        b"media://d/7"
+    ).hexdigest()
+    assert out.column("width").to_pylist()[0] == 64 + len("media://d/7") % 32
+    with pytest.raises(NotImplementedError):
+        dec.decode_bytes(b"\x89PNG")

@@ -1,0 +1,93 @@
+"""Unit tests for text-analysis / hashing / HTML / language building blocks."""
+
+import numpy as np
+import pyarrow as pa
+
+from ray_extract.functions.hashing import (
+    hash62,
+    lsh_bands,
+    md5_str,
+    minhash_signature,
+    rolling31,
+    simhash32,
+    word_shingles,
+)
+from ray_extract.functions.html import (
+    extract_main_content,
+    strip_html_batch,
+    synthesize_html,
+)
+from ray_extract.functions.language import (
+    detect_language,
+    detect_languages_arrow,
+    join_block_texts,
+)
+
+
+def test_rolling_hash_deterministic():
+    assert rolling31("abc", 1000003) == ((97 * 1000003 + 98) * 1000003 + 99) % ((1 << 31) - 1)
+    assert hash62("abc") == rolling31("abc", 1000003) * (1 << 31) + rolling31("abc", 999983)
+    assert hash62("abc") != hash62("acb")
+
+
+def test_simhash_properties():
+    a = simhash32("the quick brown fox jumps over the lazy dog")
+    b = simhash32("the quick brown fox jumps over the lazy dog")
+    assert a == b and 0 <= a < (1 << 32)
+    c = simhash32("entirely different words appear here instead now")
+    ham = bin(a ^ c).count("1")
+    assert ham > 0
+
+
+def test_shingles_and_minhash():
+    s = word_shingles("a b c d e", 3)
+    assert s == {"a b c", "b c d", "c d e"}
+    sig = minhash_signature(s, 8)
+    assert len(sig) == 8 and all(len(h) == 32 for h in sig)
+    # identical sets -> identical signatures; md5 hex-string min is stable
+    assert sig == minhash_signature(set(s), 8)
+    bands = lsh_bands(sig, 4)
+    assert len(bands) == 2
+    assert bands[0] == md5_str("|".join(sig[:4]))
+
+
+def test_language_detection():
+    assert detect_language("the cat and the dog is a pet") == "en"
+    assert detect_language("der hund und die katze ist nicht da") == "de"
+    assert detect_language("le chat et les chiens est dans une rue") == "fr"
+    assert detect_language("el gato y los perros es una cosa") == "es"
+    assert detect_language("这是中文文本") == "zh"
+    assert detect_language("xyz qqq zzz") == "en"  # all-zero -> first language
+    arr = pa.array(["the and of", "der und ist", "这是"])
+    assert list(detect_languages_arrow(arr)) == ["en", "de", "zh"]
+    assert join_block_texts([" a ", "b", " c"]) == "a b c"
+
+
+def test_html_extraction_roundtrip():
+    text = " ".join(f"w{i}" for i in range(40))
+    html = synthesize_html("d1", "My Title", text)
+    assert extract_main_content(html) == text
+    # batch kernel agrees with the single-doc reference implementation
+    batch = pa.table({"doc_id": ["d1"], "html": [html]})
+    out = strip_html_batch(batch)
+    assert out.column("main_text").to_pylist() == [text]
+
+
+def test_html_boilerplate_dropped():
+    html = (
+        "<html><head><title>T</title></head><body>"
+        '<nav><a href="/">home</a> <a href="/b">b</a></nav>'
+        "<p>this paragraph has absolutely no links at all in it</p>"
+        '<footer>made by <a href="/us">us</a></footer></body></html>'
+    )
+    assert extract_main_content(html) == (
+        "this paragraph has absolutely no links at all in it"
+    )
+
+
+def test_html_long_block_with_few_links_kept():
+    words = " ".join(f"w{i}" for i in range(30))
+    html = f'<html><body><p>{words} <a href="/x">ref</a></p></body></html>'
+    # 31 words, 1 link -> density ~0.03 <= 0.1 and long -> kept
+    out = extract_main_content(html)
+    assert out.startswith("w0 ") and out.endswith(" ref")
