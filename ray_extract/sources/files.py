@@ -1,0 +1,62 @@
+"""File-based sources and sinks mirroring the reference's I/O surface.
+
+- ``read_document_dir``: directory of raw document byte-streams -> Dataset of
+  (doc_id, payload), doc_id = filename stem (reference S1, run.py:147-152:
+  ``pdf_dir.glob("*.pdf")`` with ``file.stem`` as the import id).
+- ``write_json_per_doc``: one JSON file per document named ``{doc_id}.json``
+  with overwrite semantics (reference K1, run.py:88). This layout is the
+  reference's resume unit; at 10^12 documents it is an anti-pattern (file
+  count), so the engine's primary sink is partitioned parquet + manifests
+  (state/checkpoint.py) and this sink exists for drop-in compatibility.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+
+def read_document_dir(input_dir: str, suffix: str = ".spdf"):
+    """Directory of payload files -> Dataset[(doc_id, payload)]."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(input_dir, include_paths=True)
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        paths = batch.column("path").to_pylist()
+        ids = [os.path.splitext(os.path.basename(p))[0] for p in paths]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.string()),
+                "payload": batch.column("bytes").cast(pa.large_binary()),
+            }
+        )
+
+    return ds.map_batches(to_rows, batch_format="pyarrow")
+
+
+def write_json_per_doc(output_ds, out_dir: str) -> int:
+    """Write one ``{doc_id}.json`` per output row; returns rows written.
+
+    Executed distributed (each batch writes its files from the worker);
+    overwrite-idempotent like the reference sink.
+    """
+    import json
+
+    import pyarrow as pa
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        for row in rows:
+            path = os.path.join(out_dir, f"{row['doc_id']}.json")
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(row, f, default=str)
+            os.replace(tmp, path)
+        return pa.table({"written": pa.array([len(rows)], type=pa.int64())})
+
+    counts = output_ds.map_batches(write_batch, batch_format="pyarrow")
+    return int(sum(r["written"] for r in counts.take_all()))

@@ -1,0 +1,84 @@
+"""File sources/sinks, geometry kernel, and the driver entry contract."""
+
+import json
+import os
+
+import pyarrow as pa
+
+
+def test_read_document_dir_and_json_sink(ray_session, tmp_path):
+    from ray_extract.derive import derive_payload
+    from ray_extract.pipelines.extract import ExtractConfig, extract_from_payloads
+    from ray_extract.sources.files import read_document_dir, write_json_per_doc
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    texts = {
+        "alpha": "a b c d e f g h i j k l",
+        "beta": " ".join(f"w{i}" for i in range(30)),
+    }
+    for name, text in texts.items():
+        (src / f"{name}.spdf").write_bytes(derive_payload(name, text))
+
+    ds = read_document_dir(str(src))
+    rows = {r["doc_id"]: r["payload"] for r in ds.take_all()}
+    assert set(rows) == {"alpha", "beta"}  # doc_id = filename stem (S1)
+
+    out = extract_from_payloads(
+        ds, ExtractConfig(split_threshold_pages=4, split_batch_pages=4,
+                          parse_concurrency=(1, 2))
+    )
+    sink = tmp_path / "json_out"
+    n = write_json_per_doc(out, str(sink))
+    assert n == 2
+    data = json.load(open(sink / "alpha.json"))
+    assert data["doc_id"] == "alpha"
+    assert [b["text"] for b in data["text_blocks"]][0] == "a b c d"
+    # overwrite-idempotent (K1, reference run.py:88)
+    assert write_json_per_doc(out, str(sink)) == 2
+
+
+def test_vertical_flip(ray_session):
+    from ray_extract.derive import derive_payload
+    from ray_extract.functions.geometry import vertically_flip_text_blocks
+    from ray_extract.pipelines.extract import ExtractConfig, extract_from_payloads
+    import ray.data as rd
+
+    pl = derive_payload("d", " ".join(f"w{i}" for i in range(40)))
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(["d"]), "payload": pa.array([pl], type=pa.large_binary())})
+    )
+    out = extract_from_payloads(ds, ExtractConfig(parse_concurrency=(1, 2)))
+    tbl = pa.concat_tables(
+        [b for b in out.map_batches(vertically_flip_text_blocks,
+                                    batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow")]
+    )
+    row = tbl.to_pylist()[0]
+    page_h = row["page_metadata"][0]["height"]  # 792.0
+    b0 = row["text_blocks"][0]
+    # original polygon TL y = 0.5in*72 = 36 -> flipped = 792-36 = 756
+    assert b0["coords"][0]["y"] == page_h - 36.0
+    assert b0["coords"][0]["x"] == 72.0  # x untouched
+    # tbl is already flipped once; one more flip restores the original coords
+    twice = vertically_flip_text_blocks(tbl).to_pylist()[0]
+    assert twice["text_blocks"][0]["coords"] == [
+        {"x": 72.0, "y": 36.0}, {"x": 540.0, "y": 36.0},
+        {"x": 540.0, "y": 144.0}, {"x": 72.0, "y": 144.0},
+    ]
+
+
+def test_entry_contract(ray_session):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+
+    res = E.entry()
+    df = res.to_pandas()
+    assert len(df) > 0
+    assert {"doc_id", "ord", "kind", "text", "media_ref"} <= set(df.columns)
+    qs, oracles = E.queries(), E.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # every query callable is importable and lazy-constructs a Dataset quickly
+    assert len(qs) >= 20
