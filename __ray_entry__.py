@@ -165,7 +165,10 @@ def _q_extract_doc_stats(sf_dir: str):
 
     def stats(batch: pa.Table) -> pa.Table:
         langs = batch.column("languages").combine_chunks()
-        first_lang = pc.list_flatten(pc.list_slice(langs, 0, 1))
+        # row-aligned first element (list_flatten would DROP null/empty rows)
+        first_lang = pa.array(
+            [l[0] if l else None for l in langs.to_pylist()], type=pa.string()
+        )
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),

@@ -121,17 +121,27 @@ def run_bench() -> dict:
         fn()
         queries[name] = round(time.time() - t, 3)
 
-    from ray_extract.pipelines.dedup import exact_dedup, minhash_lsh_pairs, simhash_pairs
-    from ray_extract.pipelines.events import windowed_counts
-    from ray_extract.pipelines.similarity import ann_bruteforce
+    from ray_extract.pipelines.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+    from ray_extract.pipelines.events import sessionize, windowed_counts
+    from ray_extract.pipelines.html import html_main_content
+    from ray_extract.pipelines.similarity import ann_bruteforce, embedding_dedup
     from ray_extract.pipelines.text import quality_scores
 
     timed("dedup_exact", lambda: exact_dedup(SF_DIR).count())
+    timed("dedup_ngram_jaccard", lambda: ngram_jaccard_pairs(SF_DIR).count())
     timed("dedup_minhash_lsh", lambda: minhash_lsh_pairs(SF_DIR).count())
     timed("dedup_simhash", lambda: simhash_pairs(SF_DIR).count())
+    timed("embedding_dedup", lambda: embedding_dedup(SF_DIR).count())
     timed("text_quality", lambda: quality_scores(SF_DIR).count())
     timed("ann_topk", lambda: ann_bruteforce(SF_DIR).count())
     timed("events_window", lambda: windowed_counts(SF_DIR).count())
+    timed("events_sessionize", lambda: sessionize(SF_DIR).count())
+    timed("html_main_content", lambda: html_main_content(SF_DIR).count())
 
     result = {
         "metric": "extract_headline",

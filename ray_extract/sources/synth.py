@@ -85,7 +85,14 @@ def materialize_corpus(
 
     The corpus is spread over many files (default ~5000 docs/file) — readers
     get one task per file group, so a single giant file would serialize the
-    scan (observed: 3-file corpus -> 3-way-parallel read bottleneck)."""
+    scan (observed: 3-file corpus -> 3-way-parallel read bottleneck).
+
+    Layout note: sorting the corpus by n_pages (so the routed pipeline's two
+    filtered reads prune to disjoint files) was measured and REJECTED — equal
+    row counts per file concentrate the heavy-tail payload bytes into a few
+    giant files whose read tasks become stragglers (T16 regressed 52s -> 100s).
+    Unsorted round-robin keeps file sizes uniform; the double filtered scan is
+    cheaper than the skew."""
     ds = synth_dataset(documents_path, amplify=amplify, heavy_tail=heavy_tail)
     if num_files <= 0:
         import pyarrow.parquet as pq

@@ -74,6 +74,8 @@ def run_partition(
     t0 = time.time()
     ds = build(input_files)
     ds.write_parquet(tmp_dir)
+    # an empty partition (all rows filtered) writes no directory at all
+    os.makedirs(tmp_dir, exist_ok=True)
     # row metrics from the written files' parquet footers (no re-execution)
     import pyarrow.parquet as pq
 

@@ -1,0 +1,53 @@
+"""Fast pytest slice of the driver's query-vs-SQL-oracle gate.
+
+The exhaustive check is tools/check_queries.py; this keeps a representative
+subset inside `pytest -x -q` so oracle-parity regressions fail CI quickly.
+"""
+
+import duckdb
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+SUBSET = [
+    "extract_spans",
+    "extract_kind_counts",
+    "dedup_exact",
+    "dedup_simhash",
+    "text_tokens",
+    "lang_id",
+    "html_main_content",
+    "top_docs_by_tokens",
+]
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in ["documents", "embeddings", "events"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def _norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(ray_session, oracle_con, name):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+
+    got = _norm(E.queries()[name](SF).to_pandas())
+    want = _norm(oracle_con.execute(E.oracle_sql()[name]).df())
+    assert len(got) == len(want)
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        assert np.array_equal(got[c].values, want[c].values), c
