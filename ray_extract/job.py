@@ -54,7 +54,8 @@ def _pin_fsspec_http_stub():
         sys.modules["fsspec.implementations.http"] = mod
 
 
-def _branch_build(corpus_files, cfg: ExtractConfig, branch: str, share_div: int = 1):
+def _branch_front(corpus_files, cfg: ExtractConfig, branch: str, share_div: int = 1):
+    """read -> decode -> split -> parse (the raw-IR dataset, SHARD_SCHEMA)."""
     import pyarrow.dataset as pads
     import pyarrow.fs as pafs
     import ray.data as rd
@@ -62,7 +63,6 @@ def _branch_build(corpus_files, cfg: ExtractConfig, branch: str, share_div: int 
     # explicit local filesystem: path-list resolution otherwise imports
     # fsspec HTTP support that this container lacks
     fs = pafs.LocalFileSystem()
-    conv = make_convert_stage(cfg.experimental_tables)
     if branch == "small":
         ds = rd.read_parquet(
             corpus_files,
@@ -70,22 +70,41 @@ def _branch_build(corpus_files, cfg: ExtractConfig, branch: str, share_div: int 
             columns=["doc_id", "payload", "n_pages"],
             filter=pads.field("n_pages") <= cfg.split_threshold_pages,
         )
-        ds = _front(ds, cfg, pool_share=SMALL_SHARE / share_div)
-    else:
-        ds = rd.read_parquet(
-            corpus_files,
-            filesystem=fs,
-            columns=["doc_id", "payload", "n_pages"],
-            filter=pads.field("n_pages") > cfg.split_threshold_pages,
+        return _front(ds, cfg, pool_share=SMALL_SHARE / share_div)
+    ds = rd.read_parquet(
+        corpus_files,
+        filesystem=fs,
+        columns=["doc_id", "payload", "n_pages"],
+        filter=pads.field("n_pages") > cfg.split_threshold_pages,
+    )
+    if cfg.large_blocks:
+        ds = ds.repartition(cfg.large_blocks)
+    return _front(ds, cfg, pool_share=LARGE_SHARE / share_div)
+
+
+def _branch_finish(raw_ds, cfg: ExtractConfig, branch: str):
+    """(merge for the heavy tail) -> convert (ParserOutput rows)."""
+    conv = make_convert_stage(cfg.experimental_tables)
+    if branch == "large":
+        raw_ds = raw_ds.groupby("doc_id").map_groups(
+            merge_group, batch_format="pyarrow"
         )
-        if cfg.large_blocks:
-            ds = ds.repartition(cfg.large_blocks)
-        ds = _front(ds, cfg, pool_share=LARGE_SHARE / share_div)
-        ds = ds.groupby("doc_id").map_groups(merge_group, batch_format="pyarrow")
-    return ds.map_batches(
+    return raw_ds.map_batches(
         conv, batch_format="pyarrow", batch_size=cfg.convert_batch_size,
         zero_copy_batch=True,
     )
+
+
+def _branch_build(corpus_files, cfg: ExtractConfig, branch: str, share_div: int = 1):
+    return _branch_finish(
+        _branch_front(corpus_files, cfg, branch, share_div), cfg, branch
+    )
+
+
+def _empty_shard_table():
+    from .schema import SHARD_SCHEMA
+
+    return SHARD_SCHEMA.empty_table()
 
 
 def run_extract_job(
@@ -95,12 +114,20 @@ def run_extract_job(
     partitions_per_branch: int = 1,
     resume: bool = True,
     max_concurrent: int = 2,
+    save_raw: bool = False,
 ) -> dict:
     """Run the full job; returns {manifests, rows, wall_s per partition}.
 
     Partitions (branch x file-group) are drained from a work queue by
     ``max_concurrent`` driver threads — concurrent Dataset executions overlap
     each other's barriers (sort/write finalization) on the shared cluster.
+
+    ``save_raw=True`` runs two phases per partition: the parse-stage IR
+    (AnalyzeResult-equivalent shard rows) is written to ``<out>/raw-<pid>/``
+    with its own manifest, then merge+convert reads it back. This is the
+    reference's --save-raw-azure-response debug tap (run.py:157-160, K2)
+    upgraded to a checkpoint: a resume after a crash in convert re-reads the
+    raw IR instead of re-parsing the corpus.
     """
     import queue
 
@@ -134,14 +161,42 @@ def run_extract_job(
                 # fixed actor pools must never over-reserve the cluster when
                 # several executions run at once (observed deadlock otherwise)
                 share_div = max(1, max_concurrent // 2)
-                m = run_partition(
-                    out_dir,
-                    pid,
-                    groups[gi],
-                    lambda fs: _branch_build(fs, cfg, branch, share_div=share_div),
-                    resume=resume,
-                    extra_meta={"branch": branch},
-                )
+                if save_raw:
+                    raw_m = run_partition(
+                        out_dir,
+                        f"raw-{pid}",
+                        groups[gi],
+                        lambda fs: _branch_front(fs, cfg, branch, share_div=share_div),
+                        resume=resume,
+                        extra_meta={"branch": branch, "phase": "raw"},
+                    )
+                    import pyarrow.fs as pafs
+                    import ray.data as rd
+
+                    raw_dir = os.path.join(out_dir, f"raw-{pid}")
+                    m = run_partition(
+                        out_dir,
+                        pid,
+                        sorted(glob.glob(os.path.join(raw_dir, "*.parquet"))),
+                        lambda fs: _branch_finish(
+                            rd.read_parquet(fs, filesystem=pafs.LocalFileSystem())
+                            if fs
+                            else rd.from_arrow(_empty_shard_table()),
+                            cfg,
+                            branch,
+                        ),
+                        resume=resume,
+                        extra_meta={"branch": branch, "raw_rows": raw_m["rows"]},
+                    )
+                else:
+                    m = run_partition(
+                        out_dir,
+                        pid,
+                        groups[gi],
+                        lambda fs: _branch_build(fs, cfg, branch, share_div=share_div),
+                        resume=resume,
+                        extra_meta={"branch": branch},
+                    )
                 with lock:
                     results[pid] = m
             except BaseException as e:  # surface to the main thread
@@ -176,11 +231,15 @@ def main():
     p.add_argument("--output", required=True)
     p.add_argument("--partitions-per-branch", type=int, default=8)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--save-raw", action="store_true",
+                   help="write the parse-stage IR (raw shard rows) as its own "
+                        "checkpointed phase (reference --save-raw-azure-response)")
     p.add_argument("--split-threshold-pages", type=int, default=8)
     p.add_argument("--split-batch-pages", type=int, default=16)
     args = p.parse_args()
 
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
                  include_dashboard=False, logging_level="ERROR")
     ctx = DataContext.get_current()
@@ -199,9 +258,11 @@ def main():
         args.input, args.output, cfg,
         partitions_per_branch=args.partitions_per_branch,
         resume=not args.no_resume,
+        save_raw=args.save_raw,
     )
     print({"rows": res["rows"], "skipped_partitions": res["skipped"]})
-    ray.shutdown()
+    if owns_session:
+        ray.shutdown()
 
 
 if __name__ == "__main__":

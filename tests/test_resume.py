@@ -60,6 +60,27 @@ def test_resume_identical_output(ray_session, corpus, tmp_path):
     assert got.equals(want)
 
 
+def test_save_raw_two_phase(ray_session, corpus, tmp_path):
+    """K2 raw-IR tap: phase-A shard rows persist, phase-B output matches the
+    direct path, and resume skips both phases."""
+    import glob
+
+    import duckdb
+
+    out = str(tmp_path / "raw_mode")
+    res = run_extract_job(corpus, out, CFG, partitions_per_branch=2, save_raw=True)
+    assert res["rows"] == 500
+    raw_files = glob.glob(os.path.join(out, "raw-*", "*.parquet"))
+    assert raw_files
+    con = duckdb.connect()
+    (n_shards,) = con.execute(
+        f"SELECT count(*) FROM read_parquet({raw_files!r})"
+    ).fetchone()
+    assert n_shards >= 500  # split docs contribute multiple shards
+    res2 = run_extract_job(corpus, out, CFG, partitions_per_branch=2, save_raw=True)
+    assert res2["skipped"] == 4 and res2["rows"] == 500
+
+
 def test_manifest_lineage(ray_session, corpus, tmp_path):
     out = str(tmp_path / "lin")
     run_extract_job(corpus, out, CFG, partitions_per_branch=2)
