@@ -181,6 +181,42 @@ def _q_extract_doc_stats(sf_dir: str):
     return out.map_batches(stats, batch_format="pyarrow")
 
 
+def _q_extract_table_cells(sf_dir: str):
+    """Flatten the experimental table blocks: one row per surviving cell."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out, _ = _extract_flat(sf_dir)
+
+    def flat_cells(batch: pa.Table) -> pa.Table:
+        tb = batch.column("table_blocks").combine_chunks()
+        t_counts = pc.list_value_length(tb).to_numpy().astype(np.int64)
+        t_parent = np.repeat(np.arange(len(batch), dtype=np.int64), t_counts)
+        tables = tb.flatten()
+        cells_list = tables.field("cells")
+        c_counts = pc.list_value_length(cells_list).to_numpy().astype(np.int64)
+        c_parent_tab = np.repeat(np.arange(len(tables), dtype=np.int64), c_counts)
+        cells = cells_list.flatten()
+        doc_ids = batch.column("doc_id").combine_chunks()
+        return pa.table(
+            {
+                "doc_id": doc_ids.take(pa.array(t_parent[c_parent_tab])),
+                "table_id": tables.field("table_id").take(pa.array(c_parent_tab)),
+                "row_count": pc.cast(
+                    tables.field("row_count").take(pa.array(c_parent_tab)), pa.int64()
+                ),
+                "cell_type": cells.field("cell_type"),
+                "row_index": pc.cast(cells.field("row_index"), pa.int64()),
+                "column_index": pc.cast(cells.field("column_index"), pa.int64()),
+                "content": cells.field("content"),
+                "page_number": pc.cast(cells.field("page_number"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(flat_cells, batch_format="pyarrow")
+
+
 def _q_extract_kind_counts(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -295,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_page_metadata": _q_extract_page_metadata,
         "extract_doc_stats": _q_extract_doc_stats,
         "extract_kind_counts": _q_extract_kind_counts,
+        "extract_table_cells": _q_extract_table_cells,
         "media_decode": _q_media_decode,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -347,6 +384,19 @@ GROUP BY s.did
         "extract_kind_counts": _SPANS_CTE
         + """
 SELECT kind, count(*) AS n FROM spans GROUP BY kind
+""",
+        "extract_table_cells": _SPANS_CTE
+        + """
+SELECT did AS doc_id,
+       CAST(dense_rank() OVER (PARTITION BY did ORDER BY page_number) - 1
+            AS VARCHAR) AS table_id,
+       count(*) OVER (PARTITION BY did, page_number) AS row_count,
+       'content' AS cell_type,
+       row_number() OVER (PARTITION BY did, page_number ORDER BY i) - 1 AS row_index,
+       CAST(0 AS BIGINT) AS column_index,
+       text AS content,
+       page_number
+FROM spans WHERE kind = 'TableCell'
 """,
         "media_decode": _SPANS_CTE
         + """

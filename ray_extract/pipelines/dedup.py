@@ -130,39 +130,58 @@ def ngram_jaccard_pairs(sf_dir: str, k: int = 3, num: int = 1, den: int = 2,
     Scale note: stopword-like shingles with huge document frequency explode
     the pair count — production sweeps would cap shingle document frequency
     before pairing (disabled here so the SQL oracle stays exhaustive)."""
-    from ray.data.aggregate import Count, Max
-
     sh = _docs(sf_dir).map_batches(_shingle_stage(k), batch_format="pyarrow")
     sh = sh.map_batches(_add_bucket("shingle", num_buckets), batch_format="pandas")
     pairs = sh.groupby("bucket").map_groups(
         _bucket_pairs(["shingle"], ["n_sh"]), batch_format="pandas"
     )
-    agg = pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="inter"), Max("na", alias_name="na"), Max("nb", alias_name="nb")
-    )
 
-    def verify(batch: pa.Table) -> pa.Table:
-        inter = batch.column("inter").to_numpy()
-        uni = batch.column("na").to_numpy() + batch.column("nb").to_numpy() - inter
-        keep = den * inter >= num * uni
-        out = batch.filter(pa.array(keep))
-        return pa.table(
+    # count shared shingles per pair. A multi-key groupby().aggregate() was
+    # measured at 360s for 1.3M pair rows (Ray's sort-aggregate over a two-
+    # column key); hash-bucketing the PAIR key and aggregating vectorized
+    # inside 64 groups does the same in seconds.
+    def pair_bucket(df):
+        import pandas as pd
+
+        df = df.copy()
+        df["pbucket"] = (
+            pd.util.hash_pandas_object(
+                df["doc_a"] * 2654435761 + df["doc_b"], index=False
+            )
+            % num_buckets
+        ).astype("int64")
+        return df
+
+    def agg_bucket(g):
+        out = (
+            g.groupby(["doc_a", "doc_b"], sort=False)
+            .agg(inter=("na", "size"), na=("na", "first"), nb=("nb", "first"))
+            .reset_index()
+        )
+        uni = out["na"] + out["nb"] - out["inter"]
+        keep = den * out["inter"] >= num * uni
+        out = out[keep]
+        import pandas as pd
+
+        return pd.DataFrame(
             {
-                "doc_a": out.column("doc_a"),
-                "doc_b": out.column("doc_b"),
-                "inter": pc.cast(out.column("inter"), pa.int64()),
-                "uni": pa.array(uni[keep], type=pa.int64()),
+                "doc_a": out["doc_a"].astype("int64").to_numpy(),
+                "doc_b": out["doc_b"].astype("int64").to_numpy(),
+                "inter": out["inter"].astype("int64").to_numpy(),
+                "uni": uni[keep].astype("int64").to_numpy(),
             }
         )
 
-    return agg.map_batches(verify, batch_format="pyarrow")
+    return (
+        pairs.map_batches(pair_bucket, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(agg_bucket, batch_format="pandas")
+    )
 
 
 # ------------------------------------------------------------- MinHash + LSH
 def minhash_lsh_pairs(sf_dir: str, k: int = 3, num_perm: int = 16, band_rows: int = 4):
     """Candidate near-duplicate pairs sharing at least one LSH band bucket."""
-    from ray.data.aggregate import Count
-
     def band_stage(batch: pa.Table) -> pa.Table:
         doc_ids, band_ids, band_sigs = [], [], []
         for did, text in zip(
@@ -186,10 +205,27 @@ def minhash_lsh_pairs(sf_dir: str, k: int = 3, num_perm: int = 16, band_rows: in
     pairs = bands.groupby("bucket").map_groups(
         _bucket_pairs(["band_id", "band_sig"], []), batch_format="pandas"
     )
-    # distinct pairs (a pair can collide in several bands)
-    out = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
-    return out.map_batches(
-        lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"
+
+    # distinct pairs (a pair can collide in several bands): single-key bucket
+    # + vectorized drop_duplicates (multi-key groupby aggregates are slow)
+    def pair_bucket(df):
+        import pandas as pd
+
+        df = df.copy()
+        df["pbucket"] = (
+            pd.util.hash_pandas_object(
+                df["doc_a"] * 2654435761 + df["doc_b"], index=False
+            )
+            % 64
+        ).astype("int64")
+        return df
+
+    return (
+        pairs.map_batches(pair_bucket, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(
+            lambda g: g[["doc_a", "doc_b"]].drop_duplicates(), batch_format="pandas"
+        )
     )
 
 
