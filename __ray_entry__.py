@@ -320,6 +320,18 @@ def _q_top_docs_by_tokens(sf_dir: str):
     return top_docs_by_tokens(sf_dir)
 
 
+def _q_distinct_sources(sf_dir: str):
+    from ray_extract.pipelines.text import distinct_sources
+
+    return distinct_sources(sf_dir)
+
+
+def _q_corpus_stats(sf_dir: str):
+    from ray_extract.pipelines.text import corpus_stats
+
+    return corpus_stats(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -348,6 +360,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": _q_events_sessionize,
         "html_main_content": _q_html_main_content,
         "top_docs_by_tokens": _q_top_docs_by_tokens,
+        "distinct_sources": _q_distinct_sources,
+        "corpus_stats": _q_corpus_stats,
     }
 
 
@@ -553,5 +567,17 @@ SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
 FROM documents
 ORDER BY n_tokens DESC, doc_id
 LIMIT 20
+""",
+        "distinct_sources": """
+SELECT DISTINCT source FROM documents
+""",
+        "corpus_stats": """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars
+FROM documents GROUP BY source
 """,
     }

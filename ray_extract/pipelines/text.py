@@ -101,6 +101,64 @@ def top_docs_by_tokens(sf_dir: str, k: int = 20):
     )
 
 
+def distinct_sources(sf_dir: str):
+    """Distinct values of one column (ds.unique -> shuffle)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+    vals = sorted(ds.unique("source"))
+    import pyarrow as pa_
+
+    return pa_.table({"source": pa_.array(vals, type=pa_.string())})
+
+
+def corpus_stats(sf_dir: str):
+    """Per-source multi-aggregate groupby with a partial-agg combiner: counts
+    and sums computed inside map_batches, then a small groupby over partials
+    (the pre-aggregate-before-shuffle pattern)."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nt = pc.add(pc.count_substring(batch.column("text"), " "), 1)
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "tok": pc.cast(nt, pa.int64()),
+                "chars": pc.cast(batch.column("n_chars"), pa.int64()),
+            }
+        )
+        return t.group_by("source").aggregate(
+            [("n", "sum"), ("tok", "sum"), ("chars", "sum"), ("chars", "max"), ("chars", "min")]
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text", "n_chars"]
+    )
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("source").aggregate(
+        Sum("n_sum", alias_name="n_docs"),
+        Sum("tok_sum", alias_name="total_tokens"),
+        Sum("chars_sum", alias_name="total_chars"),
+        Max("chars_max", alias_name="max_chars"),
+        Min("chars_min", alias_name="min_chars"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "n_docs": pc.cast(t.column("n_docs"), pa.int64()),
+                "total_tokens": pc.cast(t.column("total_tokens"), pa.int64()),
+                "total_chars": pc.cast(t.column("total_chars"), pa.int64()),
+                "max_chars": pc.cast(t.column("max_chars"), pa.int64()),
+                "min_chars": pc.cast(t.column("min_chars"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def fingerprints(sf_dir: str):
     """Document fingerprints: 62-bit polynomial rolling hash + md5."""
 
