@@ -12,6 +12,11 @@ representation (see `ray_extract.schema`).
 Page numbers are propagated to document-global here (reference
 propagate_page_number, utils.py:35-78: local + range_lo - 1) so the merge
 stage is a pure ordered concat.
+
+Hot-loop structure: the per-shard work is only the structured-array decode
+(numpy views) and list appends; all field extraction, page-offset application
+and Arrow array construction happen ONCE per batch over the concatenated
+structured arrays (vectorized across shards).
 """
 
 from __future__ import annotations
@@ -20,11 +25,24 @@ import numpy as np
 import pyarrow as pa
 
 from .. import vocab
-from ..payload import decode, strings_from_lens
+from ..payload import CELL_DT, PAGE_DT, PARA_DT, TAB_DT, decode, strings_from_lens
 from ..schema import LIST_COLUMNS, SCALAR_FIELDS
 
 
-_GROUP_MULT = {"page": 1, "para": 1, "para8": 8, "tab": 1, "tab8": 8, "cell": 1, "cell8": 8}
+def _concat(parts: list[np.ndarray], dtype) -> np.ndarray:
+    """Concatenate same-dtype structured arrays without numpy's pairwise
+    field-promotion overhead (np.concatenate calls _promote_fields per pair —
+    measured at ~50% of parse time for thousands of small shards)."""
+    total = sum(len(p) for p in parts)
+    out = np.empty(total, dtype=dtype)
+    ob = out.view(np.uint8)  # raw byte copy: parts are contiguous same-dtype
+    isz = dtype.itemsize
+    pos = 0
+    for p in parts:
+        k = len(p) * isz
+        ob[pos : pos + k] = p.view(np.uint8)
+        pos += k
+    return out
 
 
 class LayoutParser:
@@ -44,97 +62,104 @@ class LayoutParser:
         payloads = batch.column("payload").combine_chunks()
         range_lo = batch.column("range_lo").to_numpy()
 
-        num_cols = {
-            name: [] for name, (t, _) in LIST_COLUMNS.items() if not pa.types.is_string(t)
-        }
-        counts = {name: np.zeros(n, dtype=np.int64) for name in LIST_COLUMNS}
-        text_lens, text_blobs = [], []
-        media_lens, media_blobs = [], []
-        cell_lens, cell_blobs = [], []
+        pages_l, paras_l, tabs_l, cells_l = [], [], [], []
+        text_blobs, media_blobs, cell_blobs = [], [], []
+        n_pages = np.zeros(n, dtype=np.int64)
+        n_paras = np.zeros(n, dtype=np.int64)
+        n_tabs = np.zeros(n, dtype=np.int64)
+        n_cells = np.zeros(n, dtype=np.int64)
+        offs = np.zeros(n, dtype=np.int32)  # page offset per shard
 
         for i in range(n):
             raw = payloads[i].as_py()
             if status[i] != "ok" or not raw:
                 continue
             flat = decode(raw)
-            off = int(range_lo[i]) - 1
-            pages, paras, tables, cells = flat["pages"], flat["paras"], flat["tables"], flat["cells"]
-
-            counts["page_number"][i] = counts["page_width"][i] = counts["page_height"][i] = len(pages)
-            num_cols["page_number"].append(np.arange(1, len(pages) + 1, dtype=np.int32) + off)
-            num_cols["page_width"].append(np.ascontiguousarray(pages["width"]))
-            num_cols["page_height"].append(np.ascontiguousarray(pages["height"]))
-
-            for c in ("para_role", "para_offset", "para_length", "para_flags"):
-                counts[c][i] = len(paras)
-            counts["para_page"][i] = len(paras)
-            counts["para_text"][i] = counts["para_media"][i] = len(paras)
-            counts["para_poly"][i] = len(paras)
-            num_cols["para_role"].append(np.ascontiguousarray(paras["role"]))
-            num_cols["para_page"].append(paras["page"] + np.int32(off))
-            num_cols["para_offset"].append(np.ascontiguousarray(paras["offset"]))
-            num_cols["para_length"].append(np.ascontiguousarray(paras["length"]))
-            num_cols["para_flags"].append(np.ascontiguousarray(paras["flags"]))
-            num_cols["para_poly"].append(np.ascontiguousarray(paras["poly"]).ravel())
-            text_lens.append(np.ascontiguousarray(paras["text_len"]))
+            pages_l.append(flat["pages"])
+            paras_l.append(flat["paras"])
+            tabs_l.append(flat["tables"])
+            cells_l.append(flat["cells"])
             text_blobs.append(flat["text_blob"])
-            media_lens.append(np.ascontiguousarray(paras["media_len"]))
             media_blobs.append(flat["media_blob"])
-
-            for c in ("tab_page", "tab_rows", "tab_cols", "tab_ncells", "tab_offset", "tab_length", "tab_poly"):
-                counts[c][i] = len(tables)
-            num_cols["tab_page"].append(tables["page"] + np.int32(off))
-            num_cols["tab_rows"].append(np.ascontiguousarray(tables["row_count"]))
-            num_cols["tab_cols"].append(np.ascontiguousarray(tables["col_count"]))
-            num_cols["tab_ncells"].append(np.ascontiguousarray(tables["ncells"]))
-            num_cols["tab_offset"].append(np.ascontiguousarray(tables["offset"]))
-            num_cols["tab_length"].append(np.ascontiguousarray(tables["length"]))
-            num_cols["tab_poly"].append(np.ascontiguousarray(tables["poly"]).ravel())
-
-            for c in (
-                "cell_kind", "cell_row", "cell_col", "cell_rowspan", "cell_colspan",
-                "cell_offset", "cell_length", "cell_flags", "cell_page", "cell_text", "cell_poly",
-            ):
-                counts[c][i] = len(cells)
-            num_cols["cell_kind"].append(np.ascontiguousarray(cells["kind"]))
-            num_cols["cell_row"].append(np.ascontiguousarray(cells["row"]))
-            num_cols["cell_col"].append(np.ascontiguousarray(cells["col"]))
-            num_cols["cell_rowspan"].append(np.ascontiguousarray(cells["rowspan"]))
-            num_cols["cell_colspan"].append(np.ascontiguousarray(cells["colspan"]))
-            num_cols["cell_offset"].append(np.ascontiguousarray(cells["offset"]))
-            num_cols["cell_length"].append(np.ascontiguousarray(cells["length"]))
-            num_cols["cell_flags"].append(np.ascontiguousarray(cells["flags"]))
-            num_cols["cell_page"].append(cells["page"] + np.int32(off))
-            num_cols["cell_poly"].append(np.ascontiguousarray(cells["poly"]).ravel())
-            cell_lens.append(np.ascontiguousarray(cells["text_len"]))
             cell_blobs.append(flat["cell_blob"])
+            n_pages[i] = len(flat["pages"])
+            n_paras[i] = len(flat["paras"])
+            n_tabs[i] = len(flat["tables"])
+            n_cells[i] = len(flat["cells"])
+            offs[i] = range_lo[i] - 1
+
+        pages = _concat(pages_l, PAGE_DT)
+        paras = _concat(paras_l, PARA_DT)
+        tabs = _concat(tabs_l, TAB_DT)
+        cells = _concat(cells_l, CELL_DT)
+
+        # vectorized page propagation across the whole batch
+        page_off_pg = np.repeat(offs, n_pages)
+        page_off_pa = np.repeat(offs, n_paras)
+        page_off_tb = np.repeat(offs, n_tabs)
+        page_off_cl = np.repeat(offs, n_cells)
+
+        # local page numbers of the pages array are implicit (1..k per shard)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(n_pages[:-1], out=starts[1:])
+        page_number = (
+            np.arange(len(pages), dtype=np.int32)
+            - np.repeat(starts, n_pages).astype(np.int32)
+            + 1
+            + page_off_pg
+        )
+
+        c = np.ascontiguousarray  # strided struct fields -> contiguous once
+
+        values: dict[str, object] = {
+            "page_number": page_number,
+            "page_width": c(pages["width"]),
+            "page_height": c(pages["height"]),
+            "para_role": c(paras["role"]),
+            "para_page": paras["page"] + page_off_pa,
+            "para_offset": c(paras["offset"]),
+            "para_length": c(paras["length"]),
+            "para_flags": c(paras["flags"]),
+            "para_poly": c(paras["poly"]).ravel(),
+            "tab_page": tabs["page"] + page_off_tb,
+            "tab_rows": c(tabs["row_count"]),
+            "tab_cols": c(tabs["col_count"]),
+            "tab_ncells": c(tabs["ncells"]),
+            "tab_offset": c(tabs["offset"]),
+            "tab_length": c(tabs["length"]),
+            "tab_poly": c(tabs["poly"]).ravel(),
+            "cell_kind": c(cells["kind"]),
+            "cell_row": c(cells["row"]),
+            "cell_col": c(cells["col"]),
+            "cell_rowspan": c(cells["rowspan"]),
+            "cell_colspan": c(cells["colspan"]),
+            "cell_offset": c(cells["offset"]),
+            "cell_length": c(cells["length"]),
+            "cell_flags": c(cells["flags"]),
+            "cell_page": cells["page"] + page_off_cl,
+            "cell_poly": c(cells["poly"]).ravel(),
+            "para_text": strings_from_lens(c(paras["text_len"]), b"".join(text_blobs)),
+            "para_media": strings_from_lens(c(paras["media_len"]), b"".join(media_blobs)),
+            "cell_text": strings_from_lens(c(cells["text_len"]), b"".join(cell_blobs)),
+        }
+
+        counts = {
+            "page": n_pages, "para": n_paras, "para8": n_paras * 8,
+            "tab": n_tabs, "tab8": n_tabs * 8, "cell": n_cells, "cell8": n_cells * 8,
+        }
 
         def list_array(name: str) -> pa.ListArray:
             vtype, group = LIST_COLUMNS[name]
-            mult = _GROUP_MULT[group]
-            offs = np.zeros(n + 1, dtype=np.int32)
-            np.cumsum(counts[name] * mult, out=offs[1:])
-            if pa.types.is_string(vtype):
-                if name == "para_text":
-                    lens, blobs = text_lens, text_blobs
-                elif name == "para_media":
-                    lens, blobs = media_lens, media_blobs
-                else:
-                    lens, blobs = cell_lens, cell_blobs
-                joined = (
-                    np.concatenate(lens) if lens else np.zeros(0, dtype=np.int64)
-                )
-                values = strings_from_lens(joined, b"".join(blobs))
-            else:
-                parts = num_cols[name]
+            offsets = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(counts[group], out=offsets[1:])
+            v = values[name]
+            if not isinstance(v, pa.Array):
                 np_dtype = np.int32 if pa.types.is_int32(vtype) else np.float64
-                flatv = np.concatenate(parts) if parts else np.zeros(0, dtype=np_dtype)
-                values = pa.array(flatv.astype(np_dtype, copy=False), type=vtype)
-            return pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()), values)
+                v = pa.array(np.asarray(v).astype(np_dtype, copy=False), type=vtype)
+            return pa.ListArray.from_arrays(pa.array(offsets), v)
 
-        scalar_names = [f for f, _ in SCALAR_FIELDS]
         cols: dict[str, pa.Array] = {}
-        for name in scalar_names:
+        for name, _t in SCALAR_FIELDS:
             if name == "api_version":
                 cols[name] = pa.array([self.api_version] * n, type=pa.string())
             elif name == "model_id":
