@@ -79,10 +79,15 @@ def run_bench() -> dict:
 
     meta = prepare_corpus()
 
-    # warm the OS page cache (untimed)
+    # warm the OS page cache (untimed). Must touch the PAYLOAD column —
+    # column pruning means a doc_id-only read leaves the payload bytes cold
+    # and run-to-run disk-cache state then dominates the measurement.
     import pyarrow.dataset as pads
 
-    pads.dataset(corpus_dir()).to_table(columns=["doc_id"])
+    for frag_tbl in pads.dataset(corpus_dir()).to_batches(
+        columns=["doc_id", "payload", "n_pages"], batch_size=65536
+    ):
+        del frag_tbl
 
     cfg = ExtractConfig(
         split_threshold_pages=8,
