@@ -217,6 +217,34 @@ def _q_extract_table_cells(sf_dir: str):
     return out.map_batches(flat_cells, batch_format="pyarrow")
 
 
+def _q_extract_join_meta(sf_dir: str):
+    """Broadcast join: per-doc extraction stats joined with the documents
+    table's metadata (small side shipped once via ray.put, probed per batch —
+    no shuffle; the 100 TB pattern for dimension-table joins)."""
+    import pyarrow as pa
+    import ray
+
+    import duckdb
+
+    meta = duckdb.sql(
+        f"select source || '.' || cast(doc_id as varchar) as did, lang, n_chars "
+        f"from '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    lookup = {did: (lang, n_chars) for did, lang, n_chars in meta}
+    ref = ray.put(lookup)
+
+    def join(batch: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        dids = batch.column("doc_id").to_pylist()
+        langs = [lk[d][0] for d in dids]
+        chars = [lk[d][1] for d in dids]
+        return batch.append_column(
+            "meta_lang", pa.array(langs, type=pa.string())
+        ).append_column("meta_chars", pa.array(chars, type=pa.int64()))
+
+    return _q_extract_doc_stats(sf_dir).map_batches(join, batch_format="pyarrow")
+
+
 def _q_extract_kind_counts(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -344,6 +372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_doc_stats": _q_extract_doc_stats,
         "extract_kind_counts": _q_extract_kind_counts,
         "extract_table_cells": _q_extract_table_cells,
+        "extract_join_meta": _q_extract_join_meta,
         "media_decode": _q_media_decode,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -398,6 +427,19 @@ GROUP BY s.did
         "extract_kind_counts": _SPANS_CTE
         + """
 SELECT kind, count(*) AS n FROM spans GROUP BY kind
+""",
+        "extract_join_meta": _SPANS_CTE
+        + """
+, stats AS (
+  SELECT s.did, CAST(ceil(count(*)/6.0) AS BIGINT) AS n_pages,
+         count(*) AS n_blocks, max(l.language) AS language
+  FROM spans s JOIN lang l ON s.did = l.did GROUP BY s.did
+)
+SELECT st.did AS doc_id, st.n_pages, st.n_blocks, st.language,
+       d.lang AS meta_lang, CAST(d.n_chars AS BIGINT) AS meta_chars
+FROM stats st
+JOIN (SELECT source || '.' || CAST(doc_id AS VARCHAR) AS did, lang, n_chars
+      FROM documents) d ON d.did = st.did
 """,
         "extract_table_cells": _SPANS_CTE
         + """
