@@ -42,12 +42,19 @@ from .vocab import (
 
 
 def analyze_result_from_flat(flat: Flat) -> dict:
-    """Decode a Flat document into a row-oriented AnalyzeResult-style dict."""
+    """Decode a Flat document into a row-oriented AnalyzeResult-style dict.
+
+    Applies the layout parser's reading-order pass: paragraphs stably sorted
+    by (page, top-y, left-x) — identity for byte-streams already in reading
+    order, mirroring stages/parse.py. (The reference relies on Azure emitting
+    paragraphs in reading order; paragraph order defines span order.)
+    """
     paras = flat["paras"]
     texts = strings_from_lens(paras["text_len"], flat["text_blob"]).to_pylist()
     medias = strings_from_lens(paras["media_len"], flat["media_blob"]).to_pylist()
+    order = np.lexsort((paras["poly"][:, 0], paras["poly"][:, 1], paras["page"]))
     paragraphs = []
-    for k in range(len(paras)):
+    for k in (int(i) for i in order):
         p = paras[k]
         has_region = bool(p["flags"] & FLAG_HAS_REGION)
         paragraphs.append(

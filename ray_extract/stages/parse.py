@@ -93,6 +93,27 @@ class LayoutParser:
         tabs = _concat(tabs_l, TAB_DT)
         cells = _concat(cells_l, CELL_DT)
 
+        # reading-order sort: paragraphs ordered by (page, top-y, left-x)
+        # within each shard — STABLE, so byte-streams already in reading order
+        # (the common case) keep their exact order, and unordered input is
+        # normalized. This is the layout parser's reading-order pass (the
+        # reference relies on Azure emitting paragraphs in reading order;
+        # paragraph order defines span order, SURVEY §1.3).
+        para_shard = np.repeat(np.arange(n, dtype=np.int64), n_paras)
+        order = np.lexsort(
+            (paras["poly"][:, 0], paras["poly"][:, 1], paras["page"], para_shard)
+        )
+        # string values index the blobs in ENCODED order; build them first,
+        # permute together with the records only when reordering is needed
+        c = np.ascontiguousarray
+        para_text = strings_from_lens(c(paras["text_len"]), b"".join(text_blobs))
+        para_media = strings_from_lens(c(paras["media_len"]), b"".join(media_blobs))
+        if not np.array_equal(order, np.arange(len(paras))):
+            paras = paras[order]
+            idx = pa.array(order)
+            para_text = para_text.take(idx)
+            para_media = para_media.take(idx)
+
         # vectorized page propagation across the whole batch
         page_off_pg = np.repeat(offs, n_pages)
         page_off_pa = np.repeat(offs, n_paras)
@@ -108,8 +129,6 @@ class LayoutParser:
             + 1
             + page_off_pg
         )
-
-        c = np.ascontiguousarray  # strided struct fields -> contiguous once
 
         values: dict[str, object] = {
             "page_number": page_number,
@@ -138,8 +157,8 @@ class LayoutParser:
             "cell_flags": c(cells["flags"]),
             "cell_page": cells["page"] + page_off_cl,
             "cell_poly": c(cells["poly"]).ravel(),
-            "para_text": strings_from_lens(c(paras["text_len"]), b"".join(text_blobs)),
-            "para_media": strings_from_lens(c(paras["media_len"]), b"".join(media_blobs)),
+            "para_text": para_text,
+            "para_media": para_media,
             "cell_text": strings_from_lens(c(cells["text_len"]), b"".join(cell_blobs)),
         }
 

@@ -105,3 +105,40 @@ def test_rows_in_key_order():
     b = np.array([[0, 3, 9]], dtype=np.int64)
     assert rows_in(a, b).tolist() == [False, True]
     assert rows_in(a, np.zeros((0, 3), dtype=np.int64)).tolist() == [False, False]
+
+
+def test_reading_order_sort():
+    """Paragraphs encoded out of reading order are normalized by the parse
+    stage's stable (page, y, x) sort — and the oracle mirrors it."""
+    from ray_extract.fixtures import build_flat
+    from ray_extract import payload as P
+    from ray_extract import oracle as O
+
+    flat = build_flat(
+        pages=[(8.5, 11.0), (8.5, 11.0)],
+        paras=[
+            {"page": 2, "role": None, "text": "fourth", "offset": 30, "length": 6},
+            {"page": 1, "role": None, "text": "second", "offset": 10, "length": 6},
+            {"page": 1, "role": "title", "text": "first", "offset": 0, "length": 5},
+            {"page": 1, "role": None, "text": "third", "offset": 20, "length": 5},
+        ],
+    )
+    # distinct y positions: first at top of page 1, then second, then third
+    flat["paras"]["poly"][2][1] = 0.5   # "first" top y
+    flat["paras"]["poly"][1][1] = 3.0   # "second"
+    flat["paras"]["poly"][3][1] = 6.0   # "third"
+    flat["paras"]["poly"][0][1] = 1.0   # "fourth" (page 2)
+    raw = P.encode(flat)
+
+    out = O.extract_document("ro", raw)
+    assert [b["text"][0] for b in out["text_blocks"]] == [
+        "first", "second", "third", "fourth"
+    ]
+    # ids are assigned AFTER ordering (enumerate over reading order)
+    assert [b["text_block_id"] for b in out["text_blocks"]] == ["0", "1", "2", "3"]
+
+    # pipeline parse agrees
+    parsed = _through_front({"ro": raw}, threshold=100)
+    assert parsed.column("para_text").to_pylist()[0] == [
+        "first", "second", "third", "fourth"
+    ]
