@@ -318,6 +318,12 @@ def _q_ann_lsh(sf_dir: str):
     return ann_lsh(sf_dir)
 
 
+def _q_ann_ivf(sf_dir: str):
+    from ray_extract.pipelines.similarity import ann_ivf
+
+    return ann_ivf(sf_dir)
+
+
 def _q_events_window(sf_dir: str):
     from ray_extract.pipelines.events import windowed_counts
 
@@ -384,6 +390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,  # approximate by design -> no oracle (rows-only)
+        "ann_ivf": _q_ann_ivf,  # approximate by design -> no oracle (rows-only)
         "embedding_dedup": _q_embedding_dedup,
         "events_window": _q_events_window,
         "events_sessionize": _q_events_sessionize,

@@ -126,6 +126,102 @@ def embedding_dedup(sf_dir: str, threshold: float = 0.4):
     return ds.map_batches(pair_batch, batch_format="pyarrow")
 
 
+def ann_ivf(
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    kmeans_iters: int = 5,
+):
+    """IVF-style ANN: coarse-quantize the corpus into centroid buckets, probe
+    only the query's ``n_probe`` nearest buckets.
+
+    The centroid codebook is "trained" deterministically (k-means seeded from
+    the first ``n_centroids`` vectors, fixed iteration count) on the small
+    query-side read, broadcast once, and each corpus batch assigns its rows
+    vectorized. At scale the train step runs on a sample and the inverted
+    lists become the partitioning key for the corpus layout. Approximate by
+    design -> rows-only correctness check."""
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data as rd
+
+    tbl = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"]
+    )
+    ids_all = tbl.column("vec_id").to_numpy()
+    E = np.stack(tbl.column("embedding").to_pylist()).astype(np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+
+    # deterministic k-means (cosine/Euclidean on normalized vectors)
+    order = np.argsort(ids_all)
+    cent = En[order[:n_centroids]].copy()
+    for _ in range(kmeans_iters):
+        assign = np.argmax(En @ cent.T, axis=1)
+        for c in range(n_centroids):
+            members = En[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / (np.linalg.norm(m) or 1.0)
+
+    qmask = ids_all < n_queries
+    qids, q = ids_all[qmask], En[qmask]
+    qorder = np.argsort(qids)
+    qids, q = qids[qorder], q[qorder]
+    # buckets each query probes
+    qprobe = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]
+    ref = ray.put((qids, q, cent, qprobe))
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        qids_, q_, cent_, qprobe_ = ray.get(ref)
+        ids, e = _emb_matrix(batch)
+        en = e / np.linalg.norm(e, axis=1, keepdims=True)
+        assign = np.argmax(en @ cent_.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for j in range(len(qids_)):
+            cand = np.nonzero(np.isin(assign, qprobe_[j]) & (ids != qids_[j]))[0]
+            if len(cand) == 0:
+                continue
+            s = en[cand] @ q_[j]
+            kk = min(k, len(cand))
+            top = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
+            out_q.append(np.full(len(top), qids_[j], dtype=np.int64))
+            out_v.append(ids[cand[top]].astype(np.int64))
+            out_s.append(s[top])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "score": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    def final_topk(g):
+        import pandas as pd
+
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].astype("int64").to_numpy(),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                "neighbor_id": g["vec_id"].astype("int64").to_numpy(),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    partial = ds.map_batches(score_batch, batch_format="pyarrow")
+    return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
 def ann_lsh(sf_dir: str, n_queries: int = 10, k: int = 5, n_planes: int = 8, seed: int = 7):
     """LSH-bucketed approximate top-k: score only candidates whose sign-bucket
     matches the query's. Rows-only correctness (approximate by design)."""

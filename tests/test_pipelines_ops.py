@@ -102,3 +102,20 @@ def test_media_decoder_stub(ray_session):
     assert out.column("width").to_pylist()[0] == 64 + len("media://d/7") % 32
     with pytest.raises(NotImplementedError):
         dec.decode_bytes(b"\x89PNG")
+
+
+def test_ann_ivf_recall_vs_bruteforce(ray_session):
+    from ray_extract.pipelines.similarity import ann_bruteforce, ann_ivf
+
+    exact = ann_bruteforce(SF, n_queries=5, k=3).to_pandas()
+    approx = ann_ivf(SF, n_queries=5, k=3, n_probe=4).to_pandas()
+    assert (approx["rank"] >= 1).all() and (approx["rank"] <= 3).all()
+    # deterministic: same result twice
+    again = ann_ivf(SF, n_queries=5, k=3, n_probe=4).to_pandas()
+    assert approx.sort_values(["query_id", "rank"]).reset_index(drop=True).equals(
+        again.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    # probing more buckets recovers at least some exact neighbors
+    exact_set = set(zip(exact.query_id, exact.neighbor_id))
+    approx_set = set(zip(approx.query_id, approx.neighbor_id))
+    assert len(exact_set & approx_set) > 0
