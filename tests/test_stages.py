@@ -142,3 +142,53 @@ def test_reading_order_sort():
     assert parsed.column("para_text").to_pylist()[0] == [
         "first", "second", "third", "fourth"
     ]
+
+
+def test_role_vocabulary_passthrough():
+    """Every reference role (incl. 'Document Header', 'pageNumber') survives
+    conversion as the block type (reference convert.py:75)."""
+    from ray_extract.fixtures import build_flat
+    from ray_extract import payload as P, oracle as O
+    from ray_extract.vocab import ROLES
+
+    roles = [r for r in ROLES if r != "media"]
+    flat = build_flat(
+        pages=[(8.5, 11.0)],
+        paras=[
+            {"page": 1, "role": r, "text": f"t{i}", "offset": 3 * i, "length": 2}
+            for i, r in enumerate(roles)
+        ],
+    )
+    out = O.extract_document("roles", P.encode(flat))
+    assert [b["type"] for b in out["text_blocks"]] == roles
+    parsed = _through_front({"roles": P.encode(flat)}, threshold=100)
+    conv = make_convert_stage(True)(parsed).to_pylist()[0]
+    assert [b["type"] for b in conv["text_blocks"]] == roles
+
+
+def test_pipeline_determinism_across_batch_sizes(ray_session):
+    """Identical output regardless of batching / task layout (SURVEY §7:
+    ordering must not depend on arrival order)."""
+    import ray.data as rd
+    from ray_extract.pipelines.extract import ExtractConfig, extract_from_payloads
+
+    docs = {
+        f"d{i}": derive_payload(f"d{i}", " ".join(f"w{j}" for j in range(20 + 17 * i)))
+        for i in range(30)
+    }
+    tbl = _batch(docs)
+
+    def run(decode_bs, parse_bs):
+        cfg = ExtractConfig(
+            split_threshold_pages=2, split_batch_pages=2,
+            decode_batch_size=decode_bs, parse_batch_size=parse_bs,
+            parse_concurrency=(1, 2),
+        )
+        df = extract_from_payloads(rd.from_arrow(tbl), cfg).to_pandas()
+        df = df.sort_values("doc_id").reset_index(drop=True)
+        return [
+            (r.doc_id, tuple((s["kind"], s["text"], s["offset"]) for s in r.spans))
+            for r in df.itertuples()
+        ]
+
+    assert run(4, 3) == run(30, 30) == run(1, 1)
