@@ -120,8 +120,11 @@ def run_bench() -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)  # keep /tmp from filling up
 
     queries: dict[str, float] = {}
+    skip_queries = os.environ.get("BENCH_SKIP_QUERIES") == "1"
 
     def timed(name, fn):
+        if skip_queries:
+            return
         t = time.time()
         fn()
         queries[name] = round(time.time() - t, 3)
@@ -174,6 +177,7 @@ def run_scaling() -> dict:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             BENCH_AMPLIFY=os.environ.get("BENCH_AMPLIFY", "384"),
+            BENCH_SKIP_QUERIES="1",  # scaling measures the headline job only
         )
         out = subprocess.run(
             [sys.executable, "bench.py"], env=env, capture_output=True, text=True, check=True
