@@ -91,3 +91,21 @@ def test_html_long_block_with_few_links_kept():
     # 31 words, 1 link -> density ~0.03 <= 0.1 and long -> kept
     out = extract_main_content(html)
     assert out.startswith("w0 ") and out.endswith(" ref")
+
+
+def test_html_malformed_never_crashes():
+    from ray_extract.functions.html import extract_main_content
+
+    cases = [
+        "",
+        "no tags at all just words here to keep and keep and keep",
+        "<p>unclosed paragraph with plenty of words inside it",
+        "<script>never closed...",
+        "<<<>>> <p></p> <a href=x>only link</a>",
+        "<html><body><p>" + "x " * 50,
+    ]
+    for h in cases:
+        out = extract_main_content(h)  # must not raise
+        assert isinstance(out, str)
+    assert extract_main_content("<p>unclosed paragraph with plenty of words inside it") \
+        == "unclosed paragraph with plenty of words inside it"
