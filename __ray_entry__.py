@@ -133,6 +133,32 @@ def _q_extract_spans(sf_dir: str):
     )
 
 
+def _q_extract_spans_routed(sf_dir: str):
+    """Same result as extract_spans, but through the ROUTED topology (the
+    production path: payload corpus on disk, two filtered reads, small docs
+    bypass the shuffle)."""
+    import os
+
+    from ray_extract.pipelines.extract import (
+        ExtractConfig,
+        extract_routed,
+        flatten_blocks,
+    )
+    from ray_extract.sources.synth import materialize_corpus
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    corpus = f"/tmp/ray_extract_gate/corpus_{tag}"
+    if not os.path.isdir(corpus):
+        os.makedirs("/tmp/ray_extract_gate", exist_ok=True)
+        materialize_corpus(f"{sf_dir}/documents.parquet", corpus, num_files=8)
+    out = extract_routed(corpus, ExtractConfig())
+    flat = out.map_batches(flatten_blocks, batch_format="pyarrow")
+    return flat.map_batches(
+        lambda t: _i64(t, {"ord", "offset", "length", "page_number"}),
+        batch_format="pyarrow",
+    )
+
+
 def _q_extract_page_metadata(sf_dir: str):
     import numpy as np
     import pyarrow as pa
@@ -374,6 +400,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_spans": _q_extract_spans,
+        "extract_spans_routed": _q_extract_spans_routed,
         "extract_page_metadata": _q_extract_page_metadata,
         "extract_doc_stats": _q_extract_doc_stats,
         "extract_kind_counts": _q_extract_kind_counts,
@@ -406,6 +433,13 @@ def oracle_sql() -> dict[str, str]:
     roll_w = _ROLL.format(col="w")
     return {
         "extract_spans": _SPANS_CTE
+        + """
+SELECT s.did AS doc_id, s.i AS ord, CAST(s.i AS VARCHAR) AS block_id, s.kind,
+       s.text, s.media_ref, s."offset" AS "offset", s.length AS length,
+       s.page_number AS page_number, l.language AS language
+FROM spans s JOIN lang l ON s.did = l.did
+""",
+        "extract_spans_routed": _SPANS_CTE
         + """
 SELECT s.did AS doc_id, s.i AS ord, CAST(s.i AS VARCHAR) AS block_id, s.kind,
        s.text, s.media_ref, s."offset" AS "offset", s.length AS length,
