@@ -143,6 +143,51 @@ def is_valid(payload: bytes) -> bool:
     return len(payload) == need
 
 
+def validate_deep(payload: bytes) -> str:
+    """Structural validation beyond the magic/length sniff: internal counts
+    and offsets must be consistent, or a downstream parse task would crash on
+    a single poisoned document. Returns '' if valid, else a reason."""
+    if not is_valid(payload):
+        return "invalid payload: bad magic or truncated"
+    try:
+        flat = decode(payload)
+    except Exception as e:  # pragma: no cover - decode is bounds-checked above
+        return f"invalid payload: undecodable ({e})"
+    n_pages = len(flat["pages"])
+    paras, tables, cells = flat["paras"], flat["tables"], flat["cells"]
+    if len(paras) and (
+        paras["page"].min() < 1
+        or paras["page"].max() > n_pages
+        or (np.diff(paras["page"]) < 0).any()
+    ):
+        return "invalid payload: paragraph pages out of range or unsorted"
+    if int(paras["text_len"].sum()) != len(flat["text_blob"]):
+        return "invalid payload: text blob length mismatch"
+    if int(paras["media_len"].sum()) != len(flat["media_blob"]):
+        return "invalid payload: media blob length mismatch"
+    if (paras["text_len"] < 0).any() or (paras["media_len"] < 0).any() or (
+        paras["length"] < 0
+    ).any():
+        return "invalid payload: negative lengths"
+    if int(tables["ncells"].sum()) != len(cells):
+        return "invalid payload: table cell count mismatch"
+    if len(tables) and (
+        (tables["ncells"] < 0).any()
+        or tables["page"].min() < 1
+        or tables["page"].max() > n_pages
+        or (np.diff(tables["page"]) < 0).any()
+    ):
+        return "invalid payload: table pages out of range or unsorted"
+    if len(cells):
+        if int(cells["text_len"].sum()) != len(flat["cell_blob"]):
+            return "invalid payload: cell blob length mismatch"
+        if (cells["text_len"] < 0).any() or cells["page"].min() < 1 or cells[
+            "page"
+        ].max() > n_pages:
+            return "invalid payload: cell pages out of range"
+    return ""
+
+
 def peek_counts(payload: bytes) -> tuple[int, int]:
     """(n_pages, n_paras) without a full decode."""
     h = np.frombuffer(payload, dtype="<u4", count=2, offset=8)

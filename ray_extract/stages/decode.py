@@ -14,12 +14,15 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from ..payload import is_valid, peek_counts
+from ..payload import peek_counts, validate_deep
 
 
 def decode_stage(batch: pa.Table) -> pa.Table:
     """(doc_id, payload[, ...]) -> + status, error, md5, n_pages_doc.
 
+    Validation is STRUCTURAL (magic, lengths, internal count/offset
+    consistency — payload.validate_deep) so a poisoned document becomes a
+    dead-letter row here rather than crashing a parse task downstream.
     Keeps the payload column for the split stage.
     """
     payloads = batch.column("payload").combine_chunks()
@@ -31,9 +34,10 @@ def decode_stage(batch: pa.Table) -> pa.Table:
     for i in range(n):
         raw = payloads[i].as_py()  # bytes
         md5[i] = hashlib.md5(raw).hexdigest()
-        if not is_valid(raw):
+        reason = validate_deep(raw)
+        if reason:
             status[i] = "error"
-            error[i] = "invalid payload: bad magic or truncated"
+            error[i] = reason
             continue
         np_pages, _ = peek_counts(raw)
         n_pages[i] = np_pages

@@ -86,3 +86,33 @@ def test_slice_reassembly_any_text(ws, batch_pages):
         if len(p["paras"]):
             assert p["paras"]["page"].min() >= 1
             assert p["paras"]["page"].max() <= batch_pages
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=4000),
+    st.binary(min_size=1, max_size=16),
+)
+def test_fuzzed_payloads_never_crash_front(pos, junk):
+    """Arbitrary byte corruption of a valid payload either still parses or
+    becomes a dead-letter row — the front stages never raise (the 10^12-doc
+    poison-document property)."""
+    import pyarrow as pa
+
+    from ray_extract.stages.decode import decode_stage
+    from ray_extract.stages.parse import LayoutParser
+    from ray_extract.stages.split import make_split_stage
+
+    base = bytearray(
+        P.encode(derive_flat("fz", " ".join(f"w{i}" for i in range(60))))
+    )
+    pos = pos % len(base)
+    corrupted = bytes(base[:pos]) + junk + bytes(base[pos + len(junk):])
+    batch = pa.table(
+        {
+            "doc_id": pa.array(["fz"]),
+            "payload": pa.array([corrupted], type=pa.large_binary()),
+        }
+    )
+    out = LayoutParser()(make_split_stage(2, 2)(decode_stage(batch)))
+    assert set(out.column("status").to_pylist()) <= {"ok", "error"}

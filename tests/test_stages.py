@@ -114,20 +114,22 @@ def test_reading_order_sort():
     from ray_extract import payload as P
     from ray_extract import oracle as O
 
+    # paragraphs are page-sorted (a format invariant, needed for page
+    # slicing) but WITHIN page 1 they are encoded out of reading order
     flat = build_flat(
         pages=[(8.5, 11.0), (8.5, 11.0)],
         paras=[
-            {"page": 2, "role": None, "text": "fourth", "offset": 30, "length": 6},
             {"page": 1, "role": None, "text": "second", "offset": 10, "length": 6},
             {"page": 1, "role": "title", "text": "first", "offset": 0, "length": 5},
             {"page": 1, "role": None, "text": "third", "offset": 20, "length": 5},
+            {"page": 2, "role": None, "text": "fourth", "offset": 30, "length": 6},
         ],
     )
     # distinct y positions: first at top of page 1, then second, then third
-    flat["paras"]["poly"][2][1] = 0.5   # "first" top y
-    flat["paras"]["poly"][1][1] = 3.0   # "second"
-    flat["paras"]["poly"][3][1] = 6.0   # "third"
-    flat["paras"]["poly"][0][1] = 1.0   # "fourth" (page 2)
+    flat["paras"]["poly"][1][1] = 0.5   # "first" top y
+    flat["paras"]["poly"][0][1] = 3.0   # "second"
+    flat["paras"]["poly"][2][1] = 6.0   # "third"
+    flat["paras"]["poly"][3][1] = 1.0   # "fourth" (page 2)
     raw = P.encode(flat)
 
     out = O.extract_document("ro", raw)
