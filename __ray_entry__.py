@@ -148,9 +148,21 @@ def _q_extract_spans_routed(sf_dir: str):
 
     tag = sf_dir.strip("/").replace("/", "_")
     corpus = f"/tmp/ray_extract_gate/corpus_{tag}"
-    if not os.path.isdir(corpus):
+    done_marker = os.path.join(corpus, "_COMPLETE")
+    if not os.path.isfile(done_marker):
+        # materialize into a temp dir and rename into place so a crash
+        # mid-materialize can't leave a partial corpus that later runs
+        # silently treat as complete
+        import shutil
+
         os.makedirs("/tmp/ray_extract_gate", exist_ok=True)
-        materialize_corpus(f"{sf_dir}/documents.parquet", corpus, num_files=8)
+        shutil.rmtree(corpus, ignore_errors=True)
+        tmp = corpus + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        materialize_corpus(f"{sf_dir}/documents.parquet", tmp, num_files=8)
+        with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+            f.write("ok")
+        os.rename(tmp, corpus)
     out = extract_routed(corpus, ExtractConfig())
     flat = out.map_batches(flatten_blocks, batch_format="pyarrow")
     return flat.map_batches(

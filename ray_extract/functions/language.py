@@ -38,14 +38,21 @@ def marker_pattern(words: Sequence[str]) -> str:
 
 
 def detect_language(text: str) -> str:
-    """Single-string language id (the A1 analogue for one document)."""
+    """Single-string language id (the A1 analogue for one document).
+
+    Compiled with ``re.ASCII`` so ``\\b`` means the ASCII word boundary —
+    matching RE2 semantics (pyarrow's ``count_substring_regex`` and DuckDB's
+    ``regexp_extract_all``), which is what the pipeline and the SQL oracle
+    use. Without it, marker words abutting accented letters ("theé") score
+    differently here than in the pipeline.
+    """
     import re
 
     if re.search(CJK_PATTERN, text):
         return "zh"
     best_lang, best = "en", -1
     for lang, words in MARKER_WORDS:
-        score = len(re.findall(marker_pattern(words), text))
+        score = len(re.findall(marker_pattern(words), text, flags=re.ASCII))
         if score > best:
             best_lang, best = lang, score
     return best_lang

@@ -169,6 +169,16 @@ def validate_deep(payload: bytes) -> str:
         paras["length"] < 0
     ).any():
         return "invalid payload: negative lengths"
+    # role/kind ids index fixed vocab tables downstream (convert stage
+    # type_vocab[type_id] / cell_kind_vocab[kind]); an out-of-range id would
+    # crash the convert task and poison its whole batch, so range-check here
+    # where a bad document becomes a dead-letter row instead.
+    from .vocab import CELL_KINDS, FLAG_KIND_PRESENT, NO_ROLE, ROLES
+
+    if len(paras) and (
+        (paras["role"] < NO_ROLE).any() or (paras["role"] >= len(ROLES)).any()
+    ):
+        return "invalid payload: paragraph role out of range"
     if int(tables["ncells"].sum()) != len(cells):
         return "invalid payload: table cell count mismatch"
     if len(tables) and (
@@ -185,6 +195,10 @@ def validate_deep(payload: bytes) -> str:
             "page"
         ].max() > n_pages:
             return "invalid payload: cell pages out of range"
+        kind_present = (cells["flags"] & FLAG_KIND_PRESENT) != 0
+        k = cells["kind"][kind_present]
+        if len(k) and ((k < 0).any() or (k >= len(CELL_KINDS)).any()):
+            return "invalid payload: cell kind out of range"
     return ""
 
 

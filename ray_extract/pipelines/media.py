@@ -66,8 +66,10 @@ def media_features(sf_dir: str, cfg: ExtractConfig | None = None):
         ),
         batch_format="pyarrow",
     )
+    # fixed pool: autoscaling (1, N) pools were measured to never ramp
+    # (see ExtractConfig.parse_concurrency notes in pipelines/extract.py)
     return media.map_batches(
-        MediaDecoder, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)
+        MediaDecoder, batch_format="pyarrow", batch_size=4096, concurrency=2
     ).map_batches(
         lambda t: t.set_column(
             t.schema.get_field_index("ord"), "ord", pc.cast(t.column("ord"), pa.int64())

@@ -58,7 +58,11 @@ def ann_bruteforce(sf_dir: str, n_queries: int = 10, k: int = 5):
         for j in range(len(qids_)):
             s = scores[:, j].copy()
             s[ids == qids_[j]] = -np.inf  # exclude self
-            top = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
+            # in-batch truncation must use the GLOBAL tiebreak (score desc,
+            # vec_id asc): a plain argpartition on score alone can drop the
+            # smaller-vec_id member of an exact score tie at the k boundary,
+            # which the global reduce would have ranked.
+            top = np.lexsort((ids, -s))[:kk]
             out_q.append(np.full(len(top), qids_[j], dtype=np.int64))
             out_v.append(ids[top].astype(np.int64))
             out_s.append(s[top])

@@ -18,10 +18,19 @@ import pyarrow as pa
 
 
 def read_document_dir(input_dir: str, suffix: str = ".spdf"):
-    """Directory of payload files -> Dataset[(doc_id, payload)]."""
+    """Directory of payload files -> Dataset[(doc_id, payload)].
+
+    Only files matching ``suffix`` become documents — mirroring the
+    reference's ``pdf_dir.glob("*.pdf")`` — so stray files (manifests,
+    hidden files) don't turn into dead-letter doc rows.
+    """
     import ray.data as rd
 
-    ds = rd.read_binary_files(input_dir, include_paths=True)
+    ds = rd.read_binary_files(
+        input_dir,
+        include_paths=True,
+        file_extensions=[suffix.lstrip(".")] if suffix else None,
+    )
 
     def to_rows(batch: pa.Table) -> pa.Table:
         paths = batch.column("path").to_pylist()
@@ -59,4 +68,5 @@ def write_json_per_doc(output_ds, out_dir: str) -> int:
         return pa.table({"written": pa.array([len(rows)], type=pa.int64())})
 
     counts = output_ds.map_batches(write_batch, batch_format="pyarrow")
-    return int(sum(r["written"] for r in counts.take_all()))
+    # sum aggregate instead of take_all: driver-bounded by construction
+    return int(counts.sum("written") or 0)

@@ -116,3 +116,11 @@ def test_fuzzed_payloads_never_crash_front(pos, junk):
     )
     out = LayoutParser()(make_split_stage(2, 2)(decode_stage(batch)))
     assert set(out.column("status").to_pylist()) <= {"ok", "error"}
+    # ... and all the way through merge + convert: a corrupted payload that
+    # survives decode validation must not crash the convert stage either
+    # (e.g. an out-of-range role id would IndexError on the type vocab).
+    from ray_extract.stages.convert import make_convert_stage
+    from ray_extract.stages.merge import merge_group
+
+    final = make_convert_stage(True)(merge_group(out))
+    assert set(final.column("status").to_pylist()) <= {"ok", "error"}
