@@ -95,15 +95,25 @@ def _add_bucket(key_col: str, num_buckets: int):
     return bucket
 
 
-def _bucket_pairs(join_cols: list[str], carry: list[str]):
+def _bucket_pairs(join_cols: list[str], carry: list[str], max_key_df: int | None = None):
     """Vectorized within-bucket self-join: all (doc_a < doc_b) pairs sharing
     the join_cols value. One pandas merge per BUCKET (a few dozen calls total)
-    instead of one Python call per distinct key (tens of thousands)."""
+    instead of one Python call per distinct key (tens of thousands).
+
+    ``max_key_df``: drop keys occurring in more than this many documents
+    before pairing (the hot-shingle document-frequency cap — stopword-like
+    shingles otherwise pair-explode). The bucket holds EVERY occurrence of
+    each of its keys (the shuffle partitions by key hash), so the per-bucket
+    count is the exact global document frequency — no extra shuffle needed.
+    None disables the cap (keeps the SQL oracle exhaustive)."""
 
     def pairs(g):
         import pandas as pd
 
         left = g[join_cols + ["doc_id"] + carry]
+        if max_key_df is not None:
+            df_counts = left.groupby(join_cols, sort=False)[join_cols[0]].transform("size")
+            left = left[df_counts <= max_key_df]
         m = left.merge(left, on=join_cols, suffixes=("_a", "_b"))
         m = m[m["doc_id_a"] < m["doc_id_b"]]
         out = pd.DataFrame(
@@ -120,20 +130,21 @@ def _bucket_pairs(join_cols: list[str], carry: list[str]):
 
 
 def ngram_jaccard_pairs(sf_dir: str, k: int = 3, num: int = 1, den: int = 2,
-                        num_buckets: int = 64):
+                        num_buckets: int = 64, max_shingle_df: int | None = None):
     """Pairs with Jaccard(shingles_a, shingles_b) >= num/den (default 1/2),
     verified exactly with integer arithmetic (no float thresholds).
 
     Candidate generation is an inverted-index self-join: shingles are hash-
     bucketed (the one shuffle) and each bucket does a single vectorized merge.
     Complete for any threshold > 0 (a pair with J > 0 shares a shingle).
-    Scale note: stopword-like shingles with huge document frequency explode
-    the pair count — production sweeps would cap shingle document frequency
-    before pairing (disabled here so the SQL oracle stays exhaustive)."""
+    ``max_shingle_df`` caps shingle document frequency before pairing (the
+    hot-shingle skew guard for stopword-heavy corpora — makes the result
+    approximate); default None keeps the SQL oracle exhaustive."""
     sh = _docs(sf_dir).map_batches(_shingle_stage(k), batch_format="pyarrow")
     sh = sh.map_batches(_add_bucket("shingle", num_buckets), batch_format="pandas")
     pairs = sh.groupby("bucket").map_groups(
-        _bucket_pairs(["shingle"], ["n_sh"]), batch_format="pandas"
+        _bucket_pairs(["shingle"], ["n_sh"], max_key_df=max_shingle_df),
+        batch_format="pandas",
     )
 
     # count shared shingles per pair. A multi-key groupby().aggregate() was
@@ -230,43 +241,89 @@ def minhash_lsh_pairs(sf_dir: str, k: int = 3, num_perm: int = 16, band_rows: in
 
 
 # ------------------------------------------------------------------- SimHash
-def simhash_pairs(sf_dir: str, max_hamming: int = 3):
+def simhash_pairs(sf_dir: str, max_hamming: int = 3, n_bands: int | None = None):
     """Pairs of documents whose 32-bit simhash signatures differ in at most
-    ``max_hamming`` bits. Signatures are broadcast (ray.put) once; each batch
-    compares its rows against the full vector with vectorized XOR + popcount."""
-    import ray
+    ``max_hamming`` bits.
 
-    def sig_stage(batch: pa.Table) -> pa.Table:
-        sigs = [simhash32(t) for t in batch.column("text").to_pylist()]
+    Banded LSH, no broadcast: the 32-bit signature is sliced into
+    ``max_hamming + 1`` disjoint bit-bands (default 4 bands of 8 bits). By
+    pigeonhole, a pair within Hamming distance ``max_hamming`` agrees EXACTLY
+    on at least one band, so bucketing on (band_id, band_value) — the one
+    shuffle — finds every qualifying pair; the within-bucket verify computes
+    exact Hamming distance with vectorized XOR + popcount and the cross-band
+    duplicate pairs collapse in a bucketed distinct. Total compare work is
+    ~n^2/2^band_bits per band instead of the n^2 of broadcast-all-compare; at
+    larger corpora, widen the signature (64-bit) or the bands so buckets stay
+    small — no stage here materializes the corpus on the driver.
+    """
+    n_bands = n_bands or (max_hamming + 1)
+    # disjoint bit ranges covering all 32 bits
+    edges = np.linspace(0, 32, n_bands + 1).astype(np.int64)
+
+    def band_stage(batch: pa.Table) -> pa.Table:
+        sigs = np.array(
+            [simhash32(t) for t in batch.column("text").to_pylist()], dtype=np.uint32
+        )
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        n = len(ids)
+        out_id = np.repeat(ids, n_bands)
+        out_sig = np.repeat(sigs.astype(np.int64), n_bands)
+        keys = np.empty((n, n_bands), dtype=np.int64)
+        for b in range(n_bands):
+            lo, hi = int(edges[b]), int(edges[b + 1])
+            val = (sigs >> lo) & np.uint32((1 << (hi - lo)) - 1)
+            # band_key encodes (band_id, band_value) in one int group key
+            keys[:, b] = b * (1 << 32) + val.astype(np.int64)
         return pa.table(
             {
-                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
-                "sig": pa.array(sigs, type=pa.int64()),
+                "doc_id": pa.array(out_id),
+                "sig": pa.array(out_sig),
+                "band_key": pa.array(keys.ravel()),
             }
         )
 
-    sig_ds = _docs(sf_dir).map_batches(sig_stage, batch_format="pyarrow")
-    # small side: n_docs x 12 bytes — materialize once and broadcast
-    sig_tbl = pa.concat_tables(ray.get(sig_ds.to_arrow_refs()))
-    ids = sig_tbl.column("doc_id").to_numpy()
-    sigs = sig_tbl.column("sig").to_numpy().astype(np.uint32)
-    order = np.argsort(ids, kind="stable")
-    ref = ray.put((ids[order], sigs[order]))
+    def verify_pairs(g):
+        import pandas as pd
 
-    def pair_stage(batch: pa.Table) -> pa.Table:
-        all_ids, all_sigs = ray.get(ref)
-        a_ids = batch.column("doc_id").to_numpy()
-        a_sigs = batch.column("sig").to_numpy().astype(np.uint32)
-        x = a_sigs[:, None] ^ all_sigs[None, :]
-        ham = np.unpackbits(x.view(np.uint8), axis=-1).reshape(len(a_ids), len(all_ids), -1).sum(-1)
-        keep = (ham <= max_hamming) & (a_ids[:, None] < all_ids[None, :])
-        ai, bi = np.nonzero(keep)
-        return pa.table(
+        left = g[["band_key", "doc_id", "sig"]]
+        m = left.merge(left, on="band_key", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        x = (m["sig_a"].to_numpy().astype(np.uint32)
+             ^ m["sig_b"].to_numpy().astype(np.uint32))
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 4), axis=1).sum(1)
+        keep = ham <= max_hamming
+        return pd.DataFrame(
             {
-                "doc_a": pa.array(a_ids[ai], type=pa.int64()),
-                "doc_b": pa.array(all_ids[bi], type=pa.int64()),
-                "hamming": pa.array(ham[ai, bi].astype(np.int64)),
+                "doc_a": m["doc_id_a"].to_numpy()[keep].astype(np.int64),
+                "doc_b": m["doc_id_b"].to_numpy()[keep].astype(np.int64),
+                "hamming": ham[keep].astype(np.int64),
             }
         )
 
-    return sig_ds.map_batches(pair_stage, batch_format="pyarrow")
+    bands = _docs(sf_dir).map_batches(band_stage, batch_format="pyarrow")
+    pairs = bands.groupby("band_key").map_groups(verify_pairs, batch_format="pandas")
+
+    # a pair within distance d can collide in up to n_bands - d bands: bucketed
+    # distinct on the pair key (hamming is identical across copies)
+    def pair_bucket(df):
+        import pandas as pd
+
+        df = df.copy()
+        df["pbucket"] = (
+            pd.util.hash_pandas_object(
+                df["doc_a"] * 2654435761 + df["doc_b"], index=False
+            )
+            % 64
+        ).astype("int64")
+        return df
+
+    return (
+        pairs.map_batches(pair_bucket, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(
+            lambda g: g[["doc_a", "doc_b", "hamming"]].drop_duplicates(
+                ["doc_a", "doc_b"]
+            ),
+            batch_format="pandas",
+        )
+    )

@@ -40,6 +40,33 @@ def test_minhash_candidates_superset_check(ray_session):
         assert (a, b) in cand_set
 
 
+def test_ngram_shingle_df_cap_reduces_pairs(ray_session, tmp_path):
+    """A stopword-heavy corpus pair-explodes through hot shingles; the
+    document-frequency cap drops those shingles before pairing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ray_extract.pipelines.dedup import ngram_jaccard_pairs
+
+    hot = "the cat sat"  # shared trigram across every doc
+    docs = [f"{hot} unique{i} word{i} tail{i} more{i}" for i in range(12)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(12), type=pa.int64()),
+                "text": pa.array(docs),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    uncapped = ngram_jaccard_pairs(str(tmp_path), num=1, den=100).to_pandas()
+    capped = ngram_jaccard_pairs(str(tmp_path), num=1, den=100, max_shingle_df=4).to_pandas()
+    # every pair shares only the hot shingle -> uncapped finds all 66 pairs,
+    # the df-cap (4 << 12 docs) removes it and with it every candidate
+    assert len(uncapped) == 66
+    assert len(capped) == 0
+
+
 def test_simhash_hamming_bound(ray_session):
     from ray_extract.pipelines.dedup import simhash_pairs
 
