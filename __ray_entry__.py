@@ -87,6 +87,126 @@ sh AS (
 )
 """
 
+# --- ANN oracles: the three top-k pipelines share structure. The LSH planes
+# are md5-derived +/-1 signs (ray_extract/pipelines/similarity.py det_planes)
+# and the IVF codebook is the first-16 corpus vectors, so both approximate
+# methods are bit-reproducible in SQL (dim=64, n_planes=8, k=5, 10 queries).
+_ANN_EXACT_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+s AS (
+  SELECT q.qid, e.vec_id,
+         list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS sc
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.qid
+),
+r AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id) AS rk
+  FROM s
+)
+SELECT qid AS query_id, CAST(rk AS BIGINT) AS rank, vec_id AS neighbor_id
+FROM r WHERE rk <= 5
+"""
+
+_ANN_LSH_SQL = """
+WITH planes AS (
+  SELECT CAST(p.p AS BIGINT) AS p, CAST(d.d AS BIGINT) AS d,
+         CASE WHEN substr(md5(CAST(p.p AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)), 1, 1)
+              IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END AS s
+  FROM unnest(range(0, 8)) AS p(p), unnest(range(0, 64)) AS d(d)
+),
+proj AS (
+  SELECT e.vec_id, pl.p, sum(pl.s * CAST(e.embedding[pl.d + 1] AS DOUBLE)) AS pr
+  FROM embeddings e, planes pl GROUP BY e.vec_id, pl.p
+),
+bkt AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM proj GROUP BY vec_id
+),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+cand AS (
+  SELECT q.qid, e.vec_id,
+         list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS sc
+  FROM q
+  JOIN bkt qb ON qb.vec_id = q.qid
+  JOIN bkt eb ON eb.bucket = qb.bucket AND eb.vec_id != q.qid
+  JOIN embeddings e ON e.vec_id = eb.vec_id
+),
+r AS (
+  SELECT qid, vec_id, sc,
+         row_number() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id) AS rk
+  FROM cand
+)
+SELECT qid AS query_id, CAST(rk AS BIGINT) AS rank, vec_id AS neighbor_id,
+       round(sc, 6) AS score
+FROM r WHERE rk <= 5
+"""
+
+_ANN_IVF_SQL = """
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16
+),
+assign0 AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]) DESC,
+                    c.cid
+         ) AS rk
+  FROM embeddings e CROSS JOIN cent c
+),
+a1 AS (SELECT vec_id, cid FROM assign0 WHERE rk = 1),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+qprobe AS (
+  SELECT q.qid, c.cid,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY list_cosine_similarity(q.qe::DOUBLE[], c.ce::DOUBLE[]) DESC, c.cid
+         ) AS rk
+  FROM q CROSS JOIN cent c
+),
+qp AS (SELECT qid, cid FROM qprobe WHERE rk <= 3),
+cand AS (
+  SELECT q.qid, e.vec_id,
+         list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS sc
+  FROM q
+  JOIN qp ON qp.qid = q.qid
+  JOIN a1 ON a1.cid = qp.cid
+  JOIN embeddings e ON e.vec_id = a1.vec_id AND e.vec_id != q.qid
+),
+r AS (
+  SELECT qid, vec_id, sc,
+         row_number() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id) AS rk
+  FROM cand
+)
+SELECT qid AS query_id, CAST(rk AS BIGINT) AS rank, vec_id AS neighbor_id,
+       round(sc, 6) AS score
+FROM r WHERE rk <= 5
+"""
+
+_ANN_RECALL_SQL = f"""
+WITH ex AS ({_ANN_EXACT_SQL}),
+iv AS ({_ANN_IVF_SQL}),
+ls AS ({_ANN_LSH_SQL}),
+sel AS (
+  SELECT 'ivf' AS method, query_id, neighbor_id FROM iv
+  UNION ALL SELECT 'lsh', query_id, neighbor_id FROM ls
+),
+j AS (
+  SELECT s.method, CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM sel s LEFT JOIN ex e
+    ON e.query_id = s.query_id AND e.neighbor_id = s.neighbor_id
+)
+SELECT m.method,
+       CAST(count(j.hit) AS BIGINT) AS n_returned,
+       CAST(coalesce(sum(j.hit), 0) AS BIGINT) AS hits,
+       CAST(coalesce(sum(j.hit), 0) * 1000000 // 50 AS BIGINT) AS recall_ppm
+FROM (VALUES ('ivf'), ('lsh')) m(method)
+LEFT JOIN j ON j.method = m.method
+GROUP BY m.method
+"""
+
 _ROLL = (
     "(list_reduce(list_transform(split({col}, ''), x -> unicode(x)::BIGINT),"
     " (a, b) -> (a * 1000003 + b) % 2147483647) * 2147483648"
@@ -362,6 +482,12 @@ def _q_ann_ivf(sf_dir: str):
     return ann_ivf(sf_dir)
 
 
+def _q_ann_recall(sf_dir: str):
+    from ray_extract.pipelines.similarity import ann_recall
+
+    return ann_recall(sf_dir)
+
+
 def _q_events_window(sf_dir: str):
     from ray_extract.pipelines.events import windowed_counts
 
@@ -428,8 +554,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "ann_topk": _q_ann_topk,
-        "ann_lsh": _q_ann_lsh,  # approximate by design -> no oracle (rows-only)
-        "ann_ivf": _q_ann_ivf,  # approximate by design -> no oracle (rows-only)
+        "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
+        "ann_recall": _q_ann_recall,
         "embedding_dedup": _q_embedding_dedup,
         "events_window": _q_events_window,
         "events_sessionize": _q_events_sessionize,
@@ -607,21 +734,10 @@ FROM s
 SELECT doc_id, CAST({roll_text} AS BIGINT) AS fp62, md5(text) AS fp_md5
 FROM documents
 """,
-        "ann_topk": """
-WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
-s AS (
-  SELECT q.qid, e.vec_id,
-         list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS sc
-  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.qid
-),
-r AS (
-  SELECT qid, vec_id,
-         row_number() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id) AS rk
-  FROM s
-)
-SELECT qid AS query_id, CAST(rk AS BIGINT) AS rank, vec_id AS neighbor_id
-FROM r WHERE rk <= 5
-""",
+        "ann_topk": _ANN_EXACT_SQL,
+        "ann_lsh": _ANN_LSH_SQL,
+        "ann_ivf": _ANN_IVF_SQL,
+        "ann_recall": _ANN_RECALL_SQL,
         "events_window": """
 SELECT event_type, date_trunc('hour', ts) AS window_start,
        CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS sum_value

@@ -5,16 +5,34 @@
   matmul against it; per-batch partial top-k rows are then reduced per query.
   This is the scale pattern: the corpus streams, only (n_queries x k) rows per
   batch leave the workers.
-- ``ann_lsh``: random-hyperplane LSH variant — corpus and queries are bucketed
-  by sign bits; only same-bucket candidates are scored. Approximate (may miss
-  neighbors), so it gets a rows-only correctness check.
+- ``ann_lsh``: random-hyperplane LSH — the hyperplanes are DETERMINISTIC
+  (+/-1 signs derived from md5(plane:dim)), so the whole pipeline is
+  reproducible in SQL and gets a full value-hash oracle. Corpus and queries
+  are bucketed by projection sign bits; only same-bucket candidates are
+  scored.
+- ``ann_ivf``: IVF-style coarse quantization — the codebook is the first
+  ``n_centroids`` corpus vectors (a bounded, filtered read; k-medoid-style
+  sampled codebook), assignment is argmax cosine, queries probe their
+  ``n_probe`` nearest buckets. Deterministic end-to-end -> full SQL oracle.
+  Optional ``kmeans_iters`` refines the codebook with Lloyd iterations on a
+  BOUNDED sample (scanner head, never a full-corpus driver read); that path
+  is approximate-by-design and drops the SQL oracle.
+- ``embedding_dedup``: cosine near-duplicate pairs via a SHARDED broadcast
+  sweep — the comparison side is split into vec_id-range shards (parquet
+  row-group statistics give the id bounds metadata-only), each shard is
+  ray.put once, and every corpus batch sweeps the shard list. Driver peak
+  memory is one shard; worker peak is batch x shard.
+- ``ann_recall``: the approximate methods' quality gate — recall@k of
+  ann_lsh / ann_ivf against the exact ann_bruteforce top-k, integer ppm
+  arithmetic so the SQL oracle matches exactly.
 """
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 
 def _read_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
@@ -37,6 +55,60 @@ def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     dim = len(la[0])
     flat = la.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     return ids, flat.reshape(len(ids), dim)
+
+
+def _vec_id_bounds(path: str) -> tuple[int, int]:
+    """(min, max) of vec_id from parquet row-group statistics — a pure
+    metadata read, no data bytes touched."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(path)
+    names = [f.schema_arrow.field(i).name for i in range(len(f.schema_arrow))]
+    ci = names.index("vec_id")
+    lo, hi = None, None
+    for rg in range(f.metadata.num_row_groups):
+        st = f.metadata.row_group(rg).column(ci).statistics
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return int(lo), int(hi)
+
+
+def _topk_stage(k: int, with_score: bool):
+    """groupby(query_id) final reduce: global top-k with the deterministic
+    (score desc, vec_id asc) tiebreak."""
+
+    def final_topk(g):
+        import pandas as pd
+
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        out = {
+            "query_id": g["query_id"].astype("int64").to_numpy(),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            "neighbor_id": g["vec_id"].astype("int64").to_numpy(),
+        }
+        if with_score:
+            out["score"] = np.round(g["score"].to_numpy(), 6)
+        return pd.DataFrame(out)
+
+    return final_topk
+
+
+def _partial_table(out_q, out_v, out_s) -> pa.Table:
+    if not out_q:
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "score": pa.array(np.concatenate(out_s)),
+        }
+    )
 
 
 def ann_bruteforce(sf_dir: str, n_queries: int = 10, k: int = 5):
@@ -66,68 +138,140 @@ def ann_bruteforce(sf_dir: str, n_queries: int = 10, k: int = 5):
             out_q.append(np.full(len(top), qids_[j], dtype=np.int64))
             out_v.append(ids[top].astype(np.int64))
             out_s.append(s[top])
-        return pa.table(
-            {
-                "query_id": pa.array(np.concatenate(out_q)),
-                "vec_id": pa.array(np.concatenate(out_v)),
-                "score": pa.array(np.concatenate(out_s)),
-            }
-        )
-
-    def final_topk(g):
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        import pandas as pd
-
-        return pd.DataFrame(
-            {
-                "query_id": g["query_id"].astype("int64"),
-                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-                "neighbor_id": g["vec_id"].astype("int64"),
-            }
-        )
+        return _partial_table(out_q, out_v, out_s)
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     partial = ds.map_batches(score_batch, batch_format="pyarrow")
-    return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return partial.groupby("query_id").map_groups(
+        _topk_stage(k, with_score=False), batch_format="pandas"
+    )
 
 
-def embedding_dedup(sf_dir: str, threshold: float = 0.4):
+def embedding_dedup(sf_dir: str, threshold: float = 0.4, shard_rows: int = 131072):
     """Embedding-cosine near-duplicate pairs: all (a < b) with cosine >=
-    threshold. The full signature matrix (n_docs x dim floats) is broadcast
-    once via ray.put; each batch computes a vectorized matmul against it —
-    at larger scale the matrix shards by vec_id range and batches sweep the
-    shards (same pattern, one more loop)."""
+    threshold, via a sharded broadcast sweep.
+
+    The comparison side is split into vec_id-range shards of ~``shard_rows``
+    vectors (bounds from parquet row-group statistics, metadata-only). Each
+    shard is read with a pushed-down range filter (row-group pruning), put
+    into the object store ONCE, and every corpus batch sweeps the shard list
+    with a vectorized matmul. Nothing materializes the whole corpus on the
+    driver: peak driver memory is one shard, peak worker memory is
+    batch x shard, and the object store spills shards under pressure."""
+    import pyarrow.dataset as pads
     import ray
     import ray.data as rd
 
-    import pyarrow.dataset as pads
-
-    tbl = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
-        columns=["vec_id", "embedding"]
-    )
-    ids = tbl.column("vec_id").to_numpy()
-    E = np.stack(tbl.column("embedding").to_pylist()).astype(np.float64)
-    E /= np.linalg.norm(E, axis=1, keepdims=True)
-    ref = ray.put((ids, E))
+    path = f"{sf_dir}/embeddings.parquet"
+    lo, hi = _vec_id_bounds(path)
+    shard_refs = []
+    dset = pads.dataset(path)
+    for start in range(lo, hi + 1, shard_rows):
+        end = min(start + shard_rows, hi + 1)
+        tbl = dset.to_table(
+            columns=["vec_id", "embedding"],
+            filter=(pads.field("vec_id") >= start) & (pads.field("vec_id") < end),
+        )
+        if len(tbl) == 0:
+            continue
+        ids = tbl.column("vec_id").to_numpy()
+        E = np.stack(tbl.column("embedding").to_pylist()).astype(np.float64)
+        E /= np.linalg.norm(E, axis=1, keepdims=True)
+        shard_refs.append(ray.put((ids, E)))
 
     def pair_batch(batch: pa.Table) -> pa.Table:
-        all_ids, allE = ray.get(ref)
         bids, e = _emb_matrix(batch)
         e /= np.linalg.norm(e, axis=1, keepdims=True)
-        scores = e @ allE.T
-        keep = (scores >= threshold) & (bids[:, None] < all_ids[None, :])
-        ai, bi = np.nonzero(keep)
+        out_a, out_b, out_s = [], [], []
+        for ref in shard_refs:
+            all_ids, allE = ray.get(ref)
+            scores = e @ allE.T
+            keep = (scores >= threshold) & (bids[:, None] < all_ids[None, :])
+            ai, bi = np.nonzero(keep)
+            if len(ai):
+                out_a.append(bids[ai].astype(np.int64))
+                out_b.append(all_ids[bi].astype(np.int64))
+                out_s.append(np.round(scores[ai, bi], 6))
+        if not out_a:
+            return pa.table(
+                {
+                    "vec_a": pa.array([], type=pa.int64()),
+                    "vec_b": pa.array([], type=pa.int64()),
+                    "cos_sim": pa.array([], type=pa.float64()),
+                }
+            )
         return pa.table(
             {
-                "vec_a": pa.array(bids[ai].astype(np.int64)),
-                "vec_b": pa.array(all_ids[bi].astype(np.int64)),
-                "cos_sim": pa.array(np.round(scores[ai, bi], 6)),
+                "vec_a": pa.array(np.concatenate(out_a)),
+                "vec_b": pa.array(np.concatenate(out_b)),
+                "cos_sim": pa.array(np.concatenate(out_s)),
             }
         )
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
     return ds.map_batches(pair_batch, batch_format="pyarrow")
+
+
+def det_planes(n_planes: int, dim: int) -> np.ndarray:
+    """Deterministic +/-1 hyperplane matrix (n_planes, dim): sign from the
+    first hex digit of md5("p:d") — reproducible bit-for-bit in SQL
+    (substr(md5(p || ':' || d), 1, 1) IN '0'..'7')."""
+    S = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        for d in range(dim):
+            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+            S[p, d] = 1.0 if h[0] in "01234567" else -1.0
+    return S
+
+
+def ann_lsh(sf_dir: str, n_queries: int = 10, k: int = 5, n_planes: int = 8):
+    """LSH-bucketed approximate top-k: score only candidates whose sign-bucket
+    matches the query's. Hyperplanes are deterministic (md5-derived +/-1
+    signs), so the bucketing — and therefore the full result — has an exact
+    SQL oracle. Projections use the RAW embedding values (normalization does
+    not change the sign)."""
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data as rd
+
+    # raw (unnormalized) queries for bucket projections + normalized for scores
+    tbl = (
+        pads.dataset(f"{sf_dir}/embeddings.parquet")
+        .to_table(columns=["vec_id", "embedding"], filter=pads.field("vec_id") < n_queries)
+    )
+    qids = tbl.column("vec_id").to_numpy()
+    qraw = np.stack(tbl.column("embedding").to_pylist()).astype(np.float64)
+    order = np.argsort(qids)
+    qids, qraw = qids[order], qraw[order]
+    qn = qraw / np.linalg.norm(qraw, axis=1, keepdims=True)
+    planes = det_planes(n_planes, qraw.shape[1])
+    pow2 = 1 << np.arange(n_planes, dtype=np.int64)
+    qbuckets = ((qraw @ planes.T) > 0) @ pow2
+    qref = ray.put((qids, qn, planes, qbuckets))
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        qids_, qn_, planes_, qb_ = ray.get(qref)
+        ids, e = _emb_matrix(batch)
+        buckets = ((e @ planes_.T) > 0) @ pow2
+        en = e / np.linalg.norm(e, axis=1, keepdims=True)
+        out_q, out_v, out_s = [], [], []
+        for j in range(len(qids_)):
+            cand = np.nonzero((buckets == qb_[j]) & (ids != qids_[j]))[0]
+            if len(cand) == 0:
+                continue
+            s = en[cand] @ qn_[j]
+            kk = min(k, len(cand))
+            top = np.lexsort((ids[cand], -s))[:kk]
+            out_q.append(np.full(len(top), qids_[j], dtype=np.int64))
+            out_v.append(ids[cand[top]].astype(np.int64))
+            out_s.append(s[top])
+        return _partial_table(out_q, out_v, out_s)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    partial = ds.map_batches(score_batch, batch_format="pyarrow")
+    return partial.groupby("query_id").map_groups(
+        _topk_stage(k, with_score=True), batch_format="pandas"
+    )
 
 
 def ann_ivf(
@@ -136,51 +280,62 @@ def ann_ivf(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 3,
-    kmeans_iters: int = 5,
+    kmeans_iters: int = 0,
+    train_sample: int = 65536,
 ):
     """IVF-style ANN: coarse-quantize the corpus into centroid buckets, probe
     only the query's ``n_probe`` nearest buckets.
 
-    The centroid codebook is "trained" deterministically (k-means seeded from
-    the first ``n_centroids`` vectors, fixed iteration count) on the small
-    query-side read, broadcast once, and each corpus batch assigns its rows
-    vectorized. At scale the train step runs on a sample and the inverted
-    lists become the partitioning key for the corpus layout. Approximate by
-    design -> rows-only correctness check."""
+    The default codebook is the first ``n_centroids`` corpus vectors
+    (normalized) — a bounded FILTERED read, deterministic, and exactly
+    reproducible in SQL, so the default configuration carries a full value
+    oracle. ``kmeans_iters > 0`` refines the codebook with Lloyd iterations
+    trained on a bounded sample (``scanner().head(train_sample)`` — never a
+    full-corpus driver read); that configuration is approximate-by-design
+    and has no SQL oracle. At scale the inverted lists become the corpus
+    partitioning key."""
     import pyarrow.dataset as pads
     import ray
     import ray.data as rd
 
-    tbl = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
-        columns=["vec_id", "embedding"]
+    path = f"{sf_dir}/embeddings.parquet"
+    dset = pads.dataset(path)
+    ctbl = dset.to_table(
+        columns=["vec_id", "embedding"], filter=pads.field("vec_id") < n_centroids
     )
-    ids_all = tbl.column("vec_id").to_numpy()
-    E = np.stack(tbl.column("embedding").to_pylist()).astype(np.float64)
-    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    cids = ctbl.column("vec_id").to_numpy()
+    cent = np.stack(ctbl.column("embedding").to_pylist()).astype(np.float64)
+    corder = np.argsort(cids)
+    cent = cent[corder]
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
 
-    # deterministic k-means (cosine/Euclidean on normalized vectors)
-    order = np.argsort(ids_all)
-    cent = En[order[:n_centroids]].copy()
-    for _ in range(kmeans_iters):
-        assign = np.argmax(En @ cent.T, axis=1)
-        for c in range(n_centroids):
-            members = En[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                cent[c] = m / (np.linalg.norm(m) or 1.0)
+    if kmeans_iters > 0:
+        # bounded-sample Lloyd refinement (scale path; no SQL oracle)
+        head = dset.scanner(columns=["embedding"]).head(train_sample)
+        S = np.stack(head.column("embedding").to_pylist()).astype(np.float64)
+        S /= np.linalg.norm(S, axis=1, keepdims=True)
+        for _ in range(kmeans_iters):
+            assign = np.argmax(S @ cent.T, axis=1)
+            for c in range(len(cent)):
+                members = S[assign == c]
+                if len(members):
+                    m = members.mean(axis=0)
+                    cent[c] = m / (np.linalg.norm(m) or 1.0)
 
-    qmask = ids_all < n_queries
-    qids, q = ids_all[qmask], En[qmask]
-    qorder = np.argsort(qids)
-    qids, q = qids[qorder], q[qorder]
-    # buckets each query probes
-    qprobe = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]
+    qids, q = _read_queries(sf_dir, n_queries)
+    # buckets each query probes: top n_probe centroids by (sim desc, cid asc)
+    qsims = q @ cent.T
+    qprobe = np.stack(
+        [np.lexsort((np.arange(len(cent)), -qsims[j]))[:n_probe] for j in range(len(qids))]
+    )
     ref = ray.put((qids, q, cent, qprobe))
 
     def score_batch(batch: pa.Table) -> pa.Table:
         qids_, q_, cent_, qprobe_ = ray.get(ref)
         ids, e = _emb_matrix(batch)
         en = e / np.linalg.norm(e, axis=1, keepdims=True)
+        # argmax returns the FIRST max -> smallest centroid id tiebreak,
+        # matching the oracle's (sim desc, cid asc) row_number
         assign = np.argmax(en @ cent_.T, axis=1)
         out_q, out_v, out_s = [], [], []
         for j in range(len(qids_)):
@@ -189,99 +344,43 @@ def ann_ivf(
                 continue
             s = en[cand] @ q_[j]
             kk = min(k, len(cand))
-            top = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
+            top = np.lexsort((ids[cand], -s))[:kk]
             out_q.append(np.full(len(top), qids_[j], dtype=np.int64))
             out_v.append(ids[cand[top]].astype(np.int64))
             out_s.append(s[top])
-        if not out_q:
-            return pa.table(
-                {
-                    "query_id": pa.array([], type=pa.int64()),
-                    "vec_id": pa.array([], type=pa.int64()),
-                    "score": pa.array([], type=pa.float64()),
-                }
-            )
-        return pa.table(
-            {
-                "query_id": pa.array(np.concatenate(out_q)),
-                "vec_id": pa.array(np.concatenate(out_v)),
-                "score": pa.array(np.concatenate(out_s)),
-            }
-        )
+        return _partial_table(out_q, out_v, out_s)
 
-    def final_topk(g):
-        import pandas as pd
-
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-        return pd.DataFrame(
-            {
-                "query_id": g["query_id"].astype("int64").to_numpy(),
-                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-                "neighbor_id": g["vec_id"].astype("int64").to_numpy(),
-            }
-        )
-
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
     partial = ds.map_batches(score_batch, batch_format="pyarrow")
-    return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return partial.groupby("query_id").map_groups(
+        _topk_stage(k, with_score=True), batch_format="pandas"
+    )
 
 
-def ann_lsh(sf_dir: str, n_queries: int = 10, k: int = 5, n_planes: int = 8, seed: int = 7):
-    """LSH-bucketed approximate top-k: score only candidates whose sign-bucket
-    matches the query's. Rows-only correctness (approximate by design)."""
-    import ray
-    import ray.data as rd
+def ann_recall(sf_dir: str, n_queries: int = 10, k: int = 5):
+    """Quality gate for the approximate ANN methods: recall@k of ann_lsh and
+    ann_ivf against the exact ann_bruteforce top-k. All three pipelines run
+    distributed; only their (n_queries x k)-row results land on the driver.
+    Integer ppm arithmetic -> exact SQL oracle."""
+    import pandas as pd
 
-    qids, q = _read_queries(sf_dir, n_queries)
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((q.shape[1], n_planes))
-    qbuckets = (q @ planes > 0) @ (1 << np.arange(n_planes))
-    qref = ray.put((qids, q, planes, qbuckets))
-
-    def score_batch(batch: pa.Table) -> pa.Table:
-        qids_, q_, planes_, qb_ = ray.get(qref)
-        ids, e = _emb_matrix(batch)
-        en = e / np.linalg.norm(e, axis=1, keepdims=True)
-        buckets = (en @ planes_ > 0) @ (1 << np.arange(planes_.shape[1]))
-        out_q, out_v, out_s = [], [], []
-        for j in range(len(qids_)):
-            cand = np.nonzero((buckets == qb_[j]) & (ids != qids_[j]))[0]
-            if len(cand) == 0:
-                continue
-            s = en[cand] @ q_[j]
-            kk = min(k, len(cand))
-            top = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
-            out_q.append(np.full(len(top), qids_[j], dtype=np.int64))
-            out_v.append(ids[cand[top]].astype(np.int64))
-            out_s.append(s[top])
-        if not out_q:
-            return pa.table(
-                {
-                    "query_id": pa.array([], type=pa.int64()),
-                    "vec_id": pa.array([], type=pa.int64()),
-                    "score": pa.array([], type=pa.float64()),
-                }
-            )
-        return pa.table(
+    exact = ann_bruteforce(sf_dir, n_queries, k).to_pandas()
+    exact_set = set(zip(exact["query_id"], exact["neighbor_id"]))
+    total = n_queries * k
+    rows = []
+    for method, df in [
+        ("ivf", ann_ivf(sf_dir, n_queries, k).to_pandas()),
+        ("lsh", ann_lsh(sf_dir, n_queries, k).to_pandas()),
+    ]:
+        hits = int(
+            sum((q, n) in exact_set for q, n in zip(df["query_id"], df["neighbor_id"]))
+        )
+        rows.append(
             {
-                "query_id": pa.array(np.concatenate(out_q)),
-                "vec_id": pa.array(np.concatenate(out_v)),
-                "score": pa.array(np.concatenate(out_s)),
+                "method": method,
+                "n_returned": np.int64(len(df)),
+                "hits": np.int64(hits),
+                "recall_ppm": np.int64(hits * 1_000_000 // total),
             }
         )
-
-    def final_topk(g):
-        import pandas as pd
-
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-        return pd.DataFrame(
-            {
-                "query_id": g["query_id"].astype("int64").to_numpy(),
-                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-                "neighbor_id": g["vec_id"].astype("int64").to_numpy(),
-            }
-        )
-
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    partial = ds.map_batches(score_batch, batch_format="pyarrow")
-    return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return pd.DataFrame(rows)

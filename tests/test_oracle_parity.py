@@ -14,6 +14,8 @@ SUBSET = [
     "extract_kind_counts",
     "dedup_exact",
     "dedup_simhash",
+    "ann_lsh",
+    "ann_recall",
     "text_tokens",
     "lang_id",
     "html_main_content",
