@@ -47,7 +47,10 @@ def test_query_matches_oracle(ray_session, oracle_con, name):
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as E
 
-    got = _norm(E.queries()[name](SF).to_pandas())
+    import pandas as pd
+
+    res = E.queries()[name](SF)
+    got = _norm(res if isinstance(res, pd.DataFrame) else res.to_pandas())
     want = _norm(oracle_con.execute(E.oracle_sql()[name]).df())
     assert len(got) == len(want)
     assert list(got.columns) == list(want.columns)
