@@ -58,6 +58,15 @@ class ExtractConfig:
     parse_concurrency: Union[int, tuple, None] = None
     convert_batch_size: int = 1024
     experimental_tables: bool = True
+    # bounded in-kernel retry per document parse (reference utils.py:18-32);
+    # final failure dead-letters the document
+    parse_max_retries: int = 3
+    # actor-level fault tolerance: restart parse actors killed by the OS
+    # (OOM) or lost with a node, and re-run the in-flight task. Application
+    # exceptions never re-execute tasks (retry_exceptions stays False) — a
+    # poison document is dead-lettered in-kernel, not retried batch-wide.
+    actor_max_restarts: int = 4
+    actor_max_task_retries: int = 3
     # routed topology: read-parallelism overrides. The large-doc side is few
     # rows but HUGE rows; without an override it collapses into a handful of
     # blocks and the merge/convert stages lose parallelism (one task per
@@ -99,10 +108,13 @@ def _front(ds, cfg: ExtractConfig, pool_share: float = 0.75):
     )
     return ds.map_batches(
         LayoutParser,
+        fn_constructor_kwargs={"max_retries": cfg.parse_max_retries},
         batch_format="pyarrow",
         batch_size=cfg.parse_batch_size,
         concurrency=cfg.pool(pool_share),
         zero_copy_batch=True,
+        max_restarts=cfg.actor_max_restarts,
+        max_task_retries=cfg.actor_max_task_retries,
     )
 
 

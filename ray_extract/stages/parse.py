@@ -46,19 +46,34 @@ def _concat(parts: list[np.ndarray], dtype) -> np.ndarray:
 
 
 class LayoutParser:
-    """Warm-state layout parser for map_batches actor pools."""
+    """Warm-state layout parser for map_batches actor pools.
 
-    def __init__(self):
+    ``max_retries``/``retry_exceptions`` implement the reference's bounded
+    retry policy (utils.py:18-32 via azure_wrapper.py:86-92): each document's
+    parse call is attempted up to ``max_retries`` times; on final failure the
+    document becomes a dead-letter row (status="error") instead of the
+    reference's silent drop. ``parse_fn`` is injectable for fault-injection
+    tests (the reference mocks its Azure client the same way,
+    tests/test_utils.py:19-48)."""
+
+    def __init__(self, max_retries: int = 3, parse_fn=None,
+                 retry_exceptions: tuple = (Exception,)):
         # Warm per-actor state (the analogue of the reference's authenticated
         # client built once in AzureApiWrapper.__init__, azure_wrapper.py:22-30;
         # a real model's weights would load here).
         self.api_version = vocab.API_VERSION
         self.model_id = vocab.MODEL_ID
         self.roles = list(vocab.ROLES)
+        self.max_retries = max_retries
+        self.retry_exceptions = retry_exceptions
+        self.parse_fn = parse_fn or decode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.retry import call_with_retries
+
         n = len(batch)
         status = batch.column("status").to_pylist()
+        error = batch.column("error").to_pylist()
         payloads = batch.column("payload").combine_chunks()
         range_lo = batch.column("range_lo").to_numpy()
 
@@ -74,7 +89,18 @@ class LayoutParser:
             raw = payloads[i].as_py()
             if status[i] != "ok" or not raw:
                 continue
-            flat = decode(raw)
+            try:
+                flat = call_with_retries(
+                    self.parse_fn, raw,
+                    max_retries=self.max_retries,
+                    retry_exceptions=self.retry_exceptions,
+                )
+            except Exception as e:
+                # retries exhausted -> dead-letter the shard (reference drops
+                # the whole document silently here, run.py:38-39)
+                status[i] = "error"
+                error[i] = f"parse failed after {self.max_retries} attempts: {e}"
+                continue
             pages_l.append(flat["pages"])
             paras_l.append(flat["paras"])
             tabs_l.append(flat["tables"])
@@ -183,6 +209,10 @@ class LayoutParser:
                 cols[name] = pa.array([self.api_version] * n, type=pa.string())
             elif name == "model_id":
                 cols[name] = pa.array([self.model_id] * n, type=pa.string())
+            elif name == "status":
+                cols[name] = pa.array(status, type=pa.string())
+            elif name == "error":
+                cols[name] = pa.array(error, type=pa.string())
             else:
                 cols[name] = batch.column(name)
         for name in LIST_COLUMNS:
