@@ -403,6 +403,40 @@ def _q_extract_join_meta(sf_dir: str):
     return _q_extract_doc_stats(sf_dir).map_batches(join, batch_format="pyarrow")
 
 
+def _q_extract_parser_output_meta(sf_dir: str):
+    """ParserOutput identity/metadata surface (M7): the full pipeline with the
+    ParserInput metadata columns attached; documents whose cdn_object fails
+    the non-null + .pdf validation (reference convert.py:261-268) dead-letter
+    with zero blocks."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray_extract.pipelines.extract import ExtractConfig, extract_from_payloads
+    from ray_extract.sources.synth import synth_dataset
+
+    out = extract_from_payloads(
+        synth_dataset(f"{sf_dir}/documents.parquet", with_meta=True), ExtractConfig()
+    )
+
+    def sel(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "document_name": batch.column("document_name"),
+                "document_description": batch.column("document_description"),
+                "source_url": batch.column("source_url"),
+                "cdn_object": batch.column("cdn_object"),
+                "content_type": batch.column("content_type"),
+                "slug": batch.column("slug"),
+                "translated": batch.column("translated"),
+                "status": batch.column("status"),
+                "n_blocks": pc.cast(batch.column("n_text_blocks"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(sel, batch_format="pyarrow")
+
+
 def _q_extract_kind_counts(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -542,6 +576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_page_metadata": _q_extract_page_metadata,
         "extract_doc_stats": _q_extract_doc_stats,
         "extract_kind_counts": _q_extract_kind_counts,
+        "extract_parser_output_meta": _q_extract_parser_output_meta,
         "extract_table_cells": _q_extract_table_cells,
         "extract_join_meta": _q_extract_join_meta,
         "media_decode": _q_media_decode,
@@ -607,6 +642,26 @@ GROUP BY s.did
         "extract_kind_counts": _SPANS_CTE
         + """
 SELECT kind, count(*) AS n FROM spans GROUP BY kind
+""",
+        "extract_parser_output_meta": """
+WITH d AS (
+  SELECT source || '.' || CAST(doc_id AS VARCHAR) AS did, source, doc_id, text,
+         doc_id % 53 = 13 AS bad
+  FROM documents
+)
+SELECT did AS doc_id,
+       'Document ' || did AS document_name,
+       'Synthetic document ' || did AS document_description,
+       'https://docs.example.org/' || source || '/' || CAST(doc_id AS VARCHAR)
+         AS source_url,
+       'corpus/' || did || CASE WHEN bad THEN '.bin' ELSE '.pdf' END AS cdn_object,
+       'application/pdf' AS content_type,
+       source || '-' || CAST(doc_id AS VARCHAR) AS slug,
+       false AS translated,
+       CASE WHEN bad THEN 'error' ELSE 'ok' END AS status,
+       CAST(CASE WHEN bad THEN 0
+            ELSE ceil(len(string_split(text, ' '))/4.0) END AS BIGINT) AS n_blocks
+FROM d
 """,
         "extract_join_meta": _SPANS_CTE
         + """

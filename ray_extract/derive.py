@@ -209,3 +209,27 @@ def derive_payload(doc_id: str, text: str) -> bytes:
 def derived_doc_id(source: str, raw_doc_id: int) -> str:
     """String doc id for a driver documents-table row: '{source}.{doc_id}'."""
     return f"{source}.{raw_doc_id}"
+
+
+# Deterministic document metadata (the reference ParserInput identity surface:
+# document_name/description/source_url/cdn_object/content_type/slug,
+# /root/reference/src/azure_pdf_parser/run.py:51-79, convert.py:302-324).
+# Pure string arithmetic over (source, doc_id) so the DuckDB oracle can
+# reconstruct every field. Documents with raw_doc_id % 53 == 13 get a non-.pdf
+# cdn_object — exercising the reference's conversion-error path
+# (convert.py:261-268): those documents dead-letter in the decode stage.
+CDN_INVALID_MOD = 53
+CDN_INVALID_REM = 13
+
+
+def derive_metadata(source: str, raw_doc_id: int) -> dict:
+    did = derived_doc_id(source, raw_doc_id)
+    bad = raw_doc_id % CDN_INVALID_MOD == CDN_INVALID_REM
+    return {
+        "document_name": f"Document {did}",
+        "document_description": f"Synthetic document {did}",
+        "source_url": f"https://docs.example.org/{source}/{raw_doc_id}",
+        "cdn_object": f"corpus/{did}." + ("bin" if bad else "pdf"),
+        "content_type": "application/pdf",
+        "slug": f"{source}-{raw_doc_id}",
+    }

@@ -199,6 +199,25 @@ def validate_deep(payload: bytes) -> str:
         k = cells["kind"][kind_present]
         if len(k) and ((k < 0).any() or (k >= len(CELL_KINDS)).any()):
             return "invalid payload: cell kind out of range"
+    # blobs feed pyarrow utf8 kernels downstream (trim/regex in convert):
+    # corrupted bytes or an item boundary splitting a codepoint would raise
+    # ArrowInvalid mid-batch — validate whole-blob UTF-8 and that every item
+    # boundary lands on a character start (=> every slice is valid UTF-8).
+    for blob, lens, what in (
+        (flat["text_blob"], paras["text_len"], "text"),
+        (flat["media_blob"], paras["media_len"], "media"),
+        (flat["cell_blob"], cells["text_len"], "cell"),
+    ):
+        try:
+            blob.decode("utf-8")
+        except UnicodeDecodeError:
+            return f"invalid payload: {what} blob is not valid utf8"
+        if len(blob) and len(lens):
+            bounds = np.cumsum(lens.astype(np.int64))[:-1]
+            bounds = bounds[(bounds > 0) & (bounds < len(blob))]
+            bb = np.frombuffer(blob, dtype=np.uint8)
+            if ((bb[bounds] & 0xC0) == 0x80).any():
+                return f"invalid payload: {what} blob boundary splits a codepoint"
     return ""
 
 

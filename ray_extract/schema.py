@@ -42,7 +42,27 @@ SCALAR_FIELDS: list[tuple[str, pa.DataType]] = [
     ("n_pages_doc", pa.int32()),
     ("api_version", pa.string()),
     ("model_id", pa.string()),
+    # ParserInput identity metadata (reference run.py:51-79, convert.py:302-324):
+    # optional input columns; the decode stage injects nulls when absent so the
+    # shard schema is uniform. They ride the pipeline as scalar carry columns
+    # (metadata travels WITH the document — never a driver-side join).
+    ("document_name", pa.string()),
+    ("document_description", pa.string()),
+    ("source_url", pa.string()),
+    ("cdn_object", pa.string()),
+    ("content_type", pa.string()),
+    ("slug", pa.string()),
 ]
+
+# the subset of SCALAR_FIELDS that is optional input metadata
+META_FIELDS = (
+    "document_name",
+    "document_description",
+    "source_url",
+    "cdn_object",
+    "content_type",
+    "slug",
+)
 
 I32, F64, STR = pa.int32(), pa.float64(), pa.string()
 
@@ -146,6 +166,17 @@ OUTPUT_SCHEMA = pa.schema(
         ("status", pa.string()),
         ("error", pa.string()),
         ("md5sum", pa.string()),
+        # ParserOutput identity/metadata surface (reference convert.py:302-324):
+        # passthrough of the ParserInput fields plus the PDF-path constants
+        # translated=False and html_data=None (run.py:51-79).
+        ("document_name", pa.string()),
+        ("document_description", pa.string()),
+        ("source_url", pa.string()),
+        ("cdn_object", pa.string()),
+        ("content_type", pa.string()),
+        ("slug", pa.string()),
+        ("translated", pa.bool_()),
+        ("html_data", pa.string()),
         ("languages", pa.list_(pa.string())),
         ("n_pages", pa.int32()),
         ("n_text_blocks", pa.int32()),

@@ -18,11 +18,24 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..derive import derive_payload, derived_doc_id
+from ..derive import derive_metadata, derive_payload, derived_doc_id
+
+META_COLUMNS = (
+    "document_name",
+    "document_description",
+    "source_url",
+    "cdn_object",
+    "content_type",
+    "slug",
+)
 
 
-def make_synth_stage(amplify: int = 1, heavy_tail: bool = False):
-    """map_batches fn: documents.parquet rows -> (doc_id, payload, n_pages, n_spans)."""
+def make_synth_stage(amplify: int = 1, heavy_tail: bool = False, with_meta: bool = False):
+    """map_batches fn: documents.parquet rows -> (doc_id, payload, n_pages, n_spans).
+
+    ``with_meta`` additionally emits the ParserInput identity columns
+    (derive.derive_metadata) — including the deterministic invalid-cdn_object
+    subset that exercises the conversion-error dead-letter path."""
 
     def synth(batch: pa.Table) -> pa.Table:
         from ..payload import peek_counts
@@ -32,6 +45,7 @@ def make_synth_stage(amplify: int = 1, heavy_tail: bool = False):
         texts = batch.column("text").to_pylist()
         doc_ids: list[str] = []
         payloads: list[bytes] = []
+        meta: dict[str, list[str]] = {c: [] for c in META_COLUMNS}
         for rid, src, text in zip(raw_ids, sources, texts):
             base = derived_doc_id(src, rid)
             for rep in range(amplify):
@@ -46,27 +60,34 @@ def make_synth_stage(amplify: int = 1, heavy_tail: bool = False):
                         t = " ".join([text] * 32)
                 doc_ids.append(did)
                 payloads.append(derive_payload(did, t))
+                if with_meta:
+                    m = derive_metadata(src, rid)
+                    for c in META_COLUMNS:
+                        meta[c].append(m[c])
         n_pages = np.array([peek_counts(p)[0] for p in payloads], dtype=np.int32)
         n_spans = np.array([peek_counts(p)[1] for p in payloads], dtype=np.int32)
-        return pa.table(
-            {
-                "doc_id": pa.array(doc_ids, type=pa.string()),
-                "payload": pa.array(payloads, type=pa.large_binary()),
-                "n_pages": pa.array(n_pages),
-                "n_spans": pa.array(n_spans),
-            }
-        )
+        cols = {
+            "doc_id": pa.array(doc_ids, type=pa.string()),
+            "payload": pa.array(payloads, type=pa.large_binary()),
+            "n_pages": pa.array(n_pages),
+            "n_spans": pa.array(n_spans),
+        }
+        if with_meta:
+            for c in META_COLUMNS:
+                cols[c] = pa.array(meta[c], type=pa.string())
+        return pa.table(cols)
 
     return synth
 
 
-def synth_dataset(documents_path: str, amplify: int = 1, heavy_tail: bool = False):
+def synth_dataset(documents_path: str, amplify: int = 1, heavy_tail: bool = False,
+                  with_meta: bool = False):
     """documents.parquet -> lazy Dataset of (doc_id, payload, n_pages, n_spans)."""
     import ray.data as rd
 
     ds = rd.read_parquet(documents_path, columns=["doc_id", "source", "text"])
     return ds.map_batches(
-        make_synth_stage(amplify=amplify, heavy_tail=heavy_tail),
+        make_synth_stage(amplify=amplify, heavy_tail=heavy_tail, with_meta=with_meta),
         batch_format="pyarrow",
         batch_size=256,
     )

@@ -255,6 +255,16 @@ def make_convert_stage(experimental_tables: bool = True):
                 "status": batch.column("status"),
                 "error": batch.column("error"),
                 "md5sum": batch.column("md5"),
+                # identity metadata passthrough + PDF-path constants
+                # (reference convert.py:302-324, run.py:51-79)
+                "document_name": batch.column("document_name"),
+                "document_description": batch.column("document_description"),
+                "source_url": batch.column("source_url"),
+                "cdn_object": batch.column("cdn_object"),
+                "content_type": batch.column("content_type"),
+                "slug": batch.column("slug"),
+                "translated": pa.array(np.zeros(n, dtype=bool)),
+                "html_data": pa.nulls(n, type=pa.string()),
                 "languages": languages,
                 "n_pages": batch.column("n_pages_doc"),
                 "n_text_blocks": pa.array(kept_counts.astype(np.int32)),

@@ -15,6 +15,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..payload import peek_counts, validate_deep
+from ..schema import META_FIELDS
 
 
 def decode_stage(batch: pa.Table) -> pa.Table:
@@ -24,6 +25,12 @@ def decode_stage(batch: pa.Table) -> pa.Table:
     consistency — payload.validate_deep) so a poisoned document becomes a
     dead-letter row here rather than crashing a parse task downstream.
     Keeps the payload column for the split stage.
+
+    Identity metadata (META_FIELDS) is optional on the input: missing columns
+    are injected as nulls so the shard schema stays uniform. When a
+    ``cdn_object`` column IS present, non-null values must end in ".pdf"
+    (the reference's conversion-error check, convert.py:261-268) — violations
+    dead-letter the document here instead of raising mid-conversion.
     """
     payloads = batch.column("payload").combine_chunks()
     n = len(batch)
@@ -31,9 +38,18 @@ def decode_stage(batch: pa.Table) -> pa.Table:
     error = np.full(n, "", dtype=object)
     md5 = np.empty(n, dtype=object)
     n_pages = np.zeros(n, dtype=np.int32)
+    cdn = (
+        batch.column("cdn_object").to_pylist()
+        if "cdn_object" in batch.column_names
+        else None
+    )
     for i in range(n):
         raw = payloads[i].as_py()  # bytes
         md5[i] = hashlib.md5(raw).hexdigest()
+        if cdn is not None and cdn[i] is not None and not cdn[i].endswith(".pdf"):
+            status[i] = "error"
+            error[i] = f"invalid document_cdn_object (not a .pdf): {cdn[i]}"
+            continue
         reason = validate_deep(raw)
         if reason:
             status[i] = "error"
@@ -42,6 +58,9 @@ def decode_stage(batch: pa.Table) -> pa.Table:
         np_pages, _ = peek_counts(raw)
         n_pages[i] = np_pages
     out = batch
+    for name in META_FIELDS:
+        if name not in out.column_names:
+            out = out.append_column(name, pa.nulls(n, type=pa.string()))
     for name, arr in [
         ("status", pa.array(status, type=pa.string())),
         ("error", pa.array(error, type=pa.string())),
