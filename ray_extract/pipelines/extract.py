@@ -153,16 +153,49 @@ def extract_routed(corpus_dir: str, cfg: Optional[ExtractConfig] = None):
         # few rows but huge rows: spread them so split/parse/merge/convert all
         # get block-level parallelism (one map task per block)
         large = large.repartition(cfg.large_blocks)
-    small_parsed = _front(small, cfg, pool_share=0.55)  # single shard: no shuffle
-    large_merged = _front(large, cfg, pool_share=0.20).groupby("doc_id").map_groups(
-        merge_group, batch_format="pyarrow"
-    )
-    return small_parsed.union(large_merged).map_batches(
-        make_convert_stage(cfg.experimental_tables),
-        batch_format="pyarrow",
-        batch_size=cfg.convert_batch_size,
+    convert = make_convert_stage(cfg.experimental_tables)
+    small_out = _front(small, cfg, pool_share=0.55).map_batches(  # no shuffle
+        convert, batch_format="pyarrow", batch_size=cfg.convert_batch_size,
         zero_copy_batch=True,
     )
+    large_out = (
+        _front(large, cfg, pool_share=0.20)
+        .groupby("doc_id")
+        .map_groups(merge_group, batch_format="pyarrow")
+        .map_batches(
+            convert, batch_format="pyarrow", batch_size=cfg.convert_batch_size,
+            zero_copy_batch=True,
+        )
+    )
+    # A lazy `small.union(large)` SERIALIZES the two branch executions
+    # (measured 4x slower, see job.py module docstring) — so, like the
+    # production job topology (job.py runs each branch as its own concurrent
+    # Dataset execution writing parquet), execute both branches concurrently
+    # on driver threads and union the already-computed results (a metadata
+    # concat). The materialization here is of the FINAL converted rows, the
+    # same payload job.py holds in its output sink.
+    import threading
+
+    done: dict[str, object] = {}
+    errs: list[BaseException] = []
+
+    def run(name: str, pipe):
+        try:
+            done[name] = pipe.materialize()
+        except BaseException as e:  # surface to the main thread
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=run, args=("small", small_out)),
+        threading.Thread(target=run, args=("large", large_out)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errs:
+        raise errs[0]
+    return done["small"].union(done["large"])
 
 
 def flatten_blocks(batch: pa.Table) -> pa.Table:
