@@ -221,6 +221,234 @@ def validate_deep(payload: bytes) -> str:
     return ""
 
 
+def concat_structured(parts: list[np.ndarray], dtype) -> np.ndarray:
+    """Concatenate same-dtype structured arrays without numpy's pairwise
+    field-promotion overhead (np.concatenate calls _promote_fields per pair —
+    measured at ~50% of parse time for thousands of small shards)."""
+    total = sum(len(p) for p in parts)
+    out = np.empty(total, dtype=dtype)
+    ob = out.view(np.uint8)  # raw byte copy: parts are contiguous same-dtype
+    isz = dtype.itemsize
+    pos = 0
+    for p in parts:
+        k = len(p) * isz
+        ob[pos : pos + k] = p.view(np.uint8)
+        pos += k
+    return out
+
+
+def validate_batch(payloads: list[bytes]) -> tuple[list[str], np.ndarray]:
+    """Batched ``validate_deep``: same checks, vectorized across a batch.
+
+    The per-document form costs ~100 us/doc in small-numpy-op overhead
+    (~40 tiny allocations per document); at 10^6+ documents that is the
+    decode stage's dominant cost. Here each document pays only its zero-copy
+    struct decode; every range/monotonicity/sum/UTF-8 check runs ONCE per
+    batch over concatenated arrays with per-document segment aggregation.
+
+    Returns (reasons, n_pages): reasons[i] == '' when document i is valid,
+    else the first failing check's message; n_pages[i] is the page count for
+    valid documents (0 otherwise). Kept semantically equivalent to
+    ``validate_deep`` (property-tested in tests/test_payload_batch.py).
+    """
+    from .vocab import CELL_KINDS, FLAG_KIND_PRESENT, NO_ROLE, ROLES
+
+    n = len(payloads)
+    reasons = [""] * n
+    n_pages_out = np.zeros(n, dtype=np.int32)
+    flats: list[Flat | None] = [None] * n
+    for i, p in enumerate(payloads):
+        if not is_valid(p):
+            reasons[i] = "invalid payload: bad magic or truncated"
+        else:
+            flats[i] = decode(p)
+    idxs = np.array([i for i in range(n) if flats[i] is not None], dtype=np.int64)
+    k = len(idxs)
+    if k == 0:
+        return reasons, n_pages_out
+    fl = [flats[i] for i in idxs]
+
+    paras = concat_structured([f["paras"] for f in fl], PARA_DT)
+    tabs = concat_structured([f["tables"] for f in fl], TAB_DT)
+    cells = concat_structured([f["cells"] for f in fl], CELL_DT)
+    np_doc = np.array([len(f["pages"]) for f in fl], dtype=np.int64)
+    npar = np.array([len(f["paras"]) for f in fl], dtype=np.int64)
+    ntab = np.array([len(f["tables"]) for f in fl], dtype=np.int64)
+    ncel = np.array([len(f["cells"]) for f in fl], dtype=np.int64)
+    tlen = np.array([len(f["text_blob"]) for f in fl], dtype=np.int64)
+    mlen = np.array([len(f["media_blob"]) for f in fl], dtype=np.int64)
+    clen = np.array([len(f["cell_blob"]) for f in fl], dtype=np.int64)
+    para_doc = np.repeat(np.arange(k), npar)
+    tab_doc = np.repeat(np.arange(k), ntab)
+    cell_doc = np.repeat(np.arange(k), ncel)
+
+    def seg_any(mask: np.ndarray, seg: np.ndarray) -> np.ndarray:
+        if not mask.any():
+            return np.zeros(k, dtype=bool)
+        return np.bincount(seg[mask], minlength=k) > 0
+
+    def seg_sum(vals: np.ndarray, seg: np.ndarray) -> np.ndarray:
+        return np.bincount(seg, weights=vals.astype(np.float64), minlength=k)
+
+    def nondecreasing_fail(pages: np.ndarray, seg: np.ndarray) -> np.ndarray:
+        if len(pages) < 2:
+            return np.zeros(k, dtype=bool)
+        dec = pages[1:] < pages[:-1]
+        same_doc = seg[1:] == seg[:-1]
+        return seg_any(dec & same_doc, seg[1:])
+
+    # ordered checks — first failing check names the reason (validate_deep order)
+    checks: list[tuple[np.ndarray, str]] = []
+    pp = paras["page"]
+    checks.append(
+        (
+            seg_any((pp < 1) | (pp > np_doc[para_doc]), para_doc)
+            | nondecreasing_fail(pp, para_doc),
+            "invalid payload: paragraph pages out of range or unsorted",
+        )
+    )
+    checks.append(
+        (
+            seg_sum(paras["text_len"], para_doc) != tlen,
+            "invalid payload: text blob length mismatch",
+        )
+    )
+    checks.append(
+        (
+            seg_sum(paras["media_len"], para_doc) != mlen,
+            "invalid payload: media blob length mismatch",
+        )
+    )
+    checks.append(
+        (
+            seg_any(
+                (paras["text_len"] < 0)
+                | (paras["media_len"] < 0)
+                | (paras["length"] < 0),
+                para_doc,
+            ),
+            "invalid payload: negative lengths",
+        )
+    )
+    pr = paras["role"]
+    checks.append(
+        (
+            seg_any((pr < NO_ROLE) | (pr >= len(ROLES)), para_doc),
+            "invalid payload: paragraph role out of range",
+        )
+    )
+    checks.append(
+        (
+            seg_sum(tabs["ncells"], tab_doc) != ncel,
+            "invalid payload: table cell count mismatch",
+        )
+    )
+    tp = tabs["page"]
+    checks.append(
+        (
+            seg_any((tabs["ncells"] < 0) | (tp < 1) | (tp > np_doc[tab_doc]), tab_doc)
+            | nondecreasing_fail(tp, tab_doc),
+            "invalid payload: table pages out of range or unsorted",
+        )
+    )
+    checks.append(
+        (
+            seg_sum(cells["text_len"], cell_doc) != clen,
+            "invalid payload: cell blob length mismatch",
+        )
+    )
+    cp = cells["page"]
+    checks.append(
+        (
+            seg_any(
+                (cells["text_len"] < 0) | (cp < 1) | (cp > np_doc[cell_doc]), cell_doc
+            ),
+            "invalid payload: cell pages out of range",
+        )
+    )
+    ck = cells["kind"]
+    kind_present = (cells["flags"] & FLAG_KIND_PRESENT) != 0
+    checks.append(
+        (
+            seg_any(kind_present & ((ck < 0) | (ck >= len(CELL_KINDS))), cell_doc),
+            "invalid payload: cell kind out of range",
+        )
+    )
+
+    failed = np.zeros(k, dtype=bool)
+    doc_reason = np.full(k, "", dtype=object)
+    for mask, msg in checks:
+        fresh = mask & ~failed
+        doc_reason[fresh] = msg
+        failed |= mask
+
+    # UTF-8 checks only over documents that passed the structural checks
+    # (their length fields are trusted). Fast path: ONE joined decode per
+    # blob kind + one vectorized continuation-byte test over every slice
+    # boundary (doc joins are themselves item boundaries, so joined-valid +
+    # all-boundaries-on-char-starts => every per-doc slice is valid UTF-8).
+    # Any failure falls back to the exact per-document checks — corruption
+    # is the rare path by design.
+    def utf8_doc_reason(f: Flat) -> str:
+        for blob_key, lens, what in (
+            ("text_blob", f["paras"]["text_len"], "text"),
+            ("media_blob", f["paras"]["media_len"], "media"),
+            ("cell_blob", f["cells"]["text_len"], "cell"),
+        ):
+            blob = f[blob_key]
+            try:
+                blob.decode("utf-8")
+            except UnicodeDecodeError:
+                return f"invalid payload: {what} blob is not valid utf8"
+            if len(blob) and len(lens):
+                bounds = np.cumsum(lens.astype(np.int64))[:-1]
+                bounds = bounds[(bounds > 0) & (bounds < len(blob))]
+                bb = np.frombuffer(blob, dtype=np.uint8)
+                if ((bb[bounds] & 0xC0) == 0x80).any():
+                    return f"invalid payload: {what} blob boundary splits a codepoint"
+        return ""
+
+    ok_doc = ~failed
+    doc_sel = np.nonzero(ok_doc)[0]
+    utf8_fast_ok = True
+    for blob_key, lens_all, seg in (
+        ("text_blob", paras["text_len"], para_doc),
+        ("media_blob", paras["media_len"], para_doc),
+        ("cell_blob", cells["text_len"], cell_doc),
+    ):
+        joined = b"".join(fl[j][blob_key] for j in doc_sel)
+        if not joined:
+            continue
+        try:
+            joined.decode("utf-8")
+        except UnicodeDecodeError:
+            utf8_fast_ok = False
+            break
+        lens = lens_all[ok_doc[seg]]
+        if len(lens) == 0:
+            continue
+        bounds = np.cumsum(lens.astype(np.int64))
+        bounds = bounds[(bounds > 0) & (bounds < len(joined))]
+        bb = np.frombuffer(joined, dtype=np.uint8)
+        if ((bb[bounds] & 0xC0) == 0x80).any():
+            utf8_fast_ok = False
+            break
+    if not utf8_fast_ok:
+        for j in doc_sel:
+            msg = utf8_doc_reason(fl[j])
+            if msg:
+                doc_reason[j] = msg
+                failed[j] = True
+
+    for j in range(k):
+        gi = int(idxs[j])
+        if failed[j]:
+            reasons[gi] = str(doc_reason[j])
+        else:
+            n_pages_out[gi] = len(fl[j]["pages"])
+    return reasons, n_pages_out
+
+
 def peek_counts(payload: bytes) -> tuple[int, int]:
     """(n_pages, n_paras) without a full decode."""
     h = np.frombuffer(payload, dtype="<u4", count=2, offset=8)

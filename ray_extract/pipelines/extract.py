@@ -34,7 +34,7 @@ import pyarrow as pa
 
 from ..stages.convert import make_convert_stage
 from ..stages.decode import decode_stage
-from ..stages.merge import merge_group
+from ..stages.merge import merge_bucketed
 from ..stages.parse import LayoutParser
 from ..stages.split import make_split_stage
 
@@ -122,7 +122,7 @@ def extract_from_payloads(ds, cfg: Optional[ExtractConfig] = None):
     """Unified topology: (doc_id, payload[, ...]) Dataset -> output Dataset."""
     cfg = cfg or ExtractConfig()
     ds = _front(ds, cfg)
-    ds = ds.groupby("doc_id").map_groups(merge_group, batch_format="pyarrow")
+    ds = merge_bucketed(ds, num_buckets=4 * _cluster_cpus())
     return ds.map_batches(
         make_convert_stage(cfg.experimental_tables),
         batch_format="pyarrow",
@@ -158,14 +158,11 @@ def extract_routed(corpus_dir: str, cfg: Optional[ExtractConfig] = None):
         convert, batch_format="pyarrow", batch_size=cfg.convert_batch_size,
         zero_copy_batch=True,
     )
-    large_out = (
-        _front(large, cfg, pool_share=0.20)
-        .groupby("doc_id")
-        .map_groups(merge_group, batch_format="pyarrow")
-        .map_batches(
-            convert, batch_format="pyarrow", batch_size=cfg.convert_batch_size,
-            zero_copy_batch=True,
-        )
+    large_out = merge_bucketed(
+        _front(large, cfg, pool_share=0.20), num_buckets=4 * _cluster_cpus()
+    ).map_batches(
+        convert, batch_format="pyarrow", batch_size=cfg.convert_batch_size,
+        zero_copy_batch=True,
     )
     # A lazy `small.union(large)` SERIALIZES the two branch executions
     # (measured 4x slower, see job.py module docstring) — so, like the

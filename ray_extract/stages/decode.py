@@ -14,7 +14,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from ..payload import peek_counts, validate_deep
+from ..payload import validate_batch
 from ..schema import META_FIELDS
 
 
@@ -36,27 +36,24 @@ def decode_stage(batch: pa.Table) -> pa.Table:
     n = len(batch)
     status = np.full(n, "ok", dtype=object)
     error = np.full(n, "", dtype=object)
-    md5 = np.empty(n, dtype=object)
-    n_pages = np.zeros(n, dtype=np.int32)
     cdn = (
         batch.column("cdn_object").to_pylist()
         if "cdn_object" in batch.column_names
         else None
     )
+    raws = [payloads[i].as_py() for i in range(n)]
+    md5 = np.array([hashlib.md5(r).hexdigest() for r in raws], dtype=object)
+    # batched structural + UTF-8 validation (validate_batch == validate_deep
+    # semantics, vectorized across the batch)
+    reasons, n_pages = validate_batch(raws)
     for i in range(n):
-        raw = payloads[i].as_py()  # bytes
-        md5[i] = hashlib.md5(raw).hexdigest()
         if cdn is not None and cdn[i] is not None and not cdn[i].endswith(".pdf"):
             status[i] = "error"
             error[i] = f"invalid document_cdn_object (not a .pdf): {cdn[i]}"
-            continue
-        reason = validate_deep(raw)
-        if reason:
+            n_pages[i] = 0
+        elif reasons[i]:
             status[i] = "error"
-            error[i] = reason
-            continue
-        np_pages, _ = peek_counts(raw)
-        n_pages[i] = np_pages
+            error[i] = reasons[i]
     out = batch
     for name in META_FIELDS:
         if name not in out.column_names:

@@ -25,24 +25,16 @@ import numpy as np
 import pyarrow as pa
 
 from .. import vocab
-from ..payload import CELL_DT, PAGE_DT, PARA_DT, TAB_DT, decode, strings_from_lens
+from ..payload import (
+    CELL_DT,
+    PAGE_DT,
+    PARA_DT,
+    TAB_DT,
+    concat_structured as _concat,
+    decode,
+    strings_from_lens,
+)
 from ..schema import LIST_COLUMNS, SCALAR_FIELDS
-
-
-def _concat(parts: list[np.ndarray], dtype) -> np.ndarray:
-    """Concatenate same-dtype structured arrays without numpy's pairwise
-    field-promotion overhead (np.concatenate calls _promote_fields per pair —
-    measured at ~50% of parse time for thousands of small shards)."""
-    total = sum(len(p) for p in parts)
-    out = np.empty(total, dtype=dtype)
-    ob = out.view(np.uint8)  # raw byte copy: parts are contiguous same-dtype
-    isz = dtype.itemsize
-    pos = 0
-    for p in parts:
-        k = len(p) * isz
-        ob[pos : pos + k] = p.view(np.uint8)
-        pos += k
-    return out
 
 
 class LayoutParser:
