@@ -100,6 +100,9 @@ def run_bench() -> dict:
         convert_batch_size=512,
         large_blocks=3 * NUM_CPUS,
     )
+    # batch 256 measured best for the CONCURRENT two-branch job (downstream
+    # block parallelism); pool shares / task_num_cpus come from ExtractConfig
+    # defaults (small fixed pools + fractional task CPUs, see extract.py)
 
     # untimed warmup: run the SAME job shape on a 2-file slice of the corpus —
     # spins up the full-size actor pools and worker processes (with library
@@ -201,22 +204,43 @@ def run_scaling() -> dict:
     # cores. The full 4/8/16/32 curve is recorded in BASELINE.md.
     lo_cpus = int(os.environ.get("BENCH_SCALE_LO", "4"))
     hi_cpus = int(os.environ.get("BENCH_SCALE_HI", str(4 * lo_cpus)))
-    # single-node interference (write-back, scheduler noise, cache state)
-    # swings individual samples by +-20%; take the best of two per level
-    lo = min(run(lo_cpus), run(lo_cpus), key=lambda d: d["value"])
-    hi = min(run(hi_cpus), run(hi_cpus), key=lambda d: d["value"])
-    eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
+    n_samples = int(os.environ.get("BENCH_SCALE_SAMPLES", "3"))
+    # single-node interference (write-back, scheduler noise, cache state,
+    # noisy VM neighbors) swings individual samples by +-20-30%; take the
+    # MEDIAN of n (default 3) per level and report every sample plus the
+    # best/median/worst efficiency pairings.
+    ratio = hi_cpus / lo_cpus
+
+    def median(xs):
+        s = sorted(xs)
+        return s[len(s) // 2]
+
+    lo_runs = [run(lo_cpus) for _ in range(n_samples)]
+    hi_runs = [run(hi_cpus) for _ in range(n_samples)]
+    lo_secs = [d["value"] for d in lo_runs]
+    hi_secs = [d["value"] for d in hi_runs]
+    lo_med, hi_med = median(lo_secs), median(hi_secs)
+    lo_best = min(lo_runs, key=lambda d: d["value"])
+    hi_best = min(hi_runs, key=lambda d: d["value"])
+    eff_median = (lo_med / hi_med) / ratio
+    # worst pairing = slowest-looking high level vs fastest low level
+    eff_worst = (min(lo_secs) / max(hi_secs)) / ratio
+    eff_best = (max(lo_secs) / min(hi_secs)) / ratio
     return {
         "metric": "scaling",
         "unit": "sec",
-        "value": hi["value"],
-        f"sec_{lo_cpus}": lo["value"],
-        f"sec_{hi_cpus}": hi["value"],
-        f"docs_per_sec_{lo_cpus}": lo["docs_per_sec"],
-        f"docs_per_sec_{hi_cpus}": hi["docs_per_sec"],
-        f"spans_per_sec_{lo_cpus}": lo["spans_per_sec"],
-        f"spans_per_sec_{hi_cpus}": hi["spans_per_sec"],
-        "scaling_efficiency": round(eff, 3),
+        "value": hi_med,
+        f"sec_{lo_cpus}": lo_med,
+        f"sec_{hi_cpus}": hi_med,
+        f"samples_{lo_cpus}": lo_secs,
+        f"samples_{hi_cpus}": hi_secs,
+        f"docs_per_sec_{lo_cpus}": round(lo_best["docs"] / lo_med, 1),
+        f"docs_per_sec_{hi_cpus}": round(hi_best["docs"] / hi_med, 1),
+        f"spans_per_sec_{lo_cpus}": round(lo_best["spans"] / lo_med, 1),
+        f"spans_per_sec_{hi_cpus}": round(hi_best["spans"] / hi_med, 1),
+        "scaling_efficiency": round(eff_median, 3),
+        "scaling_efficiency_worst_pair": round(eff_worst, 3),
+        "scaling_efficiency_best_pair": round(eff_best, 3),
         "sf": SF_DIR,
     }
 

@@ -27,11 +27,11 @@ from typing import Optional
 
 from .pipelines.extract import ExtractConfig, _cluster_cpus, _front
 from .stages.convert import make_convert_stage
-from .stages.merge import merge_group
+from .stages.merge import merge_bucketed
 
-# pool shares measured on the x128 corpus at 32 CPUs (8.3s best):
-SMALL_SHARE = 0.45
-LARGE_SHARE = 0.30
+# pool shares live on ExtractConfig (small_share / large_share): parse needs
+# ~25-35% of pipeline CPU; oversized pools reserve idle CPUs and starve the
+# task stages (see ExtractConfig.parse_concurrency)
 
 
 def _pin_fsspec_http_stub():
@@ -70,7 +70,7 @@ def _branch_front(corpus_files, cfg: ExtractConfig, branch: str, share_div: int 
             columns=["doc_id", "payload", "n_pages"],
             filter=pads.field("n_pages") <= cfg.split_threshold_pages,
         )
-        return _front(ds, cfg, pool_share=SMALL_SHARE / share_div)
+        return _front(ds, cfg, pool_share=cfg.small_share / share_div)
     ds = rd.read_parquet(
         corpus_files,
         filesystem=fs,
@@ -79,19 +79,17 @@ def _branch_front(corpus_files, cfg: ExtractConfig, branch: str, share_div: int 
     )
     if cfg.large_blocks:
         ds = ds.repartition(cfg.large_blocks)
-    return _front(ds, cfg, pool_share=LARGE_SHARE / share_div)
+    return _front(ds, cfg, pool_share=cfg.large_share / share_div)
 
 
 def _branch_finish(raw_ds, cfg: ExtractConfig, branch: str):
     """(merge for the heavy tail) -> convert (ParserOutput rows)."""
     conv = make_convert_stage(cfg.experimental_tables)
     if branch == "large":
-        raw_ds = raw_ds.groupby("doc_id").map_groups(
-            merge_group, batch_format="pyarrow"
-        )
+        raw_ds = merge_bucketed(raw_ds, num_buckets=4 * _cluster_cpus())
     return raw_ds.map_batches(
         conv, batch_format="pyarrow", batch_size=cfg.convert_batch_size,
-        zero_copy_batch=True,
+        zero_copy_batch=True, num_cpus=cfg.task_num_cpus,
     )
 
 

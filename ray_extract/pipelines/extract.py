@@ -51,11 +51,16 @@ class ExtractConfig:
     # actor pool size for the parse stage. None -> sized from the cluster's
     # CPU count at pipeline build. Measured behavior (x128 corpus, 32 CPUs):
     # an autoscaling (1, 24) pool never ramps and runs 2x slower than a fixed
-    # pool, so defaults are FIXED pools — but the two concurrent pools of the
-    # routed topology must together stay well under the CPU count or the
-    # task-pool stages starve (observed deadlock at num_cpus=4 with two fixed
-    # pools of 2). Routing sizes: small branch 55% of CPUs, large branch 20%.
+    # pool, so defaults are FIXED pools — and OVERSIZED pools actively hurt:
+    # idle actors still reserve whole CPUs from the streaming executor,
+    # starving the task stages (measured: pool 20 -> 10.5s, pool 14 -> 8.0s,
+    # pool 6-8 -> ~7.0s on the solo small branch). Size pools to the parse
+    # stage's CPU share of the pipeline (~25-35%), never "most of the node".
     parse_concurrency: Union[int, tuple, None] = None
+    # CPUs requested per task-stage task. 0.5 doubles schedulable task slots
+    # per core; with ~40-60% streaming-executor utilization per slot the
+    # oversubscription keeps cores busy (measured 12.9s -> 9.6s solo)
+    task_num_cpus: float = 0.5
     convert_batch_size: int = 1024
     experimental_tables: bool = True
     # bounded in-kernel retry per document parse (reference utils.py:18-32);
@@ -67,6 +72,11 @@ class ExtractConfig:
     # poison document is dead-lettered in-kernel, not retried batch-wide.
     actor_max_restarts: int = 4
     actor_max_task_retries: int = 3
+    # parse-pool CPU shares for the two branches of the routed/job topology
+    # (fractions of cluster CPUs; both pools coexist, so together they must
+    # stay well under 1.0 or the task stages starve)
+    small_share: float = 0.18
+    large_share: float = 0.10
     # routed topology: read-parallelism overrides. The large-doc side is few
     # rows but HUGE rows; without an override it collapses into a handful of
     # blocks and the merge/convert stages lose parallelism (one task per
@@ -74,7 +84,7 @@ class ExtractConfig:
     small_blocks: Optional[int] = None
     large_blocks: Optional[int] = None
 
-    def pool(self, share: float = 0.75):
+    def pool(self, share: float = 0.25):
         if self.parse_concurrency is not None:
             return self.parse_concurrency
         cpus = _cluster_cpus()
@@ -94,17 +104,18 @@ def _cluster_cpus() -> int:
         return 8
 
 
-def _front(ds, cfg: ExtractConfig, pool_share: float = 0.75):
+def _front(ds, cfg: ExtractConfig, pool_share: float = 0.25):
     """decode -> split -> parse (shared by both topologies)."""
     ds = ds.map_batches(
         decode_stage, batch_format="pyarrow", batch_size=cfg.decode_batch_size,
-        zero_copy_batch=True
+        zero_copy_batch=True, num_cpus=cfg.task_num_cpus,
     )
     ds = ds.map_batches(
         make_split_stage(cfg.split_threshold_pages, cfg.split_batch_pages),
         batch_format="pyarrow",
         batch_size=cfg.decode_batch_size,
         zero_copy_batch=True,
+        num_cpus=cfg.task_num_cpus,
     )
     return ds.map_batches(
         LayoutParser,
@@ -128,6 +139,7 @@ def extract_from_payloads(ds, cfg: Optional[ExtractConfig] = None):
         batch_format="pyarrow",
         batch_size=cfg.convert_batch_size,
         zero_copy_batch=True,
+        num_cpus=cfg.task_num_cpus,
     )
 
 
@@ -154,15 +166,15 @@ def extract_routed(corpus_dir: str, cfg: Optional[ExtractConfig] = None):
         # get block-level parallelism (one map task per block)
         large = large.repartition(cfg.large_blocks)
     convert = make_convert_stage(cfg.experimental_tables)
-    small_out = _front(small, cfg, pool_share=0.55).map_batches(  # no shuffle
+    small_out = _front(small, cfg, pool_share=cfg.small_share).map_batches(  # no shuffle
         convert, batch_format="pyarrow", batch_size=cfg.convert_batch_size,
-        zero_copy_batch=True,
+        zero_copy_batch=True, num_cpus=cfg.task_num_cpus,
     )
     large_out = merge_bucketed(
-        _front(large, cfg, pool_share=0.20), num_buckets=4 * _cluster_cpus()
+        _front(large, cfg, pool_share=cfg.large_share), num_buckets=4 * _cluster_cpus()
     ).map_batches(
         convert, batch_format="pyarrow", batch_size=cfg.convert_batch_size,
-        zero_copy_batch=True,
+        zero_copy_batch=True, num_cpus=cfg.task_num_cpus,
     )
     # A lazy `small.union(large)` SERIALIZES the two branch executions
     # (measured 4x slower, see job.py module docstring) — so, like the
