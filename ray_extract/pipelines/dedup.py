@@ -49,7 +49,11 @@ def exact_dedup(sf_dir: str):
 
     def add_hash(batch: pa.Table) -> pa.Table:
         hashes = [md5_str(t) for t in batch.column("text").to_pylist()]
-        return batch.append_column("content_hash", pa.array(hashes, type=pa.string()))
+        # strip source-parquet schema metadata (pandas-written files carry a
+        # b'pandas' dict that breaks Ray's schema-hash dedup in the shuffle)
+        return batch.replace_schema_metadata(None).append_column(
+            "content_hash", pa.array(hashes, type=pa.string())
+        )
 
     ds = _docs(sf_dir).map_batches(add_hash, batch_format="pyarrow")
     return ds.groupby("content_hash").aggregate(

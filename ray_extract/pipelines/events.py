@@ -80,5 +80,9 @@ def sessionize(sf_dir: str, gap_minutes: int = 30):
         out["n_events"] = out["n_events"].astype("int64")
         return out
 
+    from ..functions.tables import strip_schema_metadata
+
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return strip_schema_metadata(ds).groupby("user_id").map_groups(
+        per_user, batch_format="pandas"
+    )

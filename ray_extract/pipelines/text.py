@@ -105,8 +105,10 @@ def distinct_sources(sf_dir: str):
     """Distinct values of one column (ds.unique -> shuffle)."""
     import ray.data as rd
 
+    from ..functions.tables import strip_schema_metadata
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
-    vals = sorted(ds.unique("source"))
+    vals = sorted(strip_schema_metadata(ds).unique("source"))
     import pyarrow as pa_
 
     return pa_.table({"source": pa_.array(vals, type=pa_.string())})
