@@ -546,6 +546,12 @@ def _q_embedding_dedup(sf_dir: str):
     return embedding_dedup(sf_dir)
 
 
+def _q_quality_filter(sf_dir: str):
+    from ray_extract.pipelines.text import quality_filter
+
+    return quality_filter(sf_dir)
+
+
 def _q_top_docs_by_tokens(sf_dir: str):
     from ray_extract.pipelines.text import top_docs_by_tokens
 
@@ -596,6 +602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q_events_window,
         "events_sessionize": _q_events_sessionize,
         "html_main_content": _q_html_main_content,
+        "quality_filter": _q_quality_filter,
         "top_docs_by_tokens": _q_top_docs_by_tokens,
         "distinct_sources": _q_distinct_sources,
         "corpus_stats": _q_corpus_stats,
@@ -827,6 +834,36 @@ FROM embeddings a JOIN embeddings b
 """,
         "html_main_content": """
 SELECT doc_id, text AS main_text FROM documents
+""",
+        "quality_filter": """
+WITH q AS (
+  SELECT doc_id, text,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(len(regexp_extract_all(text, '\\b(the|and|of|to|is|a)\\b')) AS BIGINT) AS stop_hits,
+    len(regexp_extract_all(text, '\\b(the|and|of|to|is|a)\\b')) AS s_en,
+    len(regexp_extract_all(text, '\\b(der|die|und|ist|das|nicht|ein)\\b')) AS s_de,
+    len(regexp_extract_all(text, '\\b(le|les|et|est|une|dans|que)\\b')) AS s_fr,
+    len(regexp_extract_all(text, '\\b(el|los|las|es|una|por|con)\\b')) AS s_es,
+    CASE WHEN regexp_matches(text, '[一-鿿]') THEN 1 ELSE 0 END AS cjk
+  FROM documents
+),
+l AS (
+  SELECT doc_id, text, n_tokens, stop_hits,
+    CASE WHEN cjk = 1 THEN 'zh'
+         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         WHEN s_fr >= s_es THEN 'fr'
+         ELSE 'es' END AS pred_lang
+  FROM q
+),
+f AS (
+  SELECT * FROM l
+  WHERE n_tokens >= 15 AND n_tokens <= 120 AND stop_hits * 20 >= n_tokens
+    AND pred_lang = 'en'
+),
+d AS (SELECT md5(text) AS h, min(doc_id) AS keep FROM f GROUP BY 1)
+SELECT f.doc_id, f.n_tokens, f.pred_lang
+FROM f JOIN d ON md5(f.text) = d.h AND f.doc_id = d.keep
 """,
         "top_docs_by_tokens": """
 SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

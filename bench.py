@@ -215,8 +215,12 @@ def run_scaling() -> dict:
         s = sorted(xs)
         return s[len(s) // 2]
 
-    lo_runs = [run(lo_cpus) for _ in range(n_samples)]
-    hi_runs = [run(hi_cpus) for _ in range(n_samples)]
+    # INTERLEAVE levels (lo, hi, lo, hi, ...) so machine-state drift over the
+    # ~30 min measurement hits both levels equally instead of biasing one
+    lo_runs, hi_runs = [], []
+    for _ in range(n_samples):
+        lo_runs.append(run(lo_cpus))
+        hi_runs.append(run(hi_cpus))
     lo_secs = [d["value"] for d in lo_runs]
     hi_secs = [d["value"] for d in hi_runs]
     lo_med, hi_med = median(lo_secs), median(hi_secs)

@@ -7,7 +7,8 @@ Stage map (SURVEY.md §3 target lifecycle):
                              page-range shards (skew defusal)
     P2 parse    map_batches(LayoutParser, concurrency=...)  actor pool,
                              warm layout-parser state
-    P3 merge    groupby(doc_id).map_groups  ordered shard concat — the ONE
+    P3 merge    hash-bucketed groupby + vectorized per-bucket ordered
+                             concat (stages/merge.merge_bucketed) — the ONE
                              all-to-all shuffle, and only the parsed flat
                              columns move (payload bytes are dropped at parse)
     P4 convert  map_batches  vectorized ParserOutput assembly + languages
@@ -72,11 +73,17 @@ class ExtractConfig:
     # poison document is dead-lettered in-kernel, not retried batch-wide.
     actor_max_restarts: int = 4
     actor_max_task_retries: int = 3
-    # parse-pool CPU shares for the two branches of the routed/job topology
-    # (fractions of cluster CPUs; both pools coexist, so together they must
-    # stay well under 1.0 or the task stages starve)
-    small_share: float = 0.18
-    large_share: float = 0.10
+    # parse-pool CPU shares for the two branches of the routed/job topology.
+    # The pool SIZE (actor count) sets the parse stage's throughput ceiling
+    # (~13k docs/s/actor); the CPUs RESERVED are size x parse_actor_num_cpus.
+    # With 0.5-cpu actors a share of 0.30 gives enough actors to never be
+    # the pipeline bottleneck while reserving only ~15% of the cluster.
+    small_share: float = 0.30
+    large_share: float = 0.18
+    # CPUs reserved per parse actor: fractional actors decouple parse
+    # parallelism from CPU reservation (idle reserved CPUs starve the task
+    # stages; see parse_concurrency note)
+    parse_actor_num_cpus: float = 0.5
     # routed topology: read-parallelism overrides. The large-doc side is few
     # rows but HUGE rows; without an override it collapses into a handful of
     # blocks and the merge/convert stages lose parallelism (one task per
@@ -92,7 +99,10 @@ class ExtractConfig:
             # tiny clusters: autoscale so concurrent pools can't reserve every
             # CPU and starve the task stages
             return (1, max(2, cpus // 2))
-        return max(2, int(cpus * share))
+        # `share` is the CPU share; the actor COUNT scales it by the
+        # fractional per-actor reservation so parse parallelism (the
+        # throughput ceiling) stays high while reserved CPUs stay low
+        return max(2, int(cpus * share / max(self.parse_actor_num_cpus, 0.1)))
 
 
 def _cluster_cpus() -> int:
@@ -124,6 +134,7 @@ def _front(ds, cfg: ExtractConfig, pool_share: float = 0.25):
         batch_size=cfg.parse_batch_size,
         concurrency=cfg.pool(pool_share),
         zero_copy_batch=True,
+        num_cpus=cfg.parse_actor_num_cpus,
         max_restarts=cfg.actor_max_restarts,
         max_task_retries=cfg.actor_max_task_retries,
     )

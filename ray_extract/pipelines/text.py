@@ -88,6 +88,65 @@ def language_id(sf_dir: str):
     return _docs(sf_dir).map_batches(lid, batch_format="pyarrow")
 
 
+def quality_filter(sf_dir: str, lang: str = "en", num_buckets: int = 64):
+    """Composite C4-style cleaning pipeline: quality rules + language
+    selection + exact-dedup first-wins, composed as one streaming pipeline.
+
+    Stage 1 (map_batches, vectorized): score quality (the quality_scores
+    rules) and language (marker detector), FILTER failures — so the shuffle
+    only carries surviving documents (pre-filter-before-shuffle: at 100 TB
+    the dedup exchange is proportional to the clean subset, typically a
+    small fraction of the corpus).
+    Stage 2 (hash-bucketed dedup): md5(text) exact duplicates collapse to
+    the min doc_id, via the int-bucket groupby + vectorized per-bucket
+    first-wins (same pattern as merge_bucketed — no per-group Python calls).
+
+    Output: (doc_id, n_tokens, pred_lang) of surviving documents.
+    """
+
+    def score_filter(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        nt = pc.add(pc.count_substring(text, " "), 1).to_numpy().astype(np.int64)
+        stop = pc.count_substring_regex(text, STOPWORD_PATTERN).to_numpy().astype(np.int64)
+        langs = detect_languages_arrow(text.combine_chunks())
+        keep = (nt >= 15) & (nt <= 120) & (stop * 20 >= nt) & (langs == lang)
+        idx = np.nonzero(keep)[0]
+        texts = text.combine_chunks().take(pa.array(idx))
+        hashes = np.array([md5_str(t) for t in texts.to_pylist()], dtype=object)
+        bucket = np.array(
+            [int(h[:8], 16) % num_buckets for h in hashes], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()).take(pa.array(idx)),
+                "n_tokens": pa.array(nt[idx]),
+                "pred_lang": pa.array(langs[idx], type=pa.string()),
+                "content_hash": pa.array(hashes, type=pa.string()),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def first_wins(g):
+        import pandas as pd
+
+        g = g.sort_values(["content_hash", "doc_id"], kind="mergesort")
+        keep = g.drop_duplicates("content_hash", keep="first")
+        return pd.DataFrame(
+            {
+                "doc_id": keep["doc_id"].astype("int64").to_numpy(),
+                "n_tokens": keep["n_tokens"].astype("int64").to_numpy(),
+                "pred_lang": keep["pred_lang"].to_numpy(),
+            }
+        )
+
+    return (
+        _docs(sf_dir)
+        .map_batches(score_filter, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(first_wins, batch_format="pandas")
+    )
+
+
 def top_docs_by_tokens(sf_dir: str, k: int = 20):
     """Distributed sort + limit: top-k documents by token count with a
     deterministic tiebreak (n_tokens desc, doc_id asc)."""

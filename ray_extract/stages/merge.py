@@ -1,6 +1,8 @@
 """P3: reassemble split page-range shards — the pipeline's one shuffle.
 
-``groupby("doc_id").map_groups(merge_group)`` implements the reference's
+``merge_bucketed`` (hash-bucket int key + one vectorized merge per bucket) is
+the production form; ``merge_group`` is the single-group reference kernel it
+is equivalent to. Both implement the reference's
 merge_responses (utils.py:81-114): shard contents concatenated in batch_number
 order; api_version/model_id taken from the first batch; content/languages/
 styles/documents/key_value_pairs deliberately absent (they are dropped by the
