@@ -3,10 +3,11 @@
 Default: run over $GRAFT_SF_DIR (default /root/testdata/sf0.1) with
 ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32) and print ONE JSON line.
 
---scaling: run the headline pipeline in two fresh processes at num_cpus=8 and
-num_cpus=32 over the SAME corpus and report throughput at both plus scaling
-efficiency (the sandbox evidence for the two-cluster-size criterion; a real
-deployment would compare N vs 4N nodes via `ray job submit`).
+--scaling: run the headline pipeline in fresh processes at num_cpus=4 and
+num_cpus=16 (N vs 4N) over the SAME corpus, interleaved median-of-3 per
+level, and report throughput at both plus scaling efficiency (the sandbox
+evidence for the two-cluster-size criterion; a real deployment would compare
+N vs 4N nodes via `ray job submit`).
 
 The benchmark corpus is synthesized deterministically from the sf documents
 table (amplify x4, heavy-tail skew on) and cached under /tmp — corpus prep and
@@ -30,7 +31,9 @@ CACHE_ROOT = "/tmp/ray_extract_bench"
 
 def corpus_dir() -> str:
     tag = SF_DIR.strip("/").replace("/", "_")
-    return f"{CACHE_ROOT}/corpus_{tag}_x{AMPLIFY}"
+    # _r2: pre-routed layout (small/ + large/ subdirs partitioned by the
+    # routing key at ingest — one scan per branch, no heavy-side repartition)
+    return f"{CACHE_ROOT}/corpus_{tag}_x{AMPLIFY}_r2"
 
 
 def prepare_corpus() -> dict:
@@ -43,12 +46,13 @@ def prepare_corpus() -> dict:
 
     os.makedirs(CACHE_ROOT, exist_ok=True)
     materialize_corpus(
-        f"{SF_DIR}/documents.parquet", corpus_dir(), amplify=AMPLIFY, heavy_tail=True
+        f"{SF_DIR}/documents.parquet", corpus_dir(), amplify=AMPLIFY,
+        heavy_tail=True, route_threshold_pages=8,
     )
     import duckdb
 
     docs, spans, pages = duckdb.sql(
-        f"select count(*), sum(n_spans), sum(n_pages) from '{corpus_dir()}/*.parquet'"
+        f"select count(*), sum(n_spans), sum(n_pages) from '{corpus_dir()}/**/*.parquet'"
     ).fetchone()
     meta = {"docs": int(docs), "spans": int(spans), "pages": int(pages)}
     with open(meta_path, "w") as f:
@@ -109,11 +113,12 @@ def run_bench() -> dict:
     # imports) so the timed run measures steady-state throughput
     import glob as _glob
 
-    warm_dir = f"{CACHE_ROOT}/warm_corpus"
+    warm_dir = f"{CACHE_ROOT}/warm_corpus_r2"
     if not os.path.isdir(warm_dir):
-        os.makedirs(warm_dir, exist_ok=True)
-        for f in sorted(_glob.glob(f"{corpus_dir()}/*.parquet"))[:2]:
-            os.symlink(f, os.path.join(warm_dir, os.path.basename(f)))
+        for branch in ("small", "large"):
+            os.makedirs(os.path.join(warm_dir, branch), exist_ok=True)
+            for f in sorted(_glob.glob(f"{corpus_dir()}/{branch}/*.parquet"))[:2]:
+                os.symlink(f, os.path.join(warm_dir, branch, os.path.basename(f)))
     run_extract_job(warm_dir, f"{CACHE_ROOT}/warm_out_{NUM_CPUS}", cfg,
                     partitions_per_branch=1, resume=False)
 

@@ -54,8 +54,15 @@ def _pin_fsspec_http_stub():
         sys.modules["fsspec.implementations.http"] = mod
 
 
-def _branch_front(corpus_files, cfg: ExtractConfig, branch: str, share_div: int = 1):
-    """read -> decode -> split -> parse (the raw-IR dataset, SHARD_SCHEMA)."""
+def _branch_front(corpus_files, cfg: ExtractConfig, branch: str, share_div: int = 1,
+                  pre_routed: bool = False):
+    """read -> decode -> split -> parse (the raw-IR dataset, SHARD_SCHEMA).
+
+    ``pre_routed``: the corpus was partitioned by the routing key at ingest
+    (materialize_corpus route_threshold_pages) — each branch reads its OWN
+    files with no filter and no repartition: one scan of the corpus total
+    instead of two filtered full scans, and no exchange on the heavy side.
+    """
     import pyarrow.dataset as pads
     import pyarrow.fs as pafs
     import ray.data as rd
@@ -63,21 +70,24 @@ def _branch_front(corpus_files, cfg: ExtractConfig, branch: str, share_div: int 
     # explicit local filesystem: path-list resolution otherwise imports
     # fsspec HTTP support that this container lacks
     fs = pafs.LocalFileSystem()
+    cols = ["doc_id", "payload", "n_pages"]
     if branch == "small":
         ds = rd.read_parquet(
             corpus_files,
             filesystem=fs,
-            columns=["doc_id", "payload", "n_pages"],
-            filter=pads.field("n_pages") <= cfg.split_threshold_pages,
+            columns=cols,
+            filter=None if pre_routed
+            else pads.field("n_pages") <= cfg.split_threshold_pages,
         )
         return _front(ds, cfg, pool_share=cfg.small_share / share_div)
     ds = rd.read_parquet(
         corpus_files,
         filesystem=fs,
-        columns=["doc_id", "payload", "n_pages"],
-        filter=pads.field("n_pages") > cfg.split_threshold_pages,
+        columns=cols,
+        filter=None if pre_routed
+        else pads.field("n_pages") > cfg.split_threshold_pages,
     )
-    if cfg.large_blocks:
+    if cfg.large_blocks and not pre_routed:
         ds = ds.repartition(cfg.large_blocks)
     return _front(ds, cfg, pool_share=cfg.large_share / share_div)
 
@@ -93,9 +103,10 @@ def _branch_finish(raw_ds, cfg: ExtractConfig, branch: str):
     )
 
 
-def _branch_build(corpus_files, cfg: ExtractConfig, branch: str, share_div: int = 1):
+def _branch_build(corpus_files, cfg: ExtractConfig, branch: str, share_div: int = 1,
+                  pre_routed: bool = False):
     return _branch_finish(
-        _branch_front(corpus_files, cfg, branch, share_div), cfg, branch
+        _branch_front(corpus_files, cfg, branch, share_div, pre_routed), cfg, branch
     )
 
 
@@ -133,16 +144,30 @@ def run_extract_job(
 
     _pin_fsspec_http_stub()
     cfg = cfg or ExtractConfig()
-    files = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
-    if not files:
-        raise FileNotFoundError(f"no parquet files under {corpus_dir}")
-    groups = partition_inputs(files, partitions_per_branch)
+    # pre-routed corpus layout (materialize_corpus route_threshold_pages):
+    # <corpus>/small/*.parquet + <corpus>/large/*.parquet — each branch scans
+    # only its own files
+    pre_routed = os.path.isdir(os.path.join(corpus_dir, "small"))
+    if pre_routed:
+        groups_by_branch = {}
+        for branch in ("small", "large"):
+            bf = sorted(glob.glob(os.path.join(corpus_dir, branch, "*.parquet")))
+            groups_by_branch[branch] = partition_inputs(bf, partitions_per_branch)
+        if not any(groups_by_branch.values()):
+            raise FileNotFoundError(f"no parquet files under {corpus_dir}")
+    else:
+        files = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
+        if not files:
+            raise FileNotFoundError(f"no parquet files under {corpus_dir}")
+        groups = partition_inputs(files, partitions_per_branch)
+        groups_by_branch = {"small": groups, "large": groups}
 
     work: "queue.Queue[tuple[str, int]]" = queue.Queue()
     # interleave branches so both are in flight early
-    for gi in range(len(groups)):
+    for gi in range(max(len(g) for g in groups_by_branch.values())):
         for branch in ("small", "large"):
-            work.put((branch, gi))
+            if gi < len(groups_by_branch[branch]):
+                work.put((branch, gi))
 
     results: dict[str, dict] = {}
     errors: list[BaseException] = []
@@ -163,8 +188,10 @@ def run_extract_job(
                     raw_m = run_partition(
                         out_dir,
                         f"raw-{pid}",
-                        groups[gi],
-                        lambda fs: _branch_front(fs, cfg, branch, share_div=share_div),
+                        groups_by_branch[branch][gi],
+                        lambda fs: _branch_front(fs, cfg, branch,
+                                                 share_div=share_div,
+                                                 pre_routed=pre_routed),
                         resume=resume,
                         extra_meta={"branch": branch, "phase": "raw"},
                     )
@@ -190,8 +217,10 @@ def run_extract_job(
                     m = run_partition(
                         out_dir,
                         pid,
-                        groups[gi],
-                        lambda fs: _branch_build(fs, cfg, branch, share_div=share_div),
+                        groups_by_branch[branch][gi],
+                        lambda fs: _branch_build(fs, cfg, branch,
+                                                 share_div=share_div,
+                                                 pre_routed=pre_routed),
                         resume=resume,
                         extra_meta={"branch": branch},
                     )
@@ -201,9 +230,10 @@ def run_extract_job(
                 errors.append(e)
                 return
 
+    n_parts = sum(len(g) for g in groups_by_branch.values())
     threads = [
         threading.Thread(target=worker)
-        for _ in range(min(max_concurrent, 2 * len(groups)))
+        for _ in range(min(max_concurrent, n_parts))
     ]
     for t in threads:
         t.start()

@@ -99,6 +99,7 @@ def materialize_corpus(
     amplify: int = 1,
     heavy_tail: bool = False,
     num_files: int = 0,
+    route_threshold_pages: int = 0,
 ) -> str:
     """Write the payload corpus to partitioned parquet (bench input; carries an
     n_pages column so the extract pipeline can route small/large documents with
@@ -108,18 +109,38 @@ def materialize_corpus(
     get one task per file group, so a single giant file would serialize the
     scan (observed: 3-file corpus -> 3-way-parallel read bottleneck).
 
-    Layout note: sorting the corpus by n_pages (so the routed pipeline's two
-    filtered reads prune to disjoint files) was measured and REJECTED — equal
-    row counts per file concentrate the heavy-tail payload bytes into a few
-    giant files whose read tasks become stragglers (T16 regressed 52s -> 100s).
-    Unsorted round-robin keeps file sizes uniform; the double filtered scan is
-    cheaper than the skew."""
-    ds = synth_dataset(documents_path, amplify=amplify, heavy_tail=heavy_tail)
+    ``route_threshold_pages > 0`` partitions the corpus BY THE ROUTING KEY at
+    ingest: documents at/below the threshold land under ``<out>/small/`` and
+    the heavy tail under ``<out>/large/``, EACH spread round-robin over many
+    uniform files. The routed job then reads each branch's own files — one
+    scan total instead of two filtered full scans, and no repartition
+    exchange on the heavy side. (SORTING one file set by n_pages was measured
+    and REJECTED — equal row counts per file concentrate the heavy payload
+    bytes into straggler files; per-branch round-robin keeps files uniform
+    WITHIN each branch.) Mis-threshold reads stay correct: routing only
+    decides whether a document takes the split/merge path, which is an
+    optimization, not a semantic."""
     if num_files <= 0:
         import pyarrow.parquet as pq
 
         n_docs = pq.ParquetFile(documents_path).metadata.num_rows * amplify
         num_files = max(8, min(512, n_docs // 5000))
+    if route_threshold_pages > 0:
+        import pyarrow.compute as _pc
+
+        for branch, pred in (
+            ("small", lambda t: _pc.less_equal(t.column("n_pages"), route_threshold_pages)),
+            ("large", lambda t: _pc.greater(t.column("n_pages"), route_threshold_pages)),
+        ):
+            ds = synth_dataset(documents_path, amplify=amplify, heavy_tail=heavy_tail)
+            ds = ds.map_batches(
+                lambda t, p=pred: t.filter(p(t)), batch_format="pyarrow"
+            )
+            # heavy tail is few docs but most bytes: fewer files, still uniform
+            files = num_files if branch == "small" else max(8, num_files // 2)
+            ds.repartition(files).write_parquet(f"{out_dir}/{branch}")
+        return out_dir
+    ds = synth_dataset(documents_path, amplify=amplify, heavy_tail=heavy_tail)
     ds = ds.repartition(num_files)
     ds.write_parquet(out_dir)
     return out_dir
