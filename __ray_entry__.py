@@ -546,6 +546,12 @@ def _q_embedding_dedup(sf_dir: str):
     return embedding_dedup(sf_dir)
 
 
+def _q_deterministic_split(sf_dir: str):
+    from ray_extract.pipelines.text import deterministic_split
+
+    return deterministic_split(sf_dir)
+
+
 def _q_quality_filter(sf_dir: str):
     from ray_extract.pipelines.text import quality_filter
 
@@ -603,6 +609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": _q_events_sessionize,
         "html_main_content": _q_html_main_content,
         "quality_filter": _q_quality_filter,
+        "deterministic_split": _q_deterministic_split,
         "top_docs_by_tokens": _q_top_docs_by_tokens,
         "distinct_sources": _q_distinct_sources,
         "corpus_stats": _q_corpus_stats,
@@ -612,6 +619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     roll_text = _ROLL.format(col="text")
     roll_w = _ROLL.format(col="w")
+    roll_id = _ROLL.format(col="CAST(doc_id AS VARCHAR)")
     return {
         "extract_spans": _SPANS_CTE
         + """
@@ -834,6 +842,14 @@ FROM embeddings a JOIN embeddings b
 """,
         "html_main_content": """
 SELECT doc_id, text AS main_text FROM documents
+""",
+        "deterministic_split": f"""
+WITH h AS (SELECT doc_id, CAST({roll_id} AS BIGINT) % 1000 AS slot FROM documents)
+SELECT doc_id, slot AS split_slot,
+       CASE WHEN slot < 800 THEN 'train'
+            WHEN slot < 900 THEN 'val'
+            ELSE 'test' END AS split
+FROM h
 """,
         "quality_filter": """
 WITH q AS (

@@ -87,7 +87,10 @@ def _branch_front(corpus_files, cfg: ExtractConfig, branch: str, share_div: int 
         filter=None if pre_routed
         else pads.field("n_pages") > cfg.split_threshold_pages,
     )
-    if cfg.large_blocks and not pre_routed:
+    # coalescing the heavy side into ~3x-cpus blocks was measured faster than
+    # consuming many small read blocks (68.7s vs 90.6s solo at 16 cpus) —
+    # keep it regardless of corpus layout
+    if cfg.large_blocks:
         ds = ds.repartition(cfg.large_blocks)
     return _front(ds, cfg, pool_share=cfg.large_share / share_div)
 

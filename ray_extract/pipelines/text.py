@@ -88,6 +88,35 @@ def language_id(sf_dir: str):
     return _docs(sf_dir).map_batches(lid, batch_format="pyarrow")
 
 
+def deterministic_split(sf_dir: str, train_permille: int = 800, val_permille: int = 900):
+    """Deterministic train/val/test assignment — the held-out-split operator
+    a training-data pipeline needs. The split key is the 62-bit rolling hash
+    of the STRING doc id modulo 1000 (content-independent, stable under
+    re-sharding, reproducible in SQL — hash parity is pinned by the
+    fingerprint oracle): < train_permille -> train, < val_permille -> val,
+    else test. Pure map stage: no shuffle, no state, embarrassingly parallel
+    at any scale."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64())
+        slots = np.array(
+            [hash62(str(i)) % 1000 for i in ids.to_pylist()], dtype=np.int64
+        )
+        split = np.where(
+            slots < train_permille, "train",
+            np.where(slots < val_permille, "val", "test"),
+        )
+        return pa.table(
+            {
+                "doc_id": ids,
+                "split_slot": pa.array(slots),
+                "split": pa.array(split, type=pa.string()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(assign, batch_format="pyarrow")
+
+
 def quality_filter(sf_dir: str, lang: str = "en", num_buckets: int = 64):
     """Composite C4-style cleaning pipeline: quality rules + language
     selection + exact-dedup first-wins, composed as one streaming pipeline.
