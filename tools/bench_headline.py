@@ -32,6 +32,8 @@ from ray_extract.job import run_extract_job  # noqa: E402
 from ray_extract.pipelines.extract import ExtractConfig  # noqa: E402
 
 corpus = f"/tmp/ray_extract_bench/corpus_root_testdata_sf0.1_x{AMP}"
+if os.environ.get("BENCH_FLAT") != "1" and os.path.isdir(corpus + "_r2"):
+    corpus = corpus + "_r2"  # pre-routed layout (small/ + large/)
 B = int(os.environ.get("BENCH_BATCH", "1024"))
 cfg = ExtractConfig(
     split_threshold_pages=8, split_batch_pages=16, decode_batch_size=B,
