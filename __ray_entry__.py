@@ -207,6 +207,56 @@ LEFT JOIN j ON j.method = m.method
 GROUP BY m.method
 """
 
+# Banded-LSH embedding near-dup: 32 deterministic planes in 8 bands of 4;
+# candidates share >= 1 band's sign pattern, verified by exact cosine (the
+# engine's embedding_dedup mode="banded" — ray_extract/pipelines/similarity.py).
+_EMB_BANDED_SQL = """
+WITH planes AS (
+  SELECT CAST(p.p AS BIGINT) AS p, CAST(d.d AS BIGINT) AS d,
+         CASE WHEN substr(md5(CAST(p.p AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)), 1, 1)
+              IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END AS s
+  FROM unnest(range(0, 32)) AS p(p), unnest(range(0, 64)) AS d(d)
+),
+proj AS (
+  SELECT e.vec_id, pl.p, sum(pl.s * CAST(e.embedding[pl.d + 1] AS DOUBLE)) AS pr
+  FROM embeddings e, planes pl GROUP BY e.vec_id, pl.p
+),
+bands AS (
+  SELECT vec_id, p // 4 AS band_id,
+         CAST(sum(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << (p % 4)) ELSE 0 END)
+              AS BIGINT) AS band_val
+  FROM proj GROUP BY vec_id, p // 4
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+              AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6)
+         AS cos_sim
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.vec_a
+JOIN embeddings eb ON eb.vec_id = c.vec_b
+WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= 0.4
+"""
+
+_EMB_RECALL_SQL = f"""
+WITH banded AS ({_EMB_BANDED_SQL}),
+exact AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id < b.vec_id
+    AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+)
+SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+       CAST((SELECT count(*) FROM banded) AS BIGINT) AS n_banded,
+       CAST(CASE WHEN (SELECT count(*) FROM exact) = 0 THEN 1000000
+            ELSE (SELECT count(*) FROM banded) * 1000000 // (SELECT count(*) FROM exact)
+            END AS BIGINT) AS recall_ppm
+"""
+
 _ROLL = (
     "(list_reduce(list_transform(split({col}, ''), x -> unicode(x)::BIGINT),"
     " (a, b) -> (a * 1000003 + b) % 2147483647) * 2147483648"
@@ -543,7 +593,13 @@ def _q_html_main_content(sf_dir: str):
 def _q_embedding_dedup(sf_dir: str):
     from ray_extract.pipelines.similarity import embedding_dedup
 
-    return embedding_dedup(sf_dir)
+    return embedding_dedup(sf_dir)  # mode="banded" (the scale path)
+
+
+def _q_embedding_dedup_recall(sf_dir: str):
+    from ray_extract.pipelines.similarity import embedding_dedup_recall
+
+    return embedding_dedup_recall(sf_dir)
 
 
 def _q_deterministic_split(sf_dir: str):
@@ -605,6 +661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": _q_ann_ivf,
         "ann_recall": _q_ann_recall,
         "embedding_dedup": _q_embedding_dedup,
+        "embedding_dedup_recall": _q_embedding_dedup_recall,
         "events_window": _q_events_window,
         "events_sessionize": _q_events_sessionize,
         "html_main_content": _q_html_main_content,
@@ -833,13 +890,8 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        min(ts) AS start_ts, max(ts) AS end_ts
 FROM s GROUP BY 1, 2
 """,
-        "embedding_dedup": """
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
-FROM embeddings a JOIN embeddings b
-  ON a.vec_id < b.vec_id
-  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
-""",
+        "embedding_dedup": _EMB_BANDED_SQL,
+        "embedding_dedup_recall": _EMB_RECALL_SQL,
         "html_main_content": """
 SELECT doc_id, text AS main_text FROM documents
 """,

@@ -40,6 +40,12 @@ def prepare_corpus() -> dict:
     """Build (once) and return corpus metadata {docs, spans, pages}."""
     meta_path = corpus_dir() + ".meta.json"
     if os.path.exists(meta_path):
+        # caches built before the routing manifest existed: backfill it (this
+        # harness always routes at 8) so the job takes the unfiltered fast path
+        routing = os.path.join(corpus_dir(), "_routing.json")
+        if not os.path.exists(routing):
+            with open(routing, "w") as f:
+                json.dump({"route_threshold_pages": 8}, f)
         with open(meta_path) as f:
             return json.load(f)
     from ray_extract.sources.synth import materialize_corpus

@@ -149,21 +149,40 @@ def run_extract_job(
     cfg = cfg or ExtractConfig()
     # pre-routed corpus layout (materialize_corpus route_threshold_pages):
     # <corpus>/small/*.parquet + <corpus>/large/*.parquet — each branch scans
-    # only its own files
-    pre_routed = os.path.isdir(os.path.join(corpus_dir, "small"))
+    # only its own files. The unfiltered fast path is ONLY valid when the
+    # layout's recorded routing threshold (_routing.json) equals this job's
+    # split threshold: at a mismatched (higher) routing threshold, small-
+    # branch docs with pages in (split, route] would be split into shards the
+    # small branch never merges — duplicate partial rows per doc_id. Missing
+    # or mismatched manifest -> fall back to filtered scans over ALL files,
+    # which are correct for any layout.
+    routed_files = {
+        b: sorted(glob.glob(os.path.join(corpus_dir, b, "*.parquet")))
+        for b in ("small", "large")
+    }
+    pre_routed = False
+    if any(routed_files.values()):
+        try:
+            import json as _json
+
+            with open(os.path.join(corpus_dir, "_routing.json")) as f:
+                route_thresh = _json.load(f).get("route_threshold_pages")
+        except (OSError, ValueError):
+            route_thresh = None
+        pre_routed = route_thresh == cfg.split_threshold_pages
+
     if pre_routed:
-        groups_by_branch = {}
-        for branch in ("small", "large"):
-            bf = sorted(glob.glob(os.path.join(corpus_dir, branch, "*.parquet")))
-            groups_by_branch[branch] = partition_inputs(bf, partitions_per_branch)
-        if not any(groups_by_branch.values()):
-            raise FileNotFoundError(f"no parquet files under {corpus_dir}")
+        groups_by_branch = {
+            b: [g for g in partition_inputs(fs, partitions_per_branch) if g]
+            for b, fs in routed_files.items()
+        }
     else:
         files = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
-        if not files:
-            raise FileNotFoundError(f"no parquet files under {corpus_dir}")
-        groups = partition_inputs(files, partitions_per_branch)
+        files += routed_files["small"] + routed_files["large"]
+        groups = [g for g in partition_inputs(files, partitions_per_branch) if g]
         groups_by_branch = {"small": groups, "large": groups}
+    if not any(f for g in groups_by_branch.values() for grp in g for f in grp):
+        raise FileNotFoundError(f"no parquet files under {corpus_dir}")
 
     work: "queue.Queue[tuple[str, int]]" = queue.Queue()
     # interleave branches so both are in flight early

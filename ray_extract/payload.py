@@ -188,9 +188,12 @@ def validate_deep(payload: bytes) -> str:
         or (np.diff(tables["page"]) < 0).any()
     ):
         return "invalid payload: table pages out of range or unsorted"
+    # unconditional (like the text/media blob checks): 0 declared cells with a
+    # non-empty cell_blob is inconsistent — keeps exact parity with
+    # validate_batch's unconditional seg_sum check
+    if int(cells["text_len"].sum()) != len(flat["cell_blob"]):
+        return "invalid payload: cell blob length mismatch"
     if len(cells):
-        if int(cells["text_len"].sum()) != len(flat["cell_blob"]):
-            return "invalid payload: cell blob length mismatch"
         if (cells["text_len"] < 0).any() or cells["page"].min() < 1 or cells[
             "page"
         ].max() > n_pages:

@@ -31,7 +31,7 @@ from ..functions.hashing import (
     lsh_bands,
     md5_str,
     minhash_signature,
-    simhash32,
+    simhash32_batch,
     word_shingles,
 )
 
@@ -64,15 +64,16 @@ def exact_dedup(sf_dir: str):
 # ---------------------------------------------------------- n-gram Jaccard
 def _shingle_stage(k: int):
     def shingles(batch: pa.Table) -> pa.Table:
-        doc_ids, shs, sizes = [], [], []
+        doc_ids: list[int] = []
+        shs: list[str] = []
+        sizes: list[int] = []
         for did, text in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
             s = word_shingles(text, k)
-            for sh in s:
-                doc_ids.append(did)
-                shs.append(sh)
-                sizes.append(len(s))
+            doc_ids.extend([did] * len(s))
+            shs.extend(s)
+            sizes.extend([len(s)] * len(s))
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, type=pa.int64()),
@@ -196,24 +197,92 @@ def ngram_jaccard_pairs(sf_dir: str, k: int = 3, num: int = 1, den: int = 2,
 
 # ------------------------------------------------------------- MinHash + LSH
 def minhash_lsh_pairs(sf_dir: str, k: int = 3, num_perm: int = 16, band_rows: int = 4):
-    """Candidate near-duplicate pairs sharing at least one LSH band bucket."""
+    """Candidate near-duplicate pairs sharing at least one LSH band bucket.
+
+    The signature kernel runs in DuckDB (functions/duck.py): ``num_perm`` x
+    n_shingles md5 digests per batch computed in C++ instead of per-shingle
+    Python hashlib calls (the old kernel was the second-slowest bench stage).
+    Values are identical to the scalar ``minhash_signature``/``lsh_bands``
+    spec — pinned by tests/test_hash_batch.py."""
+    n_bands = num_perm // band_rows
+    # a document with no shingles (< k words) has the constant all-empty
+    # signature; its band sigs are the same constant for every band
+    empty_band_sigs = lsh_bands(minhash_signature(set(), num_perm), band_rows)
+
     def band_stage(batch: pa.Table) -> pa.Table:
-        doc_ids, band_ids, band_sigs = [], [], []
-        for did, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            sig = minhash_signature(word_shingles(text, k), num_perm)
-            for b, bs in enumerate(lsh_bands(sig, band_rows)):
-                doc_ids.append(did)
-                band_ids.append(b)
-                band_sigs.append(bs)
-        return pa.table(
-            {
-                "doc_id": pa.array(doc_ids, type=pa.int64()),
-                "band_id": pa.array(band_ids, type=pa.int64()),
-                "band_sig": pa.array(band_sigs, type=pa.string()),
-            }
-        )
+        from ..functions.duck import duck
+
+        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        texts = batch.column("text").to_pylist()
+        doc_idx: list[int] = []
+        shingle_col: list[str] = []
+        empty_docs: list[int] = []
+        for i, text in enumerate(texts):
+            s = word_shingles(text, k)
+            if not s:
+                empty_docs.append(i)
+                continue
+            doc_idx.extend([i] * len(s))
+            shingle_col.extend(s)
+        parts: list[pa.Table] = []
+        if doc_idx:
+            sh = pa.table(
+                {
+                    "doc_idx": pa.array(doc_idx, type=pa.int64()),
+                    "shingle": pa.array(shingle_col, type=pa.string()),
+                }
+            )
+            con = duck()
+            con.register("sh_tbl", sh)
+            res = con.execute(
+                f"""
+                WITH mh AS (
+                  SELECT s.doc_idx, r.j,
+                         min(md5(CAST(r.j AS VARCHAR) || ':' || s.shingle)) AS h
+                  FROM sh_tbl s CROSS JOIN range({num_perm}) r(j)
+                  GROUP BY s.doc_idx, r.j
+                )
+                SELECT doc_idx, CAST(j // {band_rows} AS BIGINT) AS band_id,
+                       md5(string_agg(h, '|' ORDER BY j)) AS band_sig
+                FROM mh GROUP BY doc_idx, band_id
+                """
+            ).arrow()
+            con.unregister("sh_tbl")
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(ids[res.column("doc_idx").to_numpy()]),
+                        "band_id": pa.array(
+                            res.column("band_id").to_numpy().astype(np.int64)
+                        ),
+                        "band_sig": res.column("band_sig").cast(pa.string()),
+                    }
+                )
+            )
+        if empty_docs:
+            ed = np.asarray(empty_docs, dtype=np.int64)
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(np.repeat(ids[ed], n_bands)),
+                        "band_id": pa.array(
+                            np.tile(np.arange(n_bands, dtype=np.int64), len(ed))
+                        ),
+                        "band_sig": pa.array(
+                            empty_band_sigs * len(ed), type=pa.string()
+                        ),
+                    }
+                )
+            )
+        if not parts:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "band_id": pa.array([], type=pa.int64()),
+                    "band_sig": pa.array([], type=pa.string()),
+                }
+            )
+        return pa.concat_tables(parts)
 
     bands = _docs(sf_dir).map_batches(band_stage, batch_format="pyarrow")
     bands = bands.map_batches(_add_bucket("band_sig", 64), batch_format="pandas")
@@ -261,13 +330,18 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, n_bands: int | None = None)
     small — no stage here materializes the corpus on the driver.
     """
     n_bands = n_bands or (max_hamming + 1)
+    if n_bands < max_hamming + 1:
+        # pigeonhole completeness needs >= max_hamming + 1 disjoint bands: a
+        # pair within distance d can differ in every one of <= d bands
+        raise ValueError(
+            f"n_bands={n_bands} < max_hamming + 1 = {max_hamming + 1}: "
+            "banded LSH would miss qualifying pairs"
+        )
     # disjoint bit ranges covering all 32 bits
     edges = np.linspace(0, 32, n_bands + 1).astype(np.int64)
 
     def band_stage(batch: pa.Table) -> pa.Table:
-        sigs = np.array(
-            [simhash32(t) for t in batch.column("text").to_pylist()], dtype=np.uint32
-        )
+        sigs = simhash32_batch(batch.column("text").to_pylist()).astype(np.uint32)
         ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
         n = len(ids)
         out_id = np.repeat(ids, n_bands)

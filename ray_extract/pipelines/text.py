@@ -11,7 +11,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashing import hash62, md5_str
+from ..functions.hashing import hash62_batch, md5_str
 from ..functions.language import MARKER_WORDS, detect_languages_arrow, marker_pattern
 
 STOPWORD_PATTERN = marker_pattern(MARKER_WORDS[0][1])  # en markers as stopwords
@@ -99,9 +99,7 @@ def deterministic_split(sf_dir: str, train_permille: int = 800, val_permille: in
 
     def assign(batch: pa.Table) -> pa.Table:
         ids = pc.cast(batch.column("doc_id"), pa.int64())
-        slots = np.array(
-            [hash62(str(i)) % 1000 for i in ids.to_pylist()], dtype=np.int64
-        )
+        slots = hash62_batch([str(i) for i in ids.to_pylist()]) % 1000
         split = np.where(
             slots < train_permille, "train",
             np.where(slots < val_permille, "val", "test"),
@@ -257,7 +255,9 @@ def fingerprints(sf_dir: str):
         return pa.table(
             {
                 "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
-                "fp62": pa.array([hash62(t) for t in texts], type=pa.int64()),
+                # vectorized rolling hash (functions/hashing.hash62_batch);
+                # md5 stays hashlib — ONE C call per document is not a hot loop
+                "fp62": pa.array(hash62_batch(texts), type=pa.int64()),
                 "fp_md5": pa.array([md5_str(t) for t in texts], type=pa.string()),
             }
         )

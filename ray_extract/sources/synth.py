@@ -117,9 +117,15 @@ def materialize_corpus(
     exchange on the heavy side. (SORTING one file set by n_pages was measured
     and REJECTED — equal row counts per file concentrate the heavy payload
     bytes into straggler files; per-branch round-robin keeps files uniform
-    WITHIN each branch.) Mis-threshold reads stay correct: routing only
-    decides whether a document takes the split/merge path, which is an
-    optimization, not a semantic."""
+    WITHIN each branch.)
+
+    The threshold is recorded in ``<out>/_routing.json``; run_extract_job
+    takes the unfiltered fast path ONLY when that recorded threshold equals
+    its own split threshold. (Unfiltered reads at a MISMATCHED threshold
+    would be wrong: small-branch docs with pages in (split, route] would be
+    split into shards the small branch never merges.) On mismatch or a
+    missing manifest the job falls back to filtered scans, which are correct
+    for any threshold."""
     if num_files <= 0:
         import pyarrow.parquet as pq
 
@@ -139,6 +145,12 @@ def materialize_corpus(
             # heavy tail is few docs but most bytes: fewer files, still uniform
             files = num_files if branch == "small" else max(8, num_files // 2)
             ds.repartition(files).write_parquet(f"{out_dir}/{branch}")
+        import json
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "_routing.json"), "w") as f:
+            json.dump({"route_threshold_pages": route_threshold_pages}, f)
         return out_dir
     ds = synth_dataset(documents_path, amplify=amplify, heavy_tail=heavy_tail)
     ds = ds.repartition(num_files)

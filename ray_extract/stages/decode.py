@@ -47,7 +47,9 @@ def decode_stage(batch: pa.Table) -> pa.Table:
     # semantics, vectorized across the batch)
     reasons, n_pages = validate_batch(raws)
     for i in range(n):
-        if cdn is not None and cdn[i] is not None and not cdn[i].endswith(".pdf"):
+        # case-insensitive, matching the reference's check
+        # (convert.py: document_cdn_object.lower().endswith(".pdf"))
+        if cdn is not None and cdn[i] is not None and not cdn[i].lower().endswith(".pdf"):
             status[i] = "error"
             error[i] = f"invalid document_cdn_object (not a .pdf): {cdn[i]}"
             n_pages[i] = 0
