@@ -29,7 +29,7 @@ Two topologies:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Union
+from typing import Callable, Optional, Union
 
 import pyarrow as pa
 
@@ -67,6 +67,13 @@ class ExtractConfig:
     # bounded in-kernel retry per document parse (reference utils.py:18-32);
     # final failure dead-letters the document
     parse_max_retries: int = 3
+    # injectable layout-parse kernel: raw payload bytes -> the flat dict
+    # payload.decode returns. None -> SPDF decode. This is how a real-PDF
+    # layout parser plugs in on top of the codec routing (codecs.py): the
+    # decode/split stages already validate + shard any registered format,
+    # and this kernel turns each (sub-)payload into layout records. Must be
+    # a picklable callable (module-level function or callable instance).
+    parse_fn: Optional[Callable] = None
     # actor-level fault tolerance: restart parse actors killed by the OS
     # (OOM) or lost with a node, and re-run the in-flight task. Application
     # exceptions never re-execute tasks (retry_exceptions stays False) — a
@@ -129,7 +136,8 @@ def _front(ds, cfg: ExtractConfig, pool_share: float = 0.25):
     )
     return ds.map_batches(
         LayoutParser,
-        fn_constructor_kwargs={"max_retries": cfg.parse_max_retries},
+        fn_constructor_kwargs={"max_retries": cfg.parse_max_retries,
+                               "parse_fn": cfg.parse_fn},
         batch_format="pyarrow",
         batch_size=cfg.parse_batch_size,
         concurrency=cfg.pool(pool_share),

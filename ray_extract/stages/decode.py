@@ -46,6 +46,19 @@ def decode_stage(batch: pa.Table) -> pa.Table:
     # batched structural + UTF-8 validation (validate_batch == validate_deep
     # semantics, vectorized across the batch)
     reasons, n_pages = validate_batch(raws)
+    # rows in a NON-native registered format (e.g. real PDF bytes) fail the
+    # SPDF magic above; re-validate them through their codec (codecs.py) so
+    # they route/split like any other document instead of dead-lettering
+    from ..codecs import codec_for
+    from ..payload import MAGIC as _SPDF_MAGIC
+
+    for i, r in enumerate(raws):
+        if reasons[i] and not r.startswith(_SPDF_MAGIC):
+            c = codec_for(r)
+            if c is not None:
+                reason = c.validate(r)
+                reasons[i] = reason
+                n_pages[i] = 0 if reason else c.page_count(r)
     for i in range(n):
         # case-insensitive, matching the reference's check
         # (convert.py: document_cdn_object.lower().endswith(".pdf"))

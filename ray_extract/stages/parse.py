@@ -27,6 +27,7 @@ import pyarrow as pa
 from .. import vocab
 from ..payload import (
     CELL_DT,
+    MAGIC as SPDF_MAGIC,
     PAGE_DT,
     PARA_DT,
     TAB_DT,
@@ -58,6 +59,11 @@ class LayoutParser:
         self.roles = list(vocab.ROLES)
         self.max_retries = max_retries
         self.retry_exceptions = retry_exceptions
+        # with the default SPDF kernel, payloads in another registered
+        # format (e.g. real PDF bytes that passed codec validation) fail
+        # fast with an actionable reason instead of retrying a decode that
+        # can never succeed
+        self.spdf_only = parse_fn is None
         self.parse_fn = parse_fn or decode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -80,6 +86,16 @@ class LayoutParser:
         for i in range(n):
             raw = payloads[i].as_py()
             if status[i] != "ok" or not raw:
+                continue
+            if self.spdf_only and not raw.startswith(SPDF_MAGIC):
+                from ..codecs import codec_for
+
+                c = codec_for(raw)
+                fmt = c.name if c is not None else "unknown"
+                status[i] = "error"
+                error[i] = (f"no layout kernel for format '{fmt}': the default "
+                            "parser reads SPDF only — inject one via "
+                            "ExtractConfig.parse_fn")
                 continue
             try:
                 flat = call_with_retries(

@@ -16,7 +16,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..payload import decode, encode, is_valid, slice_pages, split_page_ranges
+from ..codecs import SpdfCodec, codec_for
+from ..payload import split_page_ranges
 
 
 def make_split_stage(threshold_pages: int, batch_pages: int):
@@ -46,7 +47,12 @@ def make_split_stage(threshold_pages: int, batch_pages: int):
                 out_nshards.append(1)
                 out_payload.append(raw if status[i] == "ok" else b"")
                 continue
-            flat = decode(raw)
+            # codec dispatch (codecs.py): the decode stage validated this row
+            # through SOME registered codec, so codec_for cannot miss here.
+            # SPDF is the hot path; real-PDF shards are standalone sub-PDFs
+            # with the reference's split_into_batches semantics.
+            codec = SpdfCodec if SpdfCodec.sniff(raw) else codec_for(raw)
+            handle = codec.open(raw)
             ranges = split_page_ranges(int(n_pages[i]), batch_pages)
             for bn, (lo, hi) in enumerate(ranges):
                 out_parent.append(i)
@@ -54,7 +60,7 @@ def make_split_stage(threshold_pages: int, batch_pages: int):
                 out_lo.append(lo)
                 out_hi.append(hi)
                 out_nshards.append(len(ranges))
-                out_payload.append(encode(slice_pages(flat, lo, hi)))
+                out_payload.append(codec.slice_pages(handle, lo, hi))
 
         idx = np.asarray(out_parent, dtype=np.int64)
         taken = batch.drop_columns(["payload"]).take(idx)

@@ -77,9 +77,17 @@ def test_dead_letter_rows(ray_session):
     docs["good.one"] = derive_payload("good.one", "a b c d e f g h")
     out = extract_from_payloads(_payload_ds(docs), CFG).to_pandas().set_index("doc_id")
     assert out.loc["good.one"].status == "ok"
-    for bad in ("bad.notpdf", "bad.truncated", "bad.empty"):
+    # bad.notpdf carries %PDF magic, so the codec registry (codecs.py) routes
+    # it to PdfCodec and dead-letters it with a PDF-specific reason; the other
+    # two fail SPDF validation.
+    expect_reason = {
+        "bad.notpdf": "invalid pdf",
+        "bad.truncated": "invalid payload",
+        "bad.empty": "invalid payload",
+    }
+    for bad, reason in expect_reason.items():
         row = out.loc[bad]
-        assert row.status == "error" and "invalid payload" in row.error
+        assert row.status == "error" and reason in row.error, (bad, row.error)
         assert len(row.spans) == 0
     # errors never abort the job and good rows are unaffected
     assert len(out.loc["good.one"].spans) == 2
