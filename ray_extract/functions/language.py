@@ -74,6 +74,108 @@ def detect_languages_arrow(texts: pa.Array) -> np.ndarray:
     return langs
 
 
+# ---------------------------------------------------------------------------
+# Wide detector (opt-in): script-range classification + a larger marker table.
+#
+# The reference's langdetect covers ~55 languages (experimental_base.py:152).
+# The default detector above trades breadth for SQL-oracle determinism; this
+# one widens coverage to ~34 languages while staying deterministic and fully
+# vectorized (one RE2 pass per script/language over the whole batch). It is
+# NOT SQL-oracle-checked — swap it in via ExtractConfig.language_detector.
+#
+# Rules, in order:
+#   1. Count characters per non-Latin script range. If the densest script
+#      outweighs Latin letters, classify by script (with sub-rules: any kana
+#      -> ja over zh; Ukrainian-specific letters -> uk over ru; Persian
+#      letters -> fa over ar).
+#   2. Otherwise score the Latin-script marker table (ASCII-only marker
+#      words, since RE2's \b is an ASCII word boundary); ties break toward
+#      the earlier entry; all-zero -> "en".
+# ---------------------------------------------------------------------------
+
+SCRIPT_RANGES: list[tuple[str, str]] = [
+    ("zh", "[一-鿿]"),      # Han
+    ("ja", "[぀-ヿ]"),      # Hiragana + Katakana
+    ("ko", "[가-힯]"),      # Hangul
+    ("ru", "[Ѐ-ӿ]"),      # Cyrillic
+    ("el", "[Ͱ-Ͽ]"),
+    ("ar", "[؀-ۿ]"),
+    ("he", "[֐-׿]"),
+    ("hi", "[ऀ-ॿ]"),      # Devanagari
+    ("bn", "[ঀ-৿]"),
+    ("ta", "[஀-௿]"),
+    ("te", "[ఀ-౿]"),
+    ("th", "[฀-๿]"),
+    ("ka", "[Ⴀ-ჿ]"),
+    ("hy", "[԰-֏]"),
+]
+
+WIDE_MARKERS: list[tuple[str, tuple[str, ...]]] = [
+    ("en", ("the", "and", "of", "is", "that", "this", "with")),
+    ("de", ("der", "die", "und", "nicht", "das", "ein", "ist", "auch")),
+    ("fr", ("les", "des", "est", "dans", "que", "pour", "avec", "sont")),
+    ("es", ("los", "las", "una", "por", "con", "para", "como", "pero")),
+    ("it", ("che", "della", "sono", "questo", "anche", "nel", "gli")),
+    ("pt", ("uma", "isso", "mais", "quando", "muito", "pelo", "dos")),
+    ("nl", ("het", "een", "van", "niet", "zijn", "voor", "maar", "ook")),
+    ("sv", ("och", "att", "som", "inte", "med", "har", "den", "hon")),
+    ("da", ("og", "det", "ikke", "til", "med", "han", "hun", "havde")),
+    ("no", ("og", "ikke", "som", "til", "han", "var", "paa", "seg")),
+    ("fi", ("ja", "on", "ei", "se", "mutta", "kun", "hyvin", "ovat")),
+    ("pl", ("nie", "jest", "czy", "ale", "tylko", "przez", "bardzo")),
+    ("cs", ("je", "se", "na", "to", "ale", "jako", "jsem", "jsou")),
+    ("ro", ("este", "pentru", "care", "sunt", "din", "mai", "dar")),
+    ("hu", ("az", "egy", "nem", "hogy", "van", "is", "csak", "meg")),
+    ("tr", ("bir", "ve", "bu", "gibi", "daha", "sonra", "kadar")),
+    ("id", ("yang", "dan", "untuk", "dengan", "ini", "tidak", "dari")),
+    ("vi", ("khong", "nguoi", "cua", "trong", "nhung", "duoc")),
+    ("ca", ("els", "amb", "per", "que", "dels", "aquest", "com")),
+    ("hr", ("je", "se", "na", "za", "da", "kako", "ali", "samo")),
+]
+_UK_LETTERS = "[іїєґІЇЄҐ]"
+_FA_LETTERS = "[پچژگ]"
+_KANA = "[぀-ヿ]"
+
+
+def detect_languages_arrow_wide(texts: pa.Array) -> np.ndarray:
+    """Vectorized wide-coverage language id; same contract as
+    ``detect_languages_arrow`` (arrow string array -> numpy object array)."""
+    n = len(texts)
+
+    def counts(pattern: str) -> np.ndarray:
+        return pc.count_substring_regex(texts, pattern).to_numpy(
+            zero_copy_only=False
+        )
+
+    script = np.zeros((n, len(SCRIPT_RANGES)), dtype=np.int64)
+    for j, (_lang, rng) in enumerate(SCRIPT_RANGES):
+        script[:, j] = counts(rng)
+    latin = counts("[A-Za-z]")
+
+    marker = np.zeros((n, len(WIDE_MARKERS)), dtype=np.int64)
+    for j, (_lang, words) in enumerate(WIDE_MARKERS):
+        marker[:, j] = counts(marker_pattern(words))
+
+    script_langs = np.array([l for l, _ in SCRIPT_RANGES], dtype=object)
+    marker_langs = np.array([l for l, _ in WIDE_MARKERS], dtype=object)
+    best_script = np.argmax(script, axis=1)
+    best_script_count = script[np.arange(n), best_script]
+
+    langs = marker_langs[np.argmax(marker, axis=1)]
+    use_script = best_script_count > latin
+    langs[use_script] = script_langs[best_script[use_script]]
+
+    # sub-rules on the script winners
+    if use_script.any():
+        kana = counts(_KANA) > 0
+        langs[use_script & (langs == "zh") & kana] = "ja"
+        uk = counts(_UK_LETTERS) > 0
+        langs[use_script & (langs == "ru") & uk] = "uk"
+        fa = counts(_FA_LETTERS) > 0
+        langs[use_script & (langs == "ar") & fa] = "fa"
+    return langs
+
+
 def document_languages(
     block_languages: Sequence[Optional[str]],
     min_language_proportion: float = MIN_LANGUAGE_PROPORTION,

@@ -97,7 +97,7 @@ def _branch_front(corpus_files, cfg: ExtractConfig, branch: str, share_div: int 
 
 def _branch_finish(raw_ds, cfg: ExtractConfig, branch: str):
     """(merge for the heavy tail) -> convert (ParserOutput rows)."""
-    conv = make_convert_stage(cfg.experimental_tables)
+    conv = make_convert_stage(cfg.experimental_tables, cfg.language_detector)
     if branch == "large":
         raw_ds = merge_bucketed(raw_ds, num_buckets=4 * _cluster_cpus())
     return raw_ds.map_batches(

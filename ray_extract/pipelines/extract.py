@@ -74,6 +74,16 @@ class ExtractConfig:
     # and this kernel turns each (sub-)payload into layout records. Must be
     # a picklable callable (module-level function or callable instance).
     parse_fn: Optional[Callable] = None
+    # F4 error-driven fallback (reference run.py:27-39): a whole-doc parse
+    # failure re-enters the split path in-kernel (slice via codec, parse each
+    # shard with its own retries) before dead-lettering
+    split_fallback: bool = True
+    # language detector used by the convert stage (A1): None -> the
+    # 5-language deterministic default (SQL-oracle-reproducible); pass
+    # functions.language.detect_languages_arrow_wide for ~34-language
+    # coverage (script ranges + wide marker table, still deterministic).
+    # Must be a picklable callable with the detect_languages_arrow contract.
+    language_detector: Optional[Callable] = None
     # actor-level fault tolerance: restart parse actors killed by the OS
     # (OOM) or lost with a node, and re-run the in-flight task. Application
     # exceptions never re-execute tasks (retry_exceptions stays False) — a
@@ -137,7 +147,9 @@ def _front(ds, cfg: ExtractConfig, pool_share: float = 0.25):
     return ds.map_batches(
         LayoutParser,
         fn_constructor_kwargs={"max_retries": cfg.parse_max_retries,
-                               "parse_fn": cfg.parse_fn},
+                               "parse_fn": cfg.parse_fn,
+                               "split_fallback": cfg.split_fallback,
+                               "fallback_batch_pages": cfg.split_batch_pages},
         batch_format="pyarrow",
         batch_size=cfg.parse_batch_size,
         concurrency=cfg.pool(pool_share),
@@ -154,7 +166,7 @@ def extract_from_payloads(ds, cfg: Optional[ExtractConfig] = None):
     ds = _front(ds, cfg)
     ds = merge_bucketed(ds, num_buckets=4 * _cluster_cpus())
     return ds.map_batches(
-        make_convert_stage(cfg.experimental_tables),
+        make_convert_stage(cfg.experimental_tables, cfg.language_detector),
         batch_format="pyarrow",
         batch_size=cfg.convert_batch_size,
         zero_copy_batch=True,
@@ -164,7 +176,16 @@ def extract_from_payloads(ds, cfg: Optional[ExtractConfig] = None):
 
 def extract_routed(corpus_dir: str, cfg: Optional[ExtractConfig] = None):
     """Skew-aware topology over a payload parquet corpus with an ``n_pages``
-    column: small docs bypass the shuffle entirely."""
+    column: small docs bypass the shuffle entirely.
+
+    .. warning:: This entrypoint MATERIALIZES both branches' converted rows
+       in the object store before unioning them (see the threading note
+       below) — fine for gate/test corpora, wrong for a 100-TB run. For
+       large corpora use ``job.run_extract_job``: the production topology
+       with the same branch structure, but each branch STREAMS to
+       partitioned parquet with per-partition resumable checkpoints and
+       nothing is held in the object store. ``tests/test_routed_corpus.py``
+       asserts the two paths produce identical rows."""
     import pyarrow.dataset as pads
     import ray.data as rd
 
@@ -184,7 +205,7 @@ def extract_routed(corpus_dir: str, cfg: Optional[ExtractConfig] = None):
         # few rows but huge rows: spread them so split/parse/merge/convert all
         # get block-level parallelism (one map task per block)
         large = large.repartition(cfg.large_blocks)
-    convert = make_convert_stage(cfg.experimental_tables)
+    convert = make_convert_stage(cfg.experimental_tables, cfg.language_detector)
     small_out = _front(small, cfg, pool_share=cfg.small_share).map_batches(  # no shuffle
         convert, batch_format="pyarrow", batch_size=cfg.convert_batch_size,
         zero_copy_batch=True, num_cpus=cfg.task_num_cpus,

@@ -72,7 +72,12 @@ def _xy_list(poly_px: np.ndarray) -> pa.ListArray:
     return pa.ListArray.from_arrays(offs, xy)
 
 
-def make_convert_stage(experimental_tables: bool = True):
+def make_convert_stage(experimental_tables: bool = True, detect_fn=None):
+    """``detect_fn`` swaps the language detector (A1): any callable with the
+    ``detect_languages_arrow`` contract (arrow string array -> numpy object
+    array of language codes), e.g. ``detect_languages_arrow_wide`` for ~34
+    languages. None -> the 5-language SQL-oracle-deterministic default."""
+    detect_fn = detect_fn or detect_languages_arrow
     f = vocab.DIMENSION_CONVERSION_FACTOR
     # role-id -> final type string lookup; index NO_ROLE (-1) wraps to the end
     type_vocab = np.array(
@@ -129,7 +134,7 @@ def make_convert_stage(experimental_tables: bool = True):
             pa.ListArray.from_arrays(pa.array(kept_off), pc.utf8_trim_whitespace(kept_text)),
             " ",
         )
-        langs = detect_languages_arrow(doc_text)
+        langs = detect_fn(doc_text)
         has_blocks = kept_counts > 0
         languages = pa.array(
             [[l] if hb else None for l, hb in zip(langs, has_blocks)],

@@ -47,10 +47,19 @@ class LayoutParser:
     document becomes a dead-letter row (status="error") instead of the
     reference's silent drop. ``parse_fn`` is injectable for fault-injection
     tests (the reference mocks its Azure client the same way,
-    tests/test_utils.py:19-48)."""
+    tests/test_utils.py:19-48).
+
+    ``split_fallback`` is the reference's error-driven fallback (run.py:27-39):
+    when a WHOLE document's parse fails after retries, the document re-enters
+    the split path in-kernel — its payload is sliced into page-range shards
+    (``fallback_batch_pages`` pages each, via the codec registry) and each
+    shard is parsed with its own bounded retries. The shard rows flow to the
+    downstream merge exactly like metadata-driven splits; only if the fallback
+    also fails does the document dead-letter with the original error."""
 
     def __init__(self, max_retries: int = 3, parse_fn=None,
-                 retry_exceptions: tuple = (Exception,)):
+                 retry_exceptions: tuple = (Exception,),
+                 split_fallback: bool = True, fallback_batch_pages: int = 4):
         # Warm per-actor state (the analogue of the reference's authenticated
         # client built once in AzureApiWrapper.__init__, azure_wrapper.py:22-30;
         # a real model's weights would load here).
@@ -65,6 +74,38 @@ class LayoutParser:
         # can never succeed
         self.spdf_only = parse_fn is None
         self.parse_fn = parse_fn or decode
+        self.split_fallback = split_fallback
+        self.fallback_batch_pages = fallback_batch_pages
+
+    def _try_split_fallback(self, raw: bytes):
+        """F4: slice a failed whole document into page-range shards and parse
+        each (reference run.py:27-39). Returns [(flat, lo, hi), ...] on full
+        success, None on any failure (caller dead-letters with the ORIGINAL
+        whole-parse error)."""
+        from ..codecs import codec_for
+        from ..functions.retry import call_with_retries
+        from ..payload import split_page_ranges
+
+        try:
+            codec = codec_for(raw)
+            if codec is None:
+                return None
+            npages = codec.page_count(raw)
+            if npages <= 1:
+                return None  # nothing to split; fallback cannot help
+            handle = codec.open(raw)
+            out = []
+            for lo, hi in split_page_ranges(npages, self.fallback_batch_pages):
+                sub = codec.slice_pages(handle, lo, hi)
+                flat = call_with_retries(
+                    self.parse_fn, sub,
+                    max_retries=self.max_retries,
+                    retry_exceptions=self.retry_exceptions,
+                )
+                out.append((flat, lo, hi))
+            return out
+        except Exception:
+            return None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.retry import call_with_retries
@@ -74,15 +115,12 @@ class LayoutParser:
         error = batch.column("error").to_pylist()
         payloads = batch.column("payload").combine_chunks()
         range_lo = batch.column("range_lo").to_numpy()
+        n_shards_in = batch.column("n_shards").to_numpy()
 
-        pages_l, paras_l, tabs_l, cells_l = [], [], [], []
-        text_blobs, media_blobs, cell_blobs = [], [], []
-        n_pages = np.zeros(n, dtype=np.int64)
-        n_paras = np.zeros(n, dtype=np.int64)
-        n_tabs = np.zeros(n, dtype=np.int64)
-        n_cells = np.zeros(n, dtype=np.int64)
-        offs = np.zeros(n, dtype=np.int32)  # page offset per shard
-
+        # ---- phase 1: parse every live row (bounded retries per doc);
+        # a failed UNSPLIT doc re-enters the split path in-kernel (F4) ----
+        flats: list = [None] * n
+        expansions: dict[int, list] = {}
         for i in range(n):
             raw = payloads[i].as_py()
             if status[i] != "ok" or not raw:
@@ -98,16 +136,68 @@ class LayoutParser:
                             "ExtractConfig.parse_fn")
                 continue
             try:
-                flat = call_with_retries(
+                flats[i] = call_with_retries(
                     self.parse_fn, raw,
                     max_retries=self.max_retries,
                     retry_exceptions=self.retry_exceptions,
                 )
             except Exception as e:
+                if self.split_fallback and n_shards_in[i] == 1:
+                    exp = self._try_split_fallback(raw)
+                    if exp is not None:
+                        expansions[i] = exp
+                        continue
                 # retries exhausted -> dead-letter the shard (reference drops
                 # the whole document silently here, run.py:38-39)
                 status[i] = "error"
                 error[i] = f"parse failed after {self.max_retries} attempts: {e}"
+
+        # ---- phase 2: expand fallback docs into shard rows so the batch is
+        # again one row per shard; downstream merge reassembles them exactly
+        # like metadata-driven splits ----
+        if expansions:
+            bn_in = batch.column("batch_number").to_numpy()
+            hi_in = batch.column("range_hi").to_numpy()
+            row_map: list[int] = []
+            st2, er2, fl2 = [], [], []
+            bn2, lo2, hi2, nsh2 = [], [], [], []
+            for i in range(n):
+                if i in expansions:
+                    shards = expansions[i]
+                    for bn, (flat, lo, hi) in enumerate(shards):
+                        row_map.append(i)
+                        st2.append("ok"); er2.append(""); fl2.append(flat)
+                        bn2.append(bn); lo2.append(lo); hi2.append(hi)
+                        nsh2.append(len(shards))
+                else:
+                    row_map.append(i)
+                    st2.append(status[i]); er2.append(error[i])
+                    fl2.append(flats[i])
+                    bn2.append(int(bn_in[i])); lo2.append(int(range_lo[i]))
+                    hi2.append(int(hi_in[i])); nsh2.append(int(n_shards_in[i]))
+            batch = batch.take(pa.array(row_map, type=pa.int64()))
+            for name, arr in (("batch_number", bn2), ("range_lo", lo2),
+                              ("range_hi", hi2), ("n_shards", nsh2)):
+                batch = batch.set_column(
+                    batch.schema.get_field_index(name), name,
+                    pa.array(arr, type=pa.int32()),
+                )
+            status, error, flats = st2, er2, fl2
+            range_lo = np.asarray(lo2, dtype=np.int64)
+            n = len(flats)
+
+        # ---- phase 3: vectorized construction over parsed flats ----
+        pages_l, paras_l, tabs_l, cells_l = [], [], [], []
+        text_blobs, media_blobs, cell_blobs = [], [], []
+        n_pages = np.zeros(n, dtype=np.int64)
+        n_paras = np.zeros(n, dtype=np.int64)
+        n_tabs = np.zeros(n, dtype=np.int64)
+        n_cells = np.zeros(n, dtype=np.int64)
+        offs = np.zeros(n, dtype=np.int32)  # page offset per shard
+
+        for i in range(n):
+            flat = flats[i]
+            if flat is None:
                 continue
             pages_l.append(flat["pages"])
             paras_l.append(flat["paras"])

@@ -82,3 +82,53 @@ def test_entry_contract(ray_session):
     assert set(oracles) <= set(qs)
     # every query callable is importable and lazy-constructs a Dataset quickly
     assert len(qs) >= 20
+
+
+def test_read_corpus_contract_parquet_backend(ray_session, tmp_path):
+    """Pins the read_corpus contract the (untestable-here) Lance branch must
+    match: column projection, filter pushdown semantics, default columns."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ray_extract.sources.corpus import have_lance, read_corpus
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(20)]),
+            "payload": pa.array([b"x" * (i + 1) for i in range(20)], type=pa.large_binary()),
+            "n_pages": pa.array([i % 7 for i in range(20)], type=pa.int64()),
+            "extra": pa.array(range(20)),
+        }
+    )
+    path = str(tmp_path / "corpus")
+    os.makedirs(path)
+    pq.write_table(t, f"{path}/part-0.parquet")
+
+    # default projection drops unknown columns
+    got = read_corpus(path).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(got.columns) == ["doc_id", "payload", "n_pages"]
+    assert len(got) == 20
+
+    # explicit projection + filter match a plain filtered read
+    got = read_corpus(path, columns=["doc_id", "n_pages"],
+                      filter_expr=pads.field("n_pages") > 3).to_pandas()
+    want = t.to_pandas()[["doc_id", "n_pages"]].query("n_pages > 3")
+    assert sorted(got.doc_id) == sorted(want.doc_id)
+    assert list(got.columns) == ["doc_id", "n_pages"]
+
+    assert not have_lance()  # sandbox invariant the branches below rely on
+
+
+def test_read_corpus_lance_missing_raises_actionable(tmp_path):
+    import pytest
+
+    from ray_extract.sources.corpus import read_corpus
+
+    with pytest.raises(RuntimeError, match="lance"):
+        read_corpus(str(tmp_path / "corpus.lance"))
+
+    # a directory with lance-style entries is detected even without suffix
+    d = tmp_path / "ds"
+    os.makedirs(d / "_versions")
+    with pytest.raises(RuntimeError, match="not installed"):
+        read_corpus(str(d))

@@ -126,3 +126,43 @@ def test_flatten_blocks(ray_session):
     assert list(flat["ord"]) == list(range(len(exp["text_blocks"])))
     assert list(flat["kind"]) == [b["type"] for b in exp["text_blocks"]]
     assert list(flat["text"]) == [b["text"][0] for b in exp["text_blocks"]]
+
+
+def test_language_detector_swap_changes_only_language_columns(ray_session):
+    """A1 seam: swapping detect_languages_arrow_wide in via
+    ExtractConfig.language_detector may change languages / per-block language
+    only; every other column is byte-identical."""
+    from ray_extract.functions.language import detect_languages_arrow_wide
+
+    docs = {
+        "doc.en": derive_payload("doc.en", "the cat and the dog is that good with this"),
+        "doc.nl": derive_payload("doc.nl", "het huis is een mooi huis van niet zijn voor maar ook"),
+        "doc.tr": derive_payload("doc.tr", "bir ev ve bu gibi daha sonra kadar"),
+    }
+    wide_cfg = ExtractConfig(
+        split_threshold_pages=4, split_batch_pages=4, parse_concurrency=(1, 2),
+        language_detector=detect_languages_arrow_wide,
+    )
+    base = extract_from_payloads(_payload_ds(docs), CFG).to_pandas().set_index("doc_id").sort_index()
+    wide = extract_from_payloads(_payload_ds(docs), wide_cfg).to_pandas().set_index("doc_id").sort_index()
+
+    assert list(base.loc["doc.nl"].languages) == ["en"]  # narrow default misses nl
+    assert list(wide.loc["doc.nl"].languages) == ["nl"]
+    assert list(wide.loc["doc.tr"].languages) == ["tr"]
+    assert list(wide.loc["doc.en"].languages) == ["en"]
+
+    lang_free = [
+        c for c in base.columns if c not in ("languages", "text_blocks")
+    ]
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(base[lang_free], wide[lang_free])
+    for did in docs:
+        bb, wb = base.loc[did].text_blocks, wide.loc[did].text_blocks
+        assert len(bb) == len(wb)
+        import numpy as np
+
+        for b, w in zip(bb, wb):
+            for k in b:
+                if k != "language":
+                    assert np.array_equal(b[k], w[k]), (did, k)

@@ -118,6 +118,89 @@ def test_parser_permanent_failure_dead_letters_not_poisons():
     assert set(final.column("status").to_pylist()) == {"error"}
 
 
+def test_error_driven_split_fallback_matches_healthy_output():
+    """F4 (reference run.py:27-39): a kernel with a page limit fails the
+    WHOLE document but succeeds per page-range shard. The fallback must
+    slice in-kernel, parse each shard, and after merge + convert produce
+    the same document the healthy whole parse produces."""
+    from ray_extract.stages.convert import make_convert_stage
+    from ray_extract.stages.merge import merge_bucket
+
+    docs = [
+        ("big", " ".join(f"alpha{j} beta{j}" for j in range(300))),
+        ("small", "tiny document with a few words only"),
+    ]
+    batch = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs]),
+            "payload": pa.array(
+                [P.encode(derive_flat(d, t)) for d, t in docs],
+                type=pa.large_binary(),
+            ),
+        }
+    )
+    big_pages = len(derive_flat("big", docs[0][1])["pages"])
+    assert big_pages >= 3  # must exceed the kernel's 2-page limit
+    # threshold high enough that NO doc is metadata-split: the only way the
+    # big doc parses is the error-driven fallback
+    front = make_split_stage(99, 99)(decode_stage(batch))
+    assert front.column("n_shards").to_pylist() == [1, 1]
+
+    attempts = {"whole": 0}
+
+    def size_limited(raw: bytes):
+        flat = P.decode(raw)
+        if len(flat["pages"]) > 2:
+            attempts["whole"] += 1
+            raise RuntimeError("payload exceeds page limit")
+        return flat
+
+    parser = LayoutParser(max_retries=2, parse_fn=size_limited,
+                          fallback_batch_pages=2)
+    out = parser(front)
+    # the big doc expanded into ceil(P/2) shard rows, every one parsed ok
+    assert set(out.column("status").to_pylist()) == {"ok"}
+    by_doc = dict(
+        zip(out.column("doc_id").to_pylist(), out.column("n_shards").to_pylist())
+    )
+    assert by_doc["small"] == 1
+    assert by_doc["big"] == -(-big_pages // 2)
+    assert attempts["whole"] == 2  # whole parse was retried, then gave up
+
+    got = make_convert_stage(True)(merge_bucket(out)).sort_by("doc_id")
+    healthy = make_convert_stage(True)(
+        merge_bucket(LayoutParser()(front))
+    ).sort_by("doc_id")
+    assert got.equals(healthy)
+
+
+def test_split_fallback_disabled_dead_letters():
+    """With split_fallback off, the same size-limited kernel dead-letters the
+    big document instead of recovering it."""
+    docs = [("big", " ".join(f"alpha{j} beta{j}" for j in range(300)))]
+    batch = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs]),
+            "payload": pa.array(
+                [P.encode(derive_flat(d, t)) for d, t in docs],
+                type=pa.large_binary(),
+            ),
+        }
+    )
+    front = make_split_stage(99, 99)(decode_stage(batch))
+
+    def size_limited(raw: bytes):
+        flat = P.decode(raw)
+        if len(flat["pages"]) > 2:
+            raise RuntimeError("payload exceeds page limit")
+        return flat
+
+    out = LayoutParser(max_retries=2, parse_fn=size_limited,
+                       split_fallback=False)(front)
+    assert out.column("status").to_pylist() == ["error"]
+    assert "page limit" in out.column("error").to_pylist()[0]
+
+
 def test_parser_partial_failure_affects_only_the_broken_doc():
     front = _front_batch()
 

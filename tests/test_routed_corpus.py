@@ -40,3 +40,28 @@ def test_pre_routed_layout_matches_flat(ray_session, tmp_path):
     out_routed = _run_job(routed, tmp_path / "out_routed", tmp_path)
     pd.testing.assert_frame_equal(out_flat, out_routed)
     assert len(out_flat) == 500
+
+
+def test_extract_routed_agrees_with_streaming_job(ray_session, tmp_path):
+    """extract_routed (materializing, gate/test entrypoint) and
+    run_extract_job (streaming production entrypoint) must produce the same
+    rows over the same corpus."""
+    from ray_extract.pipelines.extract import ExtractConfig, extract_routed
+    from ray_extract.sources.synth import materialize_corpus
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    corpus = tmp_path / "corpus"
+    materialize_corpus(docs, str(corpus), num_files=4)
+    cfg = ExtractConfig(split_threshold_pages=4, split_batch_pages=4,
+                        parse_concurrency=(1, 2))
+
+    routed = (
+        extract_routed(str(corpus), cfg)
+        .to_pandas()[["doc_id", "status", "n_text_blocks", "md5sum"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    job = _run_job(corpus, tmp_path / "out_job", tmp_path)
+    pd.testing.assert_frame_equal(
+        routed[["doc_id", "status", "n_text_blocks"]], job
+    )

@@ -109,3 +109,48 @@ def test_html_malformed_never_crashes():
         assert isinstance(out, str)
     assert extract_main_content("<p>unclosed paragraph with plenty of words inside it") \
         == "unclosed paragraph with plenty of words inside it"
+
+
+def test_wide_language_detection_scripts_and_markers():
+    import pyarrow as pa
+
+    from ray_extract.functions.language import detect_languages_arrow_wide
+
+    samples = [
+        ("the cat and the dog is that good with this", "en"),
+        ("der hund und die katze ist nicht da auch", "de"),
+        ("les chiens sont dans la rue pour les gens avec", "fr"),
+        ("los gatos y las casas son una cosa para como pero", "es"),
+        ("questo gatto sono nel giardino anche della casa gli", "it"),
+        ("het huis is een mooi huis van niet zijn voor maar ook", "nl"),
+        ("och det var som att hon inte har den med", "sv"),
+        ("bir ev ve bu gibi daha sonra kadar", "tr"),
+        ("yang rumah dan untuk dengan ini tidak dari", "id"),
+        ("az ember egy nem hogy van is csak meg", "hu"),
+        ("这是一段比较长的中文文本内容", "zh"),
+        ("これは日本語のテキストです", "ja"),
+        ("한국어로 작성된 문서입니다", "ko"),
+        ("это русский текст для проверки", "ru"),
+        ("це український текст із літерами", "uk"),
+        ("αυτό είναι ελληνικό κείμενο", "el"),
+        ("هذا نص باللغة العربية", "ar"),
+        ("این یک متن فارسی است با گچپژ", "fa"),
+        ("זהו טקסט בעברית לבדיקה", "he"),
+        ("यह हिंदी में लिखा गया पाठ है", "hi"),
+        ("นี่คือข้อความภาษาไทย", "th"),
+        ("இது தமிழ் உரை ஆகும்", "ta"),
+    ]
+    got = list(detect_languages_arrow_wide(pa.array([s for s, _ in samples])))
+    want = [l for _, l in samples]
+    assert got == want, list(zip(got, want))
+
+
+def test_wide_detector_latin_fallback_is_deterministic():
+    import pyarrow as pa
+
+    from ray_extract.functions.language import detect_languages_arrow_wide
+
+    # no markers at all -> first entry ("en"); mixed scripts below the
+    # latin-letter count stay latin-classified
+    arr = pa.array(["zzz qqq xxx", "the of and is with a single 中 char"])
+    assert list(detect_languages_arrow_wide(arr)) == ["en", "en"]
