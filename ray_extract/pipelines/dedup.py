@@ -361,6 +361,9 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, n_bands: int | None = None)
         )
 
     def verify_pairs(g):
+        # one pandas hash-join per BUCKET of band keys (merge on band_key
+        # pairs within each key), not one Python call per band_key — the
+        # merge_bucketed pattern applied to the self-join
         import pandas as pd
 
         left = g[["band_key", "doc_id", "sig"]]
@@ -378,8 +381,18 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, n_bands: int | None = None)
             }
         )
 
+    def add_vbucket(batch: pa.Table) -> pa.Table:
+        bk = batch.column("band_key").to_numpy().astype(np.uint64)
+        h = (bk * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(64)
+        return batch.append_column("vbucket", pa.array(h.astype(np.int64)))
+
     bands = _docs(sf_dir).map_batches(band_stage, batch_format="pyarrow")
-    pairs = bands.groupby("band_key").map_groups(verify_pairs, batch_format="pandas")
+    pairs = (
+        bands.map_batches(add_vbucket, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("vbucket")
+        .map_groups(verify_pairs, batch_format="pandas")
+    )
 
     # a pair within distance d can collide in up to n_bands - d bands: bucketed
     # distinct on the pair key (hamming is identical across copies)
