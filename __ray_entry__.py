@@ -434,21 +434,20 @@ def _q_extract_join_meta(sf_dir: str):
 
     import duckdb
 
-    meta = duckdb.sql(
-        f"select source || '.' || cast(doc_id as varchar) as did, lang, n_chars "
+    meta_tbl = duckdb.sql(
+        f"select source || '.' || cast(doc_id as varchar) as doc_id, "
+        f"lang as meta_lang, cast(n_chars as bigint) as meta_chars "
         f"from '{sf_dir}/documents.parquet'"
-    ).fetchall()
-    lookup = {did: (lang, n_chars) for did, lang, n_chars in meta}
-    ref = ray.put(lookup)
+    ).arrow()
+    # broadcast the dimension table ONCE as Arrow; each batch probes it with
+    # pyarrow's native hash-join (C++), not a Python dict per row
+    ref = ray.put(meta_tbl)
 
     def join(batch: pa.Table) -> pa.Table:
-        lk = ray.get(ref)
-        dids = batch.column("doc_id").to_pylist()
-        langs = [lk[d][0] for d in dids]
-        chars = [lk[d][1] for d in dids]
-        return batch.append_column(
-            "meta_lang", pa.array(langs, type=pa.string())
-        ).append_column("meta_chars", pa.array(chars, type=pa.int64()))
+        dim = ray.get(ref)
+        # row order within a batch may change (hash-join output order is
+        # unspecified) — fine: every consumer and the oracle compare sort
+        return batch.join(dim, keys="doc_id", join_type="left outer")
 
     return _q_extract_doc_stats(sf_dir).map_batches(join, batch_format="pyarrow")
 
@@ -584,6 +583,36 @@ def _q_events_sessionize(sf_dir: str):
     return sessionize(sf_dir)
 
 
+def _q_events_asof_join(sf_dir: str):
+    from ray_extract.pipelines.events import asof_join
+
+    return asof_join(sf_dir)
+
+
+def _q_sentence_dedup(sf_dir: str):
+    from ray_extract.pipelines.dedup import sentence_dedup
+
+    return sentence_dedup(sf_dir)
+
+
+def _q_top_docs_per_source(sf_dir: str):
+    from ray_extract.pipelines.text import top_docs_per_source
+
+    return top_docs_per_source(sf_dir)
+
+
+def _q_bigram_counts(sf_dir: str):
+    from ray_extract.pipelines.text import bigram_counts
+
+    return bigram_counts(sf_dir)
+
+
+def _q_approx_distinct_hll(sf_dir: str):
+    from ray_extract.pipelines.text import approx_distinct_hll
+
+    return approx_distinct_hll(sf_dir)
+
+
 def _q_html_main_content(sf_dir: str):
     from ray_extract.pipelines.html import html_main_content
 
@@ -664,6 +693,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup_recall": _q_embedding_dedup_recall,
         "events_window": _q_events_window,
         "events_sessionize": _q_events_sessionize,
+        "events_asof_join": _q_events_asof_join,
+        "sentence_dedup": _q_sentence_dedup,
+        "top_docs_per_source": _q_top_docs_per_source,
+        "bigram_counts": _q_bigram_counts,
+        "approx_distinct_hll": _q_approx_distinct_hll,
         "html_main_content": _q_html_main_content,
         "quality_filter": _q_quality_filter,
         "deterministic_split": _q_deterministic_split,
@@ -889,6 +923,96 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        CAST(count(*) AS BIGINT) AS n_events,
        min(ts) AS start_ts, max(ts) AS end_ts
 FROM s GROUP BY 1, 2
+""",
+        "events_asof_join": """
+WITH c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+v AS (
+  SELECT user_id, ts, max(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, c.ts AS click_ts,
+       coalesce(v.view_id, -1) AS view_id,
+       coalesce(v.ts, TIMESTAMP '1970-01-01') AS view_ts
+FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+""",
+        "sentence_dedup": """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+w AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS i, ws[CAST(u.i AS INTEGER)] AS w
+  FROM d, unnest(range(1, len(ws) + 1)) AS u(i)
+),
+c AS (
+  SELECT doc_id, (i - 1) // 10 AS ci, string_agg(w, ' ' ORDER BY i) AS chunk
+  FROM w GROUP BY doc_id, (i - 1) // 10
+),
+f AS (
+  SELECT doc_id, ci, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, ci) AS rk
+  FROM c
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(*) FILTER (rk = 1) AS BIGINT) AS n_kept,
+       coalesce(string_agg(chunk, ' ' ORDER BY ci) FILTER (rk = 1), '') AS text_clean
+FROM f GROUP BY doc_id
+""",
+        "top_docs_per_source": """
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY n_tokens DESC, doc_id) AS rk
+  FROM t
+)
+SELECT source, doc_id, n_tokens, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 3
+""",
+        "bigram_counts": """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+w AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS i, ws[CAST(u.i AS INTEGER)] AS w
+  FROM d, unnest(range(1, len(ws) + 1)) AS u(i)
+)
+SELECT a.w || ' ' || b.w AS bigram, CAST(count(*) AS BIGINT) AS n
+FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50
+""",
+        "approx_distinct_hll": """
+WITH h AS (
+  SELECT md5(text) AS hx,
+         CAST(concat('0x', substr(md5(text), 1, 16)) AS UBIGINT) AS h64
+  FROM documents
+),
+r AS (
+  SELECT h64 // 288230376151711744 AS reg,
+         h64 % 288230376151711744 AS rem
+  FROM h
+),
+rr AS (
+  SELECT reg,
+         CASE WHEN rem = 0 THEN 59 ELSE 59 - length(bin(rem)) END AS rho
+  FROM r
+),
+mx AS (SELECT reg, max(rho) AS rho FROM rr GROUP BY reg),
+s AS (
+  SELECT sum(1::HUGEINT << (59 - rho)) AS ssum, count(*) AS nregs FROM mx
+),
+e AS (
+  SELECT CAST((SELECT count(DISTINCT hx) FROM h) AS BIGINT) AS exact_n,
+         CAST(floor(
+           CAST(0.709 AS DOUBLE) * 4096 * 576460752303423488
+           / CAST(ssum + (64 - nregs) * (1::HUGEINT << 59) AS DOUBLE)
+           + 0.5) AS BIGINT) AS est_n
+  FROM s
+)
+SELECT exact_n, est_n,
+       CAST(abs(est_n - exact_n) * 1000000 // exact_n AS BIGINT) AS err_ppm
+FROM e
 """,
         "embedding_dedup": _EMB_BANDED_SQL,
         "embedding_dedup_recall": _EMB_RECALL_SQL,

@@ -155,12 +155,13 @@ def run_bench() -> dict:
         exact_dedup,
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
+        sentence_dedup,
         simhash_pairs,
     )
-    from ray_extract.pipelines.events import sessionize, windowed_counts
+    from ray_extract.pipelines.events import asof_join, sessionize, windowed_counts
     from ray_extract.pipelines.html import html_main_content
     from ray_extract.pipelines.similarity import ann_bruteforce, embedding_dedup
-    from ray_extract.pipelines.text import quality_scores
+    from ray_extract.pipelines.text import bigram_counts, quality_scores
 
     timed("dedup_exact", lambda: exact_dedup(SF_DIR).count())
     timed("dedup_ngram_jaccard", lambda: ngram_jaccard_pairs(SF_DIR).count())
@@ -171,6 +172,9 @@ def run_bench() -> dict:
     timed("ann_topk", lambda: ann_bruteforce(SF_DIR).count())
     timed("events_window", lambda: windowed_counts(SF_DIR).count())
     timed("events_sessionize", lambda: sessionize(SF_DIR).count())
+    timed("events_asof_join", lambda: asof_join(SF_DIR).count())
+    timed("sentence_dedup", lambda: sentence_dedup(SF_DIR).count())
+    timed("bigram_counts", lambda: bigram_counts(SF_DIR).count())
     timed("html_main_content", lambda: html_main_content(SF_DIR).count())
 
     result = {

@@ -418,3 +418,119 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, n_bands: int | None = None)
             batch_format="pandas",
         )
     )
+
+
+# -------------------------------------------------------- sentence-level dedup
+def sentence_dedup(sf_dir: str, chunk_words: int = 10, num_buckets: int = 64):
+    """C4-style GLOBAL sentence/paragraph dedup: documents are split into
+    fixed 10-word chunks (the deterministic stand-in for sentences in the
+    synthetic corpus), every chunk that appeared earlier anywhere in the
+    corpus — first occurrence = min (doc_id, chunk_idx) — is dropped, and
+    each document is reassembled from its surviving chunks.
+
+    Scale shape (two bounded shuffles, nothing on the driver):
+      1. map_batches (all-Arrow): split_pattern -> chunk ListArray rebuilt
+         from boundary offsets -> binary_join, one row per chunk, bucketed by
+         hash62(chunk) — a fine-grained exchange proportional to corpus
+         tokens, the irreducible cost of global sentence dedup.
+      2. groupby(chunk-hash bucket): first-occurrence marking is one
+         vectorized sort + duplicated() pass per bucket; collision-free
+         because grouping compares chunk TEXT (the hash only routes).
+      3. groupby(doc-hash bucket): reassembly sorts (doc_id, ci) once per
+         bucket and joins kept chunks via an Arrow ListArray binary_join —
+         no per-document Python calls.
+
+    Output: (doc_id, n_chunks, n_kept, text_clean); text_clean = '' when every
+    chunk of the document was seen earlier.
+    """
+    import pandas as pd
+
+    from ..functions.hashing import hash62_batch
+
+    def chunk_stage(batch: pa.Table) -> pa.Table:
+        # pin to 32-bit-offset string: split_pattern on large_string would
+        # yield int64 list offsets and break ListArray.from_arrays below
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        words = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(words)
+        offs = words.offsets.to_numpy()
+        counts = np.diff(offs)
+        n = len(flat)
+        doc_idx = np.repeat(np.arange(len(counts)), counts)
+        pos = np.arange(n) - np.repeat(offs[:-1], counts)
+        starts = np.nonzero(pos % chunk_words == 0)[0]
+        new_offsets = np.concatenate([starts, [n]]).astype(np.int32)
+        chunk_list = pa.ListArray.from_arrays(pa.array(new_offsets), flat)
+        chunk_text = pc.binary_join(chunk_list, " ")
+        cdoc = doc_idx[starts]
+        ci = (pos[starts] // chunk_words).astype(np.int64)
+        doc_ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        h = hash62_batch(chunk_text.to_pylist())
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[cdoc]),
+                "ci": pa.array(ci),
+                "chunk": chunk_text,
+                "bucket": pa.array((h % num_buckets).astype(np.int64)),
+            }
+        )
+
+    def mark_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["chunk", "doc_id", "ci"], kind="mergesort")
+        kept = ~g["chunk"].duplicated(keep="first")
+        did = g["doc_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": did,
+                "ci": g["ci"].to_numpy(),
+                "chunk": g["chunk"].to_numpy(),
+                "kept": kept.to_numpy(),
+                "dbucket": np.abs((did * np.int64(2654435761)) % np.int64(num_buckets)),
+            }
+        )
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "ci"], kind="mergesort")
+        did = g["doc_id"].to_numpy()
+        n = len(g)
+        change = np.ones(n, dtype=bool)
+        change[1:] = did[1:] != did[:-1]
+        seg = np.cumsum(change) - 1
+        n_segs = seg[-1] + 1 if n else 0
+        doc_of_seg = did[change]
+        kept_mask = g["kept"].to_numpy()
+        n_chunks = np.bincount(seg, minlength=n_segs).astype(np.int64)
+        n_kept = np.bincount(seg, weights=kept_mask, minlength=n_segs).astype(np.int64)
+        texts = np.full(n_segs, "", dtype=object)
+        kg_chunk = g["chunk"].to_numpy()[kept_mask]
+        kdid = did[kept_mask]
+        if len(kdid):
+            kchange = np.ones(len(kdid), dtype=bool)
+            kchange[1:] = kdid[1:] != kdid[:-1]
+            kstarts = np.nonzero(kchange)[0]
+            koffs = np.concatenate([kstarts, [len(kdid)]]).astype(np.int32)
+            joined = pc.binary_join(
+                pa.ListArray.from_arrays(
+                    pa.array(koffs), pa.array(kg_chunk, type=pa.string())
+                ),
+                " ",
+            ).to_pylist()
+            idx = np.searchsorted(doc_of_seg, kdid[kstarts])
+            texts[idx] = joined
+        return pd.DataFrame(
+            {
+                "doc_id": doc_of_seg,
+                "n_chunks": n_chunks,
+                "n_kept": n_kept,
+                "text_clean": texts,
+            }
+        )
+
+    return (
+        _docs(sf_dir)
+        .map_batches(chunk_stage, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(mark_first, batch_format="pandas")
+        .groupby("dbucket")
+        .map_groups(reassemble, batch_format="pandas")
+    )

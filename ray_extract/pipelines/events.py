@@ -52,6 +52,101 @@ def windowed_counts(sf_dir: str, window: str = "hour"):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def asof_join(
+    sf_dir: str,
+    left_type: str = "click",
+    right_type: str = "view",
+    num_buckets: int = 64,
+):
+    """As-of join: each ``left_type`` event matched to the most recent
+    ``right_type`` event of the SAME user at-or-before its timestamp
+    (attribution-style temporal join — an operator Ray Data lacks natively).
+
+    Scale shape: one pruned scan with an ``event_type IN (l, r)`` filter, then
+    a SINGLE shuffle on hash(user_id) % num_buckets — both sides of the join
+    land in the same bucket, so the temporal match is bucket-local. Inside a
+    bucket one vectorized ``pandas.merge_asof`` (sorted merge, C speed)
+    handles every user at once; no per-user Python calls, no broadcast of
+    either side, no driver materialization. Buckets bound peak memory to
+    corpus_size / num_buckets regardless of user skew (a hot user still fits:
+    the bucket holds its events contiguously for one sorted merge).
+
+    Right-side ties (same user, same timestamp) are collapsed to the max
+    event_id BEFORE the merge so the match is deterministic — mirrored in the
+    SQL oracle (group by user_id, ts with max(event_id)), which keeps DuckDB's
+    ASOF JOIN tie behavior out of the comparison.
+
+    Output: (event_id, user_id, click_ts, view_id, view_ts); a left event
+    with no earlier right-side event keeps its row with the no-match
+    sentinels view_id = -1, view_ts = epoch (ASOF LEFT JOIN semantics with
+    deterministic, hash-stable null encoding).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def bucket_stage(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch.column("user_id"), pa.int64()).to_numpy()
+        bucket = np.abs((uid * np.int64(2654435761)) % np.int64(num_buckets))
+        return pa.table(
+            {
+                "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "event_type": batch.column("event_type"),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["event_type"] == left_type]
+        right = g[g["event_type"] == right_type]
+        # deterministic tie collapse: one right row per (user_id, ts)
+        right = (
+            right.groupby(["user_id", "ts"], as_index=False)["event_id"].max()
+            .rename(columns={"event_id": "view_id"})
+        )
+        left = left.sort_values("ts", kind="mergesort")
+        right = right.sort_values("ts", kind="mergesort")
+        right["view_ts"] = right["ts"]
+        out = pd.merge_asof(
+            left[["event_id", "user_id", "ts"]],
+            right[["user_id", "ts", "view_id", "view_ts"]],
+            on="ts",
+            by="user_id",
+            direction="backward",
+        )
+        # no-match sentinels (-1 / epoch) instead of nulls: NaN floats and
+        # NaT hash differently between Arrow->pandas and DuckDB->pandas, and
+        # a bucket with no right-side rows would emit object-dtype columns
+        return pd.DataFrame(
+            {
+                "event_id": out["event_id"].astype("int64").to_numpy(),
+                "user_id": out["user_id"].astype("int64").to_numpy(),
+                "click_ts": pd.to_datetime(out["ts"]),
+                "view_id": out["view_id"].fillna(-1).astype("int64").to_numpy(),
+                "view_ts": pd.to_datetime(out["view_ts"]).fillna(
+                    pd.Timestamp("1970-01-01")
+                ),
+            }
+        )
+
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+        filter=pads.field("event_type").isin([left_type, right_type]),
+    )
+    return (
+        strip_schema_metadata(ds)
+        .map_batches(bucket_stage, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
 def sessionize(sf_dir: str, gap_minutes: int = 30, num_buckets: int = 64):
     """Gap-based session windows per user (the streaming-shaped workload as a
     batch computation). A new session starts when the gap to the previous

@@ -247,6 +247,112 @@ def corpus_stats(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def top_docs_per_source(sf_dir: str, k: int = 3):
+    """Grouped top-k: the k longest documents (by token count) PER source,
+    with rank — the per-group analogue of top_docs_by_tokens.
+
+    Scale shape: the per-batch combiner keeps only k rows per source per
+    batch (vectorized sort + groupby.head, no Python per group), so the
+    shuffle moves at most k x n_sources x n_blocks tiny rows; the final
+    per-source reduction is over <= k x n_blocks candidates. Tiebreak is
+    deterministic: n_tokens desc, doc_id asc (matches the SQL row_number
+    ordering)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        nt = df["text"].str.count(" ").to_numpy() + 1
+        out = pd.DataFrame(
+            {
+                "source": df["source"],
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_tokens": nt.astype("int64"),
+            }
+        )
+        out = out.sort_values(
+            ["source", "n_tokens", "doc_id"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return out.groupby("source", sort=False).head(k)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["source", "doc_id", "n_tokens", "rk"]]
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return (
+        strip_schema_metadata(ds)
+        .map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def bigram_counts(sf_dir: str, k: int = 50):
+    """Global top-k bigram counts — the canonical combiner-before-shuffle
+    aggregation: bigrams are formed and PARTIALLY counted inside each batch
+    (all-Arrow: split_pattern -> boundary mask -> binary_join_element_wise ->
+    group_by count, zero Python string ops), so the shuffle moves one row per
+    distinct bigram per batch, not one per occurrence. The global reduce is a
+    small groupby-sum; top-k with a deterministic tiebreak (n desc, bigram
+    asc) via distributed sort + limit over the aggregated (tiny) table."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        words = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(words)
+        n = len(flat)
+        if n < 2:
+            return pa.table(
+                {"bigram": pa.array([], type=pa.string()),
+                 "n": pa.array([], type=pa.int64())}
+            )
+        # positions j where word j+1 starts a new document are NOT bigrams
+        offsets = words.offsets.to_numpy()[1:-1]  # starts of docs 1..D-1
+        mask = np.ones(n - 1, dtype=bool)
+        mask[offsets - 1] = False
+        mask_arr = pa.array(mask)
+        left = flat.slice(0, n - 1).filter(mask_arr)
+        right = flat.slice(1, n - 1).filter(mask_arr)
+        bigram = pc.binary_join_element_wise(left, right, " ")
+        t = pa.table({"bigram": bigram})
+        part = t.group_by("bigram").aggregate([("bigram", "count")])
+        return pa.table(
+            {
+                "bigram": part.column("bigram"),
+                "n": pc.cast(part.column("bigram_count"), pa.int64()),
+            }
+        )
+
+    agg = (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"bigram": t.column("bigram"), "n": pc.cast(t.column("n"), pa.int64())}
+        )
+
+    return (
+        agg.map_batches(finish, batch_format="pyarrow")
+        .sort(["n", "bigram"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def fingerprints(sf_dir: str):
     """Document fingerprints: 62-bit polynomial rolling hash + md5."""
 
@@ -263,3 +369,76 @@ def fingerprints(sf_dir: str):
         )
 
     return _docs(sf_dir).map_batches(fp, batch_format="pyarrow")
+
+
+def approx_distinct_hll(sf_dir: str, p: int = 6):
+    """HyperLogLog approximate-distinct over md5(text) — the sketch aggregate
+    a 100-TB pipeline uses where exact distinct would shuffle every row.
+
+    Scale shape: each batch reduces to AT MOST m = 2**p register rows
+    (reg, rho_max) — the sketch is the combiner, so the shuffle moves
+    O(m x n_blocks) tiny rows and the final groupby is over m keys. The
+    estimate itself is audited against the EXACT distinct count (bucketed
+    hash groupby, the dedup_exact path) recall-gate style: the output is one
+    row (exact_n, est_n, err_ppm), so correctness of the sketch math — not
+    just row plumbing — is oracle-checked.
+
+    Determinism note (why this has an EXACT SQL oracle): registers use the
+    top p bits of the first 64 md5 bits; rho = leading-zeros + 1 of the
+    remaining 58 bits (integer searchsorted, no float log); the harmonic sum
+    is kept as the INTEGER sum of 2**(59 - rho), so the only float ops are
+    one multiply chain and one division, written in the same literal order
+    here and in SQL (IEEE-deterministic), with floor(x + 0.5) rounding on
+    both sides (Python round() is banker's; SQL round() is half-away).
+    Raw HLL estimate, no small-range linear-counting correction — documented
+    bias below ~2.5m distincts is part of the pinned semantics.
+    """
+    import hashlib
+
+    from ray.data.aggregate import Max
+
+    m = 1 << p
+    shift = 64 - p
+    powers = np.uint64(1) << np.arange(shift, dtype=np.uint64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        digs = b"".join(hashlib.md5(t.encode()).digest()[:8] for t in texts)
+        h64 = np.frombuffer(digs, dtype=">u8").astype(np.uint64)
+        reg = (h64 >> np.uint64(shift)).astype(np.int64)
+        rem = h64 & np.uint64((1 << shift) - 1)
+        bitlen = np.searchsorted(powers, rem, side="right")
+        rho = (shift + 1 - bitlen).astype(np.int64)
+        regs = np.zeros(m, dtype=np.int64)
+        np.maximum.at(regs, reg, rho)
+        present = regs > 0
+        return pa.table(
+            {
+                "reg": pa.array(np.arange(m, dtype=np.int64)[present]),
+                "rho": pa.array(regs[present]),
+            }
+        )
+
+    hll = (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("reg")
+        .aggregate(Max("rho", alias_name="rho"))
+    )
+    regs_df = hll.to_pandas()  # <= m rows reach the driver
+    from .dedup import exact_dedup
+
+    exact_n = exact_dedup(sf_dir).count()
+    ssum = int(sum(1 << (shift + 1 - int(r)) for r in regs_df["rho"]))
+    nregs = len(regs_df)
+    denom = ssum + (m - nregs) * (1 << (shift + 1))
+    scale = float(1 << (shift + 1))
+    est_n = int(np.floor(0.709 * (m * m) * scale / float(denom) + 0.5))
+    err_ppm = abs(est_n - exact_n) * 1_000_000 // exact_n
+    return pa.table(
+        {
+            "exact_n": pa.array([exact_n], type=pa.int64()),
+            "est_n": pa.array([est_n], type=pa.int64()),
+            "err_ppm": pa.array([err_ppm], type=pa.int64()),
+        }
+    )

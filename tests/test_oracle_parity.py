@@ -20,6 +20,11 @@ SUBSET = [
     "lang_id",
     "html_main_content",
     "top_docs_by_tokens",
+    "events_asof_join",
+    "sentence_dedup",
+    "top_docs_per_source",
+    "bigram_counts",
+    "approx_distinct_hll",
 ]
 
 

@@ -146,3 +146,70 @@ def test_ann_ivf_recall_vs_bruteforce(ray_session):
     exact_set = set(zip(exact.query_id, exact.neighbor_id))
     approx_set = set(zip(approx.query_id, approx.neighbor_id))
     assert len(exact_set & approx_set) > 0
+
+
+def test_asof_join_semantics(ray_session):
+    """Every matched view is the latest view at-or-before the click, per user."""
+    import pandas as pd
+
+    from ray_extract.pipelines.events import asof_join
+
+    df = asof_join(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"])
+    clicks = ev[ev.event_type == "click"]
+    views = ev[ev.event_type == "view"]
+    assert len(df) == len(clicks)
+    matched = df[df.view_id >= 0]
+    assert (matched.view_ts <= matched.click_ts).all()
+    # spot-check 20 rows against a brute-force per-row argmax
+    for row in matched.head(20).itertuples():
+        prior = views[(views.user_id == row.user_id) & (views.ts <= row.click_ts)]
+        assert row.view_ts == prior.ts.max()
+    # sentinel rows = users with no earlier view
+    for row in df[df.view_id < 0].head(10).itertuples():
+        prior = views[(views.user_id == row.user_id) & (views.ts <= row.click_ts)]
+        assert prior.empty
+
+
+def test_sentence_dedup_conservation(ray_session):
+    """Kept chunks across the corpus == distinct chunks; per-doc totals add up."""
+    from ray_extract.pipelines.dedup import sentence_dedup
+
+    df = sentence_dedup(SF).to_pandas()
+    assert len(df) == 500
+    assert (df.n_kept <= df.n_chunks).all()
+    # reassembled text uses only surviving chunks, in order: empty iff n_kept=0
+    assert ((df.text_clean == "") == (df.n_kept == 0)).all()
+    # global conservation: total kept == number of distinct chunks in corpus
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    chunks = set()
+    for t in docs.text:
+        ws = t.split(" ")
+        for i in range(0, len(ws), 10):
+            chunks.add(" ".join(ws[i : i + 10]))
+    assert df.n_kept.sum() == len(chunks)
+
+
+def test_bigram_counts_total(ray_session):
+    from ray_extract.pipelines.text import bigram_counts
+
+    df = bigram_counts(SF, k=10_000).to_pandas()
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    total = sum(len(t.split(" ")) - 1 for t in docs.text)
+    assert df.n.sum() == total
+    # deterministic ordering: n desc then bigram asc
+    assert (df.n.values[:-1] >= df.n.values[1:]).all()
+
+
+def test_top_docs_per_source_rank(ray_session):
+    from ray_extract.pipelines.text import top_docs_per_source
+
+    df = top_docs_per_source(SF).to_pandas()
+    for src, g in df.groupby("source"):
+        g = g.sort_values("rk")
+        assert list(g.rk) == list(range(1, len(g) + 1))
+        assert (g.n_tokens.values[:-1] >= g.n_tokens.values[1:]).all()
