@@ -29,6 +29,30 @@ AMPLIFY = int(os.environ.get("BENCH_AMPLIFY", "128"))
 CACHE_ROOT = "/tmp/ray_extract_bench"
 
 
+def _proc_stat():
+    try:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:]]
+    except OSError:
+        return None
+
+
+def steal_pct(before, after) -> float | None:
+    """Hypervisor steal time over an interval, as % of all CPU time.
+
+    This sandbox is a VM on a shared physical host: intermittent noisy
+    neighbors steal up to ~17% of cycles (measured), which hits wide runs
+    (16 cpus on 32 cores — no slack) far harder than narrow ones (4 cpus —
+    28 cores of slack absorb the theft). Recording steal per timed sample
+    lets the scaling report separate engine behavior from host weather.
+    """
+    if not before or not after:
+        return None
+    d = [y - x for x, y in zip(before, after)]
+    total = sum(d)
+    return round(100.0 * d[7] / total, 1) if total and len(d) > 7 else None
+
+
 def corpus_dir() -> str:
     tag = SF_DIR.strip("/").replace("/", "_")
     # _r2: pre-routed layout (small/ + large/ subdirs partitioned by the
@@ -142,9 +166,11 @@ def run_bench() -> dict:
     # measurement artificially. The output is discarded after timing anyway.
     out_root = "/dev/shm/ray_extract_bench_out" if os.path.isdir("/dev/shm") else CACHE_ROOT
     out_dir = f"{out_root}/out_{NUM_CPUS}_{int(time.time())}"
+    st0 = _proc_stat()
     t0 = time.time()
     run_extract_job(corpus_dir(), out_dir, cfg, partitions_per_branch=1, resume=False)
     headline = time.time() - t0
+    steal = steal_pct(st0, _proc_stat())
     import shutil
 
     shutil.rmtree(out_dir, ignore_errors=True)  # keep tmpfs/tmp from filling up
@@ -197,6 +223,7 @@ def run_bench() -> dict:
         "pages": meta["pages"],
         "docs_per_sec": round(meta["docs"] / headline, 1),
         "spans_per_sec": round(meta["spans"] / headline, 1),
+        "steal_pct": steal,
     }
     ray.shutdown()
     return result
@@ -246,6 +273,8 @@ def run_scaling() -> dict:
         hi_runs.append(run(hi_cpus))
     lo_secs = [d["value"] for d in lo_runs]
     hi_secs = [d["value"] for d in hi_runs]
+    lo_steal = [d.get("steal_pct") for d in lo_runs]
+    hi_steal = [d.get("steal_pct") for d in hi_runs]
     lo_med, hi_med = median(lo_secs), median(hi_secs)
     lo_best = min(lo_runs, key=lambda d: d["value"])
     hi_best = min(hi_runs, key=lambda d: d["value"])
@@ -253,6 +282,18 @@ def run_scaling() -> dict:
     # worst pairing = slowest-looking high level vs fastest low level
     eff_worst = (min(lo_secs) / max(hi_secs)) / ratio
     eff_best = (max(lo_secs) / min(hi_secs)) / ratio
+    # low-steal efficiency: medians over samples whose hypervisor steal was
+    # <= 5% (a shared-host VM; see steal_pct — quiet-host baseline is 0.3-4.5%,
+    # storms are >= 10%). ALL samples are reported above
+    # — this is the same statistic restricted to host-quiet intervals, the
+    # closest single-box analogue of dedicated cluster nodes.
+    clean_lo = [s for s, st in zip(lo_secs, lo_steal) if st is not None and st <= 5.0]
+    clean_hi = [s for s, st in zip(hi_secs, hi_steal) if st is not None and st <= 5.0]
+    eff_clean = (
+        round((median(clean_lo) / median(clean_hi)) / ratio, 3)
+        if clean_lo and clean_hi
+        else None
+    )
     return {
         "metric": "scaling",
         "unit": "sec",
@@ -261,6 +302,8 @@ def run_scaling() -> dict:
         f"sec_{hi_cpus}": hi_med,
         f"samples_{lo_cpus}": lo_secs,
         f"samples_{hi_cpus}": hi_secs,
+        f"steal_pct_{lo_cpus}": lo_steal,
+        f"steal_pct_{hi_cpus}": hi_steal,
         f"docs_per_sec_{lo_cpus}": round(lo_best["docs"] / lo_med, 1),
         f"docs_per_sec_{hi_cpus}": round(hi_best["docs"] / hi_med, 1),
         f"spans_per_sec_{lo_cpus}": round(lo_best["spans"] / lo_med, 1),
@@ -268,6 +311,7 @@ def run_scaling() -> dict:
         "scaling_efficiency": round(eff_median, 3),
         "scaling_efficiency_worst_pair": round(eff_worst, 3),
         "scaling_efficiency_best_pair": round(eff_best, 3),
+        "scaling_efficiency_low_steal": eff_clean,
         "sf": SF_DIR,
     }
 
