@@ -661,6 +661,36 @@ def _q_corpus_stats(sf_dir: str):
     return corpus_stats(sf_dir)
 
 
+def _q_revenue_by_priority(sf_dir: str):
+    from ray_extract.pipelines.relational import revenue_by_priority
+
+    return revenue_by_priority(sf_dir)
+
+
+def _q_revenue_by_nation(sf_dir: str):
+    from ray_extract.pipelines.relational import revenue_by_nation
+
+    return revenue_by_nation(sf_dir)
+
+
+def _q_group_quantiles(sf_dir: str):
+    from ray_extract.pipelines.relational import group_quantiles
+
+    return group_quantiles(sf_dir)
+
+
+def _q_tfidf_top_terms(sf_dir: str):
+    from ray_extract.pipelines.text import tfidf_top_terms
+
+    return tfidf_top_terms(sf_dir)
+
+
+def _q_stratified_sample(sf_dir: str):
+    from ray_extract.pipelines.text import stratified_sample
+
+    return stratified_sample(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -704,6 +734,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_by_tokens": _q_top_docs_by_tokens,
         "distinct_sources": _q_distinct_sources,
         "corpus_stats": _q_corpus_stats,
+        "revenue_by_priority": _q_revenue_by_priority,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "group_quantiles": _q_group_quantiles,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "stratified_sample": _q_stratified_sample,
     }
 
 
@@ -1074,5 +1109,46 @@ SELECT source,
        CAST(max(n_chars) AS BIGINT) AS max_chars,
        CAST(min(n_chars) AS BIGINT) AS min_chars
 FROM documents GROUP BY source
+""",
+        "revenue_by_priority": """
+SELECT o_orderpriority,
+       SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS revenue_x10000
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+        "revenue_by_nation": """
+SELECT n_name, SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS revenue_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+        "group_quantiles": """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(quantile_disc(l_quantity, 0.50) AS BIGINT) AS p50_qty,
+       CAST(quantile_disc(l_quantity, 0.90) AS BIGINT) AS p90_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+        "tfidf_top_terms": """
+WITH w0 AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents),
+w AS (SELECT * FROM w0 WHERE w <> ''),
+tf AS (SELECT source, w, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2),
+df AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM w GROUP BY 1),
+s AS (SELECT tf.source, tf.w AS term, tf.tf, df.df,
+             tf.tf * 1000000 // df.df AS score_ppm
+      FROM tf JOIN df ON tf.w = df.w),
+r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY score_ppm DESC, term ASC) AS rnk
+      FROM s)
+SELECT source, term, tf, df, score_ppm, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 5
+""",
+        "stratified_sample": f"""
+WITH d AS (SELECT doc_id, source,
+                  {_ROLL.format(col="'s:' || CAST(doc_id AS VARCHAR)")} % 1000 AS slot,
+                  (CAST(substr(source, 4) AS BIGINT) * 37) % 900 + 50 AS rate_permille
+           FROM documents)
+SELECT doc_id, source, slot, rate_permille FROM d WHERE slot < rate_permille
 """,
     }

@@ -1,0 +1,257 @@
+"""Relational join / grouped-statistics pipelines over the TPC-H-shaped
+tables (``lineitem``, ``orders``, ``customer``, ``nation``).
+
+These exercise the two join strategies a 100-TB engine needs, explicitly:
+
+- **Big-big join** -> Ray Data's native hash-shuffle ``Dataset.join``
+  (both sides exchanged on the key across ``num_partitions`` aggregators;
+  no side is materialized on the driver). The fact side is ALWAYS
+  pre-aggregated per key inside ``map_batches`` first (combiner before the
+  exchange), so the shuffle moves one row per (key, block) instead of one
+  per fact row.
+- **Big-small join** -> broadcast: the dimension table is ``ray.put`` into
+  the object store ONCE and every map task does a zero-copy ``ray.get`` +
+  ``pyarrow.Table.join`` per batch (an Arrow hash join in C++, not a Python
+  dict probe). No shuffle at all for the dimension hop.
+
+All money arithmetic is integer (prices/discounts scaled to cents with
+``floor(x*100 + 0.5)`` — half-up on both sides, avoiding Python/SQL
+banker's-rounding divergence), so every query has an exact DuckDB value
+oracle. At 10^12-row scale the int64 revenue accumulators would need a
+decimal128 upgrade; the structure (partial-agg -> hash join -> partial-agg
+-> small groupby) is unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _cents(col: pa.ChunkedArray) -> np.ndarray:
+    """floor(x*100 + 0.5) as int64 — matches SQL CAST(floor(x*100+0.5) AS BIGINT)."""
+    return np.floor(col.to_numpy() * 100.0 + 0.5).astype(np.int64)
+
+
+def revenue_by_priority(sf_dir: str, num_partitions: int = 16):
+    """Revenue per order priority: lineitem JOIN orders (big-big).
+
+    Scale shape: lineitem batches are reduced to per-orderkey partial
+    revenue sums BEFORE the join (one row per (orderkey, block) — for TPC-H
+    ~4 lineitems/order this is a 4x cut on top of the block-local dedup of
+    repeated keys), then a native hash-shuffle join against the pruned
+    orders projection, then a per-batch partial aggregation by priority so
+    the final groupby moves ~5 rows per block. Revenue unit is
+    cents x (100 - discount_pct), i.e. price x 10^4, exact in int64.
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        rev = _cents(batch.column("l_extendedprice")) * (
+            100 - _cents(batch.column("l_discount"))
+        )
+        t = pa.table(
+            {
+                "l_orderkey": pc.cast(batch.column("l_orderkey"), pa.int64()),
+                "rev": pa.array(rev),
+            }
+        )
+        return t.group_by("l_orderkey").aggregate([("rev", "sum")])
+
+    li = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        )
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    orders = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+        )
+    )
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def prio_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "rev": pc.cast(batch.column("rev_sum"), pa.int64()),
+            }
+        )
+        return t.group_by("o_orderpriority").aggregate([("rev", "sum")])
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        joined.map_batches(prio_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("rev_sum", alias_name="revenue_x10000"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "revenue_x10000": pc.cast(t.column("revenue_x10000"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def revenue_by_nation(sf_dir: str, num_partitions: int = 16):
+    """Order revenue per customer nation: orders JOIN customer (big-big,
+    native hash-shuffle) then nation (25 rows) as a BROADCAST Arrow join.
+
+    Scale shape: orders are partially summed per custkey inside each batch
+    (combiner), hash-join against the (c_custkey, c_nationkey) projection,
+    and the nation-name hop never shuffles — the dimension lives in the
+    object store once (``ray.put``) and each batch does a zero-copy
+    ``ray.get`` + ``pa.Table.join``. Output: (n_name, revenue_cents).
+    """
+    import ray
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def ord_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_custkey": pc.cast(batch.column("o_custkey"), pa.int64()),
+                "rev": pa.array(_cents(batch.column("o_totalprice"))),
+            }
+        )
+        return t.group_by("o_custkey").aggregate([("rev", "sum")])
+
+    orders = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    ).map_batches(ord_partial, batch_format="pyarrow")
+
+    cust = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": pc.cast(t.column("c_custkey"), pa.int64()),
+                "c_nationkey": pc.cast(t.column("c_nationkey"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nat = pa.table(
+        {
+            "c_nationkey": pc.cast(nat.column("n_nationkey"), pa.int64()),
+            "n_name": pc.cast(nat.column("n_name"), pa.string()),
+        }
+    )
+    nat_ref = ray.put(nat.replace_schema_metadata(None))
+
+    def nation_partial(batch: pa.Table) -> pa.Table:
+        dim = ray.get(nat_ref)  # zero-copy from the local object store
+        t = pa.table(
+            {
+                "c_nationkey": batch.column("c_nationkey"),
+                "rev": pc.cast(batch.column("rev_sum"), pa.int64()),
+            }
+        ).join(dim, keys="c_nationkey", join_type="inner")
+        return t.group_by("n_name").aggregate([("rev", "sum")])
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        joined.map_batches(nation_partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("rev_sum", alias_name="revenue_cents"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": t.column("n_name"),
+                "revenue_cents": pc.cast(t.column("revenue_cents"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def group_quantiles(sf_dir: str, percentiles: tuple[int, ...] = (50, 90)):
+    """EXACT per-group discrete quantiles without a global sort: the
+    counting-selection pattern for bounded-domain columns.
+
+    ``l_quantity`` takes ~50 integer values, so the exact quantile is
+    recoverable from per-(group, value) counts: a per-batch combiner
+    (group_by count inside map_batches) reduces each block to <= |groups| x
+    |domain| rows, the shuffle moves only those tiny partials, and the final
+    per-group pass walks the cumulative histogram. At 100 TB the exchanged
+    state is STILL |groups| x |domain| x |blocks| — independent of row
+    count — where a sort-based quantile would shuffle every row.
+
+    Rank rule matches DuckDB ``quantile_disc(x, p/100)``: the smallest value
+    whose cumulative count reaches ``ceil(p*n/100)`` (integer arithmetic:
+    ``(p*n + 99) // 100`` — no float rank, no ceil-of-float hazard).
+    """
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "qty": pc.cast(batch.column("l_quantity"), pa.int64()),
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["l_returnflag", "qty"]).aggregate([("n", "sum")])
+
+    counts = (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+            )
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "qty"])
+        .aggregate(Sum("n_sum", alias_name="n"))
+    )
+
+    def select(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("qty")
+        cum = g["n"].to_numpy().cumsum()
+        n = int(cum[-1])
+        qty = g["qty"].to_numpy()
+        row = {"l_returnflag": g["l_returnflag"].iloc[0], "n_items": np.int64(n)}
+        for p in percentiles:
+            rank = (p * n + 99) // 100
+            row[f"p{p}_qty"] = np.int64(qty[np.searchsorted(cum, rank)])
+        return pd.DataFrame([row])
+
+    return counts.groupby("l_returnflag").map_groups(select, batch_format="pandas")

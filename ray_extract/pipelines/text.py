@@ -442,3 +442,155 @@ def approx_distinct_hll(sf_dir: str, p: int = 6):
             "err_ppm": pa.array([err_ppm], type=pa.int64()),
         }
     )
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 5):
+    """Top-k TF-IDF-scored terms per source — the vocabulary-building /
+    keyword-extraction operator of a training-data pipeline.
+
+    score_ppm = tf(source, term) * 10^6 // df(term): term frequency within
+    the source, penalized by the term's corpus-wide document frequency.
+    Integer arithmetic only (no log / float idf), so the DuckDB oracle is
+    exact.
+
+    Scale shape, stage by stage:
+    1. map_batches (all-Arrow): explode words (split_pattern -> offsets ->
+       take), then TWO per-batch combiners — occurrence counts per
+       (source, term) and distinct-doc counts per (source, term). Because a
+       document never spans batches and has exactly one source, summing
+       per-batch distinct-doc counts over batches AND sources gives the
+       exact global df. The shuffle moves one row per distinct (source,
+       term) per block, never one per occurrence.
+    2. One groupby (source, term) -> exact tf and per-source df partials.
+       The result is vocabulary-sized (|terms| x |sources| upper bound,
+       zipf-bounded in practice) — materialized ONCE so the df reduction
+       and the join don't recompute the corpus scan.
+    3. groupby(term) over that aggregate -> df(term); native hash-shuffle
+       ``Dataset.join`` back on term (big-big on the vocabulary, exchanged
+       on the term key — no driver materialization of either side).
+    4. Grouped top-k with the same combiner shape as top_docs_per_source:
+       per-batch head(k) per source, final per-source reduction over
+       <= k x n_blocks candidate rows. Tiebreak: score desc, term asc.
+    """
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def explode_partial(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        words = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(words)
+        per_doc = np.diff(words.offsets.to_numpy())
+        idx = pa.array(np.repeat(np.arange(len(batch), dtype=np.int64), per_doc))
+        t = pa.table(
+            {
+                "doc": pc.take(pc.cast(batch.column("doc_id"), pa.int64()), idx),
+                "source": pc.take(batch.column("source").combine_chunks(), idx),
+                "w": flat,
+            }
+        ).filter(pc.not_equal(flat, ""))
+        tf = t.group_by(["source", "w"]).aggregate([("w", "count")])
+        dfp = (
+            t.group_by(["doc", "source", "w"])
+            .aggregate([])
+            .group_by(["source", "w"])
+            .aggregate([("doc", "count")])
+        )
+        both = tf.join(dfp, keys=["source", "w"], join_type="inner")
+        return pa.table(
+            {
+                "source": both.column("source"),
+                "w": both.column("w"),
+                "tf": pc.cast(both.column("w_count"), pa.int64()),
+                "df": pc.cast(both.column("doc_count"), pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    agg = (
+        strip_schema_metadata(ds)
+        .map_batches(explode_partial, batch_format="pyarrow")
+        .groupby(["source", "w"])
+        .aggregate(Sum("tf", alias_name="tf"), Sum("df", alias_name="df"))
+        .materialize()  # vocabulary-sized aggregate, NOT the corpus
+    )
+    voc = agg.groupby("w").aggregate(Sum("df", alias_name="df_total"))
+    joined = agg.select_columns(["source", "w", "tf"]).join(
+        voc, join_type="inner", num_partitions=16, on=("w",)
+    )
+
+    def score_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "source": df["source"],
+                "term": df["w"],
+                "tf": df["tf"].astype("int64"),
+                "df": df["df_total"].astype("int64"),
+            }
+        )
+        out["score_ppm"] = out["tf"] * 1_000_000 // out["df"]
+        out = out.sort_values(
+            ["source", "score_ppm", "term"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return out.groupby("source", sort=False).head(k)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["score_ppm", "term"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["source", "term", "tf", "df", "score_ppm", "rnk"]]
+
+    return (
+        joined.map_batches(score_partial, batch_format="pandas")
+        .groupby("source")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def stratified_sample(sf_dir: str):
+    """Deterministic per-stratum sampling: each source keeps a different,
+    content-independent fraction of its documents — the data-mixing /
+    re-weighting operator of a training-data pipeline (e.g. downsample web
+    crawl, keep all of wikipedia).
+
+    The keep decision is a pure function of the row: 62-bit rolling hash of
+    the salted doc id, modulo 1000, kept iff below the stratum's permille
+    rate; the rate itself derives from the source id
+    (``(sid * 37) % 900 + 50`` — every stratum keeps 5%..94.9%). Pure
+    filter map: no shuffle, no state, stable under re-sharding, and the
+    SAME rows survive at any scale or partitioning (exactly reproducible in
+    SQL). Output: surviving (doc_id, source, slot, rate_permille).
+    """
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64())
+        src = batch.column("source").combine_chunks()
+        slots = hash62_batch(["s:" + str(i) for i in ids.to_pylist()]) % 1000
+        sid = pc.cast(pc.utf8_slice_codeunits(src, 3, 32), pa.int64()).to_numpy()
+        rate = (sid * 37) % 900 + 50
+        keep = pa.array(slots < rate)
+        return pa.table(
+            {
+                "doc_id": ids,
+                "source": src,
+                "slot": pa.array(slots),
+                "rate_permille": pa.array(rate),
+            }
+        ).filter(keep)
+
+    return _docs_with_source(sf_dir).map_batches(sample, batch_format="pyarrow")
+
+
+def _docs_with_source(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )

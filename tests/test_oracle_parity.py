@@ -25,13 +25,18 @@ SUBSET = [
     "top_docs_per_source",
     "bigram_counts",
     "approx_distinct_hll",
+    "revenue_by_priority",
+    "revenue_by_nation",
+    "group_quantiles",
+    "tfidf_top_terms",
+    "stratified_sample",
 ]
 
 
 @pytest.fixture(scope="module")
 def oracle_con():
     con = duckdb.connect()
-    for t in ["documents", "embeddings", "events"]:
+    for t in ["documents", "embeddings", "events", "orders", "lineitem", "customer", "nation"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     return con
 
