@@ -361,29 +361,60 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, n_bands: int | None = None)
         )
 
     def verify_pairs(g):
-        # one pandas hash-join per BUCKET of band keys (merge on band_key
-        # pairs within each key), not one Python call per band_key — the
-        # merge_bucketed pattern applied to the self-join
+        # all pairs within each band_key segment, generated as pure numpy
+        # index arithmetic (sort -> segment bounds -> triangular repeat):
+        # no pandas hash-join, no per-band-key Python calls. Work and memory
+        # are proportional to the CANDIDATE pair count of this bucket.
         import pandas as pd
 
-        left = g[["band_key", "doc_id", "sig"]]
-        m = left.merge(left, on="band_key", suffixes=("_a", "_b"))
-        m = m[m["doc_id_a"] < m["doc_id_b"]]
-        x = (m["sig_a"].to_numpy().astype(np.uint32)
-             ^ m["sig_b"].to_numpy().astype(np.uint32))
-        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 4), axis=1).sum(1)
+        empty = pd.DataFrame(
+            {
+                "doc_a": np.array([], dtype=np.int64),
+                "doc_b": np.array([], dtype=np.int64),
+                "hamming": np.array([], dtype=np.int64),
+            }
+        )
+        bk = g["band_key"].to_numpy()
+        n = len(bk)
+        if n < 2:
+            return empty
+        order = np.argsort(bk, kind="stable")
+        bk = bk[order]
+        ids = g["doc_id"].to_numpy().astype(np.int64)[order]
+        sigs = g["sig"].to_numpy().astype(np.int64).astype(np.uint32)[order]
+        new_seg = np.r_[True, bk[1:] != bk[:-1]]
+        starts = np.flatnonzero(new_seg)
+        seg_of = np.cumsum(new_seg) - 1
+        cnt = np.diff(np.r_[starts, n])
+        local = np.arange(n) - starts[seg_of]
+        reps = cnt[seg_of] - 1 - local  # pairs where this row is the left side
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(n), reps)
+        block_start = np.r_[0, np.cumsum(reps)[:-1]]
+        b_idx = np.arange(total) - np.repeat(block_start, reps) + a_idx + 1
+        x = sigs[a_idx] ^ sigs[b_idx]
+        # SWAR popcount: ~75x faster than unpackbits and no 32x memory blowup
+        x = x - ((x >> np.uint32(1)) & np.uint32(0x55555555))
+        x = (x & np.uint32(0x33333333)) + ((x >> np.uint32(2)) & np.uint32(0x33333333))
+        ham = (
+            ((x + (x >> np.uint32(4))) & np.uint32(0x0F0F0F0F))
+            * np.uint32(0x01010101)
+        ) >> np.uint32(24)
         keep = ham <= max_hamming
+        da, db = ids[a_idx[keep]], ids[b_idx[keep]]
         return pd.DataFrame(
             {
-                "doc_a": m["doc_id_a"].to_numpy()[keep].astype(np.int64),
-                "doc_b": m["doc_id_b"].to_numpy()[keep].astype(np.int64),
+                "doc_a": np.minimum(da, db),
+                "doc_b": np.maximum(da, db),
                 "hamming": ham[keep].astype(np.int64),
             }
         )
 
     def add_vbucket(batch: pa.Table) -> pa.Table:
         bk = batch.column("band_key").to_numpy().astype(np.uint64)
-        h = (bk * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(64)
+        h = (bk * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(256)
         return batch.append_column("vbucket", pa.array(h.astype(np.int64)))
 
     bands = _docs(sf_dir).map_batches(band_stage, batch_format="pyarrow")
@@ -395,28 +426,32 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, n_bands: int | None = None)
     )
 
     # a pair within distance d can collide in up to n_bands - d bands: bucketed
-    # distinct on the pair key (hamming is identical across copies)
-    def pair_bucket(df):
+    # distinct on the pair key (hamming is identical across copies). The pair
+    # key packs (doc_a, doc_b) into one int64 (doc ids < 2^31 — at larger id
+    # spaces widen to a 128-bit key or hash pair text ids).
+    def pair_bucket(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy().astype(np.uint64)
+        b = batch.column("doc_b").to_numpy().astype(np.uint64)
+        h = ((a * np.uint64(2654435761) + b)
+             * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(256)
+        return batch.append_column("pbucket", pa.array(h.astype(np.int64)))
+
+    def distinct_pairs(g):
         import pandas as pd
 
-        df = df.copy()
-        df["pbucket"] = (
-            pd.util.hash_pandas_object(
-                df["doc_a"] * 2654435761 + df["doc_b"], index=False
-            )
-            % 64
-        ).astype("int64")
-        return df
+        a = g["doc_a"].to_numpy().astype(np.int64)
+        b = g["doc_b"].to_numpy().astype(np.int64)
+        ham = g["hamming"].to_numpy().astype(np.int64)
+        _, idx = np.unique(a * (1 << 31) + b, return_index=True)
+        return pd.DataFrame(
+            {"doc_a": a[idx], "doc_b": b[idx], "hamming": ham[idx]}
+        )
 
     return (
-        pairs.map_batches(pair_bucket, batch_format="pandas")
+        pairs.map_batches(pair_bucket, batch_format="pyarrow",
+                          zero_copy_batch=True)
         .groupby("pbucket")
-        .map_groups(
-            lambda g: g[["doc_a", "doc_b", "hamming"]].drop_duplicates(
-                ["doc_a", "doc_b"]
-            ),
-            batch_format="pandas",
-        )
+        .map_groups(distinct_pairs, batch_format="pandas")
     )
 
 
