@@ -160,6 +160,66 @@ def word_shingles(text: str, k: int = 3) -> set[str]:
     return {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
 
 
+def word_shingles_batch(texts, k: int = 3):
+    """Distinct k-word shingles for a whole batch of documents, vectorized.
+
+    Output matches ``word_shingles`` doc by doc (same distinct shingle sets),
+    but the kernel is all-Arrow/numpy: one split_pattern over the batch,
+    k-gram assembly via take + binary_join_element_wise, per-doc dedup via
+    dictionary_encode + np.unique on a packed (doc, code) key — zero Python
+    string ops.
+
+    Returns ``(doc_idx, shingles, n_sh)``: int64 numpy array of local doc
+    indices (one row per DISTINCT shingle of that doc), a pa.StringArray of
+    the shingles, and an int64 numpy array of length n_docs with each doc's
+    distinct-shingle count (0 for docs shorter than k words).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) else pa.array(
+        texts, type=pa.string()
+    )
+    arr = pc.cast(arr, pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n_docs = len(arr)
+    empty = (
+        np.array([], dtype=np.int64),
+        pa.array([], type=pa.string()),
+        np.zeros(n_docs, dtype=np.int64),
+    )
+    if n_docs == 0:
+        return empty
+    words = pc.split_pattern(arr, " ")
+    offsets = words.offsets.to_numpy()
+    flat = words.values
+    cnt = np.diff(offsets)
+    m = np.maximum(cnt - k + 1, 0)  # shingle starts per doc (with dups)
+    total = int(m.sum())
+    if total == 0:
+        return empty
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), m)
+    block_start = np.r_[0, np.cumsum(m)[:-1]]
+    pos = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(block_start, m)
+        + np.repeat(offsets[:-1].astype(np.int64), m)
+    )
+    parts = [pc.take(flat, pa.array(pos + j)) for j in range(k)]
+    sh = parts[0] if k == 1 else pc.binary_join_element_wise(*parts, " ")
+    # per-doc distinct: dictionary codes packed with the doc index
+    enc = pc.dictionary_encode(sh)
+    codes = enc.indices.to_numpy().astype(np.int64)
+    vocab = enc.dictionary
+    packed = doc_idx * np.int64(len(vocab)) + codes
+    _, first = np.unique(packed, return_index=True)
+    first.sort()  # keep within-doc first-occurrence order
+    doc_u = doc_idx[first]
+    n_sh = np.bincount(doc_u, minlength=n_docs).astype(np.int64)
+    return doc_u, pc.take(vocab, pa.array(codes[first])), n_sh
+
+
 def minhash_signature(shingles: set[str], num_perm: int = 16) -> list[str]:
     """num_perm md5-based min-hashes, compared as lowercase hex STRINGS
     (lexicographic min == DuckDB ``min(md5(...))``)."""

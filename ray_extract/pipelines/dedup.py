@@ -32,7 +32,7 @@ from ..functions.hashing import (
     md5_str,
     minhash_signature,
     simhash32_batch,
-    word_shingles,
+    word_shingles_batch,
 )
 
 
@@ -64,21 +64,15 @@ def exact_dedup(sf_dir: str):
 # ---------------------------------------------------------- n-gram Jaccard
 def _shingle_stage(k: int):
     def shingles(batch: pa.Table) -> pa.Table:
-        doc_ids: list[int] = []
-        shs: list[str] = []
-        sizes: list[int] = []
-        for did, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            s = word_shingles(text, k)
-            doc_ids.extend([did] * len(s))
-            shs.extend(s)
-            sizes.extend([len(s)] * len(s))
+        # all-Arrow distinct k-shingles for the whole batch (functions/
+        # hashing.word_shingles_batch) — ~2x the per-row Python loop
+        doc_u, sh, n_sh = word_shingles_batch(batch.column("text"), k)
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids, type=pa.int64()),
-                "shingle": pa.array(shs, type=pa.string()),
-                "n_sh": pa.array(sizes, type=pa.int64()),
+                "doc_id": pa.array(ids[doc_u]),
+                "shingle": sh,
+                "n_sh": pa.array(n_sh[doc_u]),
             }
         )
 
@@ -112,24 +106,82 @@ def _bucket_pairs(join_cols: list[str], carry: list[str], max_key_df: int | None
     count is the exact global document frequency — no extra shuffle needed.
     None disables the cap (keeps the SQL oracle exhaustive)."""
 
+    def _names(c: str) -> tuple[str, str]:
+        return ("na", "nb") if c == "n_sh" else (c + "_a", c + "_b")
+
     def pairs(g):
         import pandas as pd
 
-        left = g[join_cols + ["doc_id"] + carry]
-        if max_key_df is not None:
-            df_counts = left.groupby(join_cols, sort=False)[join_cols[0]].transform("size")
-            left = left[df_counts <= max_key_df]
-        m = left.merge(left, on=join_cols, suffixes=("_a", "_b"))
-        m = m[m["doc_id_a"] < m["doc_id_b"]]
-        out = pd.DataFrame(
-            {"doc_a": m["doc_id_a"].to_numpy(), "doc_b": m["doc_id_b"].to_numpy()}
+        empty = pd.DataFrame(
+            {
+                "doc_a": np.array([], dtype=np.int64),
+                "doc_b": np.array([], dtype=np.int64),
+                **{
+                    name: np.array([], dtype=np.int64)
+                    for c in carry
+                    for name in _names(c)
+                },
+            }
         )
+        n = len(g)
+        if n < 2:
+            return empty
+        # factorize string keys to int codes; sort once; equal-key segments
+        # then pair via triangular index arithmetic — work and memory are
+        # proportional to the candidate PAIR count, no pandas hash-join
+        key_codes = []
+        for c in join_cols:
+            col = g[c]
+            if col.dtype == object or str(col.dtype) in ("string", "large_string"):
+                codes, _ = pd.factorize(col, sort=False)
+                key_codes.append(codes.astype(np.int64))
+            else:
+                key_codes.append(col.to_numpy().astype(np.int64))
+        order = np.lexsort(key_codes[::-1])
+        keys = [k[order] for k in key_codes]
+        ids = g["doc_id"].to_numpy().astype(np.int64)[order]
+        carried = {c: g[c].to_numpy()[order] for c in carry}
+        new_seg = np.zeros(n, dtype=bool)
+        new_seg[0] = True
+        for k in keys:
+            new_seg[1:] |= k[1:] != k[:-1]
+        starts = np.flatnonzero(new_seg)
+        seg_of = np.cumsum(new_seg) - 1
+        cnt = np.diff(np.r_[starts, n])
+        if max_key_df is not None:
+            keep_rows = cnt[seg_of] <= max_key_df
+            if not keep_rows.all():
+                ids = ids[keep_rows]
+                carried = {c: v[keep_rows] for c, v in carried.items()}
+                new_seg = new_seg[keep_rows].copy()
+                n = len(ids)
+                if n < 2:
+                    return empty
+                new_seg[0] = True
+                starts = np.flatnonzero(new_seg)
+                seg_of = np.cumsum(new_seg) - 1
+                cnt = np.diff(np.r_[starts, n])
+        local = np.arange(n) - starts[seg_of]
+        reps = cnt[seg_of] - 1 - local  # pairs where this row is the left side
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(n), reps)
+        block_start = np.r_[0, np.cumsum(reps)[:-1]]
+        b_idx = np.arange(total) - np.repeat(block_start, reps) + a_idx + 1
+        da, db = ids[a_idx], ids[b_idx]
+        valid = da != db  # same doc sharing a key twice is not a pair
+        if not valid.all():
+            a_idx, b_idx = a_idx[valid], b_idx[valid]
+            da, db = da[valid], db[valid]
+        swap = da > db  # orient carry columns with (doc_a < doc_b)
+        out = {"doc_a": np.where(swap, db, da), "doc_b": np.where(swap, da, db)}
         for c in carry:
-            out["na" if c == "n_sh" else c + "_a"] = m[c + "_a"].to_numpy()
-            out["nb" if c == "n_sh" else c + "_b"] = m[c + "_b"].to_numpy()
-        if out.empty:
-            out = out.astype("int64", errors="ignore")
-        return out
+            va, vb = carried[c][a_idx], carried[c][b_idx]
+            name_a, name_b = _names(c)
+            out[name_a] = np.where(swap, vb, va)
+            out[name_b] = np.where(swap, va, vb)
+        return pd.DataFrame(out)
 
     return pairs
 
@@ -156,40 +208,39 @@ def ngram_jaccard_pairs(sf_dir: str, k: int = 3, num: int = 1, den: int = 2,
     # measured at 360s for 1.3M pair rows (Ray's sort-aggregate over a two-
     # column key); hash-bucketing the PAIR key and aggregating vectorized
     # inside 64 groups does the same in seconds.
-    def pair_bucket(df):
-        import pandas as pd
-
-        df = df.copy()
-        df["pbucket"] = (
-            pd.util.hash_pandas_object(
-                df["doc_a"] * 2654435761 + df["doc_b"], index=False
-            )
-            % num_buckets
-        ).astype("int64")
-        return df
+    def pair_bucket(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy().astype(np.uint64)
+        b = batch.column("doc_b").to_numpy().astype(np.uint64)
+        h = ((a * np.uint64(2654435761) + b)
+             * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_buckets)
+        return batch.append_column("pbucket", pa.array(h.astype(np.int64)))
 
     def agg_bucket(g):
-        out = (
-            g.groupby(["doc_a", "doc_b"], sort=False)
-            .agg(inter=("na", "size"), na=("na", "first"), nb=("nb", "first"))
-            .reset_index()
-        )
-        uni = out["na"] + out["nb"] - out["inter"]
-        keep = den * out["inter"] >= num * uni
-        out = out[keep]
         import pandas as pd
 
+        # shared-shingle count per pair via np.unique on a packed int64 pair
+        # key (doc ids < 2^31); na/nb are per-doc constants so any occurrence
+        # serves. No pandas multi-key groupby.
+        a = g["doc_a"].to_numpy().astype(np.int64)
+        b = g["doc_b"].to_numpy().astype(np.int64)
+        key = a * (1 << 31) + b
+        _, first, inter = np.unique(key, return_index=True, return_counts=True)
+        na = g["na"].to_numpy().astype(np.int64)[first]
+        nb = g["nb"].to_numpy().astype(np.int64)[first]
+        uni = na + nb - inter
+        keep = den * inter >= num * uni
         return pd.DataFrame(
             {
-                "doc_a": out["doc_a"].astype("int64").to_numpy(),
-                "doc_b": out["doc_b"].astype("int64").to_numpy(),
-                "inter": out["inter"].astype("int64").to_numpy(),
-                "uni": uni[keep].astype("int64").to_numpy(),
+                "doc_a": a[first][keep],
+                "doc_b": b[first][keep],
+                "inter": inter[keep].astype(np.int64),
+                "uni": uni[keep],
             }
         )
 
     return (
-        pairs.map_batches(pair_bucket, batch_format="pandas")
+        pairs.map_batches(pair_bucket, batch_format="pyarrow",
+                          zero_copy_batch=True)
         .groupby("pbucket")
         .map_groups(agg_bucket, batch_format="pandas")
     )
@@ -212,24 +263,15 @@ def minhash_lsh_pairs(sf_dir: str, k: int = 3, num_perm: int = 16, band_rows: in
     def band_stage(batch: pa.Table) -> pa.Table:
         from ..functions.duck import duck
 
-        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
-        texts = batch.column("text").to_pylist()
-        doc_idx: list[int] = []
-        shingle_col: list[str] = []
-        empty_docs: list[int] = []
-        for i, text in enumerate(texts):
-            s = word_shingles(text, k)
-            if not s:
-                empty_docs.append(i)
-                continue
-            doc_idx.extend([i] * len(s))
-            shingle_col.extend(s)
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        doc_u, shingles, n_sh = word_shingles_batch(batch.column("text"), k)
+        empty_docs = np.flatnonzero(n_sh == 0).tolist()
         parts: list[pa.Table] = []
-        if doc_idx:
+        if len(doc_u):
             sh = pa.table(
                 {
-                    "doc_idx": pa.array(doc_idx, type=pa.int64()),
-                    "shingle": pa.array(shingle_col, type=pa.string()),
+                    "doc_idx": pa.array(doc_u),
+                    "shingle": shingles,
                 }
             )
             con = duck()
@@ -290,26 +332,29 @@ def minhash_lsh_pairs(sf_dir: str, k: int = 3, num_perm: int = 16, band_rows: in
         _bucket_pairs(["band_id", "band_sig"], []), batch_format="pandas"
     )
 
-    # distinct pairs (a pair can collide in several bands): single-key bucket
-    # + vectorized drop_duplicates (multi-key groupby aggregates are slow)
-    def pair_bucket(df):
+    # distinct pairs (a pair can collide in several bands): bucketed distinct
+    # on a packed int64 pair key via np.unique (multi-key groupby aggregates
+    # are slow; doc ids < 2^31)
+    def pair_bucket(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy().astype(np.uint64)
+        b = batch.column("doc_b").to_numpy().astype(np.uint64)
+        h = ((a * np.uint64(2654435761) + b)
+             * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(64)
+        return batch.append_column("pbucket", pa.array(h.astype(np.int64)))
+
+    def distinct_pairs(g):
         import pandas as pd
 
-        df = df.copy()
-        df["pbucket"] = (
-            pd.util.hash_pandas_object(
-                df["doc_a"] * 2654435761 + df["doc_b"], index=False
-            )
-            % 64
-        ).astype("int64")
-        return df
+        a = g["doc_a"].to_numpy().astype(np.int64)
+        b = g["doc_b"].to_numpy().astype(np.int64)
+        _, idx = np.unique(a * (1 << 31) + b, return_index=True)
+        return pd.DataFrame({"doc_a": a[idx], "doc_b": b[idx]})
 
     return (
-        pairs.map_batches(pair_bucket, batch_format="pandas")
+        pairs.map_batches(pair_bucket, batch_format="pyarrow",
+                          zero_copy_batch=True)
         .groupby("pbucket")
-        .map_groups(
-            lambda g: g[["doc_a", "doc_b"]].drop_duplicates(), batch_format="pandas"
-        )
+        .map_groups(distinct_pairs, batch_format="pandas")
     )
 
 

@@ -85,3 +85,18 @@ def test_minhash_duckdb_band_parity(texts):
             """
         ).fetchall()
         assert [g[0] for g in got] == expect
+
+
+@given(texts_strategy, st.sampled_from([1, 2, 3, 5]))
+@settings(max_examples=60, deadline=None)
+def test_word_shingles_batch_parity(strs, k):
+    from ray_extract.functions.hashing import word_shingles_batch
+
+    doc_u, sh, n_sh = word_shingles_batch(strs, k)
+    got = [set() for _ in strs]
+    for d, s in zip(doc_u, sh.to_pylist()):
+        got[d].add(s)
+    for i, t in enumerate(strs):
+        want = word_shingles(t, k)
+        assert got[i] == want
+        assert n_sh[i] == len(want)
