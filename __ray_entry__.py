@@ -691,6 +691,30 @@ def _q_stratified_sample(sf_dir: str):
     return stratified_sample(sf_dir)
 
 
+def _q_customers_without_orders(sf_dir: str):
+    from ray_extract.pipelines.relational import customers_without_orders
+
+    return customers_without_orders(sf_dir)
+
+
+def _q_events_cumulative(sf_dir: str):
+    from ray_extract.pipelines.events import cumulative_stats
+
+    return cumulative_stats(sf_dir)
+
+
+def _q_stopword_scrub(sf_dir: str):
+    from ray_extract.pipelines.text import stopword_scrub
+
+    return stopword_scrub(sf_dir)
+
+
+def _q_bpe_token_counts(sf_dir: str):
+    from ray_extract.pipelines.text import bpe_token_counts
+
+    return bpe_token_counts(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -739,6 +763,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_quantiles": _q_group_quantiles,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "stratified_sample": _q_stratified_sample,
+        "customers_without_orders": _q_customers_without_orders,
+        "events_cumulative": _q_events_cumulative,
+        "stopword_scrub": _q_stopword_scrub,
+        "bpe_token_counts": _q_bpe_token_counts,
     }
 
 
@@ -1150,5 +1178,44 @@ WITH d AS (SELECT doc_id, source,
                   (CAST(substr(source, 4) AS BIGINT) * 37) % 900 + 50 AS rate_permille
            FROM documents)
 SELECT doc_id, source, slot, rate_permille FROM d WHERE slot < rate_permille
+""",
+        "customers_without_orders": """
+SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
+       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+""",
+        "events_cumulative": """
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS run_n,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT)
+         AS run_value_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+        "stopword_scrub": r"""
+WITH c AS (SELECT doc_id,
+  trim(regexp_replace(regexp_replace(
+      text, '\b(the|a|and|of|to|in|is|it|on|for)\b', '', 'g'),
+      ' {2,}', ' ', 'g'), ' ') AS clean_text,
+  CAST(len(regexp_extract_all(
+      text, '\b(the|a|and|of|to|in|is|it|on|for)\b')) AS BIGINT) AS n_removed
+  FROM documents)
+SELECT doc_id, clean_text, n_removed,
+       CAST(length(clean_text) AS BIGINT) AS clean_chars
+FROM c
+""",
+        "bpe_token_counts": """
+WITH t AS (SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))
+    AS BIGINT) AS n_bpe_tokens
+  FROM documents)
+SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+       n_bpe_tokens * 100 // n_ws_tokens AS bpe_per_100_ws
+FROM t
 """,
     }

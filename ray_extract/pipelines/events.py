@@ -219,3 +219,80 @@ def sessionize(sf_dir: str, gap_minutes: int = 30, num_buckets: int = 64):
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def cumulative_stats(sf_dir: str, num_buckets: int = 64):
+    """Per-user RUNNING aggregates — SQL window functions
+    (``SUM(...) OVER (PARTITION BY user ORDER BY ts ROWS UNBOUNDED
+    PRECEDING)``) as a distributed batch computation, an operator Ray Data
+    has no native form of.
+
+    Scale shape: same as sessionize — users are hash-bucketed into
+    ``num_buckets`` int keys (the one shuffle; per-bucket memory is
+    corpus/num_buckets regardless of user skew), and each bucket computes
+    every user's running count/sum in ONE vectorized pass: lexsort by
+    (user, ts, event_id) — a total order, event_id is unique — then a
+    global cumsum with per-user segment rebasing (subtract the prefix at
+    each user's first row). No per-user Python calls. Money is integer
+    cents so the DuckDB window-function oracle is exact.
+
+    Output: (event_id, user_id, run_n, run_value_cents) — one row per
+    event carrying its user's running event count and running value sum
+    at-and-including that event.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch.column("user_id"), pa.int64()).to_numpy()
+        bucket = np.abs((uid * np.int64(2654435761)) % np.int64(num_buckets))
+        cents = np.floor(batch.column("value").to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+                "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+                "ts": batch.column("ts"),
+                "cents": pa.array(cents),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, eid = uid[order], eid[order]
+        cents = g["cents"].to_numpy()[order]
+        n = len(g)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        seg_first = np.flatnonzero(new_user)
+        counts = np.diff(np.r_[seg_first, n])
+        csum = np.cumsum(cents)
+        base = np.repeat(csum[seg_first] - cents[seg_first], counts)
+        run_n = np.arange(n, dtype=np.int64) - np.repeat(seg_first, counts) + 1
+        return pd.DataFrame(
+            {
+                "event_id": eid,
+                "user_id": uid,
+                "run_n": run_n,
+                "run_value_cents": csum - base,
+            }
+        )
+
+    ds = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "value"],
+        )
+    )
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

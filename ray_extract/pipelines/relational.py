@@ -255,3 +255,67 @@ def group_quantiles(sf_dir: str, percentiles: tuple[int, ...] = (50, 90)):
         return pd.DataFrame([row])
 
     return counts.groupby("l_returnflag").map_groups(select, batch_format="pandas")
+
+
+def customers_without_orders(
+    sf_dir: str, priority: str = "1-URGENT", num_partitions: int = 16
+):
+    """Customers with no order of the given priority — the distributed
+    ANTI-JOIN (the "which documents have no near-duplicate / no label / no
+    embedding" shape of a training-data pipeline, exercised on the TPC-H
+    pair; every customer has SOME order in the synthetic data, so the
+    predicate keeps the result non-trivial).
+
+    Scale shape: the orders side is filtered AT THE READ (predicate
+    pushdown — only matching row groups leave storage) and reduced to
+    per-batch DISTINCT custkeys inside map_batches (combiner — the shuffle
+    moves one row per distinct key per block, not one per order), then Ray
+    Data's native hash-shuffle ``left_anti`` join partitions BOTH sides on
+    the key across ``num_partitions`` aggregators. No side is broadcast or
+    materialized on the driver, so it holds when both sides are 100-TB
+    tables. Money is integer cents (floor(x*100+0.5)) for an exact SQL
+    oracle.
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def cust_prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": pc.cast(batch.column("c_custkey"), pa.int64()),
+                "nationkey": pc.cast(batch.column("c_nationkey"), pa.int64()),
+                "acctbal_cents": pa.array(_cents(batch.column("c_acctbal"))),
+            }
+        )
+
+    def orders_keys(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"o_custkey": pc.cast(batch.column("o_custkey"), pa.int64())}
+        )
+        return t.group_by("o_custkey").aggregate([])  # block-local distinct
+
+    cust = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_nationkey", "c_acctbal"],
+        )
+    ).map_batches(cust_prep, batch_format="pyarrow")
+
+    import pyarrow.dataset as pads
+
+    orders = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey"],
+            filter=pads.field("o_orderpriority") == priority,
+        )
+    ).map_batches(orders_keys, batch_format="pyarrow")
+
+    return cust.join(
+        orders,
+        join_type="left_anti",
+        num_partitions=num_partitions,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )

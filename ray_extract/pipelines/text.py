@@ -594,3 +594,72 @@ def _docs_with_source(sf_dir: str):
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
     )
+
+
+# stopwords scrubbed by stopword_scrub; \b word boundaries are RE2 semantics
+# in BOTH pyarrow (replace_substring_regex) and DuckDB (regexp_replace 'g')
+STOPWORD_PATTERN = r"\b(the|a|and|of|to|in|is|it|on|for)\b"
+
+
+def stopword_scrub(sf_dir: str):
+    """Stopword removal + whitespace normalization — the text-cleaning
+    operator of a training-data pipeline (boilerplate/stopword scrubbing
+    before tokenization), fully vectorized and SQL-reproducible.
+
+    Three RE2 kernels per batch, all in Arrow C++ (zero Python string ops):
+    count matches (n_removed), global-replace stopwords with '', collapse
+    runs of spaces, trim. DuckDB's regexp_* functions are RE2 with identical
+    semantics, so the oracle reproduces the cleaned text byte-for-byte.
+    Pure per-row map: no shuffle, trivially partition-parallel at any scale.
+
+    Output: (doc_id, clean_text, n_removed, clean_chars).
+    """
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        n_removed = pc.count_substring_regex(text, STOPWORD_PATTERN)
+        cleaned = pc.replace_substring_regex(text, STOPWORD_PATTERN, "")
+        cleaned = pc.replace_substring_regex(cleaned, " {2,}", " ")
+        cleaned = pc.utf8_trim(cleaned, " ")
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "clean_text": cleaned,
+                "n_removed": pc.cast(n_removed, pa.int64()),
+                "clean_chars": pc.cast(pc.utf8_length(cleaned), pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(scrub, batch_format="pyarrow")
+
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, punctuation runs, each
+# optionally glued to one leading space (the GPT-2 pre-tokenizer shape,
+# lowercase-ASCII simplified so RE2 behavior is identical in Arrow + DuckDB)
+BPE_PATTERN = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+def bpe_token_counts(sf_dir: str):
+    """Per-document token counts under two tokenizers — whitespace and a
+    BPE-ish regex pre-tokenizer (the "how many tokens will training see"
+    estimator). Non-overlapping leftmost-first matching is identical
+    between pyarrow's count_substring_regex and DuckDB's
+    regexp_extract_all, so the oracle is exact. Pure per-row map.
+
+    Output: (doc_id, n_ws_tokens, n_bpe_tokens, bpe_per_100_ws).
+    """
+
+    def count(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        n_ws = pc.add(pc.count_substring(text, " "), 1).to_numpy().astype(np.int64)
+        n_bpe = pc.count_substring_regex(text, BPE_PATTERN).to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_ws_tokens": pa.array(n_ws),
+                "n_bpe_tokens": pa.array(n_bpe),
+                "bpe_per_100_ws": pa.array(n_bpe * 100 // n_ws),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(count, batch_format="pyarrow")

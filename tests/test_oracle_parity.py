@@ -30,6 +30,10 @@ SUBSET = [
     "group_quantiles",
     "tfidf_top_terms",
     "stratified_sample",
+    "customers_without_orders",
+    "events_cumulative",
+    "stopword_scrub",
+    "bpe_token_counts",
 ]
 
 
