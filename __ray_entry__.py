@@ -715,6 +715,18 @@ def _q_bpe_token_counts(sf_dir: str):
     return bpe_token_counts(sf_dir)
 
 
+def _q_sequence_pack(sf_dir: str):
+    from ray_extract.pipelines.text import sequence_pack
+
+    return sequence_pack(sf_dir)
+
+
+def _q_distinct_users_by_type(sf_dir: str):
+    from ray_extract.pipelines.events import distinct_users_by_type
+
+    return distinct_users_by_type(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -767,6 +779,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cumulative": _q_events_cumulative,
         "stopword_scrub": _q_stopword_scrub,
         "bpe_token_counts": _q_bpe_token_counts,
+        "sequence_pack": _q_sequence_pack,
+        "distinct_users_by_type": _q_distinct_users_by_type,
     }
 
 
@@ -1217,5 +1231,22 @@ WITH t AS (SELECT doc_id,
 SELECT doc_id, n_ws_tokens, n_bpe_tokens,
        n_bpe_tokens * 100 // n_ws_tokens AS bpe_per_100_ws
 FROM t
+""",
+        "sequence_pack": """
+WITH t AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+      FROM t)
+SELECT doc_id, n_tokens, cum - n_tokens AS offset_start,
+       (cum - n_tokens) // 512 AS bin_id
+FROM c
+""",
+        "distinct_users_by_type": """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
 """,
     }

@@ -296,3 +296,70 @@ def cumulative_stats(sf_dir: str, num_buckets: int = 64):
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def distinct_users_by_type(sf_dir: str, num_buckets: int = 64):
+    """Exact COUNT(DISTINCT user_id) per event_type — the exact counterpart
+    of approx_distinct_hll, shaped for scale.
+
+    1. combiner: per-batch DISTINCT (event_type, user_id) via an Arrow
+       group_by — the shuffle moves one row per distinct pair per block,
+       not one per event.
+    2. ONE shuffle on hash(user_id): every copy of a (type, user) pair
+       lands in the same bucket, so a bucket-local distinct is globally
+       exact. Inside the bucket: factorize type, pack (user, type_code)
+       into one int64, np.unique, then a tiny per-type partial count.
+    3. final groupby(event_type) sums n_buckets partials per type.
+
+    No stage holds more than (distinct pairs / num_buckets) rows.
+    Output: (event_type, n_users).
+    """
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+            }
+        ).group_by(["event_type", "user_id"]).aggregate([])
+        uid = t.column("user_id").to_numpy()
+        bucket = np.abs((uid * np.int64(2654435761)) % np.int64(num_buckets))
+        return t.append_column("bucket", pa.array(bucket))
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        codes, types = pd.factorize(g["event_type"], sort=False)
+        uid = g["user_id"].to_numpy()
+        packed = uid * np.int64(len(types)) + codes
+        _, first = np.unique(packed, return_index=True)
+        n_per_type = np.bincount(codes[first], minlength=len(types))
+        return pd.DataFrame(
+            {"event_type": types, "n": n_per_type.astype(np.int64)}
+        )
+
+    ds = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+        )
+    )
+    agg = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_counts, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n_users": pc.cast(t.column("n_users"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -663,3 +663,86 @@ def bpe_token_counts(sf_dir: str):
         )
 
     return _docs(sf_dir).map_batches(count, batch_format="pyarrow")
+
+
+def sequence_pack(sf_dir: str, bin_tokens: int = 512, shard_docs: int = 256):
+    """Greedy sequence packing for training: documents are laid end-to-end
+    in doc_id order and cut into fixed ``bin_tokens`` bins — each doc gets
+    its global token offset and bin id (the "pack short docs into training
+    sequences" operator; a doc starting in bin b at offset o occupies
+    [o, o + n_tokens)).
+
+    This is a distributed GLOBAL PREFIX SUM — the one pattern here that
+    needs two passes by construction:
+    1. combiner pass: per-batch (shard, token_sum) partials, where
+       shard = doc_id // shard_docs; the groupby reduces to ONE ROW PER
+       SHARD (corpus_size / shard_docs rows — metadata-scale, e.g. 4M rows
+       for 10^9 docs at the default).
+    2. The exclusive cumsum over shard sums runs on the driver — O(#shards)
+       metadata, NOT O(rows); the offsets array ships to stage 3 in the
+       task closure (at larger shard counts, ``ray.put`` it).
+    3. groupby(shard).map_groups: each shard sorts its docs by doc_id and
+       rebases a local cumsum on the shard's global offset. One vectorized
+       pass per shard, no per-doc Python.
+
+    Output: (doc_id, n_tokens, offset_start, bin_id); exact int arithmetic
+    (oracle = SUM OVER (ORDER BY doc_id)).
+    """
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def tokens_stage(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        nt = pc.add(pc.count_substring(text, " "), 1).to_numpy().astype(np.int64)
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_tokens": pa.array(nt),
+                "shard": pa.array(ids // shard_docs),
+            }
+        )
+
+    toks = strip_schema_metadata(_docs(sf_dir)).map_batches(
+        tokens_stage, batch_format="pyarrow"
+    )
+    # executed once; reused by the shard-sum pass and the final pass
+    toks = toks.materialize()
+
+    def shard_partial(batch: pa.Table) -> pa.Table:
+        return batch.select(["shard", "n_tokens"]).group_by("shard").aggregate(
+            [("n_tokens", "sum")]
+        )
+
+    shard_sums = (
+        toks.map_batches(shard_partial, batch_format="pyarrow")
+        .groupby("shard")
+        .aggregate(Sum("n_tokens_sum", alias_name="tok"))
+        .to_pandas()  # metadata-scale: one row per shard
+        .sort_values("shard")
+    )
+    csum = shard_sums["tok"].to_numpy().cumsum()
+    offsets = dict(
+        zip(
+            shard_sums["shard"].to_numpy().tolist(),
+            np.r_[0, csum[:-1]].tolist(),
+        )
+    )
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        nt = g["n_tokens"].to_numpy()
+        start = int(offsets[int(g["shard"].iloc[0])]) + np.r_[0, nt[:-1].cumsum()]
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_tokens": nt,
+                "offset_start": start,
+                "bin_id": start // bin_tokens,
+            }
+        )
+
+    return toks.groupby("shard").map_groups(per_shard, batch_format="pandas")

@@ -34,6 +34,8 @@ SUBSET = [
     "events_cumulative",
     "stopword_scrub",
     "bpe_token_counts",
+    "sequence_pack",
+    "distinct_users_by_type",
 ]
 
 
