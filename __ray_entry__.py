@@ -727,6 +727,12 @@ def _q_distinct_users_by_type(sf_dir: str):
     return distinct_users_by_type(sf_dir)
 
 
+def _q_revenue_by_quantity_band(sf_dir: str):
+    from ray_extract.pipelines.relational import revenue_by_quantity_band
+
+    return revenue_by_quantity_band(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -781,6 +787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": _q_bpe_token_counts,
         "sequence_pack": _q_sequence_pack,
         "distinct_users_by_type": _q_distinct_users_by_type,
+        "revenue_by_quantity_band": _q_revenue_by_quantity_band,
     }
 
 
@@ -1248,5 +1255,15 @@ FROM c
         "distinct_users_by_type": """
 SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type
+""",
+        "revenue_by_quantity_band": """
+WITH bands(lo, hi, band) AS (
+  VALUES (1, 5, 'tiny'), (6, 15, 'small'), (16, 30, 'mid'), (31, 50, 'bulk'))
+SELECT band, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+            AS BIGINT) AS revenue_x10000
+FROM lineitem JOIN bands ON l_quantity BETWEEN lo AND hi
+GROUP BY band
 """,
     }

@@ -319,3 +319,75 @@ def customers_without_orders(
         on=("c_custkey",),
         right_on=("o_custkey",),
     )
+
+
+# quantity bands for the broadcast range join: (lo, hi) inclusive, label.
+# Deliberately non-uniform so searchsorted is doing real work.
+QTY_BANDS = [(1, 5, "tiny"), (6, 15, "small"), (16, 30, "mid"), (31, 50, "bulk")]
+
+
+def revenue_by_quantity_band(sf_dir: str):
+    """Revenue per quantity band — the BROADCAST RANGE JOIN (non-equi):
+    every lineitem row matched to the band whose [lo, hi] contains its
+    quantity, then revenue aggregated per band.
+
+    Scale shape: the interval side is tiny and static, so the right
+    strategy is NOT a shuffle join but a broadcast + vectorized interval
+    probe — band edges ship in the task closure (``ray.put`` for bigger
+    interval tables) and each batch resolves every row with ONE
+    ``np.searchsorted`` against the sorted lower edges (intervals here are
+    contiguous and non-overlapping; overlapping intervals would emit one
+    row per match instead). Per-batch partial aggregation means the final
+    groupby moves ~4 rows per block. Money in cents x (100 - disc_pct),
+    exact int64.
+
+    Output: (band, n_items, revenue_x10000).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    lo_edges = np.array([b[0] for b in QTY_BANDS], dtype=np.int64)
+    labels = np.array([b[2] for b in QTY_BANDS])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = pc.cast(batch.column("l_quantity"), pa.int64()).to_numpy()
+        rev = _cents(batch.column("l_extendedprice")) * (
+            100 - _cents(batch.column("l_discount"))
+        )
+        band_idx = np.searchsorted(lo_edges, qty, side="right") - 1
+        t = pa.table(
+            {
+                "band": pa.array(labels[band_idx]),
+                "n": pa.array(np.ones(len(qty), dtype=np.int64)),
+                "rev": pa.array(rev),
+            }
+        )
+        return t.group_by("band").aggregate([("n", "sum"), ("rev", "sum")])
+
+    agg = (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_quantity", "l_extendedprice", "l_discount"],
+            )
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(
+            Sum("n_sum", alias_name="n_items"),
+            Sum("rev_sum", alias_name="revenue_x10000"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "band": t.column("band"),
+                "n_items": pc.cast(t.column("n_items"), pa.int64()),
+                "revenue_x10000": pc.cast(t.column("revenue_x10000"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

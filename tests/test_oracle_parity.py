@@ -36,6 +36,7 @@ SUBSET = [
     "bpe_token_counts",
     "sequence_pack",
     "distinct_users_by_type",
+    "revenue_by_quantity_band",
 ]
 
 
