@@ -733,6 +733,12 @@ def _q_revenue_by_quantity_band(sf_dir: str):
     return revenue_by_quantity_band(sf_dir)
 
 
+def _q_events_lag_rolling(sf_dir: str):
+    from ray_extract.pipelines.events import lag_rolling_stats
+
+    return lag_rolling_stats(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -788,6 +794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": _q_sequence_pack,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "revenue_by_quantity_band": _q_revenue_by_quantity_band,
+        "events_lag_rolling": _q_events_lag_rolling,
     }
 
 
@@ -1265,5 +1272,17 @@ SELECT band, CAST(count(*) AS BIGINT) AS n_items,
             AS BIGINT) AS revenue_x10000
 FROM lineitem JOIN bands ON l_quantity BETWEEN lo AND hi
 GROUP BY band
+""",
+        "events_lag_rolling": """
+SELECT event_id, user_id,
+       CAST(coalesce(date_diff('microsecond', LAG(ts) OVER w, ts), -1)
+            AS BIGINT) AS prev_delta_us,
+       CAST(COUNT(*) OVER w4 AS BIGINT) AS roll_n,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w4 AS BIGINT)
+         AS roll_value_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+       w4 AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
 """,
     }

@@ -363,3 +363,93 @@ def distinct_users_by_type(sf_dir: str, num_buckets: int = 64):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def lag_rolling_stats(sf_dir: str, window_rows: int = 4, num_buckets: int = 64):
+    """LAG + fixed-row ROLLING window aggregates per user — completes the
+    window-function family (cumulative_stats = UNBOUNDED PRECEDING,
+    asof_join = temporal, sessionize = gap windows; this is LAG(ts) and
+    SUM OVER (... ROWS window_rows-1 PRECEDING)).
+
+    Scale shape identical to cumulative_stats: one hash(user) shuffle,
+    then per bucket ONE vectorized pass — lexsort by (user, ts, event_id),
+    lag via a shifted array with user-boundary masking, rolling sum via
+    cumsum difference clipped at each user's segment start. No per-user
+    Python calls, bucket memory = corpus/num_buckets.
+
+    Output: (event_id, user_id, prev_delta_us [-1 for a user's first
+    event], roll_n, roll_value_cents) where roll_* cover the trailing
+    ``window_rows`` events including the current one, truncated at the
+    user's start.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch.column("user_id"), pa.int64()).to_numpy()
+        bucket = np.abs((uid * np.int64(2654435761)) % np.int64(num_buckets))
+        cents = np.floor(batch.column("value").to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+                "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+                "ts": batch.column("ts"),
+                "cents": pa.array(cents),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid = uid[order], ts[order], eid[order]
+        cents = g["cents"].to_numpy()[order]
+        n = len(g)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        # LAG(ts): microsecond delta to the previous event of the same user
+        delta = np.full(n, -1, dtype=np.int64)
+        if n > 1:
+            d = (ts[1:] - ts[:-1]).astype("timedelta64[us]").astype(np.int64)
+            keep = ~new_user[1:]
+            delta[1:][keep] = d[keep]
+        # rolling over the trailing window_rows rows, truncated at the
+        # user's first row: windowed cumsum difference
+        seg_first = np.flatnonzero(new_user)
+        counts = np.diff(np.r_[seg_first, n])
+        pos_in_user = np.arange(n, dtype=np.int64) - np.repeat(seg_first, counts)
+        win_start_local = np.maximum(pos_in_user - (window_rows - 1), 0)
+        win_start = win_start_local + np.repeat(seg_first, counts)
+        csum = np.cumsum(cents)
+        # a window never crosses a user boundary (win_start >= seg_first);
+        # rows whose window starts at global index 0 subtract nothing
+        base = np.where(win_start > 0, csum[win_start - 1], 0)
+        roll_value = csum - base
+        roll_n = pos_in_user - win_start_local + 1
+        return pd.DataFrame(
+            {
+                "event_id": eid,
+                "user_id": uid,
+                "prev_delta_us": delta,
+                "roll_n": roll_n,
+                "roll_value_cents": roll_value,
+            }
+        )
+
+    ds = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "value"],
+        )
+    )
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -37,6 +37,7 @@ SUBSET = [
     "sequence_pack",
     "distinct_users_by_type",
     "revenue_by_quantity_band",
+    "events_lag_rolling",
 ]
 
 
