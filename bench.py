@@ -192,10 +192,25 @@ def run_bench() -> dict:
         sentence_dedup,
         simhash_pairs,
     )
-    from ray_extract.pipelines.events import asof_join, sessionize, windowed_counts
+    from ray_extract.pipelines.events import (
+        asof_join,
+        cumulative_stats,
+        lag_rolling_stats,
+        sessionize,
+        windowed_counts,
+    )
     from ray_extract.pipelines.html import html_main_content
+    from ray_extract.pipelines.relational import (
+        revenue_by_priority,
+        revenue_by_quantity_band,
+    )
     from ray_extract.pipelines.similarity import ann_bruteforce, embedding_dedup
-    from ray_extract.pipelines.text import bigram_counts, quality_scores
+    from ray_extract.pipelines.text import (
+        bigram_counts,
+        quality_scores,
+        sequence_pack,
+        tfidf_top_terms,
+    )
 
     timed("dedup_exact", lambda: exact_dedup(SF_DIR).count())
     timed("dedup_ngram_jaccard", lambda: ngram_jaccard_pairs(SF_DIR).count())
@@ -210,6 +225,13 @@ def run_bench() -> dict:
     timed("sentence_dedup", lambda: sentence_dedup(SF_DIR).count())
     timed("bigram_counts", lambda: bigram_counts(SF_DIR).count())
     timed("html_main_content", lambda: html_main_content(SF_DIR).count())
+    timed("events_cumulative", lambda: cumulative_stats(SF_DIR).count())
+    timed("events_lag_rolling", lambda: lag_rolling_stats(SF_DIR).count())
+    timed("tfidf_top_terms", lambda: tfidf_top_terms(SF_DIR).count())
+    timed("sequence_pack", lambda: sequence_pack(SF_DIR).count())
+    timed("revenue_by_priority", lambda: revenue_by_priority(SF_DIR).count())
+    timed("revenue_by_quantity_band",
+          lambda: revenue_by_quantity_band(SF_DIR).count())
 
     result = {
         "metric": "extract_headline",

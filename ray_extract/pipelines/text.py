@@ -465,9 +465,17 @@ def tfidf_top_terms(sf_dir: str, k: int = 5):
        The result is vocabulary-sized (|terms| x |sources| upper bound,
        zipf-bounded in practice) — materialized ONCE so the df reduction
        and the join don't recompute the corpus scan.
-    3. groupby(term) over that aggregate -> df(term); native hash-shuffle
-       ``Dataset.join`` back on term (big-big on the vocabulary, exchanged
-       on the term key — no driver materialization of either side).
+    3. groupby(term) over that aggregate -> df(term), then the df table is
+       BROADCAST (``ray.put`` once, zero-copy ``ray.get`` + Arrow hash join
+       per batch) back onto the distributed (source, term, tf) aggregate.
+       A vocabulary df table is zipf-small relative to the corpus, so
+       broadcast beats a shuffle join here; for vocabularies too large to
+       broadcast, hash-bucket BOTH sides on the term and join bucket-local.
+       (A native ``Dataset.join`` also works but trips a Ray 2.49 edge: the
+       join schema reaches aggregators only with each input's first block,
+       and groupby outputs can START with an empty block — partitions that
+       then receive no rows finalize a column-less table and the Arrow join
+       fails. Broadcast sidesteps the shuffle entirely.)
     4. Grouped top-k with the same combiner shape as top_docs_per_source:
        per-batch head(k) per source, final per-source reduction over
        <= k x n_blocks candidate rows. Tiebreak: score desc, term asc.
@@ -518,18 +526,44 @@ def tfidf_top_terms(sf_dir: str, k: int = 5):
         .aggregate(Sum("tf", alias_name="tf"), Sum("df", alias_name="df"))
         .materialize()  # vocabulary-sized aggregate, NOT the corpus
     )
-    voc = agg.groupby("w").aggregate(Sum("df", alias_name="df_total"))
-    joined = agg.select_columns(["source", "w", "tf"]).join(
-        voc, join_type="inner", num_partitions=16, on=("w",)
+    import ray
+
+    voc_pd = agg.groupby("w").aggregate(Sum("df", alias_name="df_total")).to_pandas()
+    voc_tbl = pa.table(
+        {
+            "w": pa.array(voc_pd["w"], type=pa.string()),
+            "df_total": pa.array(voc_pd["df_total"].to_numpy().astype(np.int64)),
+        }
+    )
+    voc_ref = ray.put(voc_tbl)
+
+    _EMPTY = pd.DataFrame(
+        {
+            "source": pd.Series([], dtype=object),
+            "term": pd.Series([], dtype=object),
+            "tf": pd.Series([], dtype="int64"),
+            "df": pd.Series([], dtype="int64"),
+            "score_ppm": pd.Series([], dtype="int64"),
+        }
     )
 
-    def score_partial(df: pd.DataFrame) -> pd.DataFrame:
+    def score_partial(batch: pa.Table) -> pd.DataFrame:
+        if batch.num_columns == 0 or len(batch) == 0:
+            return _EMPTY
+        dim = ray.get(voc_ref)  # zero-copy from the local object store
+        j = pa.table(
+            {
+                "source": pc.cast(batch.column("source"), pa.string()),
+                "w": pc.cast(batch.column("w"), pa.string()),
+                "tf": pc.cast(batch.column("tf"), pa.int64()),
+            }
+        ).join(dim, keys="w", join_type="inner")
         out = pd.DataFrame(
             {
-                "source": df["source"],
-                "term": df["w"],
-                "tf": df["tf"].astype("int64"),
-                "df": df["df_total"].astype("int64"),
+                "source": j.column("source").to_pandas(),
+                "term": j.column("w").to_pandas(),
+                "tf": j.column("tf").to_numpy(),
+                "df": j.column("df_total").to_numpy(),
             }
         )
         out["score_ppm"] = out["tf"] * 1_000_000 // out["df"]
@@ -538,6 +572,8 @@ def tfidf_top_terms(sf_dir: str, k: int = 5):
             kind="mergesort",
         )
         return out.groupby("source", sort=False).head(k)
+
+    joined = agg.select_columns(["source", "w", "tf"])
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(
@@ -548,7 +584,7 @@ def tfidf_top_terms(sf_dir: str, k: int = 5):
         return g[["source", "term", "tf", "df", "score_ppm", "rnk"]]
 
     return (
-        joined.map_batches(score_partial, batch_format="pandas")
+        joined.map_batches(score_partial, batch_format="pyarrow")
         .groupby("source")
         .map_groups(final, batch_format="pandas")
     )
