@@ -112,12 +112,18 @@ def _bucket_pairs(join_cols: list[str], carry: list[str], max_key_df: int | None
     def pairs(g):
         import pandas as pd
 
-        empty = pd.DataFrame(
+        # NOTE: input arrives as pandas (the sort/groupby machinery), but the
+        # output is a metadata-free Arrow table: pandas->Arrow conversion via
+        # from_pandas attaches pandas schema metadata, and metadata-carrying
+        # schemas are UNHASHABLE (hash(pa.Schema) raises on the metadata
+        # dict), which makes every downstream shuffle log schema-dedup
+        # warnings and defeats block-schema caching.
+        empty = pa.table(
             {
-                "doc_a": np.array([], dtype=np.int64),
-                "doc_b": np.array([], dtype=np.int64),
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
                 **{
-                    name: np.array([], dtype=np.int64)
+                    name: pa.array([], type=pa.int64())
                     for c in carry
                     for name in _names(c)
                 },
@@ -181,7 +187,7 @@ def _bucket_pairs(join_cols: list[str], carry: list[str], max_key_df: int | None
             name_a, name_b = _names(c)
             out[name_a] = np.where(swap, vb, va)
             out[name_b] = np.where(swap, va, vb)
-        return pd.DataFrame(out)
+        return pa.table(out)
 
     return pairs
 
@@ -410,13 +416,13 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, n_bands: int | None = None)
         # index arithmetic (sort -> segment bounds -> triangular repeat):
         # no pandas hash-join, no per-band-key Python calls. Work and memory
         # are proportional to the CANDIDATE pair count of this bucket.
-        import pandas as pd
-
-        empty = pd.DataFrame(
+        # Output is a metadata-free Arrow table (pandas-converted blocks
+        # carry unhashable schema metadata into the next shuffle).
+        empty = pa.table(
             {
-                "doc_a": np.array([], dtype=np.int64),
-                "doc_b": np.array([], dtype=np.int64),
-                "hamming": np.array([], dtype=np.int64),
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "hamming": pa.array([], type=pa.int64()),
             }
         )
         bk = g["band_key"].to_numpy()
@@ -449,7 +455,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, n_bands: int | None = None)
         ) >> np.uint32(24)
         keep = ham <= max_hamming
         da, db = ids[a_idx[keep]], ids[b_idx[keep]]
-        return pd.DataFrame(
+        return pa.table(
             {
                 "doc_a": np.minimum(da, db),
                 "doc_b": np.maximum(da, db),

@@ -189,16 +189,20 @@ def extract_routed(corpus_dir: str, cfg: Optional[ExtractConfig] = None):
     import pyarrow.dataset as pads
     import ray.data as rd
 
+    from ..functions.tables import strip_schema_metadata
+
     cfg = cfg or ExtractConfig()
     cols = ["doc_id", "payload", "n_pages"]
-    small = rd.read_parquet(
+    # strip pandas parquet metadata at the read: metadata-carrying schemas
+    # are unhashable and defeat shuffle schema-dedup downstream
+    small = strip_schema_metadata(rd.read_parquet(
         corpus_dir, columns=cols,
         filter=pads.field("n_pages") <= cfg.split_threshold_pages,
-    )
-    large = rd.read_parquet(
+    ))
+    large = strip_schema_metadata(rd.read_parquet(
         corpus_dir, columns=cols,
         filter=pads.field("n_pages") > cfg.split_threshold_pages,
-    )
+    ))
     if cfg.small_blocks:
         small = small.repartition(cfg.small_blocks)
     if cfg.large_blocks:

@@ -85,7 +85,11 @@ def synth_dataset(documents_path: str, amplify: int = 1, heavy_tail: bool = Fals
     """documents.parquet -> lazy Dataset of (doc_id, payload, n_pages, n_spans)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(documents_path, columns=["doc_id", "source", "text"])
+    from ..functions.tables import strip_schema_metadata
+
+    ds = strip_schema_metadata(
+        rd.read_parquet(documents_path, columns=["doc_id", "source", "text"])
+    )
     return ds.map_batches(
         make_synth_stage(amplify=amplify, heavy_tail=heavy_tail, with_meta=with_meta),
         batch_format="pyarrow",
