@@ -739,6 +739,12 @@ def _q_events_lag_rolling(sf_dir: str):
     return lag_rolling_stats(sf_dir)
 
 
+def _q_dedup_clusters(sf_dir: str):
+    from ray_extract.pipelines.dedup import duplicate_clusters
+
+    return duplicate_clusters(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -795,6 +801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_by_type": _q_distinct_users_by_type,
         "revenue_by_quantity_band": _q_revenue_by_quantity_band,
         "events_lag_rolling": _q_events_lag_rolling,
+        "dedup_clusters": _q_dedup_clusters,
     }
 
 
@@ -802,7 +809,7 @@ def oracle_sql() -> dict[str, str]:
     roll_text = _ROLL.format(col="text")
     roll_w = _ROLL.format(col="w")
     roll_id = _ROLL.format(col="CAST(doc_id AS VARCHAR)")
-    return {
+    d = {
         "extract_spans": _SPANS_CTE
         + """
 SELECT s.did AS doc_id, s.i AS ord, CAST(s.i AS VARCHAR) AS block_id, s.kind,
@@ -1286,3 +1293,21 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
 """,
     }
+    # connected components over the simhash pair graph: recursive min-label
+    # closure composed over the dedup_simhash oracle (kept as one source of
+    # truth for the pair semantics)
+    d["dedup_clusters"] = f"""
+WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({d["dedup_simhash"]}) t),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+cc(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, cc.label FROM edges e JOIN cc ON cc.node = e.b
+)
+SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN min(label) = node THEN 1 ELSE 0 END AS BIGINT)
+         AS is_canonical
+FROM cc GROUP BY node
+"""
+    return d

@@ -620,3 +620,92 @@ def sentence_dedup(sf_dir: str, chunk_words: int = 10, num_buckets: int = 64):
         .groupby("dbucket")
         .map_groups(reassemble, batch_format="pandas")
     )
+
+
+# ------------------------------------------------- duplicate-cluster resolve
+def duplicate_clusters(sf_dir: str, max_iters: int = 64):
+    """Connected components over the simhash near-duplicate pair graph —
+    the cluster-resolution step a real dedup pipeline runs AFTER pair
+    generation (pairs only say "a~b"; keeping one doc per duplicate GROUP
+    needs the transitive closure).
+
+    Algorithm: iterative min-label propagation until fixpoint (labels start
+    as doc ids; each round every node takes the min label among itself and
+    its neighbors; at convergence label = component minimum = canonical
+    doc). Iterations are bounded by the cluster diameter — near-dup
+    clusters are shallow, so this converges in a handful of rounds.
+
+    Scale shape: the EDGE table (pair-scale) stays distributed and is
+    materialized once, then every round is one map_batches over edges — a
+    vectorized searchsorted lookup against the broadcast (ray.put) node->
+    label array, with a per-batch partial min per destination (sort +
+    minimum.reduceat combiner). Only NODE-scale data (docs that have at
+    least one near-duplicate — a small fraction of any corpus) touches the
+    driver, and the convergence check is a vector compare. For node tables
+    too large to broadcast, swap the lookup stage for a co-partitioned
+    join and keep the same iteration structure (or use pointer-jumping to
+    cut rounds to O(log diameter)).
+
+    Output: (doc_id, cluster_id, is_canonical) for every doc that appears
+    in at least one qualifying pair; cluster_id = min doc_id of the
+    component, is_canonical = 1 for the doc that would be KEPT.
+    """
+    import ray
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy().astype(np.int64)
+        b = batch.column("doc_b").to_numpy().astype(np.int64)
+        return pa.table({"src": np.r_[a, b], "dst": np.r_[b, a]})
+
+    edges = (
+        simhash_pairs(sf_dir)
+        .map_batches(sym, batch_format="pyarrow")
+        .materialize()  # pair-scale, reused every round
+    )
+
+    def node_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": np.unique(batch.column("src").to_numpy())})
+
+    nodes = np.unique(
+        edges.map_batches(node_partial, batch_format="pyarrow")
+        .to_pandas()["node"]
+        .to_numpy()
+    )
+    labels = nodes.copy()
+
+    for _ in range(max_iters):
+        nodes_ref = ray.put(nodes)
+        labels_ref = ray.put(labels)
+
+        def prop(batch: pa.Table) -> pa.Table:
+            nds = ray.get(nodes_ref)
+            lab = ray.get(labels_ref)
+            src = batch.column("src").to_numpy()
+            dst = batch.column("dst").to_numpy()
+            lsrc = lab[np.searchsorted(nds, src)]
+            order = np.argsort(dst, kind="stable")
+            dst_s, lsrc_s = dst[order], lsrc[order]
+            starts = np.r_[0, np.flatnonzero(dst_s[1:] != dst_s[:-1]) + 1]
+            return pa.table(
+                {
+                    "node": dst_s[starts],
+                    "cand": np.minimum.reduceat(lsrc_s, starts),
+                }
+            )
+
+        parts = edges.map_batches(prop, batch_format="pyarrow").to_pandas()
+        cand = parts.groupby("node")["cand"].min()
+        new = labels.copy()
+        idx = np.searchsorted(nodes, cand.index.to_numpy())
+        np.minimum.at(new, idx, cand.to_numpy())
+        if (new == labels).all():
+            break
+        labels = new
+
+    return pa.table(
+        {
+            "doc_id": pa.array(nodes),
+            "cluster_id": pa.array(labels),
+            "is_canonical": pa.array((nodes == labels).astype(np.int64)),
+        }
+    )

@@ -38,6 +38,7 @@ SUBSET = [
     "distinct_users_by_type",
     "revenue_by_quantity_band",
     "events_lag_rolling",
+    "dedup_clusters",
 ]
 
 
