@@ -745,6 +745,12 @@ def _q_dedup_clusters(sf_dir: str):
     return duplicate_clusters(sf_dir)
 
 
+def _q_source_vocab_overlap(sf_dir: str):
+    from ray_extract.pipelines.text import source_vocab_overlap
+
+    return source_vocab_overlap(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -802,6 +808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_quantity_band": _q_revenue_by_quantity_band,
         "events_lag_rolling": _q_events_lag_rolling,
         "dedup_clusters": _q_dedup_clusters,
+        "source_vocab_overlap": _q_source_vocab_overlap,
     }
 
 
@@ -1291,6 +1298,19 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
        w4 AS (PARTITION BY user_id ORDER BY ts, event_id
               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+""",
+        "source_vocab_overlap": """
+WITH w0 AS (SELECT source, unnest(string_split(text, ' ')) AS w
+            FROM documents),
+sw AS (SELECT DISTINCT source, w FROM w0 WHERE w <> ''),
+p AS (SELECT a.source sa, b.source sb, CAST(count(*) AS BIGINT) inter
+      FROM sw a JOIN sw b ON a.w = b.w AND a.source < b.source
+      GROUP BY 1, 2),
+n AS (SELECT source, CAST(count(*) AS BIGINT) nv FROM sw GROUP BY 1)
+SELECT sa AS source_a, sb AS source_b, inter,
+       na.nv + nb.nv - inter AS uni,
+       inter * 1000000 // (na.nv + nb.nv - inter) AS jaccard_ppm
+FROM p JOIN n na ON p.sa = na.source JOIN n nb ON p.sb = nb.source
 """,
     }
     # connected components over the simhash pair graph: recursive min-label

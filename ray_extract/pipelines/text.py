@@ -782,3 +782,169 @@ def sequence_pack(sf_dir: str, bin_tokens: int = 512, shard_docs: int = 256):
         )
 
     return toks.groupby("shard").map_groups(per_shard, batch_format="pandas")
+
+
+def source_vocab_overlap(sf_dir: str, num_buckets: int = 64):
+    """Pairwise vocabulary Jaccard between sources — the corpus-mixing
+    analysis of a training-data pipeline (which sources carry the same
+    content / should be down-weighted together).
+
+    Scale shape:
+    1. map_batches combiner: per-batch DISTINCT (source, word) via
+       dictionary_encode + packed np.unique (one row per distinct pair per
+       block, never one per occurrence).
+    2. ONE shuffle on hash(word): every copy of a (source, word) pair lands
+       in the same bucket, so the bucket-local distinct + within-word
+       source pairing (the same triangular machinery as ``_bucket_pairs``)
+       is globally exact. Emits one row per (word, source pair).
+    3. Pair counts reduce via a packed-key combiner; per-source vocabulary
+       sizes come from a tiny separate aggregate (|sources| rows). The
+       final assembly is |sources|^2/2 rows — driver-scale by definition.
+
+    Output: (source_a, source_b, inter, uni, jaccard_ppm), source_a <
+    source_b lexicographically; jaccard_ppm = inter * 10^6 // uni.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def distinct_pairs_stage(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        words = pc.split_pattern(text, " ")
+        flat = words.values
+        per_doc = np.diff(words.offsets.to_numpy())
+        doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), per_doc)
+        src_codes, src_vals = pd.factorize(
+            batch.column("source").to_pandas(), sort=False
+        )
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy().astype(np.int64)
+        vocab = enc.dictionary
+        keep = pc.not_equal(vocab, "").to_numpy(zero_copy_only=False)
+        ok = keep[codes]
+        codes, doc_idx = codes[ok], doc_idx[ok]
+        src_of = src_codes[doc_idx].astype(np.int64)
+        packed = src_of * np.int64(len(vocab)) + codes
+        u = np.unique(packed)
+        return pa.table(
+            {
+                "source": pa.array(np.asarray(src_vals)[(u // len(vocab))]),
+                "w": pc.take(vocab, pa.array(u % len(vocab))),
+            }
+        )
+
+    sw = (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["source", "text"]
+            )
+        )
+        .map_batches(distinct_pairs_stage, batch_format="pyarrow")
+        .map_batches(_bucket_on_word, batch_format="pandas")
+    )
+
+    def word_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # bucket-local distinct, then all (source_a < source_b) pairs per word
+        g = g.drop_duplicates(["source", "w"])
+        codes, words_u = pd.factorize(g["w"], sort=False)
+        src = g["source"].to_numpy()
+        order = np.argsort(codes, kind="stable")
+        codes, src = codes[order], src[order]
+        n = len(codes)
+        if n < 2:
+            return pd.DataFrame({"sa": [], "sb": []}).astype(str)
+        new_seg = np.r_[True, codes[1:] != codes[:-1]]
+        starts = np.flatnonzero(new_seg)
+        seg_of = np.cumsum(new_seg) - 1
+        cnt = np.diff(np.r_[starts, n])
+        local = np.arange(n) - starts[seg_of]
+        reps = cnt[seg_of] - 1 - local
+        total = int(reps.sum())
+        if total == 0:
+            return pd.DataFrame({"sa": [], "sb": []}).astype(str)
+        a_idx = np.repeat(np.arange(n), reps)
+        block_start = np.r_[0, np.cumsum(reps)[:-1]]
+        b_idx = np.arange(total) - np.repeat(block_start, reps) + a_idx + 1
+        sa, sb = src[a_idx], src[b_idx]
+        swap = sa > sb
+        return pd.DataFrame(
+            {"sa": np.where(swap, sb, sa), "sb": np.where(swap, sa, sb)}
+        )
+
+    pair_rows = (
+        sw.groupby("bucket").map_groups(word_pairs, batch_format="pandas")
+    )
+
+    def pair_count_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or len(batch) == 0:
+            return pa.table(
+                {
+                    "sa": pa.array([], type=pa.string()),
+                    "sb": pa.array([], type=pa.string()),
+                    "inter": pa.array([], type=pa.int64()),
+                }
+            )
+        t = pa.table(
+            {
+                "sa": pc.cast(batch.column("sa"), pa.string()),
+                "sb": pc.cast(batch.column("sb"), pa.string()),
+            }
+        ).group_by(["sa", "sb"]).aggregate([("sa", "count")])
+        return pa.table(
+            {
+                "sa": t.column("sa"),
+                "sb": t.column("sb"),
+                "inter": pc.cast(t.column("sa_count"), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    inter = (
+        pair_rows.map_batches(pair_count_partial, batch_format="pyarrow")
+        .groupby(["sa", "sb"])
+        .aggregate(Sum("inter", alias_name="inter"))
+        .to_pandas()  # |sources|^2 / 2 rows
+    )
+
+    # per-source vocabulary sizes: bucket-local distinct is global (stage 2)
+    sizes = (
+        sw.groupby("bucket")
+        .map_groups(
+            lambda g: g.drop_duplicates(["source", "w"])
+            .groupby("source", sort=False)
+            .size()
+            .rename("nv")
+            .reset_index(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("source")["nv"]
+        .sum()
+    )
+
+    na = sizes.loc[inter["sa"]].to_numpy().astype(np.int64)
+    nb = sizes.loc[inter["sb"]].to_numpy().astype(np.int64)
+    iv = inter["inter"].to_numpy().astype(np.int64)
+    uni = na + nb - iv
+    out = pa.table(
+        {
+            "source_a": pa.array(inter["sa"], type=pa.string()),
+            "source_b": pa.array(inter["sb"], type=pa.string()),
+            "inter": pa.array(iv),
+            "uni": pa.array(uni),
+            "jaccard_ppm": pa.array(iv * 1_000_000 // uni),
+        }
+    )
+    return out
+
+
+def _bucket_on_word(df):
+    import pandas as pd
+
+    df = df.copy()
+    df["bucket"] = (
+        pd.util.hash_pandas_object(df["w"], index=False) % 64
+    ).astype("int64")
+    return df

@@ -39,6 +39,7 @@ SUBSET = [
     "revenue_by_quantity_band",
     "events_lag_rolling",
     "dedup_clusters",
+    "source_vocab_overlap",
 ]
 
 
