@@ -751,6 +751,72 @@ def _q_source_vocab_overlap(sf_dir: str):
     return source_vocab_overlap(sf_dir)
 
 
+def _q_pricing_summary(sf_dir: str):
+    from ray_extract.pipelines.relational import pricing_summary
+
+    return pricing_summary(sf_dir)
+
+
+def _q_top_order_per_priority(sf_dir: str):
+    from ray_extract.pipelines.relational import top_order_per_priority
+
+    return top_order_per_priority(sf_dir)
+
+
+def _q_rollup_revenue(sf_dir: str):
+    from ray_extract.pipelines.relational import rollup_revenue
+
+    return rollup_revenue(sf_dir)
+
+
+def _q_top_revenue_orders(sf_dir: str):
+    from ray_extract.pipelines.relational import top_revenue_orders
+
+    return top_revenue_orders(sf_dir)
+
+
+def _q_events_range_window(sf_dir: str):
+    from ray_extract.pipelines.events import range_window_stats
+
+    return range_window_stats(sf_dir)
+
+
+def _q_session_stats(sf_dir: str):
+    from ray_extract.pipelines.events import session_stats
+
+    return session_stats(sf_dir)
+
+
+def _q_events_hopping(sf_dir: str):
+    from ray_extract.pipelines.events import hopping_window_counts
+
+    return hopping_window_counts(sf_dir)
+
+
+def _q_doc_length_histogram(sf_dir: str):
+    from ray_extract.pipelines.text import doc_length_histogram
+
+    return doc_length_histogram(sf_dir)
+
+
+def _q_type_token_ratio(sf_dir: str):
+    from ray_extract.pipelines.text import type_token_ratio
+
+    return type_token_ratio(sf_dir)
+
+
+def _q_keyword_search(sf_dir: str):
+    from ray_extract.pipelines.text import keyword_search
+
+    return keyword_search(sf_dir)
+
+
+def _q_percentile_length_filter(sf_dir: str):
+    from ray_extract.pipelines.text import percentile_length_filter
+
+    return percentile_length_filter(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -809,6 +875,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_rolling": _q_events_lag_rolling,
         "dedup_clusters": _q_dedup_clusters,
         "source_vocab_overlap": _q_source_vocab_overlap,
+        "pricing_summary": _q_pricing_summary,
+        "top_order_per_priority": _q_top_order_per_priority,
+        "rollup_revenue": _q_rollup_revenue,
+        "top_revenue_orders": _q_top_revenue_orders,
+        "events_range_window": _q_events_range_window,
+        "session_stats": _q_session_stats,
+        "events_hopping": _q_events_hopping,
+        "doc_length_histogram": _q_doc_length_histogram,
+        "type_token_ratio": _q_type_token_ratio,
+        "keyword_search": _q_keyword_search,
+        "percentile_length_filter": _q_percentile_length_filter,
     }
 
 
@@ -1312,6 +1389,124 @@ SELECT sa AS source_a, sb AS source_b, inter,
        inter * 1000000 // (na.nv + nb.nv - inter) AS jaccard_ppm
 FROM p JOIN n na ON p.sa = na.source JOIN n nb ON p.sb = nb.source
 """,
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+            AS BIGINT) AS sum_disc_x10000,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT)))
+            AS BIGINT) AS sum_charge_x1000000,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-01-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "top_order_per_priority": """
+WITH p AS (
+  SELECT o_orderpriority,
+         max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 4294967296
+             + o_orderkey) AS packed
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       CAST(packed % 4294967296 AS BIGINT) AS top_orderkey,
+       CAST(packed // 4294967296 AS BIGINT) AS top_price_cents
+FROM p
+""",
+        "rollup_revenue": """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+            AS BIGINT) AS revenue_x10000,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+        "top_revenue_orders": """
+WITH rev AS (
+  SELECT l.l_orderkey AS o_orderkey, o.o_orderdate,
+         CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
+              AS BIGINT) AS revenue_x10000
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    AND l.l_shipdate > TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2
+)
+SELECT o_orderkey, o_orderdate, revenue_x10000
+FROM rev ORDER BY revenue_x10000 DESC, o_orderkey ASC LIMIT 10
+""",
+        "events_range_window": """
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS win_n,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT)
+         AS win_value_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 60 MINUTE PRECEDING AND CURRENT ROW)
+""",
+        "events_hopping": """
+WITH e AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         epoch_us(ts) // 1800000000 AS slot
+  FROM events
+),
+x AS (
+  SELECT event_type, cents, slot - u.k AS wslot
+  FROM e, unnest(range(0, 2)) AS u(k)
+)
+SELECT event_type, make_timestamp(wslot * 1800000000) AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM x GROUP BY 1, 2
+""",
+        "doc_length_histogram": """
+SELECT lang, (n_chars // 64) * 64 AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+FROM documents GROUP BY 1, 2
+""",
+        "type_token_ratio": """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+           AS n_distinct
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_distinct,
+       n_distinct * 1000000 // n_tokens AS ttr_ppm
+FROM t
+""",
+        "keyword_search": """
+WITH s AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_match
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_match, n_match * 1000000 // n_docs AS match_ppm
+FROM s
+""",
+        "percentile_length_filter": """
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+q AS (SELECT CAST(quantile_disc(n_tokens, 0.95) AS BIGINT) AS thr FROM t)
+SELECT doc_id, n_tokens, q.thr AS thr_tokens
+FROM t, q WHERE n_tokens >= q.thr
+""",
     }
     # connected components over the simhash pair graph: recursive min-label
     # closure composed over the dedup_simhash oracle (kept as one source of
@@ -1329,5 +1524,17 @@ SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id,
        CAST(CASE WHEN min(label) = node THEN 1 ELSE 0 END AS BIGINT)
          AS is_canonical
 FROM cc GROUP BY node
+"""
+    # per-user session summary composed over the sessionize oracle (one
+    # source of truth for the gap-window semantics)
+    d["session_stats"] = f"""
+WITH base AS ({d["events_sessionize"]})
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(max(n_events) AS BIGINT) AS max_session_events,
+       CAST(sum(date_diff('microsecond', start_ts, end_ts)) AS BIGINT)
+         AS total_session_dur_us
+FROM base GROUP BY user_id
 """
     return d

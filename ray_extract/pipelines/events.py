@@ -453,3 +453,215 @@ def lag_rolling_stats(sf_dir: str, window_rows: int = 4, num_buckets: int = 64):
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def range_window_stats(sf_dir: str, gap_minutes: int = 60, num_buckets: int = 64):
+    """TIME-based rolling window per user — SQL's ``RANGE BETWEEN INTERVAL
+    g PRECEDING AND CURRENT ROW`` (vs the ROWS frame of lag_rolling_stats):
+    for each event, the count and value-sum of the same user's events in
+    the trailing ``gap_minutes`` wall-clock window, peers (equal ts)
+    included, exactly like the SQL RANGE frame.
+
+    Scale shape: one hash(user) shuffle, then per bucket ONE vectorized
+    pass with NO per-user calls: sort by (user, ts), then build a single
+    monotone composite axis ``comp = (ts - ts_min) + seg_id * OFFSET`` with
+    ``OFFSET > ts_range + gap`` so a binary search for ``comp - gap`` can
+    NEVER land in a previous user's segment — both window edges for every
+    row come from two global ``np.searchsorted`` calls, and the sums from a
+    cumsum difference. Bound: segments_per_bucket x (ts_range + gap) must
+    fit int64 — at 10^6 users/bucket and a 10-year range that is ~3*10^20,
+    so shard wider or rebase ts per segment beyond that.
+
+    Output: (event_id, user_id, win_n, win_value_cents).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    gap_us = np.int64(gap_minutes) * 60_000_000
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch.column("user_id"), pa.int64()).to_numpy()
+        bucket = np.abs((uid * np.int64(2654435761)) % np.int64(num_buckets))
+        cents = np.floor(batch.column("value").to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+                "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+                "ts": batch.column("ts"),
+                "cents": pa.array(cents),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts_us, uid))
+        uid, ts_us, eid = uid[order], ts_us[order], eid[order]
+        cents = g["cents"].to_numpy()[order]
+        n = len(g)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        seg_id = np.cumsum(new_user) - 1
+        ts0 = ts_us - ts_us.min()
+        offset = np.int64(ts0.max()) + gap_us + 1
+        comp = ts0 + seg_id * offset
+        lo = np.searchsorted(comp, comp - gap_us, side="left")
+        hi = np.searchsorted(comp, comp, side="right")
+        csum = np.cumsum(cents)
+        base = np.where(lo > 0, csum[lo - 1], 0)
+        return pd.DataFrame(
+            {
+                "event_id": eid,
+                "user_id": uid,
+                "win_n": (hi - lo).astype(np.int64),
+                "win_value_cents": csum[hi - 1] - base,
+            }
+        )
+
+    ds = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "value"],
+        )
+    )
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def session_stats(sf_dir: str, gap_minutes: int = 30, num_buckets: int = 64):
+    """Per-user session summary built ON TOP of the sessionize pipeline
+    (operator composition: the session table never materializes on the
+    driver — it flows straight into a partial-agg + small groupby).
+
+    All of a user's events share a hash bucket, so every session is
+    complete before aggregation; the per-batch combiner cuts the shuffle
+    to one row per (user, block). Durations are integer microseconds.
+
+    Output: (user_id, n_sessions, n_events, max_session_events,
+    total_session_dur_us).
+    """
+    from ray.data.aggregate import Max, Sum
+
+    sess = sessionize(sf_dir, gap_minutes=gap_minutes, num_buckets=num_buckets)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dur = (
+            batch.column("end_ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+            - batch.column("start_ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        t = pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ns": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "ne": pc.cast(batch.column("n_events"), pa.int64()),
+                "maxe": pc.cast(batch.column("n_events"), pa.int64()),
+                "dur": pa.array(dur),
+            }
+        )
+        return t.group_by("user_id").aggregate(
+            [("ns", "sum"), ("ne", "sum"), ("maxe", "max"), ("dur", "sum")]
+        )
+
+    agg = (
+        sess.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Sum("ns_sum", alias_name="n_sessions"),
+            Sum("ne_sum", alias_name="n_events"),
+            Max("maxe_max", alias_name="max_session_events"),
+            Sum("dur_sum", alias_name="total_session_dur_us"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        out = {"user_id": pc.cast(t.column("user_id"), pa.int64())}
+        for c in ["n_sessions", "n_events", "max_session_events",
+                  "total_session_dur_us"]:
+            out[c] = pc.cast(t.column(c), pa.int64())
+        return pa.table(out)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def hopping_window_counts(sf_dir: str, size_minutes: int = 60,
+                          hop_minutes: int = 30):
+    """HOPPING (sliding) event-time windows: size 60 min, hop 30 min —
+    every event contributes to size/hop (= 2) overlapping windows, unlike
+    the tumbling windows of windowed_counts.
+
+    Scale shape: the fan-out happens INSIDE map_batches (each batch emits
+    size/hop pre-aggregated partial rows per (type, window), not per
+    event), so the shuffle moves |types| x |windows| partials per block.
+    Window starts are integer slot arithmetic on epoch-microseconds —
+    exact, no timestamp-rounding ambiguity, and identical to the SQL
+    oracle's epoch_us // hop formula.
+
+    Output: (event_type, window_start, n_events, sum_cents).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    assert size_minutes % hop_minutes == 0
+    fan = size_minutes // hop_minutes
+    hop_us = np.int64(hop_minutes) * 60_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = batch.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = np.floor(batch.column("value").to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        slot = ts_us // hop_us
+        et = batch.column("event_type")
+        parts = []
+        for k in range(fan):
+            parts.append(
+                pa.table(
+                    {
+                        "event_type": et,
+                        "wslot": pa.array(slot - k),
+                        "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+                        "cents": pa.array(cents),
+                    }
+                )
+            )
+        t = pa.concat_tables(parts)
+        return t.group_by(["event_type", "wslot"]).aggregate(
+            [("n", "sum"), ("cents", "sum")]
+        )
+
+    agg = (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+            )
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "wslot"])
+        .aggregate(Sum("n_sum", alias_name="n_events"),
+                   Sum("cents_sum", alias_name="sum_cents"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        wslot = pc.cast(t.column("wslot"), pa.int64()).to_numpy()
+        ws = (wslot * hop_us).astype("datetime64[us]")
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "window_start": pa.array(ws),
+                "n_events": pc.cast(t.column("n_events"), pa.int64()),
+                "sum_cents": pc.cast(t.column("sum_cents"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -391,3 +391,374 @@ def revenue_by_quantity_band(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def pricing_summary(sf_dir: str, cutoff: str = "1999-01-01"):
+    """TPC-H Q1-shaped pricing summary: per (returnflag, linestatus) sums of
+    quantity, base price, discounted price and charge over lineitems shipped
+    at-or-before ``cutoff``.
+
+    Scale shape: the date predicate is pushed INTO the parquet read (row
+    groups outside the cutoff never leave storage), all four sums are
+    computed per batch into <= |flag x status| (~6) partial rows, and the
+    final groupby moves only those partials. Money is integer all the way:
+    cents, cents x (100 - disc_pct), cents x (100 - disc) x (100 + tax) —
+    exact in int64 up to ~10^5 x TPC-H-SF1000 row counts.
+
+    Output: (l_returnflag, l_linestatus, sum_qty, sum_base_cents,
+    sum_disc_x10000, sum_charge_x1000000, n_items).
+    """
+    import numpy as np
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch.column("l_extendedprice"))
+        disc = _cents(batch.column("l_discount"))
+        tax = _cents(batch.column("l_tax"))
+        disc_price = cents * (100 - disc)
+        t = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty": pc.cast(batch.column("l_quantity"), pa.int64()),
+                "base": pa.array(cents),
+                "disc_price": pa.array(disc_price),
+                "charge": pa.array(disc_price * (100 + tax)),
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base", "sum"), ("disc_price", "sum"),
+             ("charge", "sum"), ("n", "sum")]
+        )
+
+    import datetime
+
+    cut = datetime.datetime.fromisoformat(cutoff)
+    agg = (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=[
+                    "l_returnflag", "l_linestatus", "l_quantity",
+                    "l_extendedprice", "l_discount", "l_tax", "l_shipdate",
+                ],
+                filter=pads.field("l_shipdate") <= cut,
+            )
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_sum", alias_name="sum_qty"),
+            Sum("base_sum", alias_name="sum_base_cents"),
+            Sum("disc_price_sum", alias_name="sum_disc_x10000"),
+            Sum("charge_sum", alias_name="sum_charge_x1000000"),
+            Sum("n_sum", alias_name="n_items"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = ["sum_qty", "sum_base_cents", "sum_disc_x10000",
+                "sum_charge_x1000000", "n_items"]
+        out = {"l_returnflag": t.column("l_returnflag"),
+               "l_linestatus": t.column("l_linestatus")}
+        for c in cols:
+            out[c] = pc.cast(t.column(c), pa.int64())
+        return pa.table(out)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def top_order_per_priority(sf_dir: str):
+    """Distributed ARGMAX per group: for each order priority, the single
+    order with the highest total price (ties broken by the larger orderkey),
+    WITHOUT a sort — the (value, id) pair is packed into one int64
+    (``cents * 2^32 + orderkey``: lexicographic max == packed max), reduced
+    per batch to <= 5 partial rows, then a tiny Max groupby. At 100 TB the
+    shuffle moves |priorities| rows per block; a sort-based top-1 would move
+    every row. Valid while cents < 2^31 and orderkey < 2^32 (TPC-H SF1000
+    fits; beyond that the pack widens to decimal128).
+
+    Output: (o_orderpriority, top_orderkey, top_price_cents).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch.column("o_totalprice"))
+        okey = pc.cast(batch.column("o_orderkey"), pa.int64()).to_numpy()
+        packed = cents * np.int64(1 << 32) + okey
+        t = pa.table(
+            {
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "packed": pa.array(packed),
+            }
+        )
+        return t.group_by("o_orderpriority").aggregate([("packed", "max")])
+
+    agg = (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/orders.parquet",
+                columns=["o_orderpriority", "o_orderkey", "o_totalprice"],
+            )
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Max("packed_max", alias_name="packed"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        packed = pc.cast(t.column("packed"), pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "top_orderkey": pa.array(packed % np.int64(1 << 32)),
+                "top_price_cents": pa.array(packed // np.int64(1 << 32)),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def rollup_revenue(sf_dir: str):
+    """Multi-level ROLLUP aggregate — revenue at (returnflag, linestatus),
+    (returnflag, ALL) and (ALL, ALL) grain in one pass.
+
+    Scale shape: only the FINEST grain is computed distributed (per-batch
+    partials -> small groupby); the coarser levels are derived FROM the
+    finest aggregate, which is bounded by the key domain (|flags| x
+    |statuses| ~ 6 rows) — never by data size — so the single-partition
+    rollup step is O(domain) regardless of input scale. The 'ALL' sentinel
+    replaces SQL's NULL grouping keys (deterministic hash compare).
+
+    Output: (l_returnflag, l_linestatus, revenue_x10000, n_items) at all
+    three grains.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = _cents(batch.column("l_extendedprice")) * (
+            100 - _cents(batch.column("l_discount"))
+        )
+        t = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "rev": pa.array(rev),
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("rev", "sum"), ("n", "sum")]
+        )
+
+    fine = (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_returnflag", "l_linestatus",
+                         "l_extendedprice", "l_discount"],
+            )
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("rev_sum", alias_name="rev"), Sum("n_sum", alias_name="n"))
+        # the aggregate is O(key domain) rows — single block by construction
+        .repartition(1)
+    )
+
+    def rollup(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "l_returnflag": t.column("l_returnflag").to_pylist(),
+                "l_linestatus": t.column("l_linestatus").to_pylist(),
+                "rev": pc.cast(t.column("rev"), pa.int64()).to_numpy(),
+                "n": pc.cast(t.column("n"), pa.int64()).to_numpy(),
+            }
+        )
+        lvl1 = df.groupby("l_returnflag", as_index=False)[["rev", "n"]].sum()
+        lvl1["l_linestatus"] = "ALL"
+        lvl0 = pd.DataFrame(
+            {"l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+             "rev": [df["rev"].sum()], "n": [df["n"].sum()]}
+        )
+        out = pd.concat([df, lvl1, lvl0], ignore_index=True)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(out["l_returnflag"], type=pa.string()),
+                "l_linestatus": pa.array(out["l_linestatus"], type=pa.string()),
+                "revenue_x10000": pa.array(out["rev"].to_numpy().astype(np.int64)),
+                "n_items": pa.array(out["n"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    return fine.map_batches(rollup, batch_format="pyarrow")
+
+
+def _multi_join_args(num_partitions: int) -> tuple[int, dict]:
+    """Partition count + aggregator resource override for DAGs with SEVERAL
+    concurrent hash-shuffle joins.
+
+    Ray's default sizes each join's aggregator pool at up to 50% of cluster
+    CPUs — two joins in one DAG then reserve 100% and the map/read tasks
+    feeding them starve (observed deadlock at 4 CPUs). Cap each pool at
+    ~1/8 of the cluster instead so N joins + task stages always co-run.
+    """
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    nparts = max(2, min(num_partitions, cpus * 2))
+    per_agg = max(0.05, cpus / (8.0 * min(nparts, cpus)))
+    return nparts, {"num_cpus": per_agg}
+
+
+def top_revenue_orders(sf_dir: str, segment: str = "BUILDING",
+                       date: str = "1998-01-01", k: int = 10,
+                       num_partitions: int = 16):
+    """TPC-H Q3-shaped: top-k unshipped-revenue orders for one market
+    segment — customer(filtered) |><| orders(filtered) |><| lineitem(filtered),
+    then a global top-k by (revenue desc, orderkey asc).
+
+    Scale shape: all three inputs are pruned AT THE READ (column projection
+    + predicate pushdown), both joins are native hash-shuffle joins (no side
+    broadcast or driver-side), the lineitem side is pre-summed per orderkey
+    inside map_batches before its join, and the top-k is a per-batch partial
+    top-k (sort only within a block) followed by one k-row final cut — no
+    global sort of the join result. Revenue is cents x (100 - disc_pct).
+
+    Output: (o_orderkey, o_orderdate, revenue_x10000).
+    """
+    import datetime
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    d = datetime.datetime.fromisoformat(date)
+    num_partitions, agg_args = _multi_join_args(num_partitions)
+
+    cust = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_mktsegment"],
+            filter=pads.field("c_mktsegment") == segment,
+        )
+    ).map_batches(
+        lambda t: pa.table(
+            {"c_custkey": pc.cast(t.column("c_custkey"), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+    orders = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+            filter=pads.field("o_orderdate") < d,
+        )
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+                "o_orderdate": t.column("o_orderdate"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    ord_cust = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+        aggregator_ray_remote_args=agg_args,
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        rev = _cents(batch.column("l_extendedprice")) * (
+            100 - _cents(batch.column("l_discount"))
+        )
+        t = pa.table(
+            {
+                "l_orderkey": pc.cast(batch.column("l_orderkey"), pa.int64()),
+                "rev": pa.array(rev),
+            }
+        )
+        return t.group_by("l_orderkey").aggregate([("rev", "sum")])
+
+    li = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+            filter=pads.field("l_shipdate") > d,
+        )
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    from ray.data.aggregate import Sum
+
+    joined = (
+        li.join(
+            ord_cust,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+            aggregator_ray_remote_args=agg_args,
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "o_orderkey": t.column("l_orderkey"),
+                    "o_orderdate": t.column("o_orderdate"),
+                    "rev": pc.cast(t.column("rev_sum"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["o_orderkey", "o_orderdate"])
+        .aggregate(Sum("rev", alias_name="revenue_x10000"))
+    )
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("revenue_x10000", "descending"), ("o_orderkey", "ascending")]
+        )
+        return t.take(idx[: min(k, len(t))])
+
+    return (
+        joined.map_batches(partial_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "o_orderkey": t.column("o_orderkey"),
+                    "o_orderdate": t.column("o_orderdate"),
+                    "revenue_x10000": pc.cast(
+                        t.column("revenue_x10000"), pa.int64()
+                    ),
+                }
+            ).take(
+                pc.sort_indices(
+                    t,
+                    sort_keys=[("revenue_x10000", "descending"),
+                               ("o_orderkey", "ascending")],
+                )[:k]
+            ),
+            batch_format="pyarrow",
+        )
+    )

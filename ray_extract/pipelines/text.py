@@ -948,3 +948,226 @@ def _bucket_on_word(df):
         pd.util.hash_pandas_object(df["w"], index=False) % 64
     ).astype("int64")
     return df
+
+
+def doc_length_histogram(sf_dir: str, bucket_chars: int = 64):
+    """Per-(lang, length-bucket) histogram of document sizes — the
+    "what does my corpus look like" profiling query. Bucket = n_chars //
+    bucket_chars (integer floor, exact both sides).
+
+    Scale shape: classic combiner — per-batch group_by collapses each block
+    to |langs| x |buckets| partial rows before the one small shuffle.
+
+    Output: (lang, bucket_lo, n_docs, sum_tokens).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nc = pc.cast(batch.column("n_chars"), pa.int64()).to_numpy()
+        nt = (
+            pc.add(pc.count_substring(batch.column("text"), " "), 1)
+            .to_numpy()
+            .astype(np.int64)
+        )
+        t = pa.table(
+            {
+                "lang": batch.column("lang"),
+                "bucket_lo": pa.array((nc // bucket_chars) * bucket_chars),
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "tok": pa.array(nt),
+            }
+        )
+        return t.group_by(["lang", "bucket_lo"]).aggregate(
+            [("n", "sum"), ("tok", "sum")]
+        )
+
+    agg = (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["lang", "n_chars", "text"]
+            )
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "bucket_lo"])
+        .aggregate(Sum("n_sum", alias_name="n_docs"),
+                   Sum("tok_sum", alias_name="sum_tokens"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "bucket_lo": pc.cast(t.column("bucket_lo"), pa.int64()),
+                "n_docs": pc.cast(t.column("n_docs"), pa.int64()),
+                "sum_tokens": pc.cast(t.column("sum_tokens"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def type_token_ratio(sf_dir: str):
+    """Per-document vocabulary richness: distinct-word count and
+    type/token ratio (integer ppm) — a standard corpus-quality signal
+    (low TTR = repetitive/boilerplate text).
+
+    Scale shape: a pure per-batch map (no shuffle at all). The per-doc
+    distinct count is ONE vectorized pass over the whole batch: Arrow
+    split_pattern -> flat word array -> pandas factorize (C hash table)
+    -> pack (row, word_code) into int64 -> np.unique. No Python loop over
+    rows or words, and exact (real words, not hashes — no collision risk).
+
+    Output: (doc_id, n_tokens, n_distinct, ttr_ppm).
+    """
+    import pandas as pd
+
+    def stats(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(pc.cast(text, pa.string()), " ")
+        offsets = words.offsets.to_numpy()
+        flat = words.values.to_pandas()  # flat word column
+        codes, uniques = pd.factorize(flat, sort=False)
+        n = len(batch)
+        row = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+        packed = row * np.int64(len(uniques) + 1) + codes
+        uniq = np.unique(packed)
+        n_distinct = np.bincount((uniq // np.int64(len(uniques) + 1)).astype(np.int64),
+                                 minlength=n)
+        n_tokens = np.diff(offsets).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_tokens": pa.array(n_tokens),
+                "n_distinct": pa.array(n_distinct.astype(np.int64)),
+                "ttr_ppm": pa.array(n_distinct * 1_000_000 // n_tokens),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(stats, batch_format="pyarrow")
+
+
+def keyword_search(sf_dir: str, keyword: str = "spark"):
+    """Substring-search hit rate per source: how many documents of each
+    source mention ``keyword`` (vectorized Arrow match_substring — the
+    same semantics as SQL LIKE '%kw%'), with the hit rate as integer ppm.
+
+    Scale shape: per-batch combiner (|sources| partial rows per block) +
+    small groupby; the text column never survives past the first stage.
+
+    Output: (source, n_docs, n_match, match_ppm).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hit = pc.cast(
+            pc.match_substring(batch.column("text"), keyword), pa.int64()
+        )
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "m": hit,
+            }
+        )
+        return t.group_by("source").aggregate([("n", "sum"), ("m", "sum")])
+
+    agg = (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["source", "text"]
+            )
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_sum", alias_name="n_docs"),
+                   Sum("m_sum", alias_name="n_match"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t.column("n_docs"), pa.int64()).to_numpy()
+        m = pc.cast(t.column("n_match"), pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "n_docs": pa.array(n),
+                "n_match": pa.array(m),
+                "match_ppm": pa.array(m * 1_000_000 // n),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def percentile_length_filter(sf_dir: str, permille: int = 950):
+    """Filter documents ABOVE the corpus-wide p{permille/10} token count —
+    the scalar-subquery pattern (threshold derived from the data itself)
+    done scale-safe in two streaming passes:
+
+    1. EXACT global percentile by counting selection: per-batch value
+       counts of n_tokens (bounded domain) -> small groupby -> an
+       O(|domain|) histogram on the driver -> one int threshold. No sort,
+       no full materialization — the driver holds |distinct n_tokens| rows.
+    2. A second pruned scan filters with the broadcast scalar (task
+       closure; ``ray.put`` for wider threshold tables).
+
+    Rank rule = DuckDB quantile_disc: smallest value whose cumulative
+    count reaches ceil(permille * n / 1000) (pure integer arithmetic).
+
+    Output: (doc_id, n_tokens, thr_tokens).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def counts(batch: pa.Table) -> pa.Table:
+        nt = pc.add(pc.count_substring(batch.column("text"), " "), 1)
+        t = pa.table(
+            {
+                "nt": pc.cast(nt, pa.int64()),
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        return t.group_by("nt").aggregate([("n", "sum")])
+
+    hist = (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        )
+        .map_batches(counts, batch_format="pyarrow")
+        .groupby("nt")
+        .aggregate(Sum("n_sum", alias_name="n"))
+        .take_all()  # O(|token-count domain|) rows, NOT O(corpus)
+    )
+    vals = np.array(sorted(h["nt"] for h in hist), dtype=np.int64)
+    cnts = np.array([h["n"] for h in sorted(hist, key=lambda h: h["nt"])],
+                    dtype=np.int64)
+    cum = np.cumsum(cnts)
+    total = int(cum[-1])
+    rank = (permille * total + 999) // 1000
+    thr = int(vals[np.searchsorted(cum, rank)])
+
+    def flt(batch: pa.Table) -> pa.Table:
+        nt = pc.add(pc.count_substring(batch.column("text"), " "), 1)
+        nt = pc.cast(nt, pa.int64())
+        keep = pc.greater_equal(nt, thr)
+        t = pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_tokens": nt,
+                "thr_tokens": pa.array(
+                    np.full(len(batch), thr, dtype=np.int64)
+                ),
+            }
+        )
+        return t.filter(keep)
+
+    return _docs(sf_dir).map_batches(flt, batch_format="pyarrow")

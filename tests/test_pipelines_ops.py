@@ -213,3 +213,60 @@ def test_top_docs_per_source_rank(ray_session):
         g = g.sort_values("rk")
         assert list(g.rk) == list(range(1, len(g) + 1))
         assert (g.n_tokens.values[:-1] >= g.n_tokens.values[1:]).all()
+
+
+def test_range_window_matches_rows_window_when_gap_huge(ray_session):
+    """With a window far wider than the data span, the RANGE window equals
+    the user's full running prefix (peers included) at every event."""
+    import duckdb
+
+    from ray_extract.pipelines.events import range_window_stats
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        range_window_stats(sf, gap_minutes=60 * 24 * 366)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""SELECT event_id,
+               CAST(COUNT(*) OVER w AS BIGINT) AS win_n
+            FROM '{sf}/events.parquet'
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 400 DAY PRECEDING
+                         AND CURRENT ROW)
+            ORDER BY event_id"""
+    ).df()
+    assert (got["win_n"].to_numpy() == want["win_n"].to_numpy()).all()
+
+
+def test_session_stats_consistent_with_sessionize(ray_session):
+    from ray_extract.pipelines.events import session_stats, sessionize
+
+    sf = "/root/testdata/sf0.001"
+    sess = sessionize(sf).to_pandas()
+    stats = session_stats(sf).to_pandas().set_index("user_id")
+    by_user = sess.groupby("user_id")
+    assert (stats["n_sessions"].sort_index()
+            == by_user.size().sort_index()).all()
+    assert (stats["n_events"].sort_index()
+            == by_user["n_events"].sum().sort_index()).all()
+    assert (stats["max_session_events"].sort_index()
+            == by_user["n_events"].max().sort_index()).all()
+
+
+def test_hopping_windows_double_count_events(ray_session):
+    """Every event lands in exactly size/hop = 2 windows, so the total
+    n_events across windows is exactly 2x the event count."""
+    import pyarrow.parquet as pq
+
+    from ray_extract.pipelines.events import hopping_window_counts
+
+    sf = "/root/testdata/sf0.001"
+    df = hopping_window_counts(sf).to_pandas()
+    n_events = pq.read_metadata(f"{sf}/events.parquet").num_rows
+    assert int(df["n_events"].sum()) == 2 * n_events
+    # window starts are aligned to the 30-minute hop
+    us = df["window_start"].astype("int64")
+    assert (us % (30 * 60 * 1_000_000) == 0).all()

@@ -97,3 +97,66 @@ def test_stratified_sample_rates(ray_session):
     b = stratified_sample(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
     assert (a["slot"] < a["rate_permille"]).all()
+
+
+def test_top_order_per_priority_argmax_and_ties(ray_session):
+    """Packed argmax must pick (max cents, then max orderkey) per priority."""
+    from ray_extract.pipelines.relational import top_order_per_priority
+
+    got = (
+        top_order_per_priority(SF)
+        .to_pandas()
+        .set_index("o_orderpriority")
+        .sort_index()
+    )
+    con = duckdb.connect()
+    want = con.execute(
+        f"""WITH o AS (SELECT o_orderpriority, o_orderkey,
+                  CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS cents
+                  FROM '{SF}/orders.parquet'),
+            r AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                       ORDER BY cents DESC, o_orderkey DESC) rk FROM o)
+            SELECT o_orderpriority, o_orderkey AS top_orderkey,
+                   cents AS top_price_cents FROM r WHERE rk = 1"""
+    ).df().set_index("o_orderpriority").sort_index()
+    assert (got["top_orderkey"] == want["top_orderkey"]).all()
+    assert (got["top_price_cents"] == want["top_price_cents"]).all()
+
+
+def test_rollup_levels_are_consistent(ray_session):
+    """ALL rows must equal the sum of their finer-grain children."""
+    from ray_extract.pipelines.relational import rollup_revenue
+
+    df = rollup_revenue(SF).to_pandas()
+    fine = df[(df.l_returnflag != "ALL") & (df.l_linestatus != "ALL")]
+    lvl1 = df[(df.l_returnflag != "ALL") & (df.l_linestatus == "ALL")]
+    lvl0 = df[(df.l_returnflag == "ALL") & (df.l_linestatus == "ALL")]
+    assert len(lvl0) == 1
+    assert int(lvl0["revenue_x10000"].iloc[0]) == int(fine["revenue_x10000"].sum())
+    assert int(lvl0["n_items"].iloc[0]) == int(fine["n_items"].sum())
+    by_flag = fine.groupby("l_returnflag")["revenue_x10000"].sum()
+    got_lvl1 = lvl1.set_index("l_returnflag")["revenue_x10000"]
+    assert (by_flag.sort_index() == got_lvl1.sort_index()).all()
+
+
+def test_top_revenue_orders_k_and_order(ray_session):
+    """Result is exactly k rows, sorted by (revenue desc, orderkey asc)."""
+    from ray_extract.pipelines.relational import top_revenue_orders
+
+    df = top_revenue_orders(SF, k=5).to_pandas()
+    assert len(df) == 5
+    rev = df["revenue_x10000"].to_numpy()
+    key = list(zip(-rev, df["o_orderkey"].to_numpy()))
+    assert key == sorted(key)
+
+
+def test_pricing_summary_filter_applied(ray_session):
+    from ray_extract.pipelines.relational import pricing_summary
+
+    df = pricing_summary(SF).to_pandas()
+    con = duckdb.connect()
+    n = con.execute(
+        f"""SELECT count(*) FROM '{SF}/lineitem.parquet'
+            WHERE l_shipdate <= TIMESTAMP '1999-01-01'"""
+    ).fetchone()[0]
+    assert int(df["n_items"].sum()) == n

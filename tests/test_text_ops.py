@@ -154,3 +154,63 @@ def test_wide_detector_latin_fallback_is_deterministic():
     # latin-letter count stay latin-classified
     arr = pa.array(["zzz qqq xxx", "the of and is with a single 中 char"])
     assert list(detect_languages_arrow_wide(arr)) == ["en", "en"]
+
+
+def test_type_token_ratio_exact_per_doc(ray_session):
+    """The packed-factorize distinct count must equal a per-doc Python
+    set() count exactly (no hash collisions possible)."""
+    import pyarrow.parquet as pq
+
+    from ray_extract.pipelines.text import type_token_ratio
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        type_token_ratio(sf).to_pandas().set_index("doc_id").sort_index()
+    )
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    for did, text in zip(t.column("doc_id").to_pylist()[:50],
+                         t.column("text").to_pylist()[:50]):
+        words = text.split(" ")
+        assert got.loc[did, "n_tokens"] == len(words)
+        assert got.loc[did, "n_distinct"] == len(set(words))
+
+
+def test_percentile_filter_threshold_is_p95(ray_session):
+    import duckdb
+
+    from ray_extract.pipelines.text import percentile_length_filter
+
+    sf = "/root/testdata/sf0.001"
+    df = percentile_length_filter(sf).to_pandas()
+    thr = duckdb.sql(
+        f"""SELECT CAST(quantile_disc(len(string_split(text, ' ')), 0.95)
+                   AS BIGINT)
+            FROM '{sf}/documents.parquet'"""
+    ).fetchone()[0]
+    assert (df["thr_tokens"] == thr).all()
+    assert (df["n_tokens"] >= thr).all()
+
+
+def test_keyword_search_totals(ray_session):
+    import pyarrow.parquet as pq
+
+    from ray_extract.pipelines.text import keyword_search
+
+    sf = "/root/testdata/sf0.001"
+    df = keyword_search(sf, keyword="spark")
+    df = df.to_pandas()
+    n = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    assert int(df["n_docs"].sum()) == n
+    assert (df["n_match"] <= df["n_docs"]).all()
+
+
+def test_doc_length_histogram_covers_corpus(ray_session):
+    import pyarrow.parquet as pq
+
+    from ray_extract.pipelines.text import doc_length_histogram
+
+    sf = "/root/testdata/sf0.001"
+    df = doc_length_histogram(sf).to_pandas()
+    n = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    assert int(df["n_docs"].sum()) == n
+    assert (df["bucket_lo"] % 64 == 0).all()

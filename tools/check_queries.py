@@ -58,6 +58,9 @@ def main():
             pass
 
     qs, oracles = E.queries(), E.oracle_sql()
+    only = set(sys.argv[2:])
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = []
     for name, fn in qs.items():
         import time
