@@ -817,6 +817,24 @@ def _q_percentile_length_filter(sf_dir: str):
     return percentile_length_filter(sf_dir)
 
 
+def _q_degree_distribution(sf_dir: str):
+    from ray_extract.pipelines.dedup import degree_distribution
+
+    return degree_distribution(sf_dir)
+
+
+def _q_embedding_norm_stats(sf_dir: str):
+    from ray_extract.pipelines.similarity import embedding_norm_stats
+
+    return embedding_norm_stats(sf_dir)
+
+
+def _q_knn_classify(sf_dir: str):
+    from ray_extract.pipelines.similarity import knn_classify
+
+    return knn_classify(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -886,6 +904,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_token_ratio": _q_type_token_ratio,
         "keyword_search": _q_keyword_search,
         "percentile_length_filter": _q_percentile_length_filter,
+        "degree_distribution": _q_degree_distribution,
+        "embedding_norm_stats": _q_embedding_norm_stats,
+        "knn_classify": _q_knn_classify,
     }
 
 
@@ -1507,6 +1528,42 @@ q AS (SELECT CAST(quantile_disc(n_tokens, 0.95) AS BIGINT) AS thr FROM t)
 SELECT doc_id, n_tokens, q.thr AS thr_tokens
 FROM t, q WHERE n_tokens >= q.thr
 """,
+        "embedding_norm_stats": """
+WITH v AS (
+  SELECT label,
+         CAST(list_sum(list_transform(embedding::DOUBLE[],
+              x -> CAST(floor(x*1000+0.5) AS BIGINT)
+                   * CAST(floor(x*1000+0.5) AS BIGINT))) AS BIGINT) AS qsq
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(qsq) AS BIGINT) AS sum_qsq, CAST(max(qsq) AS BIGINT) AS max_qsq
+FROM v GROUP BY label
+""",
+        "knn_classify": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+s AS (
+  SELECT q.qid, e.vec_id, e.label,
+         list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS sc
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.qid
+),
+r AS (
+  SELECT qid, vec_id, label,
+         row_number() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id) AS rk
+  FROM s
+),
+v AS (
+  SELECT qid, label, CAST(count(*) AS BIGINT) AS c
+  FROM r WHERE rk <= 5 GROUP BY qid, label
+),
+w AS (
+  SELECT qid, label, c,
+         row_number() OVER (PARTITION BY qid ORDER BY c DESC, label ASC) AS rk2
+  FROM v
+)
+SELECT qid AS query_id, CAST(label AS BIGINT) AS pred_label, c AS votes
+FROM w WHERE rk2 = 1
+""",
     }
     # connected components over the simhash pair graph: recursive min-label
     # closure composed over the dedup_simhash oracle (kept as one source of
@@ -1536,5 +1593,15 @@ SELECT user_id,
        CAST(sum(date_diff('microsecond', start_ts, end_ts)) AS BIGINT)
          AS total_session_dur_us
 FROM base GROUP BY user_id
+"""
+    # degree histogram over the same simhash pair graph as dedup_clusters
+    d["degree_distribution"] = f"""
+WITH pairs AS (SELECT doc_a, doc_b FROM ({d["dedup_simhash"]}) t),
+edges AS (SELECT doc_a AS node FROM pairs
+          UNION ALL SELECT doc_b FROM pairs),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+        FROM edges GROUP BY node)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+FROM deg GROUP BY degree
 """
     return d

@@ -709,3 +709,55 @@ def duplicate_clusters(sf_dir: str, max_iters: int = 64):
             "is_canonical": pa.array((nodes == labels).astype(np.int64)),
         }
     )
+
+
+def degree_distribution(sf_dir: str, max_hamming: int = 3):
+    """Degree histogram of the simhash near-duplicate pair graph — the
+    standard sanity check before cluster resolution (a heavy-tailed degree
+    distribution means a template/boilerplate blob is about to collapse
+    half the corpus into one cluster).
+
+    Scale shape: pairs stream out of simhash_pairs (already bucketed);
+    degrees are per-batch partial counts per node (symmetrized edges), one
+    small groupby(node), then the histogram is another partial-count +
+    groupby(degree) — both shuffles are pair-scale and pre-combined, never
+    corpus-scale.
+
+    Output: (degree, n_docs).
+    """
+    import ray.data as rd  # noqa: F401  (kept for parity with siblings)
+    from ray.data.aggregate import Sum
+
+    def sym_counts(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy().astype(np.int64)
+        b = batch.column("doc_b").to_numpy().astype(np.int64)
+        nodes, counts = np.unique(np.r_[a, b], return_counts=True)
+        return pa.table({"node": nodes, "d": counts.astype(np.int64)})
+
+    deg = (
+        simhash_pairs(sf_dir, max_hamming=max_hamming)
+        .map_batches(sym_counts, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("d", alias_name="degree"))
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        d = pc.cast(batch.column("degree"), pa.int64()).to_numpy()
+        vals, counts = np.unique(d, return_counts=True)
+        return pa.table({"degree": vals, "n": counts.astype(np.int64)})
+
+    agg = (
+        deg.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("degree")
+        .aggregate(Sum("n", alias_name="n_docs"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "degree": pc.cast(t.column("degree"), pa.int64()),
+                "n_docs": pc.cast(t.column("n_docs"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

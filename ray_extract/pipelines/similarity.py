@@ -552,3 +552,126 @@ def ann_recall(sf_dir: str, n_queries: int = 10, k: int = 5):
             }
         )
     return pd.DataFrame(rows)
+
+
+def embedding_norm_stats(sf_dir: str):
+    """Per-label embedding-norm statistics — the embedding-table health
+    check (a label whose vectors have wildly different norms usually means
+    a broken encoder shard or un-normalized inputs).
+
+    Norms are quantized per element (floor(x*1000 + 0.5) on the float64
+    value of each float32 element) so the squared norm is an exact int64
+    and the DuckDB list_transform/list_sum oracle matches bit-for-bit —
+    no float-summation-order hazard.
+
+    Scale shape: per-batch combiner (one partial row per label per block)
+    -> small groupby. The list column never leaves the first stage.
+
+    Output: (label, n_vecs, sum_qsq, max_qsq).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, e = _emb_matrix(batch)
+        q = np.floor(e * 1000.0 + 0.5).astype(np.int64)
+        qsq = (q * q).sum(axis=1)
+        t = pa.table(
+            {
+                "label": batch.column("label"),
+                "n": pa.array(np.ones(len(qsq), dtype=np.int64)),
+                "s": pa.array(qsq),
+                "m": pa.array(qsq),
+            }
+        )
+        return t.group_by("label").aggregate(
+            [("n", "sum"), ("s", "sum"), ("m", "max")]
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Sum("n_sum", alias_name="n_vecs"),
+                   Sum("s_sum", alias_name="sum_qsq"),
+                   Max("m_max", alias_name="max_qsq"))
+    )
+
+    import pyarrow.compute as pc
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "label": pc.cast(t.column("label"), pa.int64()),
+                "n_vecs": pc.cast(t.column("n_vecs"), pa.int64()),
+                "sum_qsq": pc.cast(t.column("sum_qsq"), pa.int64()),
+                "max_qsq": pc.cast(t.column("max_qsq"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def knn_classify(sf_dir: str, n_queries: int = 10, k: int = 5):
+    """k-NN majority-vote classification over the embedding column — the
+    label-propagation / auto-labeling primitive of a training-data
+    pipeline, built on the exact cosine top-k scan.
+
+    Scale shape: same as ann_bruteforce (queries broadcast once via
+    ray.put; the corpus STREAMS — each batch contributes its local top-k
+    per query), except the partial rows CARRY the neighbor label read in
+    the same scan, so no second label-lookup pass over the corpus is
+    needed. The final per-query reduce sees only (blocks x k) rows, takes
+    the global top-k (score desc, vec_id asc — exact, deterministic) and
+    majority-votes; vote ties break to the smaller label.
+
+    Output: (query_id, pred_label, votes).
+    """
+    import ray
+    import ray.data as rd
+
+    qids, q = _read_queries(sf_dir, n_queries)
+    qref = ray.put((qids, q))
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        qids_, q_ = ray.get(qref)
+        ids, e = _emb_matrix(batch)
+        labels = batch.column("label").to_numpy().astype(np.int64)
+        e /= np.linalg.norm(e, axis=1, keepdims=True)
+        scores = e @ q_.T
+        out_q, out_v, out_s, out_l = [], [], [], []
+        kk = min(k, len(ids))
+        for j in range(len(qids_)):
+            s = scores[:, j].copy()
+            s[ids == qids_[j]] = -np.inf
+            top = np.lexsort((ids, -s))[:kk]
+            out_q.append(np.full(len(top), qids_[j], dtype=np.int64))
+            out_v.append(ids[top].astype(np.int64))
+            out_s.append(s[top])
+            out_l.append(labels[top])
+        t = _partial_table(out_q, out_v, out_s)
+        lab = (np.concatenate(out_l) if out_l
+               else np.array([], dtype=np.int64))
+        return t.append_column("label", pa.array(lab, type=pa.int64()))
+
+    def vote(g):
+        import pandas as pd
+
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        counts = g.groupby("label").size().reset_index(name="c")
+        counts = counts.sort_values(["c", "label"], ascending=[False, True])
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].astype("int64").iloc[:1].to_numpy(),
+                "pred_label": counts["label"].astype("int64").iloc[:1].to_numpy(),
+                "votes": counts["c"].astype("int64").iloc[:1].to_numpy(),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    partial = ds.map_batches(score_batch, batch_format="pyarrow")
+    return partial.groupby("query_id").map_groups(vote, batch_format="pandas")

@@ -270,3 +270,34 @@ def test_hopping_windows_double_count_events(ray_session):
     # window starts are aligned to the 30-minute hop
     us = df["window_start"].astype("int64")
     assert (us % (30 * 60 * 1_000_000) == 0).all()
+
+
+def test_degree_distribution_counts_pairs(ray_session):
+    """Sum(degree * n_docs) must equal 2x the pair count (handshake)."""
+    from ray_extract.pipelines.dedup import degree_distribution, simhash_pairs
+
+    sf = "/root/testdata/sf0.001"
+    n_pairs = simhash_pairs(sf).count()
+    df = degree_distribution(sf).to_pandas()
+    assert int((df["degree"] * df["n_docs"]).sum()) == 2 * n_pairs
+
+
+def test_knn_classify_votes_bounds(ray_session):
+    from ray_extract.pipelines.similarity import knn_classify
+
+    sf = "/root/testdata/sf0.001"
+    df = knn_classify(sf, n_queries=10, k=5).to_pandas()
+    assert len(df) == 10
+    assert (df["votes"] >= 1).all() and (df["votes"] <= 5).all()
+
+
+def test_embedding_norm_stats_totals(ray_session):
+    import pyarrow.parquet as pq
+
+    from ray_extract.pipelines.similarity import embedding_norm_stats
+
+    sf = "/root/testdata/sf0.001"
+    df = embedding_norm_stats(sf).to_pandas()
+    n = pq.read_metadata(f"{sf}/embeddings.parquet").num_rows
+    assert int(df["n_vecs"].sum()) == n
+    assert (df["max_qsq"] * df["n_vecs"] >= df["sum_qsq"]).all()
