@@ -835,6 +835,30 @@ def _q_knn_classify(sf_dir: str):
     return knn_classify(sf_dir)
 
 
+def _q_promo_revenue_share(sf_dir: str):
+    from ray_extract.pipelines.relational import promo_revenue_share
+
+    return promo_revenue_share(sf_dir)
+
+
+def _q_group_moments(sf_dir: str):
+    from ray_extract.pipelines.relational import group_moments
+
+    return group_moments(sf_dir)
+
+
+def _q_hour_of_day_profile(sf_dir: str):
+    from ray_extract.pipelines.events import hour_of_day_profile
+
+    return hour_of_day_profile(sf_dir)
+
+
+def _q_char_trigram_profile(sf_dir: str):
+    from ray_extract.pipelines.text import char_trigram_profile
+
+    return char_trigram_profile(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -907,6 +931,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_distribution": _q_degree_distribution,
         "embedding_norm_stats": _q_embedding_norm_stats,
         "knn_classify": _q_knn_classify,
+        "promo_revenue_share": _q_promo_revenue_share,
+        "group_moments": _q_group_moments,
+        "hour_of_day_profile": _q_hour_of_day_profile,
+        "char_trigram_profile": _q_char_trigram_profile,
     }
 
 
@@ -1563,6 +1591,57 @@ w AS (
 )
 SELECT qid AS query_id, CAST(label AS BIGINT) AS pred_label, c AS votes
 FROM w WHERE rk2 = 1
+""",
+        "promo_revenue_share": """
+WITH r AS (
+  SELECT p.p_type,
+         CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
+              AS BIGINT) AS rev
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_type
+)
+SELECT p_type, rev AS revenue_x10000,
+       CAST(rev * 1000000 // (SELECT sum(rev) FROM r) AS BIGINT) AS share_ppm
+FROM r
+""",
+        "group_moments": """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(floor(l_extendedprice + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_price,
+       CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+            AS BIGINT) AS sum_qty2,
+       CAST(SUM(CAST(floor(l_extendedprice + 0.5) AS BIGINT)
+                * CAST(floor(l_extendedprice + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_price2,
+       CAST(SUM(CAST(l_quantity AS BIGINT)
+                * CAST(floor(l_extendedprice + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_qty_price
+FROM lineitem GROUP BY l_returnflag
+""",
+        "hour_of_day_profile": """
+SELECT event_type,
+       CAST(date_part('hour', ts) AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events GROUP BY 1, 2
+""",
+        "char_trigram_profile": """
+WITH d AS (SELECT lang, substr(text, 1, 64) AS p FROM documents),
+t AS (
+  SELECT lang, substr(p, CAST(u.i AS INTEGER), 3) AS tri
+  FROM d, unnest(range(1, CAST(length(p) AS BIGINT) - 1)) AS u(i)
+),
+c AS (SELECT lang, tri, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1, 2),
+r AS (
+  SELECT lang, tri, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, tri ASC) AS rk
+  FROM c
+)
+SELECT lang, tri, n FROM r WHERE rk <= 10
 """,
     }
     # connected components over the simhash pair graph: recursive min-label

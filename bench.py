@@ -233,6 +233,20 @@ def run_bench() -> dict:
     timed("revenue_by_quantity_band",
           lambda: revenue_by_quantity_band(SF_DIR).count())
 
+    from ray_extract.pipelines.events import range_window_stats
+    from ray_extract.pipelines.relational import (
+        pricing_summary,
+        top_revenue_orders,
+    )
+    from ray_extract.pipelines.similarity import knn_classify
+    from ray_extract.pipelines.text import type_token_ratio
+
+    timed("pricing_summary", lambda: pricing_summary(SF_DIR).count())
+    timed("top_revenue_orders", lambda: top_revenue_orders(SF_DIR).count())
+    timed("events_range_window", lambda: range_window_stats(SF_DIR).count())
+    timed("type_token_ratio", lambda: type_token_ratio(SF_DIR).count())
+    timed("knn_classify", lambda: knn_classify(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),

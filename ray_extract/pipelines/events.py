@@ -665,3 +665,61 @@ def hopping_window_counts(sf_dir: str, size_minutes: int = 60,
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def hour_of_day_profile(sf_dir: str):
+    """Event-count matrix by (event_type, hour-of-day) — the activity
+    heatmap behind any event dashboard, in long form.
+
+    Scale shape: hour is integer arithmetic on epoch-microseconds
+    ((us // 3600e6) % 24 — identical to SQL date_part on UTC timestamps),
+    pre-aggregated per batch to |types| x 24 rows before the one shuffle.
+
+    Output: (event_type, hour, n_events, sum_cents).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = batch.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = np.floor(batch.column("value").to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        hour = (ts_us // 3_600_000_000) % 24
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "hour": pa.array(hour),
+                "n": pa.array(np.ones(len(hour), dtype=np.int64)),
+                "cents": pa.array(cents),
+            }
+        )
+        return t.group_by(["event_type", "hour"]).aggregate(
+            [("n", "sum"), ("cents", "sum")]
+        )
+
+    agg = (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+            )
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("n_sum", alias_name="n_events"),
+                   Sum("cents_sum", alias_name="sum_cents"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "hour": pc.cast(t.column("hour"), pa.int64()),
+                "n_events": pc.cast(t.column("n_events"), pa.int64()),
+                "sum_cents": pc.cast(t.column("sum_cents"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

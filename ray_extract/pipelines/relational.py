@@ -762,3 +762,163 @@ def top_revenue_orders(sf_dir: str, segment: str = "BUILDING",
             batch_format="pyarrow",
         )
     )
+
+
+def promo_revenue_share(sf_dir: str, promo_type: str = "PROMO",
+                        num_partitions: int = 16):
+    """Revenue share per part type (TPC-H Q14 generalized): lineitem |><|
+    part on partkey (the second big-big join KEY in the schema), revenue
+    per p_type, plus each type's share of total as integer ppm.
+
+    Scale shape: lineitem pre-summed per partkey inside map_batches (the
+    combiner collapses the join's left side to one row per (partkey,
+    block)), native hash-shuffle join against the pruned part projection,
+    per-batch partials by p_type, small groupby — then the SHARE is
+    derived from the finished per-type aggregate, which is O(|types|)
+    rows, on a single block (the same bounded-domain trick as
+    rollup_revenue; no second pass over the data for the denominator).
+
+    Output: (p_type, revenue_x10000, share_ppm).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        rev = _cents(batch.column("l_extendedprice")) * (
+            100 - _cents(batch.column("l_discount"))
+        )
+        t = pa.table(
+            {
+                "l_partkey": pc.cast(batch.column("l_partkey"), pa.int64()),
+                "rev": pa.array(rev),
+            }
+        )
+        return t.group_by("l_partkey").aggregate([("rev", "sum")])
+
+    li = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice", "l_discount"],
+        )
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    part = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "p_partkey": pc.cast(t.column("p_partkey"), pa.int64()),
+                "p_type": pc.cast(t.column("p_type"), pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    agg = (
+        li.join(
+            part,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "p_type": t.column("p_type"),
+                    "rev": pc.cast(t.column("rev_sum"), pa.int64()),
+                }
+            ).group_by("p_type").aggregate([("rev", "sum")]),
+            batch_format="pyarrow",
+        )
+        .groupby("p_type")
+        .aggregate(Sum("rev_sum", alias_name="revenue_x10000"))
+        .repartition(1)  # O(|p_type|) rows by construction
+    )
+
+    def share(t: pa.Table) -> pa.Table:
+        rev = pc.cast(t.column("revenue_x10000"), pa.int64()).to_numpy()
+        total = rev.sum()
+        # ppm via Python int (unbounded) — rev * 10^6 can exceed int64
+        ppm = np.array([int(r) * 1_000_000 // int(total) for r in rev],
+                       dtype=np.int64)
+        return pa.table(
+            {
+                "p_type": t.column("p_type"),
+                "revenue_x10000": pa.array(rev),
+                "share_ppm": pa.array(ppm),
+            }
+        )
+
+    return agg.map_batches(share, batch_format="pyarrow")
+
+
+def group_moments(sf_dir: str):
+    """Per-group statistical moments (the building blocks of
+    variance/covariance/correlation) as EXACT integers: per returnflag the
+    sums of qty, price (whole dollars, floor(x+0.5)), their squares and
+    the cross term. Downstream, corr/var are one driver-side formula away;
+    keeping the moments integer avoids every float-summation-order hazard
+    and makes the op embarrassingly combinable (moments are additive —
+    the per-batch partials ARE the algebra of the final answer).
+
+    Output: (l_returnflag, n, sum_qty, sum_price, sum_qty2, sum_price2,
+    sum_qty_price). int64-safe through TPC-H SF1000 (price < 10^5 dollars,
+    price^2 < 10^10, 10^10 x 10^10 rows overflows — shard to decimal128
+    beyond that).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = pc.cast(batch.column("l_quantity"), pa.int64()).to_numpy()
+        price = np.floor(
+            batch.column("l_extendedprice").to_numpy() + 0.5
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "n": pa.array(np.ones(len(qty), dtype=np.int64)),
+                "q": pa.array(qty),
+                "p": pa.array(price),
+                "q2": pa.array(qty * qty),
+                "p2": pa.array(price * price),
+                "qp": pa.array(qty * price),
+            }
+        )
+        return t.group_by("l_returnflag").aggregate(
+            [("n", "sum"), ("q", "sum"), ("p", "sum"),
+             ("q2", "sum"), ("p2", "sum"), ("qp", "sum")]
+        )
+
+    agg = (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+            )
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("n_sum", alias_name="n"),
+            Sum("q_sum", alias_name="sum_qty"),
+            Sum("p_sum", alias_name="sum_price"),
+            Sum("q2_sum", alias_name="sum_qty2"),
+            Sum("p2_sum", alias_name="sum_price2"),
+            Sum("qp_sum", alias_name="sum_qty_price"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        out = {"l_returnflag": t.column("l_returnflag")}
+        for c in ["n", "sum_qty", "sum_price", "sum_qty2", "sum_price2",
+                  "sum_qty_price"]:
+            out[c] = pc.cast(t.column(c), pa.int64())
+        return pa.table(out)
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1171,3 +1171,93 @@ def percentile_length_filter(sf_dir: str, permille: int = 950):
         return t.filter(keep)
 
     return _docs(sf_dir).map_batches(flt, batch_format="pyarrow")
+
+
+def char_trigram_profile(sf_dir: str, prefix_chars: int = 64, k: int = 10):
+    """Top-k character trigrams per language — the n-gram profile behind
+    classical language-ID models (Cavnar-Trenkle), computed over each
+    document's first ``prefix_chars`` characters (ASCII corpus; byte ==
+    codepoint — a UTF-8 corpus would slice codepoints first).
+
+    Scale shape: trigram extraction is a ZERO-LOOP byte kernel — the Arrow
+    string column's raw (offsets, data) buffers become numpy arrays, every
+    window position in the batch is generated with repeat/arange
+    arithmetic, and each trigram packs into one int32 (b0<<16|b1<<8|b2).
+    Counting is np.unique over (lang_code << 24 | tri) packed keys; the
+    only Python loop decodes the batch's UNIQUE trigrams (bounded by the
+    alphabet, not the corpus). Shuffle moves (lang, tri) partial counts;
+    the final top-k is a per-lang sort of <= |alphabet|^3 rows.
+
+    Output: (lang, tri, n) — k rows per language, ties broken (n desc,
+    tri asc).
+    """
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        arr = pc.utf8_slice_codeunits(pc.cast(text, pa.string()), 0, prefix_chars)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset: arr.offset + len(arr) + 1
+        ].astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        lens = np.diff(offs)
+        n_win = np.maximum(lens - 2, 0)
+        total = int(n_win.sum())
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), n_win)
+        base = np.repeat(offs[:-1], n_win)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(n_win) - n_win, n_win
+        )
+        pos = base + within
+        tri = (
+            (data[pos].astype(np.int64) << 16)
+            + (data[pos + 1].astype(np.int64) << 8)
+            + data[pos + 2]
+        )
+        codes, langs = pd.factorize(batch.column("lang").to_pandas(), sort=False)
+        packed = (codes[doc_idx].astype(np.int64) << 24) + tri
+        uniq, counts = np.unique(packed, return_counts=True)
+        u_tri = uniq & 0xFFFFFF
+        # decode loop over UNIQUE trigrams only (alphabet-bounded)
+        tris = [
+            bytes([(v >> 16) & 255, (v >> 8) & 255, v & 255]).decode("ascii")
+            for v in u_tri
+        ]
+        return pa.table(
+            {
+                "lang": pa.array(langs[(uniq >> 24).astype(np.int64)],
+                                 type=pa.string()),
+                "tri": pa.array(tris, type=pa.string()),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    counts = (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "text"])
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "tri"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def topk(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["n", "tri"], ascending=[False, True]).head(k)
+        return pd.DataFrame(
+            {
+                "lang": g["lang"].to_numpy(),
+                "tri": g["tri"].to_numpy(),
+                "n": g["n"].astype("int64").to_numpy(),
+            }
+        )
+
+    return counts.groupby("lang").map_groups(topk, batch_format="pandas")

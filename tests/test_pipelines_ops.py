@@ -301,3 +301,15 @@ def test_embedding_norm_stats_totals(ray_session):
     n = pq.read_metadata(f"{sf}/embeddings.parquet").num_rows
     assert int(df["n_vecs"].sum()) == n
     assert (df["max_qsq"] * df["n_vecs"] >= df["sum_qsq"]).all()
+
+
+def test_hour_profile_covers_all_events(ray_session):
+    import pyarrow.parquet as pq
+
+    from ray_extract.pipelines.events import hour_of_day_profile
+
+    sf = "/root/testdata/sf0.001"
+    df = hour_of_day_profile(sf).to_pandas()
+    n = pq.read_metadata(f"{sf}/events.parquet").num_rows
+    assert int(df["n_events"].sum()) == n
+    assert df["hour"].between(0, 23).all()

@@ -160,3 +160,25 @@ def test_pricing_summary_filter_applied(ray_session):
             WHERE l_shipdate <= TIMESTAMP '1999-01-01'"""
     ).fetchone()[0]
     assert int(df["n_items"].sum()) == n
+
+
+def test_promo_share_sums_to_million(ray_session):
+    from ray_extract.pipelines.relational import promo_revenue_share
+
+    df = promo_revenue_share(SF).to_pandas()
+    # floor division loses at most |types|-1 ppm
+    assert 1_000_000 - len(df) < int(df["share_ppm"].sum()) <= 1_000_000
+    assert (df["share_ppm"] >= 0).all()
+
+
+def test_group_moments_satisfy_cauchy_schwarz(ray_session):
+    """(sum qp)^2 <= sum q2 * sum p2 per group — a structural invariant the
+    moment sums must obey if they were accumulated consistently."""
+    from ray_extract.pipelines.relational import group_moments
+
+    df = group_moments(SF).to_pandas()
+    for _, r in df.iterrows():
+        assert r["sum_qty_price"] ** 2 <= r["sum_qty2"] * r["sum_price2"]
+        # variance non-negative: n*sum_x2 >= (sum_x)^2
+        assert r["n"] * r["sum_qty2"] >= r["sum_qty"] ** 2
+        assert r["n"] * r["sum_price2"] >= r["sum_price"] ** 2

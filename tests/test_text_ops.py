@@ -214,3 +214,27 @@ def test_doc_length_histogram_covers_corpus(ray_session):
     n = pq.read_metadata(f"{sf}/documents.parquet").num_rows
     assert int(df["n_docs"].sum()) == n
     assert (df["bucket_lo"] % 64 == 0).all()
+
+
+def test_char_trigram_profile_matches_python(ray_session):
+    """The byte-buffer window kernel must reproduce a naive per-doc Python
+    trigram count on the prefix."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from ray_extract.pipelines.text import char_trigram_profile
+
+    sf = "/root/testdata/sf0.001"
+    got = char_trigram_profile(sf, prefix_chars=64, k=10).to_pandas()
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["lang", "text"])
+    counts: dict = {}
+    for lang, text in zip(t.column("lang").to_pylist(), t.column("text").to_pylist()):
+        p = text[:64]
+        c = counts.setdefault(lang, collections.Counter())
+        for i in range(len(p) - 2):
+            c[p[i:i + 3]] += 1
+    for lang, sub in got.groupby("lang"):
+        want = sorted(counts[lang].items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        rows = sorted(zip(sub["tri"], sub["n"]), key=lambda kv: (-kv[1], kv[0]))
+        assert [(a, int(b)) for a, b in rows] == want, lang
