@@ -70,3 +70,51 @@ def write_json_per_doc(output_ds, out_dir: str) -> int:
     counts = output_ds.map_batches(write_batch, batch_format="pyarrow")
     # sum aggregate instead of take_all: driver-bounded by construction
     return int(counts.sum("written") or 0)
+
+
+def read_documents_jsonl(path: str):
+    """JSONL document source: newline-delimited JSON with at least
+    (doc_id, text) per line -> a Dataset with the same schema as the
+    parquet ``documents`` table (doc_id, text, lang, source, n_chars;
+    missing lang/source default to ''; n_chars derived when absent).
+
+    Web-scraped corpora usually arrive as JSONL long before anyone
+    converts them to parquet — this source lets every text/dedup pipeline
+    run on them directly. Ray's native read_json handles ndjson splitting
+    and parallel reads; the normalization is one vectorized map stage.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_json(path)
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        names = set(batch.column_names)
+        text = pc.cast(batch.column("text"), pa.string())
+        if "lang" in names:
+            lang = pc.cast(batch.column("lang"), pa.string())
+        else:
+            lang = pa.array([""] * n, type=pa.string())
+        if "source" in names:
+            source = pc.cast(batch.column("source"), pa.string())
+        else:
+            source = pa.array([""] * n, type=pa.string())
+        if "n_chars" in names:
+            n_chars = pc.cast(batch.column("n_chars"), pa.int64())
+        else:
+            n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "text": text,
+                "lang": lang,
+                "source": source,
+                "n_chars": n_chars,
+            }
+        )
+
+    from ..functions.tables import strip_schema_metadata
+
+    return strip_schema_metadata(ds.map_batches(normalize, batch_format="pyarrow"))

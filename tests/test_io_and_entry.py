@@ -132,3 +132,34 @@ def test_read_corpus_lance_missing_raises_actionable(tmp_path):
     os.makedirs(d / "_versions")
     with pytest.raises(RuntimeError, match="not installed"):
         read_corpus(str(d))
+
+
+def test_read_documents_jsonl_matches_parquet_schema(ray_session, tmp_path):
+    """A JSONL corpus round-trips into the documents schema and feeds the
+    text pipelines identically to the parquet source."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from ray_extract.sources.files import read_documents_jsonl
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/documents.parquet")
+    p = tmp_path / "docs.jsonl"
+    with open(p, "w") as f:
+        for row in t.slice(0, 40).to_pylist():
+            f.write(json.dumps(row) + "\n")
+    ds = read_documents_jsonl(str(p))
+    df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = t.slice(0, 40).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(df.columns) == ["doc_id", "text", "lang", "source", "n_chars"]
+    assert (df["text"] == want["text"]).all()
+    assert (df["n_chars"] == want["n_chars"]).all()
+
+    # missing optional fields default instead of failing
+    p2 = tmp_path / "min.jsonl"
+    with open(p2, "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "hello world"}) + "\n")
+    df2 = read_documents_jsonl(str(p2)).to_pandas()
+    assert df2.iloc[0]["n_chars"] == 11
+    assert df2.iloc[0]["lang"] == ""
