@@ -859,6 +859,18 @@ def _q_char_trigram_profile(sf_dir: str):
     return char_trigram_profile(sf_dir)
 
 
+def _q_funnel_counts(sf_dir: str):
+    from ray_extract.pipelines.events import funnel_counts
+
+    return funnel_counts(sf_dir)
+
+
+def _q_period_retention(sf_dir: str):
+    from ray_extract.pipelines.events import period_retention
+
+    return period_retention(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -935,6 +947,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_moments": _q_group_moments,
         "hour_of_day_profile": _q_hour_of_day_profile,
         "char_trigram_profile": _q_char_trigram_profile,
+        "funnel_counts": _q_funnel_counts,
+        "period_retention": _q_period_retention,
     }
 
 
@@ -1642,6 +1656,34 @@ r AS (
   FROM c
 )
 SELECT lang, tri, n FROM r WHERE rk <= 10
+""",
+        "funnel_counts": """
+WITH a AS (SELECT user_id, min(ts) AS t FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+b AS (SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN a ON a.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > a.t
+        AND e.ts <= a.t + INTERVAL 24 HOUR GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN b ON b.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > b.t
+        AND e.ts <= b.t + INTERVAL 24 HOUR GROUP BY 1)
+SELECT 'view' AS stage, CAST(0 AS BIGINT) AS stage_idx,
+       CAST((SELECT count(*) FROM a) AS BIGINT) AS n_users
+UNION ALL
+SELECT 'click', CAST(1 AS BIGINT), CAST((SELECT count(*) FROM b) AS BIGINT)
+UNION ALL
+SELECT 'purchase', CAST(2 AS BIGINT), CAST((SELECT count(*) FROM c) AS BIGINT)
+""",
+        "period_retention": """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // CAST(3600000000 AS BIGINT) AS period
+  FROM events
+)
+SELECT a.period, CAST(count(*) AS BIGINT) AS n_retained
+FROM uw a JOIN uw b ON a.user_id = b.user_id AND b.period = a.period + 1
+GROUP BY a.period
 """,
     }
     # connected components over the simhash pair graph: recursive min-label

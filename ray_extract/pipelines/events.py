@@ -723,3 +723,162 @@ def hour_of_day_profile(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def funnel_counts(sf_dir: str, stages: tuple = ("view", "click", "purchase"),
+                  window_hours: int = 24, num_buckets: int = 64):
+    """Time-boxed funnel analysis: how many users complete each stage of
+    ``stages`` where each step must happen STRICTLY AFTER the previous
+    step's first completion and within ``window_hours`` of it (the product
+    analytics primitive; order + window is what makes it a sequence
+    pattern rather than three independent counts).
+
+    Scale shape: one scan with an ``event_type IN stages`` pushdown, then
+    a single hash(user) shuffle; inside a bucket every stage resolves with
+    C-speed pandas column ops (per-user min of stage-1, merge onto
+    stage-2's rows, windowed filter, per-user min again — no Python loop
+    over users), and only |stages| partial-count rows per bucket reach the
+    final groupby.
+
+    Output: (stage, stage_idx, n_users).
+    """
+    import pandas as pd
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    win = np.timedelta64(window_hours * 3600 * 1_000_000, "us")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch.column("user_id"), pa.int64()).to_numpy()
+        bucket = np.abs((uid * np.int64(2654435761)) % np.int64(num_buckets))
+        return pa.table(
+            {
+                "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+                "ts": batch.column("ts"),
+                "event_type": batch.column("event_type"),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cur = (
+            g[g["event_type"] == stages[0]]
+            .groupby("user_id")["ts"].min()
+        )
+        counts = [len(cur)]
+        for stage in stages[1:]:
+            rows = g[g["event_type"] == stage][["user_id", "ts"]]
+            prev = cur.rename("t_prev")
+            rows = rows.join(prev, on="user_id", how="inner")
+            ok = (rows["ts"] > rows["t_prev"]) & (
+                rows["ts"] <= rows["t_prev"] + win
+            )
+            cur = rows[ok].groupby("user_id")["ts"].min()
+            counts.append(len(cur))
+        return pd.DataFrame(
+            {
+                "stage": list(stages),
+                "stage_idx": np.arange(len(stages), dtype=np.int64),
+                "n": np.array(counts, dtype=np.int64),
+            }
+        )
+
+    ds = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_type"],
+            filter=pads.field("event_type").isin(list(stages)),
+        )
+    )
+    agg = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["stage", "stage_idx"])
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "stage": t.column("stage"),
+                "stage_idx": pc.cast(t.column("stage_idx"), pa.int64()),
+                "n_users": pc.cast(t.column("n_users"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def period_retention(sf_dir: str, period_seconds: int = 3600,
+                     num_buckets: int = 64):
+    """Consecutive-period retention: for each activity period p, how many
+    users active in p were ALSO active in p+1 (cohort-retention shape; the
+    period defaults to an hour because the synthetic stream is dense —
+    daily/weekly are the same integer arithmetic).
+
+    Scale shape: per-batch DISTINCT (user, period) combiner -> ONE
+    hash(user) shuffle (all of a user's periods co-locate, so the
+    consecutive-pair check is bucket-local and exact) -> per bucket one
+    vectorized pass (np.unique over packed (user, period), adjacent-diff
+    equality) -> per-period partial counts -> small groupby.
+
+    Output: (period, n_retained) for periods with at least one retained
+    user.
+    """
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    per_us = np.int64(period_seconds) * 1_000_000
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch.column("user_id"), pa.int64()).to_numpy()
+        ts_us = batch.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        period = ts_us // per_us
+        t = pa.table(
+            {"user_id": pa.array(uid), "period": pa.array(period)}
+        ).group_by(["user_id", "period"]).aggregate([])
+        u = t.column("user_id").to_numpy()
+        bucket = np.abs((u * np.int64(2654435761)) % np.int64(num_buckets))
+        return t.append_column("bucket", pa.array(bucket))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        per = g["period"].to_numpy()
+        # global distinct within the bucket, sorted by (user, period)
+        packed = np.unique(uid * np.int64(1 << 22) + per)  # period < 2^22 hrs ~ 478y
+        u2, p2 = packed >> 22, packed & ((1 << 22) - 1)
+        same_user = u2[1:] == u2[:-1]
+        consec = p2[1:] == p2[:-1] + 1
+        hit = p2[:-1][same_user & consec]
+        vals, counts = np.unique(hit, return_counts=True)
+        return pd.DataFrame(
+            {"period": vals.astype(np.int64), "n": counts.astype(np.int64)}
+        )
+
+    ds = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    )
+    agg = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("period")
+        .aggregate(Sum("n", alias_name="n_retained"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "period": pc.cast(t.column("period"), pa.int64()),
+                "n_retained": pc.cast(t.column("n_retained"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -313,3 +313,44 @@ def test_hour_profile_covers_all_events(ray_session):
     n = pq.read_metadata(f"{sf}/events.parquet").num_rows
     assert int(df["n_events"].sum()) == n
     assert df["hour"].between(0, 23).all()
+
+
+def test_funnel_is_monotone_and_windowed(ray_session):
+    """Stage counts can only shrink down the funnel, and a huge window
+    reduces to the pure sequence pattern (>= windowed counts)."""
+    from ray_extract.pipelines.events import funnel_counts
+
+    sf = "/root/testdata/sf0.001"
+    tight = (
+        funnel_counts(sf, window_hours=24)
+        .to_pandas().set_index("stage_idx").sort_index()
+    )
+    assert (tight["n_users"].diff().dropna() <= 0).all()
+    wide = (
+        funnel_counts(sf, window_hours=24 * 365)
+        .to_pandas().set_index("stage_idx").sort_index()
+    )
+    assert (wide["n_users"] >= tight["n_users"]).all()
+
+
+def test_period_retention_matches_python(ray_session):
+    import pyarrow.parquet as pq
+
+    from ray_extract.pipelines.events import period_retention
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        period_retention(sf).to_pandas().set_index("period").sort_index()
+    )
+    t = pq.read_table(f"{sf}/events.parquet", columns=["user_id", "ts"])
+    import collections
+
+    active = collections.defaultdict(set)
+    for u, ts in zip(t.column("user_id").to_pylist(), t.column("ts").to_pylist()):
+        active[u].add(int(ts.timestamp() * 1_000_000) // 3_600_000_000)
+    want = collections.Counter()
+    for u, periods in active.items():
+        for p in periods:
+            if p + 1 in periods:
+                want[p] += 1
+    assert dict(got["n_retained"]) == dict(want)
