@@ -871,6 +871,12 @@ def _q_period_retention(sf_dir: str):
     return period_retention(sf_dir)
 
 
+def _q_oov_bigram_rate(sf_dir: str):
+    from ray_extract.pipelines.text import oov_bigram_rate
+
+    return oov_bigram_rate(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -949,6 +955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_trigram_profile": _q_char_trigram_profile,
         "funnel_counts": _q_funnel_counts,
         "period_retention": _q_period_retention,
+        "oov_bigram_rate": _q_oov_bigram_rate,
     }
 
 
@@ -1684,6 +1691,32 @@ WITH uw AS (
 SELECT a.period, CAST(count(*) AS BIGINT) AS n_retained
 FROM uw a JOIN uw b ON a.user_id = b.user_id AND b.period = a.period + 1
 GROUP BY a.period
+""",
+        "oov_bigram_rate": """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+w AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS i, ws[CAST(u.i AS INTEGER)] AS w
+  FROM d, unnest(range(1, len(ws) + 1)) AS u(i)
+),
+bg AS (
+  SELECT a.doc_id, a.w || ' ' || b.w AS bigram
+  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+vocab AS (
+  SELECT bigram FROM (
+    SELECT bigram, count(*) AS n FROM bg GROUP BY 1
+    ORDER BY n DESC, bigram LIMIT 500
+  ) t
+),
+s AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS nb,
+         CAST(sum(CASE WHEN bigram IN (SELECT bigram FROM vocab)
+                       THEN 0 ELSE 1 END) AS BIGINT) AS noov
+  FROM bg GROUP BY doc_id
+)
+SELECT doc_id, nb AS n_bigrams, noov AS n_oov,
+       noov * 1000000 // nb AS oov_ppm
+FROM s
 """,
     }
     # connected components over the simhash pair graph: recursive min-label

@@ -1261,3 +1261,70 @@ def char_trigram_profile(sf_dir: str, prefix_chars: int = 64, k: int = 10):
         )
 
     return counts.groupby("lang").map_groups(topk, batch_format="pandas")
+
+
+def oov_bigram_rate(sf_dir: str, vocab_k: int = 500):
+    """Out-of-vocabulary bigram rate per document — a cheap fluency /
+    domain-shift score (the n-gram-LM idea with integer arithmetic): pass 1
+    builds the corpus top-``vocab_k`` bigram vocabulary, pass 2 scores
+    every document by the fraction of its bigrams NOT in that vocabulary.
+
+    Scale shape: the vocabulary is the ALREADY-AGGREGATED top-k result
+    (``bigram_counts`` — combiner-before-shuffle, deterministic tiebreak),
+    so the driver holds k rows, never corpus-scale state; it is broadcast
+    once via ``ray.put`` and pass 2 is a pure map stage whose membership
+    test is Arrow ``is_in`` (C hash set) with per-doc counts from
+    np.bincount over the flat bigram->doc index. Docs with no bigram
+    (single-word) emit no row, mirroring the SQL join semantics.
+
+    Output: (doc_id, n_bigrams, n_oov, oov_ppm).
+    """
+    import ray
+
+    vocab = bigram_counts(sf_dir, k=vocab_k).to_pandas()["bigram"]
+    vref = ray.put(pa.array(vocab, type=pa.string()))
+
+    def score(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        words = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(words)
+        offs = words.offsets.to_numpy()
+        lens = np.diff(offs)
+        n = len(flat)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_bigrams": pa.array([], type=pa.int64()),
+                "n_oov": pa.array([], type=pa.int64()),
+                "oov_ppm": pa.array([], type=pa.int64()),
+            }
+        )
+        if n < 2:
+            return empty
+        mask = np.ones(n - 1, dtype=bool)
+        mask[offs[1:-1] - 1] = False
+        m = pa.array(mask)
+        bigrams = pc.binary_join_element_wise(
+            flat.slice(0, n - 1).filter(m), flat.slice(1, n - 1).filter(m), " "
+        )
+        nb = np.maximum(lens - 1, 0)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), nb)
+        in_vocab = pc.is_in(bigrams, value_set=ray.get(vref)).to_numpy(
+            zero_copy_only=False
+        )
+        n_oov = np.bincount(doc_idx[~in_vocab], minlength=len(lens)).astype(
+            np.int64
+        )
+        keep = nb >= 1
+        nbk, noovk = nb[keep], n_oov[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep]),
+                "n_bigrams": pa.array(nbk),
+                "n_oov": pa.array(noovk),
+                "oov_ppm": pa.array(noovk * 1_000_000 // nbk),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(score, batch_format="pyarrow")

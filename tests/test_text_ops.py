@@ -238,3 +238,20 @@ def test_char_trigram_profile_matches_python(ray_session):
         want = sorted(counts[lang].items(), key=lambda kv: (-kv[1], kv[0]))[:10]
         rows = sorted(zip(sub["tri"], sub["n"]), key=lambda kv: (-kv[1], kv[0]))
         assert [(a, int(b)) for a, b in rows] == want, lang
+
+
+def test_oov_rate_full_vocab_is_zero(ray_session):
+    """With a vocabulary big enough to hold every corpus bigram, every
+    document's OOV rate must be exactly zero."""
+    from ray_extract.pipelines.text import oov_bigram_rate
+
+    sf = "/root/testdata/sf0.001"
+    df = oov_bigram_rate(sf, vocab_k=10_000_000).to_pandas()
+    assert (df["n_oov"] == 0).all()
+    assert (df["oov_ppm"] == 0).all()
+    tight = oov_bigram_rate(sf, vocab_k=50).to_pandas()
+    assert (tight["n_oov"] > 0).any()
+    # bigram totals are vocabulary-independent
+    a = tight.sort_values("doc_id")["n_bigrams"].to_numpy()
+    b = df.sort_values("doc_id")["n_bigrams"].to_numpy()
+    assert (a == b).all()
