@@ -877,6 +877,12 @@ def _q_oov_bigram_rate(sf_dir: str):
     return oov_bigram_rate(sf_dir)
 
 
+def _q_value_outliers(sf_dir: str):
+    from ray_extract.pipelines.events import value_outliers
+
+    return value_outliers(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -956,6 +962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": _q_funnel_counts,
         "period_retention": _q_period_retention,
         "oov_bigram_rate": _q_oov_bigram_rate,
+        "value_outliers": _q_value_outliers,
     }
 
 
@@ -1717,6 +1724,19 @@ s AS (
 SELECT doc_id, nb AS n_bigrams, noov AS n_oov,
        noov * 1000000 // nb AS oov_ppm
 FROM s
+""",
+        "value_outliers": """
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+q AS (
+  SELECT event_type, CAST(quantile_disc(cents, 0.99) AS BIGINT) AS thr
+  FROM e GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.cents AS value_cents, q.thr AS thr_cents
+FROM e JOIN q USING (event_type) WHERE e.cents > q.thr
 """,
     }
     # connected components over the simhash pair graph: recursive min-label

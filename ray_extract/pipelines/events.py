@@ -882,3 +882,89 @@ def period_retention(sf_dir: str, period_seconds: int = 3600,
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def value_outliers(sf_dir: str, permille: int = 990):
+    """Per-type outlier events: value strictly above the event_type's
+    p{permille/10} — the GROUPED scalar-subquery pattern (vs the global
+    scalar of percentile_length_filter): thresholds derived per group,
+    then broadcast into a second streaming pass.
+
+    Pass 1 computes each type's EXACT percentile by counting selection
+    over the bounded cents domain (per-batch (type, cents) count partials
+    -> small groupby -> per-type cumulative-histogram walk); the threshold
+    table is O(|types|) rows, ray.put once. Pass 2 re-scans and resolves
+    every row with one zero-copy ``pa.Table.join`` against the broadcast
+    dimension — no shuffle. Rank rule = DuckDB quantile_disc
+    (ceil(p*n/1000), integer arithmetic).
+
+    Output: (event_id, event_type, value_cents, thr_cents).
+    """
+    import pandas as pd
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def counts(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch.column("value").to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "cents": pa.array(cents),
+                "n": pa.array(np.ones(len(cents), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["event_type", "cents"]).aggregate([("n", "sum")])
+
+    def select(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents")
+        cum = g["n"].to_numpy().cumsum()
+        n = int(cum[-1])
+        rank = (permille * n + 999) // 1000
+        thr = int(g["cents"].to_numpy()[np.searchsorted(cum, rank)])
+        return pd.DataFrame(
+            {"event_type": g["event_type"].iloc[:1].to_numpy(),
+             "thr_cents": np.array([thr], dtype=np.int64)}
+        )
+
+    hist = (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+            )
+        )
+        .map_batches(counts, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("n_sum", alias_name="n"))
+        .groupby("event_type")
+        .map_groups(select, batch_format="pandas")
+    )
+    thr_tbl = pa.Table.from_pandas(hist.to_pandas()).replace_schema_metadata(None)
+    thr_ref = ray.put(thr_tbl)  # O(|event types|) rows
+
+    def flt(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch.column("value").to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        t = pa.table(
+            {
+                "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+                "event_type": pc.cast(batch.column("event_type"), pa.string()),
+                "value_cents": pa.array(cents),
+            }
+        ).join(ray.get(thr_ref), keys="event_type", join_type="inner")
+        return t.filter(
+            pc.greater(t.column("value_cents"), t.column("thr_cents"))
+        )
+
+    ds = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "event_type", "value"],
+        )
+    )
+    return ds.map_batches(flt, batch_format="pyarrow")

@@ -34,7 +34,25 @@ def _cents(col: pa.ChunkedArray) -> np.ndarray:
     return np.floor(col.to_numpy() * 100.0 + 0.5).astype(np.int64)
 
 
-def revenue_by_priority(sf_dir: str, num_partitions: int = 16):
+def _join_partitions(num_partitions: int | None) -> int:
+    """Cluster-aware default for hash-shuffle join partition count.
+
+    The aggregator pool is a FIXED per-join cost (actor spawn + schema
+    dissemination) that grows with num_partitions: measured at sf0.1/32
+    cpus, one join at 16 partitions costs 4.4 s vs 2.9 s at 4. Partition
+    count should track cluster size (cpus // 4, floor 2), not be a
+    constant — at 4096 cluster CPUs that is 1024 partitions, at a 32-cpu
+    dev box 8. Callers can always pin it explicitly.
+    """
+    if num_partitions is not None:
+        return num_partitions
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, cpus // 4)
+
+
+def revenue_by_priority(sf_dir: str, num_partitions: int | None = None):
     """Revenue per order priority: lineitem JOIN orders (big-big).
 
     Scale shape: lineitem batches are reduced to per-orderkey partial
@@ -48,6 +66,7 @@ def revenue_by_priority(sf_dir: str, num_partitions: int = 16):
     import ray.data as rd
 
     from ..functions.tables import strip_schema_metadata
+    num_partitions = _join_partitions(num_partitions)
 
     def li_partial(batch: pa.Table) -> pa.Table:
         rev = _cents(batch.column("l_extendedprice")) * (
@@ -110,7 +129,7 @@ def revenue_by_priority(sf_dir: str, num_partitions: int = 16):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
-def revenue_by_nation(sf_dir: str, num_partitions: int = 16):
+def revenue_by_nation(sf_dir: str, num_partitions: int | None = None):
     """Order revenue per customer nation: orders JOIN customer (big-big,
     native hash-shuffle) then nation (25 rows) as a BROADCAST Arrow join.
 
@@ -124,6 +143,7 @@ def revenue_by_nation(sf_dir: str, num_partitions: int = 16):
     import ray.data as rd
 
     from ..functions.tables import strip_schema_metadata
+    num_partitions = _join_partitions(num_partitions)
 
     def ord_partial(batch: pa.Table) -> pa.Table:
         t = pa.table(
@@ -258,7 +278,7 @@ def group_quantiles(sf_dir: str, percentiles: tuple[int, ...] = (50, 90)):
 
 
 def customers_without_orders(
-    sf_dir: str, priority: str = "1-URGENT", num_partitions: int = 16
+    sf_dir: str, priority: str = "1-URGENT", num_partitions: int | None = None
 ):
     """Customers with no order of the given priority — the distributed
     ANTI-JOIN (the "which documents have no near-duplicate / no label / no
@@ -279,6 +299,7 @@ def customers_without_orders(
     import ray.data as rd
 
     from ..functions.tables import strip_schema_metadata
+    num_partitions = _join_partitions(num_partitions)
 
     def cust_prep(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -626,7 +647,7 @@ def _multi_join_args(num_partitions: int) -> tuple[int, dict]:
 
 def top_revenue_orders(sf_dir: str, segment: str = "BUILDING",
                        date: str = "1998-01-01", k: int = 10,
-                       num_partitions: int = 16):
+                       num_partitions: int | None = None):
     """TPC-H Q3-shaped: top-k unshipped-revenue orders for one market
     segment — customer(filtered) |><| orders(filtered) |><| lineitem(filtered),
     then a global top-k by (revenue desc, orderkey asc).
@@ -648,7 +669,7 @@ def top_revenue_orders(sf_dir: str, segment: str = "BUILDING",
     from ..functions.tables import strip_schema_metadata
 
     d = datetime.datetime.fromisoformat(date)
-    num_partitions, agg_args = _multi_join_args(num_partitions)
+    num_partitions, agg_args = _multi_join_args(_join_partitions(num_partitions))
 
     cust = strip_schema_metadata(
         rd.read_parquet(
@@ -765,7 +786,7 @@ def top_revenue_orders(sf_dir: str, segment: str = "BUILDING",
 
 
 def promo_revenue_share(sf_dir: str, promo_type: str = "PROMO",
-                        num_partitions: int = 16):
+                        num_partitions: int | None = None):
     """Revenue share per part type (TPC-H Q14 generalized): lineitem |><|
     part on partkey (the second big-big join KEY in the schema), revenue
     per p_type, plus each type's share of total as integer ppm.
@@ -784,6 +805,7 @@ def promo_revenue_share(sf_dir: str, promo_type: str = "PROMO",
     from ray.data.aggregate import Sum
 
     from ..functions.tables import strip_schema_metadata
+    num_partitions = _join_partitions(num_partitions)
 
     def li_partial(batch: pa.Table) -> pa.Table:
         rev = _cents(batch.column("l_extendedprice")) * (

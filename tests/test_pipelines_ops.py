@@ -354,3 +354,21 @@ def test_period_retention_matches_python(ray_session):
             if p + 1 in periods:
                 want[p] += 1
     assert dict(got["n_retained"]) == dict(want)
+
+
+def test_value_outliers_threshold_per_type(ray_session):
+    import duckdb
+
+    from ray_extract.pipelines.events import value_outliers
+
+    sf = "/root/testdata/sf0.001"
+    df = value_outliers(sf).to_pandas()
+    thr = duckdb.sql(
+        f"""SELECT event_type,
+               CAST(quantile_disc(CAST(floor(value*100+0.5) AS BIGINT), 0.99)
+                    AS BIGINT) AS thr
+            FROM '{sf}/events.parquet' GROUP BY 1"""
+    ).df().set_index("event_type")["thr"]
+    for et, sub in df.groupby("event_type"):
+        assert (sub["thr_cents"] == thr[et]).all()
+        assert (sub["value_cents"] > thr[et]).all()
