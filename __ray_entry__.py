@@ -883,6 +883,12 @@ def _q_value_outliers(sf_dir: str):
     return value_outliers(sf_dir)
 
 
+def _q_monthly_revenue_growth(sf_dir: str):
+    from ray_extract.pipelines.relational import monthly_revenue_growth
+
+    return monthly_revenue_growth(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -963,6 +969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "period_retention": _q_period_retention,
         "oov_bigram_rate": _q_oov_bigram_rate,
         "value_outliers": _q_value_outliers,
+        "monthly_revenue_growth": _q_monthly_revenue_growth,
     }
 
 
@@ -1737,6 +1744,21 @@ q AS (
 )
 SELECT e.event_id, e.event_type, e.cents AS value_cents, q.thr AS thr_cents
 FROM e JOIN q USING (event_type) WHERE e.cents > q.thr
+""",
+        "monthly_revenue_growth": """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue_cents,
+       CAST(coalesce(LAG(revenue_cents) OVER (ORDER BY month), 0) AS BIGINT)
+         AS prev_revenue_cents,
+       CAST(revenue_cents
+            - coalesce(LAG(revenue_cents) OVER (ORDER BY month), 0) AS BIGINT)
+         AS delta_cents
+FROM m
 """,
     }
     # connected components over the simhash pair graph: recursive min-label

@@ -944,3 +944,68 @@ def group_moments(sf_dir: str):
         return pa.table(out)
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def monthly_revenue_growth(sf_dir: str):
+    """Monthly revenue time series with month-over-month delta — the
+    window-function-OVER-an-aggregate composition (LAG on a groupby
+    result).
+
+    Scale shape: the heavy part (per-month revenue) is a combiner +
+    small groupby; the LAG runs on the O(|months|) aggregate, which is
+    bounded by the calendar, not the data — one block by construction, so
+    the sorted diff is a single vectorized pass. Month arithmetic is
+    integer months-since-epoch (numpy datetime64[M] == SQL date_trunc).
+
+    Output: (month, revenue_cents, prev_revenue_cents, delta_cents) with
+    prev = 0 for the first month (sentinel instead of NULL for hash-stable
+    compares).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        months = (
+            batch.column("o_orderdate")
+            .to_numpy()
+            .astype("datetime64[M]")
+            .astype(np.int64)
+        )
+        t = pa.table(
+            {
+                "m": pa.array(months),
+                "rev": pa.array(_cents(batch.column("o_totalprice"))),
+            }
+        )
+        return t.group_by("m").aggregate([("rev", "sum")])
+
+    agg = (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+            )
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("m")
+        .aggregate(Sum("rev_sum", alias_name="rev"))
+        .repartition(1)  # O(|months|) rows by construction
+    )
+
+    def lag(t: pa.Table) -> pa.Table:
+        m = pc.cast(t.column("m"), pa.int64()).to_numpy()
+        rev = pc.cast(t.column("rev"), pa.int64()).to_numpy()
+        order = np.argsort(m)
+        m, rev = m[order], rev[order]
+        prev = np.r_[0, rev[:-1]]
+        return pa.table(
+            {
+                "month": pa.array(m.astype("datetime64[M]").astype("datetime64[us]")),
+                "revenue_cents": pa.array(rev),
+                "prev_revenue_cents": pa.array(prev),
+                "delta_cents": pa.array(rev - prev),
+            }
+        )
+
+    return agg.map_batches(lag, batch_format="pyarrow")

@@ -182,3 +182,20 @@ def test_group_moments_satisfy_cauchy_schwarz(ray_session):
         # variance non-negative: n*sum_x2 >= (sum_x)^2
         assert r["n"] * r["sum_qty2"] >= r["sum_qty"] ** 2
         assert r["n"] * r["sum_price2"] >= r["sum_price"] ** 2
+
+
+def test_monthly_growth_telescopes(ray_session):
+    """Deltas telescope: sum(delta) == last month's revenue - 0, and prev
+    of month k equals revenue of month k-1."""
+    from ray_extract.pipelines.relational import monthly_revenue_growth
+
+    df = (
+        monthly_revenue_growth(SF)
+        .to_pandas()
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+    assert int(df["delta_cents"].sum()) == int(df["revenue_cents"].iloc[-1])
+    assert (df["prev_revenue_cents"].iloc[1:].to_numpy()
+            == df["revenue_cents"].iloc[:-1].to_numpy()).all()
+    assert df["prev_revenue_cents"].iloc[0] == 0
