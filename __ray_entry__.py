@@ -889,6 +889,12 @@ def _q_monthly_revenue_growth(sf_dir: str):
     return monthly_revenue_growth(sf_dir)
 
 
+def _q_bloom_semi_join(sf_dir: str):
+    from ray_extract.pipelines.relational import bloom_semi_join
+
+    return bloom_semi_join(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -970,6 +976,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_bigram_rate": _q_oov_bigram_rate,
         "value_outliers": _q_value_outliers,
         "monthly_revenue_growth": _q_monthly_revenue_growth,
+        "bloom_semi_join": _q_bloom_semi_join,
     }
 
 
@@ -1759,6 +1766,16 @@ SELECT month, revenue_cents,
             - coalesce(LAG(revenue_cents) OVER (ORDER BY month), 0) AS BIGINT)
          AS delta_cents
 FROM m
+""",
+        "bloom_semi_join": """
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
+            AS BIGINT) AS revenue_x10000
+FROM lineitem l
+WHERE l.l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
 """,
     }
     # connected components over the simhash pair graph: recursive min-label

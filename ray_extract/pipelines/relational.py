@@ -1009,3 +1009,137 @@ def monthly_revenue_growth(sf_dir: str):
         )
 
     return agg.map_batches(lag, batch_format="pyarrow")
+
+
+def _bloom_hashes(keys: np.ndarray, m_bits: int) -> tuple[np.ndarray, np.ndarray]:
+    """Two deterministic multiply-shift hash positions per key (k=2),
+    computed in wrapping uint64 arithmetic."""
+    k = keys.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h1 = k * np.uint64(0x9E3779B97F4A7C15)
+        h2 = k * np.uint64(0xC2B2AE3D27D4EB4F) + np.uint64(0x165667B19E3779F9)
+    m = np.uint64(m_bits)
+    return (h1 % m).astype(np.int64), (h2 % m).astype(np.int64)
+
+
+def bloom_semi_join(sf_dir: str, priority: str = "1-URGENT",
+                    m_bits: int = 1 << 20, num_partitions: int | None = None):
+    """Revenue of lineitems belonging to ``priority`` orders, computed with
+    a BROADCAST BLOOM PREFILTER in front of the exact hash-shuffle join —
+    the standard 100-TB semi-join optimization: the probe side drops
+    (1 - fp_rate) of its non-matching rows BEFORE the shuffle, and the
+    exact join over the survivors removes the false positives, so the
+    result is EXACT regardless of the filter (Bloom filters have no false
+    negatives).
+
+    Scale shape: the build side streams into per-block partial bitmaps
+    (uint64 words, two multiply-shift hashes per key) that OR together —
+    the driver holds only ``m_bits/8`` bytes x #blocks transiently (tree-
+    or actor-reduce the OR at extreme block counts); the merged filter is
+    ``ray.put`` once and probed vectorized (two gathers + bit tests per
+    batch). The shuffle then moves only surviving pre-aggregated rows.
+
+    Output: one row (n_items, revenue_x10000).
+    """
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    num_partitions = _join_partitions(num_partitions)
+    n_words = m_bits // 64
+
+    def build_partial(batch: pa.Table) -> pa.Table:
+        keys = pc.cast(batch.column("o_orderkey"), pa.int64()).to_numpy()
+        p1, p2 = _bloom_hashes(keys, m_bits)
+        bits = np.zeros(n_words, dtype=np.uint64)
+        for p in (p1, p2):
+            np.bitwise_or.at(bits, p // 64, np.uint64(1) << (p % 64).astype(np.uint64))
+        return pa.table({"bits": pa.array([bits.tobytes()], type=pa.large_binary())})
+
+    orders = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey"],
+            filter=pads.field("o_orderpriority") == priority,
+        )
+    )
+    partials = orders.map_batches(build_partial, batch_format="pyarrow").take_all()
+    bloom = np.zeros(n_words, dtype=np.uint64)
+    for row in partials:  # O(#blocks) small bitmaps; tree-reduce at extreme scale
+        bloom |= np.frombuffer(row["bits"], dtype=np.uint64)
+    bloom_ref = ray.put(bloom)
+
+    def probe_partial(batch: pa.Table) -> pa.Table:
+        bl = ray.get(bloom_ref)  # zero-copy numpy view from the object store
+        keys = pc.cast(batch.column("l_orderkey"), pa.int64()).to_numpy()
+        p1, p2 = _bloom_hashes(keys, m_bits)
+        hit = (
+            (bl[p1 // 64] >> (p1 % 64).astype(np.uint64)) & np.uint64(1)
+        ).astype(bool) & (
+            (bl[p2 // 64] >> (p2 % 64).astype(np.uint64)) & np.uint64(1)
+        ).astype(bool)
+        rev = _cents(batch.column("l_extendedprice")) * (
+            100 - _cents(batch.column("l_discount"))
+        )
+        t = pa.table(
+            {
+                "l_orderkey": pa.array(keys[hit]),
+                "rev": pa.array(rev[hit]),
+                "n": pa.array(np.ones(int(hit.sum()), dtype=np.int64)),
+            }
+        )
+        return t.group_by("l_orderkey").aggregate([("rev", "sum"), ("n", "sum")])
+
+    li = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        )
+    ).map_batches(probe_partial, batch_format="pyarrow")
+
+    # exact verification join: false positives die here
+    joined = li.join(
+        orders.map_batches(
+            lambda t: pa.table(
+                {"o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def total_partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pa.array([0], type=pa.int64()),
+                "n": pa.array(
+                    [int(pc.sum(t.column("n_sum")).as_py() or 0)], type=pa.int64()
+                ),
+                "rev": pa.array(
+                    [int(pc.sum(t.column("rev_sum")).as_py() or 0)], type=pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        joined.map_batches(total_partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="n_items"),
+                   Sum("rev", alias_name="revenue_x10000"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_items": pc.cast(t.column("n_items"), pa.int64()),
+                "revenue_x10000": pc.cast(t.column("revenue_x10000"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -199,3 +199,27 @@ def test_monthly_growth_telescopes(ray_session):
     assert (df["prev_revenue_cents"].iloc[1:].to_numpy()
             == df["revenue_cents"].iloc[:-1].to_numpy()).all()
     assert df["prev_revenue_cents"].iloc[0] == 0
+
+
+def test_bloom_prefilter_keeps_all_true_matches(ray_session):
+    """The bloom-prefiltered result must EQUAL the plain exact semi-join
+    (no false negatives by construction; false positives die in the
+    verification join) — including with a tiny, collision-heavy filter."""
+    import duckdb
+
+    from ray_extract.pipelines.relational import bloom_semi_join
+
+    want = duckdb.sql(
+        f"""SELECT count(*) AS n,
+               CAST(SUM(CAST(floor(l.l_extendedprice*100+0.5) AS BIGINT)
+                        * (100 - CAST(floor(l.l_discount*100+0.5) AS BIGINT)))
+                    AS BIGINT) AS rev
+            FROM '{SF}/lineitem.parquet' l
+            WHERE l.l_orderkey IN (
+              SELECT o_orderkey FROM '{SF}/orders.parquet'
+              WHERE o_orderpriority = '1-URGENT')"""
+    ).fetchone()
+    for m_bits in (1 << 20, 1 << 10):  # second one forces false positives
+        df = bloom_semi_join(SF, m_bits=m_bits).to_pandas()
+        assert int(df["n_items"].iloc[0]) == want[0], m_bits
+        assert int(df["revenue_x10000"].iloc[0]) == want[1], m_bits
