@@ -895,6 +895,30 @@ def _q_bloom_semi_join(sf_dir: str):
     return bloom_semi_join(sf_dir)
 
 
+def _q_order_priority_returned(sf_dir: str):
+    from ray_extract.pipelines.relational import order_priority_returned
+
+    return order_priority_returned(sf_dir)
+
+
+def _q_large_volume_orders(sf_dir: str):
+    from ray_extract.pipelines.relational import large_volume_orders
+
+    return large_volume_orders(sf_dir)
+
+
+def _q_returned_revenue_by_customer(sf_dir: str):
+    from ray_extract.pipelines.relational import returned_revenue_by_customer
+
+    return returned_revenue_by_customer(sf_dir)
+
+
+def _q_avg_order_gap(sf_dir: str):
+    from ray_extract.pipelines.relational import avg_order_gap
+
+    return avg_order_gap(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -977,6 +1001,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_outliers": _q_value_outliers,
         "monthly_revenue_growth": _q_monthly_revenue_growth,
         "bloom_semi_join": _q_bloom_semi_join,
+        "order_priority_returned": _q_order_priority_returned,
+        "large_volume_orders": _q_large_volume_orders,
+        "returned_revenue_by_customer": _q_returned_revenue_by_customer,
+        "avg_order_gap": _q_avg_order_gap,
     }
 
 
@@ -1776,6 +1804,56 @@ FROM lineitem l
 WHERE l.l_orderkey IN (
   SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
 )
+""",
+        "order_priority_returned": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+        "large_volume_orders": """
+WITH s AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, s.total_qty
+FROM s
+JOIN orders o ON o.o_orderkey = s.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE s.total_qty > 300
+""",
+        "returned_revenue_by_customer": """
+WITH rev AS (
+  SELECT o.o_custkey,
+         CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
+              AS BIGINT) AS revenue_x10000
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY o.o_custkey
+),
+topk AS (
+  SELECT o_custkey, revenue_x10000 FROM rev
+  ORDER BY revenue_x10000 DESC, o_custkey ASC LIMIT 20
+)
+SELECT c.c_custkey, c.c_name, t.revenue_x10000
+FROM topk t JOIN customer c ON c.c_custkey = t.o_custkey
+""",
+        "avg_order_gap": """
+WITH w AS (
+  SELECT o_custkey,
+         epoch_us(o_orderdate)
+           - lag(epoch_us(o_orderdate)) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS d
+  FROM orders
+)
+SELECT o_custkey AS custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(d) AS BIGINT) AS n_gaps,
+       CAST(coalesce(sum(d), -1) AS BIGINT) AS sum_gap_us,
+       CAST(coalesce(max(d), -1) AS BIGINT) AS max_gap_us
+FROM w GROUP BY o_custkey
 """,
     }
     # connected components over the simhash pair graph: recursive min-label

@@ -1143,3 +1143,380 @@ def bloom_semi_join(sf_dir: str, priority: str = "1-URGENT",
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def order_priority_returned(sf_dir: str, num_partitions: int | None = None):
+    """TPC-H Q4-shaped EXISTS semi-join: count orders per priority that
+    have at least one returned ('R') lineitem.
+
+    Scale shape: the EXISTS is decomposed as filter -> per-batch distinct
+    -> global one-row-per-key groupby (the dedup shuffle moves at most one
+    row per (orderkey, block)) -> native hash-shuffle join against the
+    pruned orders projection -> per-batch partial count by priority so the
+    final groupby moves ~5 rows per block. Contrast with bloom_semi_join,
+    which solves the same shape probabilistically without the key shuffle
+    when the filter side fits a broadcast bitmap.
+
+    Output: (o_orderpriority, n_orders).
+    """
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    num_partitions, agg_args = _multi_join_args(_join_partitions(num_partitions))
+
+    def distinct_keys(batch: pa.Table) -> pa.Table:
+        keys = np.unique(pc.cast(batch.column("l_orderkey"), pa.int64()).to_numpy())
+        return pa.table({"l_orderkey": pa.array(keys), "one": pa.array(
+            np.ones(len(keys), dtype=np.int64))})
+
+    li_keys = (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_orderkey", "l_returnflag"],
+                filter=pads.field("l_returnflag") == "R",
+            )
+        )
+        .map_batches(distinct_keys, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("one", alias_name="dup"))
+    )
+
+    orders = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+        )
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "o_orderpriority": t.column("o_orderpriority"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = li_keys.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        aggregator_ray_remote_args=agg_args,
+    )
+
+    def prio_partial(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+        return out.group_by("o_orderpriority").aggregate([("n", "sum")])
+
+    agg = (
+        joined.map_batches(prio_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_sum", alias_name="n_orders"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "n_orders": pc.cast(t.column("n_orders"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def large_volume_orders(sf_dir: str, min_qty: int = 300):
+    """TPC-H Q18-shaped: orders whose total lineitem quantity exceeds
+    ``min_qty``, with their customer.
+
+    Scale shape: the heavy side (lineitem) is reduced to per-orderkey
+    partial sums inside map_batches, then one global groupby; the
+    survivors of the HAVING filter are a tiny set (TPC-H Q18 yields
+    ~0.3% of orders), so BOTH remaining hops are broadcast probes — the
+    matched aggregate is ``ray.put`` once and each orders/customer batch
+    does an Arrow C++ hash join against it. No row of orders or customer
+    is ever shuffled.
+
+    Output: (c_custkey, c_name, o_orderkey, total_qty).
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        qty = np.floor(batch.column("l_quantity").to_numpy() + 0.5).astype(np.int64)
+        t = pa.table(
+            {
+                "l_orderkey": pc.cast(batch.column("l_orderkey"), pa.int64()),
+                "q": pa.array(qty),
+            }
+        )
+        return t.group_by("l_orderkey").aggregate([("q", "sum")])
+
+    heavy = (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+            )
+        )
+        .map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("q_sum", alias_name="total_qty"))
+        .map_batches(
+            lambda t: t.filter(pc.greater(t.column("total_qty"), min_qty)),
+            batch_format="pyarrow",
+        )
+    )
+    parts = heavy.take_all()  # tiny: HAVING survivors only
+    matched = pa.Table.from_pylist(
+        parts,
+        schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("total_qty", pa.int64())]
+        ),
+    )
+    matched_ref = ray.put(matched)
+
+    def probe_orders(batch: pa.Table) -> pa.Table:
+        small = ray.get(matched_ref)
+        t = pa.table(
+            {
+                "o_orderkey": pc.cast(batch.column("o_orderkey"), pa.int64()),
+                "o_custkey": pc.cast(batch.column("o_custkey"), pa.int64()),
+            }
+        )
+        return t.join(small, keys=["o_orderkey"], right_keys=["l_orderkey"],
+                      join_type="inner")
+
+    matched_orders = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"])
+    ).map_batches(probe_orders, batch_format="pyarrow")
+
+    ord_parts = matched_orders.take_all()  # still tiny (1:1 with matched)
+    ord_tbl = pa.Table.from_pylist(
+        ord_parts,
+        schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("total_qty", pa.int64()),
+            ]
+        ),
+    )
+    ord_ref = ray.put(ord_tbl)
+
+    def probe_customer(batch: pa.Table) -> pa.Table:
+        small = ray.get(ord_ref)
+        t = pa.table(
+            {
+                "c_custkey": pc.cast(batch.column("c_custkey"), pa.int64()),
+                "c_name": batch.column("c_name"),
+            }
+        )
+        out = t.join(small, keys=["c_custkey"], right_keys=["o_custkey"],
+                     join_type="inner")
+        return out.select(["c_custkey", "c_name", "o_orderkey", "total_qty"])
+
+    return strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_name"])
+    ).map_batches(probe_customer, batch_format="pyarrow")
+
+
+def returned_revenue_by_customer(sf_dir: str, k: int = 20,
+                                 num_partitions: int | None = None):
+    """TPC-H Q10-shaped: top-k customers by revenue on returned items.
+
+    Scale shape: lineitem is filtered at the read (l_returnflag = 'R'
+    pushed into the parquet scan) and pre-summed per orderkey, the
+    orders hop is a native hash-shuffle join, revenue is re-aggregated
+    per custkey (partial -> global), and the top-k is per-batch partial
+    top-k + one k-row final cut — never a global sort. Only the final k
+    winners touch the customer table, via an IN-list filtered scan.
+
+    Output: (c_custkey, c_name, revenue_x10000).
+    """
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    num_partitions, agg_args = _multi_join_args(_join_partitions(num_partitions))
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        rev = _cents(batch.column("l_extendedprice")) * (
+            100 - _cents(batch.column("l_discount"))
+        )
+        t = pa.table(
+            {
+                "l_orderkey": pc.cast(batch.column("l_orderkey"), pa.int64()),
+                "rev": pa.array(rev),
+            }
+        )
+        return t.group_by("l_orderkey").aggregate([("rev", "sum")])
+
+    li = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+            filter=pads.field("l_returnflag") == "R",
+        )
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    orders = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"])
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "rev": pc.cast(t.column("rev_sum"), pa.int64()),
+            }
+        )
+        return out.group_by("o_custkey").aggregate([("rev", "sum")])
+
+    per_cust = (
+        li.join(
+            orders,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+            aggregator_ray_remote_args=agg_args,
+        )
+        .map_batches(cust_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("rev_sum", alias_name="revenue_x10000"))
+    )
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("revenue_x10000", "descending"), ("o_custkey", "ascending")]
+        )
+        return t.take(idx[: min(k, len(t))])
+
+    winners_rows = (
+        per_cust.map_batches(partial_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(partial_topk, batch_format="pyarrow")
+        .take_all()
+    )
+    winners = pa.Table.from_pylist(
+        winners_rows,
+        schema=pa.schema([("o_custkey", pa.int64()),
+                          ("revenue_x10000", pa.int64())]),
+    )
+
+    keys = winners.column("o_custkey").to_pylist()
+
+    def attach_names(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "c_custkey": pc.cast(batch.column("c_custkey"), pa.int64()),
+                "c_name": batch.column("c_name"),
+            }
+        )
+        out = t.join(winners, keys=["c_custkey"], right_keys=["o_custkey"],
+                     join_type="inner")
+        return out.select(["c_custkey", "c_name", "revenue_x10000"])
+
+    return strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name"],
+            filter=pads.field("c_custkey").isin(keys),
+        )
+    ).map_batches(attach_names, batch_format="pyarrow")
+
+
+def avg_order_gap(sf_dir: str, num_buckets: int = 64):
+    """Per-customer inter-order gap statistics — LAG over order dates.
+
+    Scale shape: same as events.lag_rolling_stats — ONE hash(custkey)
+    shuffle, then per bucket a single vectorized pass (lexsort by
+    (custkey, orderdate, orderkey), gap via a shifted array with
+    customer-boundary masking, per-customer sums via np.add.reduceat).
+    No per-customer Python calls; gaps stay integer microseconds so the
+    oracle is exact.
+
+    Output: (custkey, n_orders, n_gaps, sum_gap_us, max_gap_us) with -1
+    sentinels for single-order customers.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ck = pc.cast(batch.column("o_custkey"), pa.int64()).to_numpy()
+        bucket = np.abs((ck * np.int64(2654435761)) % np.int64(num_buckets))
+        return pa.table(
+            {
+                "o_custkey": pa.array(ck),
+                "o_orderkey": pc.cast(batch.column("o_orderkey"), pa.int64()),
+                "o_orderdate": batch.column("o_orderdate"),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ck = g["o_custkey"].to_numpy()
+        ts = g["o_orderdate"].to_numpy()
+        ok = g["o_orderkey"].to_numpy()
+        order = np.lexsort((ok, ts, ck))
+        ck, ts = ck[order], ts[order]
+        n = len(g)
+        new_cust = np.ones(n, dtype=bool)
+        new_cust[1:] = ck[1:] != ck[:-1]
+        gap = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            d = (ts[1:] - ts[:-1]).astype("timedelta64[us]").astype(np.int64)
+            keep = ~new_cust[1:]
+            gap[1:][keep] = d[keep]
+        seg_first = np.flatnonzero(new_cust)
+        counts = np.diff(np.r_[seg_first, n])
+        sum_gap = np.add.reduceat(gap, seg_first)
+        max_gap = np.maximum.reduceat(gap, seg_first)
+        no_gap = counts == 1
+        return pd.DataFrame(
+            {
+                "custkey": ck[seg_first],
+                "n_orders": counts,
+                "n_gaps": counts - 1,
+                "sum_gap_us": np.where(no_gap, -1, sum_gap),
+                "max_gap_us": np.where(no_gap, -1, max_gap),
+            }
+        )
+
+    ds = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        )
+    )
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -223,3 +223,81 @@ def test_bloom_prefilter_keeps_all_true_matches(ray_session):
         df = bloom_semi_join(SF, m_bits=m_bits).to_pandas()
         assert int(df["n_items"].iloc[0]) == want[0], m_bits
         assert int(df["revenue_x10000"].iloc[0]) == want[1], m_bits
+
+
+def test_order_priority_returned_totals(ray_session):
+    """Per-priority EXISTS counts must sum to the distinct R-order count."""
+    from ray_extract.pipelines.relational import order_priority_returned
+
+    df = order_priority_returned(SF).to_pandas()
+    con = duckdb.connect()
+    want = con.execute(
+        f"""SELECT count(DISTINCT l_orderkey) FROM '{SF}/lineitem.parquet'
+            WHERE l_returnflag = 'R'"""
+    ).fetchone()[0]
+    assert int(df["n_orders"].sum()) == int(want)
+    assert df["o_orderpriority"].is_unique
+
+
+def test_large_volume_orders_threshold_and_join(ray_session):
+    """Every surviving order exceeds the HAVING threshold and carries the
+    right customer key (both hops are broadcast probes, never a shuffle)."""
+    from ray_extract.pipelines.relational import large_volume_orders
+
+    df = large_volume_orders(SF).to_pandas()
+    assert (df["total_qty"] > 300).all()
+    con = duckdb.connect()
+    want = con.execute(
+        f"""SELECT o_orderkey, o_custkey FROM '{SF}/orders.parquet'
+            WHERE o_orderkey IN (
+              SELECT l_orderkey FROM '{SF}/lineitem.parquet'
+              GROUP BY l_orderkey
+              HAVING sum(CAST(floor(l_quantity+0.5) AS BIGINT)) > 300)"""
+    ).df()
+    assert set(df["o_orderkey"]) == set(want["o_orderkey"])
+    m = want.set_index("o_orderkey")["o_custkey"].sort_index()
+    got = df.set_index("o_orderkey")["c_custkey"].sort_index()
+    assert (got.values == m.values).all()
+
+
+def test_returned_revenue_topk_set(ray_session):
+    """Partial-top-k + final cut must equal the global ORDER BY LIMIT set,
+    with the (revenue desc, custkey asc) tiebreak."""
+    from ray_extract.pipelines.relational import returned_revenue_by_customer
+
+    df = returned_revenue_by_customer(SF, k=7).to_pandas()
+    assert len(df) == 7
+    con = duckdb.connect()
+    want = con.execute(
+        f"""SELECT o.o_custkey, CAST(SUM(CAST(floor(l.l_extendedprice*100+0.5) AS BIGINT)
+                   * (100 - CAST(floor(l.l_discount*100+0.5) AS BIGINT))) AS BIGINT) rev
+            FROM '{SF}/lineitem.parquet' l
+            JOIN '{SF}/orders.parquet' o ON o.o_orderkey = l.l_orderkey
+            WHERE l.l_returnflag = 'R' GROUP BY 1
+            ORDER BY rev DESC, o.o_custkey ASC LIMIT 7"""
+    ).df()
+    assert set(df["c_custkey"]) == set(want["o_custkey"])
+
+
+def test_avg_order_gap_invariants(ray_session):
+    """n_gaps = n_orders - 1; sentinel -1 exactly when a customer has one
+    order; sums reproduce one spot-checked customer."""
+    from ray_extract.pipelines.relational import avg_order_gap
+
+    df = avg_order_gap(SF).to_pandas()
+    assert (df["n_gaps"] == df["n_orders"] - 1).all()
+    single = df["n_orders"] == 1
+    assert (df.loc[single, "sum_gap_us"] == -1).all()
+    assert (df.loc[~single, "sum_gap_us"] >= 0).all()
+    con = duckdb.connect()
+    ck = int(df["custkey"].iloc[0])
+    want = con.execute(
+        f"""WITH w AS (SELECT epoch_us(o_orderdate)
+              - lag(epoch_us(o_orderdate)) OVER (ORDER BY o_orderdate, o_orderkey) d
+              FROM '{SF}/orders.parquet' WHERE o_custkey = {ck})
+            SELECT CAST(coalesce(sum(d),-1) AS BIGINT),
+                   CAST(coalesce(max(d),-1) AS BIGINT) FROM w"""
+    ).fetchone()
+    row = df[df["custkey"] == ck].iloc[0]
+    assert int(row["sum_gap_us"]) == int(want[0])
+    assert int(row["max_gap_us"]) == int(want[1])
