@@ -919,6 +919,24 @@ def _q_avg_order_gap(sf_dir: str):
     return avg_order_gap(sf_dir)
 
 
+def _q_markov_transitions(sf_dir: str):
+    from ray_extract.pipelines.events import markov_transitions
+
+    return markov_transitions(sf_dir)
+
+
+def _q_wau_rolling(sf_dir: str):
+    from ray_extract.pipelines.events import wau_rolling
+
+    return wau_rolling(sf_dir)
+
+
+def _q_props_value_stats(sf_dir: str):
+    from ray_extract.pipelines.events import props_value_stats
+
+    return props_value_stats(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -1005,6 +1023,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_volume_orders": _q_large_volume_orders,
         "returned_revenue_by_customer": _q_returned_revenue_by_customer,
         "avg_order_gap": _q_avg_order_gap,
+        "markov_transitions": _q_markov_transitions,
+        "wau_rolling": _q_wau_rolling,
+        "props_value_stats": _q_props_value_stats,
     }
 
 
@@ -1854,6 +1875,42 @@ SELECT o_custkey AS custkey,
        CAST(coalesce(sum(d), -1) AS BIGINT) AS sum_gap_us,
        CAST(coalesce(max(d), -1) AS BIGINT) AS max_gap_us
 FROM w GROUP BY o_custkey
+""",
+        "markov_transitions": """
+WITH w AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+FROM w WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+""",
+        "wau_rolling": """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // CAST(604800000000 AS BIGINT) AS w
+  FROM events
+),
+ex AS (
+  SELECT user_id, w + u.i AS tw FROM uw, unnest(range(0, 4)) AS u(i)
+)
+SELECT CAST(tw AS BIGINT) AS week, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+FROM ex GROUP BY tw
+""",
+        "props_value_stats": """
+WITH e AS (
+  SELECT event_type,
+         TRY_CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(k) AS BIGINT) AS n_extracted,
+       CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k,
+       CAST(coalesce(max(k), -4611686018427387904) AS BIGINT) AS max_k
+FROM e GROUP BY event_type
 """,
     }
     # connected components over the simhash pair graph: recursive min-label

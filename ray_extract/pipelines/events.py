@@ -968,3 +968,220 @@ def value_outliers(sf_dir: str, permille: int = 990):
         )
     )
     return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def markov_transitions(sf_dir: str, num_buckets: int = 64):
+    """Consecutive event-type transition counts per user — the bigram model
+    of user behaviour (SQL: LAG(event_type) OVER (PARTITION BY user ORDER BY
+    ts, event_id), then GROUP BY (prev, curr)).
+
+    Scale shape: one hash(user) shuffle, then per bucket ONE vectorized
+    pass — lexsort by (user, ts, event_id), the predecessor type via a
+    shifted array with user-boundary masking, pair counts via factorize +
+    np.unique so the global groupby receives at most |types|^2 rows per
+    bucket. No per-user Python calls.
+
+    Output: (prev_type, event_type, n).
+    """
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch.column("user_id"), pa.int64()).to_numpy()
+        bucket = np.abs((uid * np.int64(2654435761)) % np.int64(num_buckets))
+        return pa.table(
+            {
+                "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+                "user_id": pa.array(uid),
+                "ts": batch.column("ts"),
+                "event_type": batch.column("event_type"),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid = uid[order]
+        codes, types = pd.factorize(g["event_type"])
+        codes = codes[order].astype(np.int64)
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame(
+                {"prev_type": np.array([], dtype=object),
+                 "event_type": np.array([], dtype=object),
+                 "n": np.array([], dtype=np.int64)}
+            )
+        same_user = uid[1:] == uid[:-1]
+        prev_c = codes[:-1][same_user]
+        curr_c = codes[1:][same_user]
+        k = len(types)
+        pair, counts = np.unique(prev_c * k + curr_c, return_counts=True)
+        return pd.DataFrame(
+            {
+                "prev_type": types.to_numpy()[pair // k],
+                "event_type": types.to_numpy()[pair % k],
+                "n": counts.astype(np.int64),
+            }
+        )
+
+    ds = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "event_type"],
+        )
+    )
+    agg = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["prev_type", "event_type"])
+        .aggregate(Sum("n", alias_name="n_t"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "prev_type": t.column("prev_type"),
+                "event_type": t.column("event_type"),
+                "n": pc.cast(t.column("n_t"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_WEEK_US = 604800000000  # 7 * 24 * 3600 * 1e6
+
+
+def wau_rolling(sf_dir: str, trailing_weeks: int = 4):
+    """Trailing-N-week active users per week — the rolling COUNT(DISTINCT)
+    that naive windowing cannot stream.
+
+    Scale shape: the distinct is decomposed so no stage ever holds a user
+    set. Per batch: distinct (user, week) pairs (packed into one int64 —
+    epoch-week < 2^12 for any timestamp before year 2049, user < 2^51).
+    Each pair then FANS OUT to the ``trailing_weeks`` target weeks it
+    contributes to (a x4 expansion of already-deduplicated rows, not of
+    events), a global groupby on the packed (user, target_week) key
+    collapses cross-batch duplicates, and a per-batch partial count per
+    week feeds the final small groupby. Shuffles move one row per distinct
+    (user, week-ish) — at 100 TB that is the lower bound for an exact
+    rolling distinct.
+
+    Output: (week, wau) for every week in [first_active, last_active + N - 1]
+    that has at least one contributing user.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def distinct_expand(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64()).to_numpy()
+        uid = pc.cast(batch.column("user_id"), pa.int64()).to_numpy()
+        week = ts // _WEEK_US
+        pack = np.unique(uid * np.int64(1 << 12) + week)
+        # fan out each distinct (user, week) to its trailing target weeks
+        reps = np.repeat(pack, trailing_weeks)
+        offs = np.tile(np.arange(trailing_weeks, dtype=np.int64), len(pack))
+        return pa.table(
+            {"pack2": pa.array(reps + offs),
+             "one": pa.array(np.ones(len(reps), dtype=np.int64))}
+        )
+
+    ds = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    )
+    dedup = (
+        ds.map_batches(distinct_expand, batch_format="pyarrow")
+        .groupby("pack2")
+        .aggregate(Sum("one", alias_name="dup"))
+    )
+
+    def week_partial(t: pa.Table) -> pa.Table:
+        pack2 = t.column("pack2").to_numpy()
+        week = pack2 % np.int64(1 << 12)
+        w, c = np.unique(week, return_counts=True)
+        return pa.table({"week": pa.array(w), "n": pa.array(c.astype(np.int64))})
+
+    agg = (
+        dedup.map_batches(week_partial, batch_format="pyarrow")
+        .groupby("week")
+        .aggregate(Sum("n", alias_name="wau"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "week": pc.cast(t.column("week"), pa.int64()),
+                "wau": pc.cast(t.column("wau"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def props_value_stats(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` out of the JSON
+    ``props`` column with ONE vectorized RE2 pass (pyarrow extract_regex —
+    same engine family as DuckDB's regexp_extract, so the oracle is exact),
+    then aggregate per event_type.
+
+    Scale shape: pure map + partial-agg + 5-row groupby; the JSON string
+    never leaves the scan stage.
+
+    Output: (event_type, n, n_extracted, sum_k, max_k).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(batch.column("props"), r'"k": (?P<k>-?\d+)')
+        karr = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        ok = pc.is_valid(karr).to_numpy(zero_copy_only=False)
+        kk = pc.fill_null(karr, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "ok": pa.array(ok.astype(np.int64)),
+                "k": pa.array(kk),
+                "kmax": pa.array(np.where(ok, kk, np.int64(-(1 << 62)))),
+            }
+        )
+        return t.group_by("event_type").aggregate(
+            [("n", "sum"), ("ok", "sum"), ("k", "sum"), ("kmax", "max")]
+        )
+
+    ds = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "props"])
+    )
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_sum", alias_name="n"),
+            Sum("ok_sum", alias_name="n_extracted"),
+            Sum("k_sum", alias_name="sum_k"),
+            Max("kmax_max", alias_name="max_k"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n": pc.cast(t.column("n"), pa.int64()),
+                "n_extracted": pc.cast(t.column("n_extracted"), pa.int64()),
+                "sum_k": pc.cast(t.column("sum_k"), pa.int64()),
+                "max_k": pc.cast(t.column("max_k"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

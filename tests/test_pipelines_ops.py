@@ -372,3 +372,59 @@ def test_value_outliers_threshold_per_type(ray_session):
     for et, sub in df.groupby("event_type"):
         assert (sub["thr_cents"] == thr[et]).all()
         assert (sub["value_cents"] > thr[et]).all()
+
+
+def test_markov_transition_totals(ray_session):
+    """Each user contributes (n_events - 1) transitions: the global total
+    must be n_events - n_users, and every (prev, curr) count positive."""
+    import duckdb
+
+    from ray_extract.pipelines.events import markov_transitions
+
+    sf = "/root/testdata/sf0.001"
+    df = markov_transitions(sf).to_pandas()
+    n_ev, n_us = duckdb.sql(
+        f"SELECT count(*), count(DISTINCT user_id) FROM '{sf}/events.parquet'"
+    ).fetchone()
+    assert int(df["n"].sum()) == int(n_ev) - int(n_us)
+    assert (df["n"] > 0).all()
+
+
+def test_wau_rolling_spot_weeks(ray_session):
+    """The trailing-4-week distinct count must equal a direct DISTINCT over
+    the window, for every emitted week."""
+    import duckdb
+
+    from ray_extract.pipelines.events import wau_rolling
+
+    sf = "/root/testdata/sf0.001"
+    df = wau_rolling(sf).to_pandas().set_index("week")["wau"]
+    want = duckdb.sql(
+        f"""WITH uw AS (SELECT DISTINCT user_id,
+                 epoch_us(ts)//CAST(604800000000 AS BIGINT) w
+                 FROM '{sf}/events.parquet')
+            SELECT a.w + 3 AS week, count(DISTINCT b.user_id) wau
+            FROM (SELECT DISTINCT w FROM uw) a
+            JOIN uw b ON b.w BETWEEN a.w AND a.w + 3
+            GROUP BY 1"""
+    ).df().set_index("week")["wau"]
+    for wk, v in want.items():
+        assert int(df[wk]) == int(v)
+
+
+def test_props_extraction_exact(ray_session):
+    """RE2 extraction must hit every row and reproduce DuckDB's json sums."""
+    import duckdb
+
+    from ray_extract.pipelines.events import props_value_stats
+
+    sf = "/root/testdata/sf0.001"
+    df = props_value_stats(sf).to_pandas()
+    assert (df["n"] == df["n_extracted"]).all()
+    want = duckdb.sql(
+        f"""SELECT event_type, CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) s
+            FROM '{sf}/events.parquet' GROUP BY 1"""
+    ).df().set_index("event_type")["s"]
+    got = df.set_index("event_type")["sum_k"]
+    for et, v in want.items():
+        assert int(got[et]) == int(v)
