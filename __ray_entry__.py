@@ -937,6 +937,24 @@ def _q_props_value_stats(sf_dir: str):
     return props_value_stats(sf_dir)
 
 
+def _q_repetition_profile(sf_dir: str):
+    from ray_extract.pipelines.text import repetition_profile
+
+    return repetition_profile(sf_dir)
+
+
+def _q_prefix_cluster_sizes(sf_dir: str):
+    from ray_extract.pipelines.text import prefix_cluster_sizes
+
+    return prefix_cluster_sizes(sf_dir)
+
+
+def _q_embedding_quantize_stats(sf_dir: str):
+    from ray_extract.pipelines.similarity import embedding_quantize_stats
+
+    return embedding_quantize_stats(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -1026,6 +1044,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_transitions": _q_markov_transitions,
         "wau_rolling": _q_wau_rolling,
         "props_value_stats": _q_props_value_stats,
+        "repetition_profile": _q_repetition_profile,
+        "prefix_cluster_sizes": _q_prefix_cluster_sizes,
+        "embedding_quantize_stats": _q_embedding_quantize_stats,
     }
 
 
@@ -1911,6 +1932,42 @@ SELECT event_type,
        CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k,
        CAST(coalesce(max(k), -4611686018427387904) AS BIGINT) AS max_k
 FROM e GROUP BY event_type
+""",
+        "repetition_profile": """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+b AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg
+  FROM d, unnest(range(1, len(ws))) AS u(i)
+),
+c AS (SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY doc_id, bg)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+       CAST(max(cnt) AS BIGINT) AS top_cnt,
+       CAST(count(*) AS BIGINT) AS n_distinct
+FROM c GROUP BY doc_id
+""",
+        "prefix_cluster_sizes": """
+WITH c AS (SELECT substr(text, 1, 16) AS p, count(*) AS n
+           FROM documents GROUP BY 1)
+SELECT CAST(n AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM c GROUP BY n
+""",
+        "embedding_quantize_stats": """
+WITH q AS (
+  SELECT label,
+         least(greatest(CAST(floor(CAST(u.x AS DOUBLE) * 127 + 0.5) AS BIGINT),
+                        -31), 31) AS qv,
+         CAST(floor(CAST(u.x AS DOUBLE) * 127 + 0.5) AS BIGINT) AS raw,
+         vec_id
+  FROM embeddings, unnest(embedding) AS u(x)
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+       CAST(sum(qv) AS BIGINT) AS sum_q,
+       CAST(count(*) FILTER (raw != qv) AS BIGINT) AS n_clipped,
+       CAST(coalesce(sum(abs(raw - qv)), 0) AS BIGINT) AS sum_clip_loss
+FROM q GROUP BY label
 """,
     }
     # connected components over the simhash pair graph: recursive min-label

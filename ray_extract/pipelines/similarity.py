@@ -675,3 +675,71 @@ def knn_classify(sf_dir: str, n_queries: int = 10, k: int = 5):
     )
     partial = ds.map_batches(score_batch, batch_format="pyarrow")
     return partial.groupby("query_id").map_groups(vote, batch_format="pandas")
+
+
+def embedding_quantize_stats(sf_dir: str, scale: int = 127, clip: int = 31):
+    """Aggressive-quantization audit: quantize every component to
+    q = clamp(floor(x*scale + 0.5), -clip, clip) (a 6-bit grid by default)
+    and report, per label, how much mass the clamp destroys — the go/no-go
+    check before shipping a quantized ANN index.
+
+    All arithmetic is integer after one float64 floor per component
+    (float32 -> float64 is exact), so the DuckDB unnest oracle matches
+    bit-for-bit.
+
+    Scale shape: per-batch combiner -> small groupby; the vector column
+    never leaves the scan stage.
+
+    Output: (label, n_vecs, sum_q, n_clipped, sum_clip_loss) where
+    sum_clip_loss is the total |pre-clamp - clamped| over clipped
+    components.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, e = _emb_matrix(batch)
+        raw = np.floor(e * float(scale) + 0.5).astype(np.int64)
+        q = np.clip(raw, -clip, clip)
+        clipped = raw != q
+        t = pa.table(
+            {
+                "label": batch.column("label"),
+                "n": pa.array(np.ones(len(e), dtype=np.int64)),
+                "sq": pa.array(q.sum(axis=1)),
+                "nc": pa.array(clipped.sum(axis=1).astype(np.int64)),
+                "loss": pa.array(np.abs(raw - q).sum(axis=1)),
+            }
+        )
+        return t.group_by("label").aggregate(
+            [("n", "sum"), ("sq", "sum"), ("nc", "sum"), ("loss", "sum")]
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(
+            Sum("n_sum", alias_name="n_vecs"),
+            Sum("sq_sum", alias_name="sum_q"),
+            Sum("nc_sum", alias_name="n_clipped"),
+            Sum("loss_sum", alias_name="sum_clip_loss"),
+        )
+    )
+
+    import pyarrow.compute as pc
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "label": pc.cast(t.column("label"), pa.int64()),
+                "n_vecs": pc.cast(t.column("n_vecs"), pa.int64()),
+                "sum_q": pc.cast(t.column("sum_q"), pa.int64()),
+                "n_clipped": pc.cast(t.column("n_clipped"), pa.int64()),
+                "sum_clip_loss": pc.cast(t.column("sum_clip_loss"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

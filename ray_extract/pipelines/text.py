@@ -1328,3 +1328,132 @@ def oov_bigram_rate(sf_dir: str, vocab_k: int = 500):
         )
 
     return _docs(sf_dir).map_batches(score, batch_format="pyarrow")
+
+
+def repetition_profile(sf_dir: str):
+    """Per-document bigram repetition profile — the Gopher-style "repetition
+    signal" for training-data quality filtering (a doc whose top bigram
+    dominates is boilerplate or spam).
+
+    Scale shape: entirely batch-local (a document's bigrams never leave the
+    map task — two chained Arrow C++ group_bys per batch produce one output
+    row per doc), so there is NO shuffle at all. Kernel is all-Arrow:
+    split_pattern -> offsets boundary mask -> binary_join_element_wise,
+    zero Python string ops.
+
+    Output: (doc_id, n_bigrams, top_cnt, n_distinct) for docs with >= 2
+    words.
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        did = pc.cast(batch.column("doc_id"), pa.int64())
+        words = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(words)
+        n = len(flat)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_bigrams": pa.array([], type=pa.int64()),
+                "top_cnt": pa.array([], type=pa.int64()),
+                "n_distinct": pa.array([], type=pa.int64()),
+            }
+        )
+        if n < 2:
+            return empty
+        offsets = words.offsets.to_numpy()
+        starts = offsets[:-1]
+        # word index -> doc index (vectorized repeat over list lengths)
+        doc_idx = np.repeat(
+            np.arange(len(batch), dtype=np.int64), np.diff(offsets)
+        )
+        mask = np.ones(n - 1, dtype=bool)
+        mask[starts[1:] - 1] = False  # pairs that straddle a doc boundary
+        if not mask.any():
+            return empty
+        mask_arr = pa.array(mask)
+        left = flat.slice(0, n - 1).filter(mask_arr)
+        right = flat.slice(1, n - 1).filter(mask_arr)
+        bigram = pc.binary_join_element_wise(left, right, " ")
+        d_ids = did.to_numpy()[doc_idx[:-1][mask]]
+        t = pa.table({"doc_id": pa.array(d_ids), "bigram": bigram})
+        per_bg = t.group_by(["doc_id", "bigram"]).aggregate([("bigram", "count")])
+        out = per_bg.group_by("doc_id").aggregate(
+            [("bigram_count", "sum"), ("bigram_count", "max"),
+             ("bigram_count", "count")]
+        )
+        return pa.table(
+            {
+                "doc_id": out.column("doc_id"),
+                "n_bigrams": pc.cast(out.column("bigram_count_sum"), pa.int64()),
+                "top_cnt": pc.cast(out.column("bigram_count_max"), pa.int64()),
+                "n_distinct": pc.cast(out.column("bigram_count_count"), pa.int64()),
+            }
+        )
+
+    ds = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+    return ds.map_batches(per_doc, batch_format="pyarrow")
+
+
+def prefix_cluster_sizes(sf_dir: str, prefix_chars: int = 16):
+    """Cluster-size histogram of exact text-prefix groups — the cheapest
+    near-duplicate signal (URL boilerplate, templated pages share prefixes).
+
+    Scale shape: per-batch partial count per prefix (combiner), global
+    groupby on the prefix (the only shuffle, one row per distinct prefix
+    per block), then a per-batch histogram partial and a tiny final
+    groupby on cluster size. Prefix slicing is codepoint-based on both
+    sides (ASCII corpus: identical to SQL substr).
+
+    Output: (cluster_size, n_clusters).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        pref = pc.utf8_slice_codeunits(text, 0, prefix_chars)
+        t = pa.table({"p": pref})
+        part = t.group_by("p").aggregate([("p", "count")])
+        return pa.table(
+            {"p": part.column("p"),
+             "n": pc.cast(part.column("p_count"), pa.int64())}
+        )
+
+    clusters = (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("p")
+        .aggregate(Sum("n", alias_name="sz"))
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        sz = pc.cast(t.column("sz"), pa.int64()).to_numpy()
+        s, c = np.unique(sz, return_counts=True)
+        return pa.table(
+            {"cluster_size": pa.array(s), "n": pa.array(c.astype(np.int64))}
+        )
+
+    agg = (
+        clusters.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("cluster_size")
+        .aggregate(Sum("n", alias_name="n_clusters"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "cluster_size": pc.cast(t.column("cluster_size"), pa.int64()),
+                "n_clusters": pc.cast(t.column("n_clusters"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

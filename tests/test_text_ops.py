@@ -255,3 +255,54 @@ def test_oov_rate_full_vocab_is_zero(ray_session):
     a = tight.sort_values("doc_id")["n_bigrams"].to_numpy()
     b = df.sort_values("doc_id")["n_bigrams"].to_numpy()
     assert (a == b).all()
+
+
+def test_repetition_profile_invariants(ray_session):
+    """n_bigrams = n_words - 1 per doc; distinct <= total; top <= total."""
+    import duckdb
+
+    from ray_extract.pipelines.text import repetition_profile
+
+    sf = "/root/testdata/sf0.001"
+    df = repetition_profile(sf).to_pandas().set_index("doc_id")
+    want = duckdb.sql(
+        f"""SELECT doc_id, len(string_split(text,' ')) - 1 AS nb
+            FROM '{sf}/documents.parquet'"""
+    ).df().set_index("doc_id")["nb"]
+    assert len(df) == len(want)
+    assert (df["n_bigrams"].sort_index().values == want.sort_index().values).all()
+    assert (df["n_distinct"] <= df["n_bigrams"]).all()
+    assert (df["top_cnt"] <= df["n_bigrams"]).all()
+    assert (df["top_cnt"] >= 1).all()
+
+
+def test_prefix_cluster_sizes_mass(ray_session):
+    """sum(size * n_clusters) must equal the document count."""
+    import duckdb
+
+    from ray_extract.pipelines.text import prefix_cluster_sizes
+
+    sf = "/root/testdata/sf0.001"
+    df = prefix_cluster_sizes(sf).to_pandas()
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{sf}/documents.parquet'"
+    ).fetchone()[0]
+    assert int((df["cluster_size"] * df["n_clusters"]).sum()) == int(n_docs)
+
+
+def test_embedding_quantize_clips(ray_session):
+    """The 6-bit grid must actually clip on this corpus, loss >= clip count
+    (every clipped component loses at least 1 grid step), and vec totals
+    must match the table."""
+    import duckdb
+
+    from ray_extract.pipelines.similarity import embedding_quantize_stats
+
+    sf = "/root/testdata/sf0.001"
+    df = embedding_quantize_stats(sf).to_pandas()
+    assert int(df["n_clipped"].sum()) > 0
+    assert (df["sum_clip_loss"] >= df["n_clipped"]).all()
+    n_vecs = duckdb.sql(
+        f"SELECT count(*) FROM '{sf}/embeddings.parquet'"
+    ).fetchone()[0]
+    assert int(df["n_vecs"].sum()) == int(n_vecs)
