@@ -247,6 +247,16 @@ def run_bench() -> dict:
     timed("type_token_ratio", lambda: type_token_ratio(SF_DIR).count())
     timed("knn_classify", lambda: knn_classify(SF_DIR).count())
 
+    from ray_extract.pipelines.events import markov_transitions, wau_rolling
+    from ray_extract.pipelines.relational import returned_revenue_by_customer
+    from ray_extract.pipelines.text import repetition_profile
+
+    timed("markov_transitions", lambda: markov_transitions(SF_DIR).count())
+    timed("wau_rolling", lambda: wau_rolling(SF_DIR).count())
+    timed("returned_revenue_by_customer",
+          lambda: returned_revenue_by_customer(SF_DIR).count())
+    timed("repetition_profile", lambda: repetition_profile(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),

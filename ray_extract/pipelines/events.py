@@ -985,7 +985,6 @@ def markov_transitions(sf_dir: str, num_buckets: int = 64):
     """
     import pandas as pd
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
     from ..functions.tables import strip_schema_metadata
 
@@ -1036,22 +1035,25 @@ def markov_transitions(sf_dir: str, num_buckets: int = 64):
             columns=["event_id", "user_id", "ts", "event_type"],
         )
     )
-    agg = (
+    def merge(t: pa.Table) -> pa.Table:
+        out = t.group_by(["prev_type", "event_type"]).aggregate([("n", "sum")])
+        return pa.table(
+            {
+                "prev_type": out.column("prev_type"),
+                "event_type": out.column("event_type"),
+                "n": pc.cast(out.column("n_sum"), pa.int64()),
+            }
+        )
+
+    # the per-bucket partials are bounded by |types|^2 rows each, so the
+    # cross-bucket reduce is metadata-scale: one repartition(1) + a single
+    # Arrow C++ group_by beats spinning up a hash-aggregator pool
+    return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
-        .groupby(["prev_type", "event_type"])
-        .aggregate(Sum("n", alias_name="n_t"))
-    )
-    return agg.map_batches(
-        lambda t: pa.table(
-            {
-                "prev_type": t.column("prev_type"),
-                "event_type": t.column("event_type"),
-                "n": pc.cast(t.column("n_t"), pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow")
     )
 
 
@@ -1109,19 +1111,22 @@ def wau_rolling(sf_dir: str, trailing_weeks: int = 4):
         w, c = np.unique(week, return_counts=True)
         return pa.table({"week": pa.array(w), "n": pa.array(c.astype(np.int64))})
 
-    agg = (
-        dedup.map_batches(week_partial, batch_format="pyarrow")
-        .groupby("week")
-        .aggregate(Sum("n", alias_name="wau"))
-    )
-    return agg.map_batches(
-        lambda t: pa.table(
+    def merge(t: pa.Table) -> pa.Table:
+        out = t.group_by("week").aggregate([("n", "sum")])
+        return pa.table(
             {
-                "week": pc.cast(t.column("week"), pa.int64()),
-                "wau": pc.cast(t.column("wau"), pa.int64()),
+                "week": pc.cast(out.column("week"), pa.int64()),
+                "wau": pc.cast(out.column("n_sum"), pa.int64()),
             }
-        ),
-        batch_format="pyarrow",
+        )
+
+    # week partials are bounded by the calendar (one row per epoch-week per
+    # block): the final reduce is metadata-scale — repartition(1) + one
+    # Arrow group_by instead of a second hash-aggregator pool
+    return (
+        dedup.map_batches(week_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow")
     )
 
 
