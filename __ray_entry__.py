@@ -955,6 +955,24 @@ def _q_embedding_quantize_stats(sf_dir: str):
     return embedding_quantize_stats(sf_dir)
 
 
+def _q_customer_spend_ntile(sf_dir: str):
+    from ray_extract.pipelines.relational import customer_spend_ntile
+
+    return customer_spend_ntile(sf_dir)
+
+
+def _q_pivot_hour_type(sf_dir: str):
+    from ray_extract.pipelines.events import pivot_hour_type
+
+    return pivot_hour_type(sf_dir)
+
+
+def _q_time_to_first_purchase(sf_dir: str):
+    from ray_extract.pipelines.events import time_to_first_purchase
+
+    return time_to_first_purchase(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -1047,6 +1065,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_profile": _q_repetition_profile,
         "prefix_cluster_sizes": _q_prefix_cluster_sizes,
         "embedding_quantize_stats": _q_embedding_quantize_stats,
+        "customer_spend_ntile": _q_customer_spend_ntile,
+        "pivot_hour_type": _q_pivot_hour_type,
+        "time_to_first_purchase": _q_time_to_first_purchase,
     }
 
 
@@ -1968,6 +1989,36 @@ SELECT CAST(label AS BIGINT) AS label,
        CAST(count(*) FILTER (raw != qv) AS BIGINT) AS n_clipped,
        CAST(coalesce(sum(abs(raw - qv)), 0) AS BIGINT) AS sum_clip_loss
 FROM q GROUP BY label
+""",
+        "customer_spend_ntile": """
+WITH s AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS spend_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey AS custkey, spend_cents,
+       CAST(ntile(4) OVER (ORDER BY spend_cents, o_custkey) AS BIGINT)
+         AS quartile
+FROM s
+""",
+        "pivot_hour_type": """
+SELECT CAST(h.i AS BIGINT) AS hour,
+       CAST(count(*) FILTER (e.event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (e.event_type = 'error') AS BIGINT) AS error,
+       CAST(count(*) FILTER (e.event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (e.event_type = 'signup') AS BIGINT) AS signup,
+       CAST(count(*) FILTER (e.event_type = 'view') AS BIGINT) AS view
+FROM unnest(range(0, 24)) AS h(i)
+LEFT JOIN events e ON (epoch_us(e.ts) // 3600000000) % 24 = h.i
+GROUP BY h.i
+""",
+        "time_to_first_purchase": """
+SELECT user_id,
+       make_timestamp(min(epoch_us(ts))) AS first_ts,
+       CAST(coalesce(min(epoch_us(ts)) FILTER (event_type = 'purchase')
+                     - min(epoch_us(ts)), -1) AS BIGINT) AS delta_us
+FROM events GROUP BY user_id
 """,
     }
     # connected components over the simhash pair graph: recursive min-label

@@ -1190,3 +1190,127 @@ def props_value_stats(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_hour_type(sf_dir: str, types: tuple = PIVOT_TYPES):
+    """PIVOT: long (hour, event_type) counts to a WIDE table — one row per
+    hour-of-day, one int64 column per event type (the spreadsheet shape
+    downstream BI tools want).
+
+    The column set must be known up front for a stable schema (standard
+    pivot contract — SQL PIVOT needs IN (...) too); pass ``types`` for a
+    different corpus. Scale shape: per-batch 24 x |types| partial count
+    matrix (pure integer epoch arithmetic), and since the domain is bounded
+    by the calendar x the type list, the cross-block reduce is
+    metadata-scale: repartition(1) + one vectorized merge.
+
+    Output: (hour, <type...>) — 24 rows.
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    type_list = list(types)
+    code = {t: i for i, t in enumerate(type_list)}
+    k = len(type_list)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy()
+        hour = (us // 3600000000) % 24
+        tcodes = (
+            pc.index_in(batch.column("event_type"),
+                        pa.array(type_list, type=pa.string()))
+            .to_numpy(zero_copy_only=False)
+        )
+        keep = ~np.isnan(tcodes.astype(np.float64)) if tcodes.dtype != np.int64 \
+            else np.ones(len(tcodes), dtype=bool)
+        tc = np.nan_to_num(tcodes.astype(np.float64)).astype(np.int64)
+        counts = np.bincount(
+            (hour[keep] * k + tc[keep]).astype(np.int64), minlength=24 * k
+        ).reshape(24, k)
+        cols = {"hour": pa.array(np.arange(24, dtype=np.int64))}
+        for i, t in enumerate(type_list):
+            cols[t] = pa.array(counts[:, i].astype(np.int64))
+        return pa.table(cols)
+
+    def merge(t: pa.Table) -> pa.Table:
+        hour = t.column("hour").to_numpy()
+        cols = {"hour": pa.array(np.arange(24, dtype=np.int64))}
+        for name in type_list:
+            v = t.column(name).to_numpy()
+            cols[name] = pa.array(np.bincount(hour, weights=v, minlength=24)
+                                  .astype(np.int64))
+        return pa.table(cols)
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type"])
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow")
+    )
+
+
+_TS_INF = np.int64(1 << 62)
+
+
+def time_to_first_purchase(sf_dir: str, target_type: str = "purchase"):
+    """Per-user latency from first activity to first ``target_type`` event —
+    the activation-funnel metric (conditional MIN aggregate).
+
+    Scale shape: per-batch partial with TWO mins (overall, and the target
+    type via a +inf sentinel), one groupby(user) with Min aggregates, and a
+    pure finishing map. Timestamps stay integer microseconds throughout, so
+    the oracle is exact; users who never convert get delta_us = -1.
+
+    Output: (user_id, first_ts, delta_us).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy()
+        is_t = pc.equal(batch.column("event_type"), target_type).to_numpy(
+            zero_copy_only=False
+        )
+        pus = np.where(is_t, us, _TS_INF)
+        t = pa.table(
+            {
+                "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+                "mn": pa.array(us),
+                "mp": pa.array(pus),
+            }
+        )
+        return t.group_by("user_id").aggregate([("mn", "min"), ("mp", "min")])
+
+    agg = (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("mn_min", alias_name="mn"),
+                   Min("mp_min", alias_name="mp"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        mn = pc.cast(t.column("mn"), pa.int64()).to_numpy()
+        mp = pc.cast(t.column("mp"), pa.int64()).to_numpy()
+        delta = np.where(mp >= _TS_INF, np.int64(-1), mp - mn)
+        return pa.table(
+            {
+                "user_id": pc.cast(t.column("user_id"), pa.int64()),
+                "first_ts": pa.array(mn.astype("datetime64[us]")),
+                "delta_us": pa.array(delta),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

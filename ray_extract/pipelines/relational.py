@@ -1520,3 +1520,100 @@ def avg_order_gap(sf_dir: str, num_buckets: int = 64):
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def customer_spend_ntile(sf_dir: str, tiles: int = 4,
+                         bucket_cents: int = 1 << 20):
+    """Global NTILE over customer spend — the distributed global-rank
+    pattern (SQL: NTILE(t) OVER (ORDER BY spend, custkey)).
+
+    Scale shape: a global rank normally means a global sort; here it is a
+    RANGE-PARTITIONED two-pass instead — (1) per-customer spend aggregate
+    (one shuffle), rows assigned to coarse spend-value buckets;
+    (2) bucket counts reduce to metadata scale (one row per value bucket),
+    the exclusive prefix sum over bucket counts runs on the driver, and
+    each bucket then ranks only its own rows (lexsort by (spend, custkey))
+    rebased on its global offset. NTILE boundaries use DuckDB's rule: the
+    first n%t tiles get one extra row.
+
+    Output: (custkey, spend_cents, quartile) — 1-based tile ids.
+    """
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def spend_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "custkey": pc.cast(batch.column("o_custkey"), pa.int64()),
+                "spend": pa.array(_cents(batch.column("o_totalprice"))),
+            }
+        )
+        return t.group_by("custkey").aggregate([("spend", "sum")])
+
+    spend = (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_totalprice"])
+        )
+        .map_batches(spend_partial, batch_format="pyarrow")
+        .groupby("custkey")
+        .aggregate(Sum("spend_sum", alias_name="spend_cents"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "custkey": pc.cast(t.column("custkey"), pa.int64()),
+                    "spend_cents": pc.cast(t.column("spend_cents"), pa.int64()),
+                    "vbucket": pc.cast(
+                        pc.divide(pc.cast(t.column("spend_cents"), pa.int64()),
+                                  bucket_cents),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # reused by the count pass and the rank pass
+    )
+
+    counts = (
+        spend.map_batches(
+            lambda t: t.select(["vbucket"]).group_by("vbucket").aggregate(
+                [("vbucket", "count")]
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("vbucket")
+        .aggregate(Sum("vbucket_count", alias_name="n"))
+        .to_pandas()  # metadata scale: one row per spend-value bucket
+        .sort_values("vbucket")
+    )
+    n_total = int(counts["n"].sum())
+    csum = counts["n"].to_numpy().cumsum()
+    offsets = dict(zip(counts["vbucket"].to_numpy().tolist(),
+                       np.r_[0, csum[:-1]].tolist()))
+    # DuckDB NTILE boundaries: first r tiles take q+1 rows
+    q, r = divmod(n_total, tiles)
+    starts = np.array(
+        [t * q + min(t, r) for t in range(1, tiles + 1)], dtype=np.int64
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sp = g["spend_cents"].to_numpy()
+        ck = g["custkey"].to_numpy()
+        order = np.lexsort((ck, sp))
+        rank = int(offsets[int(g["vbucket"].iloc[0])]) + np.arange(
+            len(g), dtype=np.int64
+        )
+        tile = np.searchsorted(starts, rank, side="right") + 1
+        return pd.DataFrame(
+            {
+                "custkey": ck[order],
+                "spend_cents": sp[order],
+                "quartile": tile,
+            }
+        )
+
+    return spend.groupby("vbucket").map_groups(per_bucket, batch_format="pandas")

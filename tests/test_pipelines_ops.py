@@ -428,3 +428,55 @@ def test_props_extraction_exact(ray_session):
     got = df.set_index("event_type")["sum_k"]
     for et, v in want.items():
         assert int(got[et]) == int(v)
+
+
+def test_customer_spend_ntile_tile_sizes(ray_session):
+    """Tile sizes follow DuckDB's NTILE rule (first n%t tiles get one
+    extra) and tiles are ordered by spend."""
+    from ray_extract.pipelines.relational import customer_spend_ntile
+
+    sf = "/root/testdata/sf0.001"
+    df = customer_spend_ntile(sf).to_pandas()
+    n = len(df)
+    q, r = divmod(n, 4)
+    sizes = df.groupby("quartile").size()
+    for t in range(1, 5):
+        assert sizes[t] == q + (1 if t <= r else 0)
+    # max spend of tile t never exceeds min spend of tile t+1
+    mx = df.groupby("quartile")["spend_cents"].max()
+    mn = df.groupby("quartile")["spend_cents"].min()
+    for t in range(1, 4):
+        assert mx[t] <= mn[t + 1]
+
+
+def test_pivot_hour_type_mass(ray_session):
+    """24 rows; the wide counts sum to the event count."""
+    import duckdb
+
+    from ray_extract.pipelines.events import pivot_hour_type
+
+    sf = "/root/testdata/sf0.001"
+    df = pivot_hour_type(sf).to_pandas()
+    assert len(df) == 24
+    total = int(df.drop(columns=["hour"]).to_numpy().sum())
+    want = duckdb.sql(f"SELECT count(*) FROM '{sf}/events.parquet'").fetchone()[0]
+    assert total == int(want)
+
+
+def test_time_to_first_purchase_semantics(ray_session):
+    """delta_us is -1 exactly for users with no purchase; non-negative
+    otherwise; one row per user."""
+    import duckdb
+
+    from ray_extract.pipelines.events import time_to_first_purchase
+
+    sf = "/root/testdata/sf0.001"
+    df = time_to_first_purchase(sf).to_pandas()
+    n_users, n_buyers = duckdb.sql(
+        f"""SELECT count(DISTINCT user_id),
+               count(DISTINCT user_id) FILTER (event_type = 'purchase')
+            FROM '{sf}/events.parquet'"""
+    ).fetchone()
+    assert len(df) == int(n_users)
+    assert int((df["delta_us"] >= 0).sum()) == int(n_buyers)
+    assert ((df["delta_us"] >= 0) | (df["delta_us"] == -1)).all()
