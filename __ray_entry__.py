@@ -973,6 +973,12 @@ def _q_time_to_first_purchase(sf_dir: str):
     return time_to_first_purchase(sf_dir)
 
 
+def _q_zscore_outliers(sf_dir: str):
+    from ray_extract.pipelines.events import zscore_outliers
+
+    return zscore_outliers(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -1068,6 +1074,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_spend_ntile": _q_customer_spend_ntile,
         "pivot_hour_type": _q_pivot_hour_type,
         "time_to_first_purchase": _q_time_to_first_purchase,
+        "zscore_outliers": _q_zscore_outliers,
     }
 
 
@@ -2019,6 +2026,23 @@ SELECT user_id,
        CAST(coalesce(min(epoch_us(ts)) FILTER (event_type = 'purchase')
                      - min(epoch_us(ts)), -1) AS BIGINT) AS delta_us
 FROM events GROUP BY user_id
+""",
+        "zscore_outliers": """
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events
+),
+m AS (
+  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(vc) AS HUGEINT) AS s,
+         CAST(sum(vc * vc) AS HUGEINT) AS m2
+  FROM ev GROUP BY event_type
+)
+SELECT ev.event_id, ev.event_type, ev.vc AS value_cents
+FROM ev JOIN m USING (event_type)
+WHERE (m.n * ev.vc - m.s) * (m.n * ev.vc - m.s)
+      > 4 * (m.n * m.m2 - m.s * m.s)
 """,
     }
     # connected components over the simhash pair graph: recursive min-label

@@ -1314,3 +1314,97 @@ def time_to_first_purchase(sf_dir: str, target_type: str = "purchase"):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def zscore_outliers(sf_dir: str, k_sigma: int = 2):
+    """Moment-based outlier flagging: events more than ``k_sigma`` standard
+    deviations from their type's mean (the z-score filter every feature
+    pipeline runs before training) — companion to value_outliers, which
+    uses the percentile rule.
+
+    Exactness: |v - mean| > k*sigma is squared into the all-integer
+    identity (n*v - s)^2 > k^2 * (n*m2 - s^2) over cents (sigma =
+    sqrt(n*m2 - s^2)/n, so both sides scale by n^2). The tiny
+    per-type moment table reduces on the driver, which converts the
+    inequality into plain integer CENT BOUNDS per type (Python bigints +
+    isqrt — exact even where n*m2 would overflow int64 at 10^12 rows), so
+    the distributed second pass is a broadcast searchsorted-free compare.
+    The DuckDB oracle evaluates the squared form directly in HUGEINT —
+    mathematically the same predicate.
+
+    Scale shape: two scans (moments with per-batch combiner; then a
+    stateless filter with the 5-row bound table in the task closure) — the
+    same two-pass broadcast-scalar pattern as value_outliers/oov vocab.
+
+    Output: (event_id, event_type, value_cents).
+    """
+    import math
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def cents(col) -> np.ndarray:
+        return np.floor(col.to_numpy() * 100.0 + 0.5).astype(np.int64)
+
+    def moments_partial(batch: pa.Table) -> pa.Table:
+        v = cents(batch.column("value"))
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n": pa.array(np.ones(len(v), dtype=np.int64)),
+                "s": pa.array(v),
+                "m2": pa.array(v * v),
+            }
+        )
+        return t.group_by("event_type").aggregate(
+            [("n", "sum"), ("s", "sum"), ("m2", "sum")]
+        )
+
+    mom = (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+        )
+        .map_batches(moments_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n_sum", alias_name="n"),
+                   Sum("s_sum", alias_name="s"),
+                   Sum("m2_sum", alias_name="m2"))
+        .to_pandas()  # bounded domain: one row per event type
+    )
+
+    # exact integer bounds per type: flag iff v > hi or v < lo, where
+    # |n*v - s| > t, t = isqrt(k^2 * (n*m2 - s^2))  (x^2 > R <=> |x| > isqrt(R))
+    bounds: dict[str, tuple[int, int]] = {}
+    for _, r in mom.iterrows():
+        n, s, m2 = int(r["n"]), int(r["s"]), int(r["m2"])
+        t = math.isqrt(k_sigma * k_sigma * (n * m2 - s * s))
+        hi = (s + t) // n  # flag iff v >= hi + 1
+        lo = -((-(s - t)) // n)  # ceil((s-t)/n); flag iff v <= lo - 1
+        bounds[str(r["event_type"])] = (lo, hi)
+
+    types = sorted(bounds)
+    lo_arr = np.array([bounds[t][0] for t in types], dtype=np.int64)
+    hi_arr = np.array([bounds[t][1] for t in types], dtype=np.int64)
+    type_arr = pa.array(types, type=pa.string())
+
+    def flag(batch: pa.Table) -> pa.Table:
+        v = cents(batch.column("value"))
+        idx = pc.index_in(batch.column("event_type"), type_arr).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        keep = (v > hi_arr[idx]) | (v < lo_arr[idx])
+        return pa.table(
+            {
+                "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+                "event_type": batch.column("event_type"),
+                "value_cents": pa.array(v),
+            }
+        ).filter(pa.array(keep))
+
+    return strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "event_type", "value"])
+    ).map_batches(flag, batch_format="pyarrow")

@@ -480,3 +480,33 @@ def test_time_to_first_purchase_semantics(ray_session):
     assert len(df) == int(n_users)
     assert int((df["delta_us"] >= 0).sum()) == int(n_buyers)
     assert ((df["delta_us"] >= 0) | (df["delta_us"] == -1)).all()
+
+
+def test_zscore_outliers_exact_predicate(ray_session):
+    """Flag set must equal the exact integer predicate
+    (n*v - s)^2 > 4*(n*m2 - s^2) evaluated in Python bigints."""
+    import duckdb
+
+    from ray_extract.pipelines.events import zscore_outliers
+
+    sf = "/root/testdata/sf0.001"
+    got = set(zscore_outliers(sf).to_pandas()["event_id"])
+    rows = duckdb.sql(
+        f"""SELECT event_id, event_type, CAST(floor(value*100+0.5) AS BIGINT)
+            FROM '{sf}/events.parquet'"""
+    ).fetchall()
+    from collections import defaultdict
+    mom = defaultdict(lambda: [0, 0, 0])
+    for _, et, vc in rows:
+        m = mom[et]
+        m[0] += 1
+        m[1] += int(vc)
+        m[2] += int(vc) * int(vc)
+    want = {
+        eid
+        for eid, et, vc in rows
+        if (mom[et][0] * int(vc) - mom[et][1]) ** 2
+        > 4 * (mom[et][0] * mom[et][2] - mom[et][1] ** 2)
+    }
+    assert got == want
+    assert len(want) > 0
