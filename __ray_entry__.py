@@ -979,6 +979,12 @@ def _q_zscore_outliers(sf_dir: str):
     return zscore_outliers(sf_dir)
 
 
+def _q_triangle_count(sf_dir: str):
+    from ray_extract.pipelines.dedup import triangle_count
+
+    return triangle_count(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -1075,6 +1081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_hour_type": _q_pivot_hour_type,
         "time_to_first_purchase": _q_time_to_first_purchase,
         "zscore_outliers": _q_zscore_outliers,
+        "triangle_count": _q_triangle_count,
     }
 
 
@@ -2073,6 +2080,22 @@ SELECT user_id,
        CAST(sum(date_diff('microsecond', start_ts, end_ts)) AS BIGINT)
          AS total_session_dur_us
 FROM base GROUP BY user_id
+"""
+    # triangles in the same simhash pair graph: every triangle a<b<c is one
+    # wedge (b,c) at apex a closed by edge (b,c)
+    d["triangle_count"] = f"""
+WITH pairs AS (SELECT doc_a, doc_b FROM ({d["dedup_simhash"]}) t),
+w AS (
+  SELECT e1.doc_b AS b, e2.doc_b AS c
+  FROM pairs e1 JOIN pairs e2
+    ON e2.doc_a = e1.doc_a AND e1.doc_b < e2.doc_b
+)
+SELECT CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges,
+       CAST(count(*) AS BIGINT) AS n_wedges,
+       CAST(count(*) FILTER (EXISTS (
+         SELECT 1 FROM pairs e3 WHERE e3.doc_a = w.b AND e3.doc_b = w.c
+       )) AS BIGINT) AS n_triangles
+FROM w
 """
     # degree histogram over the same simhash pair graph as dedup_clusters
     d["degree_distribution"] = f"""

@@ -510,3 +510,14 @@ def test_zscore_outliers_exact_predicate(ray_session):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_triangle_count_bounds(ray_session):
+    """Wedge/triangle invariants on the real dup graph: every triangle is a
+    closed wedge, wedges = sum over apexes of C(out_degree, 2)."""
+    from ray_extract.pipelines.dedup import triangle_count
+
+    sf = "/root/testdata/sf0.001"
+    row = triangle_count(sf).to_pandas().iloc[0]
+    assert 0 < row["n_triangles"] <= row["n_wedges"]
+    assert row["n_edges"] > 0
