@@ -985,6 +985,18 @@ def _q_triangle_count(sf_dir: str):
     return triangle_count(sf_dir)
 
 
+def _q_weighted_sample(sf_dir: str):
+    from ray_extract.pipelines.text import weighted_sample
+
+    return weighted_sample(sf_dir)
+
+
+def _q_approx_quantiles_hist(sf_dir: str):
+    from ray_extract.pipelines.events import approx_quantiles_hist
+
+    return approx_quantiles_hist(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -1082,6 +1094,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_to_first_purchase": _q_time_to_first_purchase,
         "zscore_outliers": _q_zscore_outliers,
         "triangle_count": _q_triangle_count,
+        "weighted_sample": _q_weighted_sample,
+        "approx_quantiles_hist": _q_approx_quantiles_hist,
     }
 
 
@@ -2080,6 +2094,37 @@ SELECT user_id,
        CAST(sum(date_diff('microsecond', start_ts, end_ts)) AS BIGINT)
          AS total_session_dur_us
 FROM base GROUP BY user_id
+"""
+    # length-weighted deterministic sampling: same 62-bit rolling hash draw
+    # as deterministic_split, weight = min(999, n_chars*1000/512)
+    d["weighted_sample"] = f"""
+WITH s AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         {roll_id} % 1000 AS slot
+  FROM documents
+)
+SELECT doc_id, n_chars, CAST(slot AS BIGINT) AS slot
+FROM s WHERE slot < least(999, n_chars * 1000 // 512)
+"""
+    d["approx_quantiles_hist"] = """
+WITH ev AS (
+  SELECT event_type,
+         greatest(least(CAST(floor(value * 100 + 0.5) AS BIGINT) // 8, 4095), 0)
+           AS b
+  FROM events
+),
+h AS (SELECT event_type, b, count(*) AS c FROM ev GROUP BY event_type, b),
+cum AS (
+  SELECT event_type, b,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY b) AS BIGINT) AS cc,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM h
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       CAST(min(b) FILTER (cc >= (50 * n + 99) // 100) * 8 AS BIGINT) AS p50_cents,
+       CAST(min(b) FILTER (cc >= (90 * n + 99) // 100) * 8 AS BIGINT) AS p90_cents,
+       CAST(min(b) FILTER (cc >= (99 * n + 99) // 100) * 8 AS BIGINT) AS p99_cents
+FROM cum GROUP BY event_type
 """
     # triangles in the same simhash pair graph: every triangle a<b<c is one
     # wedge (b,c) at apex a closed by edge (b,c)

@@ -1408,3 +1408,74 @@ def zscore_outliers(sf_dir: str, k_sigma: int = 2):
         rd.read_parquet(f"{sf_dir}/events.parquet",
                         columns=["event_id", "event_type", "value"])
     ).map_batches(flag, batch_format="pyarrow")
+
+
+def approx_quantiles_hist(sf_dir: str, bin_cents: int = 8, n_bins: int = 4096,
+                          percentiles: tuple = (50, 90, 99)):
+    """Histogram-sketch quantiles — the mergeable approximate-quantile
+    pattern (fixed-width integer bins play the role of a t-digest, but with
+    a DETERMINISTIC estimator, so the oracle is exact about the sketch).
+
+    Scale shape: each batch emits one dense ``n_bins``-long int64 histogram
+    per event type (a fixed-size mergeable sketch — the whole point: block
+    partials are O(bins), independent of row count), the cross-block merge
+    is a metadata-scale repartition(1) + vector sum, and the estimate for
+    percentile p is the LOWER EDGE of the first bin whose cumulative count
+    reaches rank ceil(p*n/100) — the same counting-selection rank rule as
+    group_quantiles, on bins instead of values.
+
+    Output: (event_type, n, p50_cents, p90_cents, p99_cents).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.floor(batch.column("value").to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        b = np.clip(v // bin_cents, 0, n_bins - 1)
+        types, codes = np.unique(
+            batch.column("event_type").to_numpy(zero_copy_only=False),
+            return_inverse=True,
+        )
+        hist = np.zeros((len(types), n_bins), dtype=np.int64)
+        np.add.at(hist, (codes, b), 1)
+        return pa.table(
+            {
+                "event_type": pa.array(types.astype(str)),
+                "hist": pa.array(list(hist)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        hists = t.column("hist").combine_chunks()
+        flat = hists.flatten().to_numpy(zero_copy_only=False).reshape(
+            len(t), n_bins
+        )
+        types, codes = np.unique(et, return_inverse=True)
+        total = np.zeros((len(types), n_bins), dtype=np.int64)
+        np.add.at(total, codes, flat)
+        n = total.sum(axis=1)
+        cum = total.cumsum(axis=1)
+        cols = {"event_type": pa.array(types.astype(str)),
+                "n": pa.array(n)}
+        for p in percentiles:
+            rank = (p * n + 99) // 100
+            idx = np.array(
+                [np.searchsorted(cum[i], rank[i]) for i in range(len(types))],
+                dtype=np.int64,
+            )
+            cols[f"p{p}_cents"] = pa.array(idx * bin_cents)
+        return pa.table(cols)
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow")
+    )

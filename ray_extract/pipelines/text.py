@@ -1457,3 +1457,40 @@ def prefix_cluster_sizes(sf_dir: str, prefix_chars: int = 16):
         ),
         batch_format="pyarrow",
     )
+
+
+def weighted_sample(sf_dir: str, scale_chars: int = 512):
+    """Deterministic length-weighted document sampling — importance
+    sampling for training-mix construction (longer docs kept with
+    probability proportional to length, capped at 99.9%).
+
+    The draw is the same content-independent 62-bit rolling hash of the
+    STRING doc id used by deterministic_split (% 1000), compared against
+    the per-doc weight min(999, n_chars * 1000 / scale_chars) — fully
+    reproducible in SQL, stable under re-sharding, and a pure map stage:
+    no shuffle, no state, embarrassingly parallel at any scale.
+
+    Output: (doc_id, n_chars, slot) for kept documents.
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64())
+        nch = pc.cast(batch.column("n_chars"), pa.int64()).to_numpy()
+        slots = hash62_batch([str(i) for i in ids.to_pylist()]) % 1000
+        w = np.minimum(999, nch * 1000 // scale_chars)
+        mask = pa.array(slots < w)
+        return pa.table(
+            {
+                "doc_id": ids,
+                "n_chars": pa.array(nch),
+                "slot": pa.array(slots),
+            }
+        ).filter(mask)
+
+    return strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "n_chars"])
+    ).map_batches(keep, batch_format="pyarrow")

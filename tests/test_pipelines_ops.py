@@ -521,3 +521,24 @@ def test_triangle_count_bounds(ray_session):
     row = triangle_count(sf).to_pandas().iloc[0]
     assert 0 < row["n_triangles"] <= row["n_wedges"]
     assert row["n_edges"] > 0
+
+
+def test_approx_quantiles_hist_brackets_exact(ray_session):
+    """Each sketch estimate must be within one bin width below the exact
+    quantile (lower bin edge rule)."""
+    import duckdb
+
+    from ray_extract.pipelines.events import approx_quantiles_hist
+
+    sf = "/root/testdata/sf0.001"
+    df = approx_quantiles_hist(sf).to_pandas().set_index("event_type")
+    for p in (50, 90, 99):
+        exact = duckdb.sql(
+            f"""SELECT event_type,
+                   CAST(quantile_disc(CAST(floor(value*100+0.5) AS BIGINT),
+                        {p / 100}) AS BIGINT) q
+                FROM '{sf}/events.parquet' GROUP BY 1"""
+        ).df().set_index("event_type")["q"]
+        for et in df.index:
+            est = int(df.loc[et, f"p{p}_cents"])
+            assert est <= int(exact[et]) < est + 8, (et, p, est, exact[et])

@@ -306,3 +306,25 @@ def test_embedding_quantize_clips(ray_session):
         f"SELECT count(*) FROM '{sf}/embeddings.parquet'"
     ).fetchone()[0]
     assert int(df["n_vecs"].sum()) == int(n_vecs)
+
+
+def test_weighted_sample_rate_tracks_length(ray_session):
+    """Longer docs must be kept at a higher rate; kept slots obey the
+    per-doc weight bound."""
+    import duckdb
+
+    from ray_extract.pipelines.text import weighted_sample
+
+    sf = "/root/testdata/sf0.001"
+    df = weighted_sample(sf).to_pandas()
+    w = np.minimum(999, df["n_chars"].to_numpy() * 1000 // 512)
+    assert (df["slot"].to_numpy() < w).all()
+    docs = duckdb.sql(
+        f"SELECT doc_id, n_chars FROM '{sf}/documents.parquet'"
+    ).df()
+    short = docs[docs["n_chars"] < docs["n_chars"].median()]
+    long_ = docs[docs["n_chars"] >= docs["n_chars"].median()]
+    kept = set(df["doc_id"])
+    rate_short = np.mean([d in kept for d in short["doc_id"]])
+    rate_long = np.mean([d in kept for d in long_["doc_id"]])
+    assert rate_long > rate_short
