@@ -72,49 +72,72 @@ def write_json_per_doc(output_ds, out_dir: str) -> int:
     return int(counts.sum("written") or 0)
 
 
+def _normalize_documents(batch: pa.Table) -> pa.Table:
+    """Coerce any (doc_id, text[, lang, source, n_chars]) batch to the
+    parquet ``documents`` schema: missing lang/source default to '';
+    n_chars is derived from the text when absent."""
+    import pyarrow.compute as pc
+
+    n = len(batch)
+    names = set(batch.column_names)
+    text = pc.cast(batch.column("text"), pa.string())
+    if "lang" in names:
+        lang = pc.cast(batch.column("lang"), pa.string())
+    else:
+        lang = pa.array([""] * n, type=pa.string())
+    if "source" in names:
+        source = pc.cast(batch.column("source"), pa.string())
+    else:
+        source = pa.array([""] * n, type=pa.string())
+    if "n_chars" in names:
+        n_chars = pc.cast(batch.column("n_chars"), pa.int64())
+    else:
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    return pa.table(
+        {
+            "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+            "text": text,
+            "lang": lang,
+            "source": source,
+            "n_chars": n_chars,
+        }
+    )
+
+
 def read_documents_jsonl(path: str):
     """JSONL document source: newline-delimited JSON with at least
     (doc_id, text) per line -> a Dataset with the same schema as the
-    parquet ``documents`` table (doc_id, text, lang, source, n_chars;
-    missing lang/source default to ''; n_chars derived when absent).
+    parquet ``documents`` table (see _normalize_documents).
 
     Web-scraped corpora usually arrive as JSONL long before anyone
     converts them to parquet — this source lets every text/dedup pipeline
     run on them directly. Ray's native read_json handles ndjson splitting
     and parallel reads; the normalization is one vectorized map stage.
     """
-    import numpy as np
-    import pyarrow.compute as pc
     import ray.data as rd
-
-    ds = rd.read_json(path)
-
-    def normalize(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        names = set(batch.column_names)
-        text = pc.cast(batch.column("text"), pa.string())
-        if "lang" in names:
-            lang = pc.cast(batch.column("lang"), pa.string())
-        else:
-            lang = pa.array([""] * n, type=pa.string())
-        if "source" in names:
-            source = pc.cast(batch.column("source"), pa.string())
-        else:
-            source = pa.array([""] * n, type=pa.string())
-        if "n_chars" in names:
-            n_chars = pc.cast(batch.column("n_chars"), pa.int64())
-        else:
-            n_chars = pc.cast(pc.utf8_length(text), pa.int64())
-        return pa.table(
-            {
-                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
-                "text": text,
-                "lang": lang,
-                "source": source,
-                "n_chars": n_chars,
-            }
-        )
 
     from ..functions.tables import strip_schema_metadata
 
-    return strip_schema_metadata(ds.map_batches(normalize, batch_format="pyarrow"))
+    ds = rd.read_json(path)
+    return strip_schema_metadata(
+        ds.map_batches(_normalize_documents, batch_format="pyarrow")
+    )
+
+
+def read_documents_csv(path: str, **read_csv_kwargs):
+    """CSV document source — same normalization contract as
+    read_documents_jsonl: any CSV with at least (doc_id, text) columns
+    becomes a Dataset with the parquet ``documents`` schema.
+
+    Ray's native read_csv handles header inference, parallel reads and
+    block splitting; extra ``read_csv_kwargs`` pass straight through to
+    pyarrow's CSV reader (delimiter, column types, ...).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    ds = rd.read_csv(path, **read_csv_kwargs)
+    return strip_schema_metadata(
+        ds.map_batches(_normalize_documents, batch_format="pyarrow")
+    )

@@ -163,3 +163,35 @@ def test_read_documents_jsonl_matches_parquet_schema(ray_session, tmp_path):
     df2 = read_documents_jsonl(str(p2)).to_pandas()
     assert df2.iloc[0]["n_chars"] == 11
     assert df2.iloc[0]["lang"] == ""
+
+
+def test_read_documents_csv_matches_parquet_schema(ray_session, tmp_path):
+    """A CSV corpus round-trips into the documents schema; missing optional
+    columns default (same contract as the JSONL source)."""
+    import csv
+
+    import pyarrow.parquet as pq
+
+    from ray_extract.sources.files import read_documents_csv
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/documents.parquet")
+    p = tmp_path / "docs.csv"
+    rows = t.slice(0, 40).to_pylist()
+    with open(p, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["doc_id", "text", "lang", "source", "n_chars"])
+        w.writeheader()
+        for row in rows:
+            w.writerow(row)
+    df = read_documents_csv(str(p)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = t.slice(0, 40).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(df.columns) == ["doc_id", "text", "lang", "source", "n_chars"]
+    assert (df["text"] == want["text"]).all()
+    assert (df["n_chars"] == want["n_chars"]).all()
+
+    p2 = tmp_path / "min.csv"
+    with open(p2, "w", newline="") as f:
+        f.write("doc_id,text\n1,hello world\n")
+    df2 = read_documents_csv(str(p2)).to_pandas()
+    assert df2.iloc[0]["n_chars"] == 11
+    assert df2.iloc[0]["lang"] == ""
