@@ -997,6 +997,36 @@ def _q_approx_quantiles_hist(sf_dir: str):
     return approx_quantiles_hist(sf_dir)
 
 
+def _q_session_conversion(sf_dir: str):
+    from ray_extract.pipelines.events import session_conversion
+
+    return session_conversion(sf_dir)
+
+
+def _q_norm_minmax_scaled(sf_dir: str):
+    from ray_extract.pipelines.similarity import norm_minmax_scaled
+
+    return norm_minmax_scaled(sf_dir)
+
+
+def _q_nation_actor_counts(sf_dir: str):
+    from ray_extract.pipelines.relational import nation_actor_counts
+
+    return nation_actor_counts(sf_dir)
+
+
+def _q_forecast_revenue(sf_dir: str):
+    from ray_extract.pipelines.relational import forecast_revenue
+
+    return forecast_revenue(sf_dir)
+
+
+def _q_blocked_linkage(sf_dir: str):
+    from ray_extract.pipelines.dedup import blocked_linkage
+
+    return blocked_linkage(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -1096,6 +1126,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": _q_triangle_count,
         "weighted_sample": _q_weighted_sample,
         "approx_quantiles_hist": _q_approx_quantiles_hist,
+        "session_conversion": _q_session_conversion,
+        "norm_minmax_scaled": _q_norm_minmax_scaled,
+        "nation_actor_counts": _q_nation_actor_counts,
+        "forecast_revenue": _q_forecast_revenue,
+        "blocked_linkage": _q_blocked_linkage,
     }
 
 
@@ -2094,6 +2129,85 @@ SELECT user_id,
        CAST(sum(date_diff('microsecond', start_ts, end_ts)) AS BIGINT)
          AS total_session_dur_us
 FROM base GROUP BY user_id
+"""
+    d["blocked_linkage"] = """
+WITH d AS (
+  SELECT doc_id, substr(text, 1, 8) AS p,
+         list_distinct(string_split(text, ' ')) AS ws
+  FROM documents
+),
+e AS (SELECT doc_id, p, len(ws) AS nw, unnest(ws) AS w FROM d),
+pr AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, a.nw AS na, b.nw AS nb,
+         count(*) AS inter
+  FROM e a JOIN e b ON a.p = b.p AND a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT da AS doc_a, db AS doc_b, CAST(inter AS BIGINT) AS inter,
+       CAST(na + nb - inter AS BIGINT) AS uni
+FROM pr WHERE abs(na - nb) <= 2 AND 2 * inter >= na + nb - inter
+"""
+    d["forecast_revenue"] = """
+WITH f AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_cents
+  FROM lineitem WHERE l_quantity < 24
+)
+SELECT CAST(count(*) FILTER (disc_cents BETWEEN 5 AND 7) AS BIGINT) AS n_items,
+       CAST(coalesce(sum(price_cents * disc_cents)
+                     FILTER (disc_cents BETWEEN 5 AND 7), 0) AS BIGINT)
+         AS revenue_x10000
+FROM f
+"""
+    d["session_conversion"] = """
+WITH o AS (
+  SELECT user_id, ts, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, event_type,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+a AS (
+  SELECT user_id, sid,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(conv) AS BIGINT) AS n_converting
+FROM a GROUP BY user_id
+"""
+    d["norm_minmax_scaled"] = """
+WITH q AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         CAST(list_sum(list_transform(embedding::DOUBLE[],
+              x -> CAST(floor(x*1000+0.5) AS BIGINT)
+                   * CAST(floor(x*1000+0.5) AS BIGINT))) AS BIGINT) AS qsq
+  FROM embeddings
+),
+s AS (SELECT label, min(qsq) AS mn, max(qsq) AS mx FROM q GROUP BY label)
+SELECT q.vec_id, q.label, q.qsq,
+       CAST(CASE WHEN s.mx > s.mn
+                 THEN (q.qsq - s.mn) * 1000 // (s.mx - s.mn)
+                 ELSE 0 END AS BIGINT) AS scaled_permille
+FROM q JOIN s USING (label)
+"""
+    d["nation_actor_counts"] = """
+WITH c AS (SELECT c_nationkey AS nk, count(*) AS n FROM customer GROUP BY 1),
+s AS (SELECT s_nationkey AS nk, count(*) AS n FROM supplier GROUP BY 1),
+k AS (SELECT nk FROM c UNION SELECT nk FROM s)
+SELECT CAST(k.nk AS BIGINT) AS n_nationkey, n.n_name,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_customers,
+       CAST(coalesce(s.n, 0) AS BIGINT) AS n_suppliers
+FROM k JOIN nation n ON n.n_nationkey = k.nk
+LEFT JOIN c ON c.nk = k.nk
+LEFT JOIN s ON s.nk = k.nk
 """
     # length-weighted deterministic sampling: same 62-bit rolling hash draw
     # as deterministic_split, weight = min(999, n_chars*1000/512)

@@ -1479,3 +1479,80 @@ def approx_quantiles_hist(sf_dir: str, bin_cents: int = 8, n_bins: int = 4096,
         .repartition(1)
         .map_batches(merge, batch_format="pyarrow")
     )
+
+
+def session_conversion(sf_dir: str, gap_minutes: int = 30,
+                       target_type: str = "purchase", num_buckets: int = 64):
+    """Per-user session conversion: how many of a user's gap-sessions
+    contain a ``target_type`` event (the conversion-rate denominator and
+    numerator of a funnel dashboard).
+
+    Scale shape: identical to sessionize — ONE hash(user) shuffle, then a
+    single vectorized per-bucket pass (lexsort, gap-break cumsum segments,
+    per-segment max of the target flag via np.maximum.reduceat, per-user
+    counts via reduceat over user segment starts). Tie order within equal
+    timestamps cannot change the result: a zero gap never breaks a session
+    and the flag max is order-free.
+
+    Output: (user_id, n_sessions, n_converting).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    gap_us = np.int64(gap_minutes) * 60_000_000
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch.column("user_id"), pa.int64()).to_numpy()
+        bucket = np.abs((uid * np.int64(2654435761)) % np.int64(num_buckets))
+        flag = pc.equal(batch.column("event_type"), target_type).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "ts": batch.column("ts"),
+                "conv": pa.array(flag.astype(np.int64)),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        conv = g["conv"].to_numpy()
+        order = np.lexsort((ts, uid))
+        uid, ts, conv = uid[order], ts[order], conv[order]
+        n = len(g)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        new_sess = new_user.copy()
+        if n > 1:
+            new_sess[1:] |= (ts[1:] - ts[:-1]) > gap_us
+        sess_first = np.flatnonzero(new_sess)
+        sess_conv = np.minimum(np.maximum.reduceat(conv, sess_first), 1)
+        # per-user reduction over the per-session rows
+        user_of_sess = uid[sess_first]
+        first_sess_of_user = np.ones(len(sess_first), dtype=bool)
+        first_sess_of_user[1:] = user_of_sess[1:] != user_of_sess[:-1]
+        u_starts = np.flatnonzero(first_sess_of_user)
+        n_sessions = np.diff(np.r_[u_starts, len(sess_first)])
+        n_converting = np.add.reduceat(sess_conv, u_starts)
+        return pd.DataFrame(
+            {
+                "user_id": user_of_sess[u_starts],
+                "n_sessions": n_sessions.astype(np.int64),
+                "n_converting": n_converting.astype(np.int64),
+            }
+        )
+
+    from ..functions.tables import strip_schema_metadata
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+        )
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -1617,3 +1617,135 @@ def customer_spend_ntile(sf_dir: str, tiles: int = 4,
         )
 
     return spend.groupby("vbucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def nation_actor_counts(sf_dir: str, num_partitions: int | None = None):
+    """Customers and suppliers per nation — the multi-source UNION
+    aggregate (two fact scans merged into one keyed reduction, the
+    portfolio-rollup shape).
+
+    Scale shape: each scan pre-aggregates per nationkey inside map_batches
+    with a source tag column (0=customer, 1=supplier), the union of the two
+    partial streams feeds ONE small groupby (25 nation rows), and names
+    attach via the broadcast 25-row dimension probe. Neither fact table
+    shuffles raw rows; union here concatenates block lists — no barrier.
+
+    Output: (n_nationkey, n_name, n_customers, n_suppliers).
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(key_col: str, tag: int):
+        def f(batch: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "nk": pc.cast(batch.column(key_col), pa.int64()),
+                    "nc": pa.array(
+                        np.full(len(batch), 1 - tag, dtype=np.int64)
+                    ),
+                    "ns": pa.array(np.full(len(batch), tag, dtype=np.int64)),
+                }
+            )
+            return t.group_by("nk").aggregate([("nc", "sum"), ("ns", "sum")])
+
+        return f
+
+    cust = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
+    ).map_batches(partial("c_nationkey", 0), batch_format="pyarrow")
+    supp = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey"])
+    ).map_batches(partial("s_nationkey", 1), batch_format="pyarrow")
+
+    agg = (
+        cust.union(supp)
+        .groupby("nk")
+        .aggregate(Sum("nc_sum", alias_name="n_customers"),
+                   Sum("ns_sum", alias_name="n_suppliers"))
+    )
+
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nat = pa.table(
+        {
+            "n_nationkey": pc.cast(nat.column("n_nationkey"), pa.int64()),
+            "n_name": pc.cast(nat.column("n_name"), pa.string()),
+        }
+    )
+    nat_ref = ray.put(nat)
+
+    def attach(t: pa.Table) -> pa.Table:
+        dim = ray.get(nat_ref)
+        out = pa.table(
+            {
+                "n_nationkey": pc.cast(t.column("nk"), pa.int64()),
+                "n_customers": pc.cast(t.column("n_customers"), pa.int64()),
+                "n_suppliers": pc.cast(t.column("n_suppliers"), pa.int64()),
+            }
+        ).join(dim, keys=["n_nationkey"], join_type="inner")
+        return out.select(
+            ["n_nationkey", "n_name", "n_customers", "n_suppliers"]
+        )
+
+    return agg.map_batches(attach, batch_format="pyarrow")
+
+
+def forecast_revenue(sf_dir: str, qty_below: int = 24,
+                     disc_lo_cents: int = 5, disc_hi_cents: int = 7):
+    """TPC-H Q6-shaped: revenue delta from a discount policy change — the
+    SCAN-ONLY aggregate (filter + sum, no join, no groupby): the contrast
+    case showing the engine does not pay a shuffle when none is needed.
+
+    Scale shape: predicate pushed into the parquet scan where the format
+    allows (quantity), residual discount-band filter vectorized in the
+    batch, one-row partials, repartition(1) sum. Revenue =
+    price_cents * disc_cents (exact int64).
+
+    Output: one row (n_items, revenue_x10000).
+    """
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc = _cents(batch.column("l_discount"))
+        keep = (disc >= disc_lo_cents) & (disc <= disc_hi_cents)
+        price = _cents(batch.column("l_extendedprice"))[keep]
+        rev = price * disc[keep]
+        return pa.table(
+            {
+                "n": pa.array([int(keep.sum())], type=pa.int64()),
+                "rev": pa.array([int(rev.sum())], type=pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_items": pa.array(
+                    [int(pc.sum(t.column("n")).as_py() or 0)], type=pa.int64()
+                ),
+                "revenue_x10000": pa.array(
+                    [int(pc.sum(t.column("rev")).as_py() or 0)], type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_quantity", "l_discount", "l_extendedprice"],
+                filter=pads.field("l_quantity") < qty_below,
+            )
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow")
+    )

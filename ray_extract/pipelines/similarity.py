@@ -743,3 +743,77 @@ def embedding_quantize_stats(sf_dir: str, scale: int = 127, clip: int = 31):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def norm_minmax_scaled(sf_dir: str):
+    """Per-label min-max feature scaling of embedding norms — the
+    normalize-before-training step, as the two-pass broadcast-scalar
+    pattern (pass 1 reduces per-label min/max to a bounded table; pass 2 is
+    a stateless map with the 10-row scale table in the task closure).
+
+    Norms are the exact int64 quantized squared norms of
+    embedding_norm_stats; the scaled value is (qsq - min) * 1000 //
+    (max - min) — all integer, so the oracle is exact. Labels whose
+    min == max scale to 0 by convention.
+
+    Output: (vec_id, label, qsq, scaled_permille).
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    import pyarrow.compute as pc
+
+    def qsq_partial(batch: pa.Table) -> pa.Table:
+        ids, e = _emb_matrix(batch)
+        q = np.floor(e * 1000.0 + 0.5).astype(np.int64)
+        qsq = (q * q).sum(axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids.astype(np.int64)),
+                "label": pc.cast(batch.column("label"), pa.int64()),
+                "qsq": pa.array(qsq),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    ).map_batches(qsq_partial, batch_format="pyarrow").materialize()
+    # reused: the min/max pass and the scaling pass read the same quantized
+    # norms (recomputing would double the matrix work)
+
+    scale = (
+        ds.map_batches(
+            lambda t: pa.table(
+                {"label": t.column("label"), "mn": t.column("qsq"),
+                 "mx": t.column("qsq")}
+            ).group_by("label").aggregate([("mn", "min"), ("mx", "max")]),
+            batch_format="pyarrow",
+        )
+        .groupby("label")
+        .aggregate(Min("mn_min", alias_name="mn"),
+                   Max("mx_max", alias_name="mx"))
+        .to_pandas()  # bounded domain: one row per label
+    )
+    labels = scale["label"].to_numpy().astype(np.int64)
+    order = np.argsort(labels)
+    labels = labels[order]
+    mn = scale["mn"].to_numpy().astype(np.int64)[order]
+    rng = scale["mx"].to_numpy().astype(np.int64)[order] - mn
+
+    def scale_batch(t: pa.Table) -> pa.Table:
+        lab = t.column("label").to_numpy()
+        idx = np.searchsorted(labels, lab)
+        qsq = t.column("qsq").to_numpy()
+        r = rng[idx]
+        scaled = np.where(r > 0, (qsq - mn[idx]) * 1000 // np.maximum(r, 1), 0)
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "label": t.column("label"),
+                "qsq": t.column("qsq"),
+                "scaled_permille": pa.array(scaled.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(scale_batch, batch_format="pyarrow")

@@ -542,3 +542,105 @@ def test_approx_quantiles_hist_brackets_exact(ray_session):
         for et in df.index:
             est = int(df.loc[et, f"p{p}_cents"])
             assert est <= int(exact[et]) < est + 8, (et, p, est, exact[et])
+
+
+def test_session_conversion_consistent_with_sessionize(ray_session):
+    """Session totals must match sessionize; converting <= total; sum of
+    converting equals sessions containing a purchase (python recheck)."""
+    import pandas as pd
+
+    from ray_extract.pipelines.events import session_conversion, sessionize
+
+    sf = "/root/testdata/sf0.001"
+    df = session_conversion(sf).to_pandas().set_index("user_id")
+    sess = sessionize(sf).to_pandas().groupby("user_id").size()
+    assert (df["n_sessions"].sort_index().values == sess.sort_index().values).all()
+    assert (df["n_converting"] <= df["n_sessions"]).all()
+    # brute-force one user
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    uid = int(df.index[0])
+    g = ev[ev.user_id == uid].sort_values("ts")
+    sid, prev, conv = 0, None, set()
+    for r in g.itertuples():
+        if prev is None or (r.ts - prev).total_seconds() > 1800:
+            sid += 1
+        if r.event_type == "purchase":
+            conv.add(sid)
+        prev = r.ts
+    assert int(df.loc[uid, "n_sessions"]) == sid
+    assert int(df.loc[uid, "n_converting"]) == len(conv)
+
+
+def test_norm_minmax_bounds(ray_session):
+    """Scaled values span [0, 1000); per-label min maps to 0 and max to
+    (range*1000)//range = 1000 only when qsq == mx exactly."""
+    from ray_extract.pipelines.similarity import norm_minmax_scaled
+
+    sf = "/root/testdata/sf0.001"
+    df = norm_minmax_scaled(sf).to_pandas()
+    assert (df["scaled_permille"] >= 0).all()
+    assert (df["scaled_permille"] <= 1000).all()
+    for lab, g in df.groupby("label"):
+        mn, mx = g["qsq"].min(), g["qsq"].max()
+        assert int(g.loc[g["qsq"] == mn, "scaled_permille"].iloc[0]) == 0
+        if mx > mn:
+            assert int(g.loc[g["qsq"] == mx, "scaled_permille"].iloc[0]) == 1000
+
+
+def test_nation_actor_counts_mass(ray_session):
+    """Customer and supplier totals are conserved through the union."""
+    import duckdb
+
+    from ray_extract.pipelines.relational import nation_actor_counts
+
+    sf = "/root/testdata/sf0.001"
+    df = nation_actor_counts(sf).to_pandas()
+    nc, ns = duckdb.sql(
+        f"""SELECT (SELECT count(*) FROM '{sf}/customer.parquet'),
+                   (SELECT count(*) FROM '{sf}/supplier.parquet')"""
+    ).fetchone()
+    assert int(df["n_customers"].sum()) == int(nc)
+    assert int(df["n_suppliers"].sum()) == int(ns)
+    assert df["n_nationkey"].is_unique
+
+
+def test_blocked_linkage_within_blocks_only(ray_session):
+    """Linked pairs share the 8-char blocking prefix, pass the length
+    filter, and meet the exact Jaccard threshold."""
+    import pandas as pd
+
+    from ray_extract.pipelines.dedup import blocked_linkage
+
+    sf = "/root/testdata/sf0.001"
+    df = blocked_linkage(sf).to_pandas()
+    assert (df["doc_a"] < df["doc_b"]).all()
+    assert (2 * df["inter"] >= df["uni"]).all()
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"]).set_index("doc_id")
+    for r in df.head(25).itertuples():
+        ta, tb = docs.loc[r.doc_a, "text"], docs.loc[r.doc_b, "text"]
+        assert ta[:8] == tb[:8]
+        wa, wb = set(ta.split(" ")), set(tb.split(" "))
+        assert abs(len(wa) - len(wb)) <= 2
+        assert len(wa & wb) == r.inter
+        assert len(wa | wb) == r.uni
+
+
+def test_forecast_revenue_matches_brute(ray_session):
+    import duckdb
+
+    from ray_extract.pipelines.relational import forecast_revenue
+
+    sf = "/root/testdata/sf0.001"
+    row = forecast_revenue(sf).to_pandas().iloc[0]
+    n, rev = duckdb.sql(
+        f"""SELECT count(*), CAST(coalesce(sum(
+               CAST(floor(l_extendedprice*100+0.5) AS BIGINT)
+               * CAST(floor(l_discount*100+0.5) AS BIGINT)), 0) AS BIGINT)
+            FROM '{sf}/lineitem.parquet'
+            WHERE l_quantity < 24
+              AND CAST(floor(l_discount*100+0.5) AS BIGINT) BETWEEN 5 AND 7"""
+    ).fetchone()
+    assert int(row["n_items"]) == int(n)
+    assert int(row["revenue_x10000"]) == int(rev)
