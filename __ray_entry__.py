@@ -1027,6 +1027,18 @@ def _q_blocked_linkage(sf_dir: str):
     return blocked_linkage(sf_dir)
 
 
+def _q_cms_heavy_hitters(sf_dir: str):
+    from ray_extract.pipelines.text import cms_heavy_hitters
+
+    return cms_heavy_hitters(sf_dir)
+
+
+def _q_co_occurrence_topk(sf_dir: str):
+    from ray_extract.pipelines.text import co_occurrence_topk
+
+    return co_occurrence_topk(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -1131,6 +1143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_actor_counts": _q_nation_actor_counts,
         "forecast_revenue": _q_forecast_revenue,
         "blocked_linkage": _q_blocked_linkage,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "co_occurrence_topk": _q_co_occurrence_topk,
     }
 
 
@@ -2129,6 +2143,40 @@ SELECT user_id,
        CAST(sum(date_diff('microsecond', start_ts, end_ts)) AS BIGINT)
          AS total_session_dur_us
 FROM base GROUP BY user_id
+"""
+    d["co_occurrence_topk"] = """
+WITH d AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents
+),
+e AS (SELECT doc_id, unnest(ws) AS w FROM d),
+p AS (
+  SELECT a.w AS wa, b.w AS wb, count(*) AS n
+  FROM e a JOIN e b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY 1, 2
+)
+SELECT wa AS word_a, wb AS word_b, CAST(n AS BIGINT) AS n_docs
+FROM p ORDER BY n DESC, wa, wb LIMIT 25
+"""
+    # CMS heavy-hitter audit: salted rolling-hash cells, min over depth rows
+    roll_jw = _ROLL.format(col="CAST(j.j AS VARCHAR) || ':' || word")
+    roll_jt = _ROLL.format(col="CAST(j.j AS VARCHAR) || ':' || t.word")
+    d["cms_heavy_hitters"] = f"""
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+cnt AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+topk AS (SELECT word, n FROM cnt ORDER BY n DESC, word ASC LIMIT 20),
+cells AS (
+  SELECT j.j AS j, {roll_jw} % 1024 AS cell, CAST(sum(n) AS BIGINT) AS c
+  FROM cnt, range(2) AS j(j)
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT t.word, t.n, j.j AS j, {roll_jt} % 1024 AS cell
+  FROM topk t CROSS JOIN range(2) AS j(j)
+)
+SELECT e.word, CAST(e.n AS BIGINT) AS exact_n,
+       CAST(min(c.c) AS BIGINT) AS cms_estimate
+FROM est e JOIN cells c ON c.j = e.j AND c.cell = e.cell
+GROUP BY e.word, e.n
 """
     d["blocked_linkage"] = """
 WITH d AS (

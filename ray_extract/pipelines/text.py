@@ -1494,3 +1494,224 @@ def weighted_sample(sf_dir: str, scale_chars: int = 512):
         rd.read_parquet(f"{sf_dir}/documents.parquet",
                         columns=["doc_id", "n_chars"])
     ).map_batches(keep, batch_format="pyarrow")
+
+
+def cms_heavy_hitters(sf_dir: str, width: int = 1024, depth: int = 2,
+                      k: int = 20):
+    """Count-Min-Sketch heavy-hitter audit: exact top-k words vs their CMS
+    estimate — the mergeable-sketch counting pattern (companion to
+    approx_distinct_hll and approx_quantiles_hist) with the sketch's
+    one-sided error (estimate >= exact) surfaced as data.
+
+    Sketch path (NO shuffle): each batch folds its local word counts into a
+    depth x width int64 counter matrix via the salted 62-bit rolling hash
+    (h_j(word) = hash62(str(j) + ':' + word) % width — the salt string
+    keeps the whole construction SQL-reproducible); counters are pure sums,
+    so block-boundary placement cannot change the result, and the
+    cross-block merge is a metadata-scale repartition(1) vector sum.
+    Exact path (the contrast): per-batch partial counts -> one word-keyed
+    shuffle -> partial top-k -> k-row final cut.
+    The k-row estimate lookup happens on the driver against the tiny
+    merged sketch.
+
+    Output: (word, exact_n, cms_estimate) for the exact top-k; by CMS
+    construction cms_estimate >= exact_n always.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def word_counts(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        flat = pc.list_flatten(pc.split_pattern(text, " "))
+        t = pa.table({"word": flat})
+        part = t.group_by("word").aggregate([("word", "count")])
+        return pa.table(
+            {
+                "word": part.column("word"),
+                "n": pc.cast(part.column("word_count"), pa.int64()),
+            }
+        )
+
+    counted = _docs(sf_dir).map_batches(
+        word_counts, batch_format="pyarrow"
+    ).materialize()  # reused by the sketch fold and the exact reduce
+
+    def fold_cms(t: pa.Table) -> pa.Table:
+        words = t.column("word").to_pylist()
+        n = t.column("n").to_numpy()
+        rows = []
+        for j in range(depth):
+            idx = hash62_batch([f"{j}:{w}" for w in words]) % width
+            row = np.zeros(width, dtype=np.int64)
+            np.add.at(row, idx, n)
+            rows.append(row)
+        return pa.table(
+            {
+                "j": pa.array(np.arange(depth, dtype=np.int64)),
+                "counters": pa.array(rows),
+            }
+        )
+
+    cms_rows = (
+        counted.map_batches(fold_cms, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "j": pa.array(np.arange(depth, dtype=np.int64)),
+                    "counters": pa.array(
+                        [
+                            t.filter(pc.equal(t.column("j"), j))
+                            .column("counters")
+                            .combine_chunks()
+                            .flatten()
+                            .to_numpy(zero_copy_only=False)
+                            .reshape(-1, width)
+                            .sum(axis=0)
+                            .astype(np.int64)
+                            for j in range(depth)
+                        ]
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .take_all()  # depth rows of width ints: the merged sketch is tiny
+    )
+    cms = np.stack([np.asarray(r["counters"], dtype=np.int64)
+                    for r in sorted(cms_rows, key=lambda r: r["j"])])
+
+    def topk_partial(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("n", "descending"), ("word", "ascending")]
+        )
+        return t.take(idx[: min(k, len(t))])
+
+    top = (
+        counted.groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda t: pa.table(
+                {"word": t.column("word"), "n": pc.cast(t.column("n"), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .map_batches(topk_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(topk_partial, batch_format="pyarrow")
+        .take_all()  # k rows
+    )
+    words = [r["word"] for r in top]
+    exact = np.array([r["n"] for r in top], dtype=np.int64)
+    est = np.full(len(words), np.iinfo(np.int64).max, dtype=np.int64)
+    for j in range(depth):
+        idx = hash62_batch([f"{j}:{w}" for w in words]) % width
+        est = np.minimum(est, cms[j][idx])
+    return pa.table(
+        {
+            "word": pa.array(words, type=pa.string()),
+            "exact_n": pa.array(exact),
+            "cms_estimate": pa.array(est),
+        }
+    )
+
+
+def co_occurrence_topk(sf_dir: str, k: int = 25, num_buckets: int = 64):
+    """Top-k word pairs by document co-occurrence — the co-occurrence-matrix
+    builder behind PMI / word-association features.
+
+    Scale shape: a document's DISTINCT words pair up inside the map task
+    (triangular enumeration — work is sum of per-doc distinct-word-count
+    squared, the irreducible output size), pairs are packed into one int64
+    via per-batch factorized codes and pre-counted before the single
+    pair-keyed shuffle; top-k is partial + k-row final. The pair string
+    columns are materialized only for the pre-counted partials, never per
+    occurrence.
+
+    Output: (word_a, word_b, n_docs) with word_a < word_b, ordered by
+    (n_docs desc, word_a, word_b) ties broken lexically.
+    """
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        words = pc.split_pattern(text, " ")
+        flat = words.flatten()
+        offsets = words.offsets.to_numpy()
+        doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64),
+                            np.diff(offsets))
+        codes, uniq = pd.factorize(flat.to_numpy(zero_copy_only=False))
+        nv = np.int64(len(uniq) + 1)
+        ukey = np.unique(doc_idx * nv + codes)  # distinct (doc, word)
+        u_doc = ukey // nv
+        u_code = (ukey % nv).astype(np.int64)
+        # triangular pair enumeration within each doc's sorted distinct set
+        n = len(ukey)
+        new_seg = np.ones(n, dtype=bool)
+        new_seg[1:] = u_doc[1:] != u_doc[:-1]
+        starts = np.flatnonzero(new_seg)
+        seg_of = np.cumsum(new_seg) - 1
+        cnt = np.diff(np.r_[starts, n])
+        local = np.arange(n) - starts[seg_of]
+        reps = cnt[seg_of] - 1 - local
+        total = int(reps.sum())
+        if total == 0:
+            return pa.table(
+                {"word_a": pa.array([], type=pa.string()),
+                 "word_b": pa.array([], type=pa.string()),
+                 "n": pa.array([], type=pa.int64())}
+            )
+        i_idx = np.repeat(np.arange(n), reps)
+        block_start = np.r_[0, np.cumsum(reps)[:-1]]
+        j_idx = np.arange(total) - np.repeat(block_start, reps) + i_idx + 1
+        # u_code ascending within a segment (np.unique sorted the pack), and
+        # factorize codes are NOT lexical — sort pair ends lexically below
+        pair = u_code[i_idx] * nv + u_code[j_idx]
+        upair, pcount = np.unique(pair, return_counts=True)
+        wa = np.asarray(uniq, dtype=object)[(upair // nv)].astype(str)
+        wb = np.asarray(uniq, dtype=object)[(upair % nv)].astype(str)
+        swap = wa > wb
+        lo = np.where(swap, wb, wa)
+        hi = np.where(swap, wa, wb)
+        t = pa.table(
+            {"word_a": pa.array(lo), "word_b": pa.array(hi),
+             "n": pa.array(pcount.astype(np.int64))}
+        )
+        # collapse (a,b)/(b,a) partials produced by differing code order
+        out = t.group_by(["word_a", "word_b"]).aggregate([("n", "sum")])
+        return pa.table(
+            {"word_a": out.column("word_a"), "word_b": out.column("word_b"),
+             "n": pc.cast(out.column("n_sum"), pa.int64())}
+        )
+
+    agg = (
+        _docs(sf_dir)
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["word_a", "word_b"])
+        .aggregate(Sum("n", alias_name="n_docs"))
+    )
+
+    def topk_partial(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "word_a": t.column("word_a"),
+                "word_b": t.column("word_b"),
+                "n_docs": pc.cast(t.column("n_docs"), pa.int64()),
+            }
+        )
+        idx = pc.sort_indices(
+            out,
+            sort_keys=[("n_docs", "descending"), ("word_a", "ascending"),
+                       ("word_b", "ascending")],
+        )
+        return out.take(idx[: min(k, len(out))])
+
+    return (
+        agg.map_batches(topk_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(topk_partial, batch_format="pyarrow")
+    )

