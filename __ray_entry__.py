@@ -1039,6 +1039,18 @@ def _q_co_occurrence_topk(sf_dir: str):
     return co_occurrence_topk(sf_dir)
 
 
+def _q_quota_sample(sf_dir: str):
+    from ray_extract.pipelines.text import quota_sample
+
+    return quota_sample(sf_dir)
+
+
+def _q_dense_hourly_series(sf_dir: str):
+    from ray_extract.pipelines.events import dense_hourly_series
+
+    return dense_hourly_series(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -1145,6 +1157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocked_linkage": _q_blocked_linkage,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "co_occurrence_topk": _q_co_occurrence_topk,
+        "quota_sample": _q_quota_sample,
+        "dense_hourly_series": _q_dense_hourly_series,
     }
 
 
@@ -2143,6 +2157,31 @@ SELECT user_id,
        CAST(sum(date_diff('microsecond', start_ts, end_ts)) AS BIGINT)
          AS total_session_dur_us
 FROM base GROUP BY user_id
+"""
+    # per-language quota sample ranked by the reshard-stable rolling hash
+    d["quota_sample"] = f"""
+WITH h AS (
+  SELECT doc_id, lang, {roll_id} AS hv FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rank
+  FROM h
+)
+SELECT doc_id, lang, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 50
+"""
+    d["dense_hourly_series"] = """
+WITH b AS (
+  SELECT epoch_us(ts) // 3600000000 AS slot, count(*) AS n
+  FROM events GROUP BY 1
+),
+r AS (
+  SELECT unnest(range((SELECT min(slot) FROM b),
+                      (SELECT max(slot) FROM b) + 1)) AS slot
+)
+SELECT make_timestamp(r.slot * 3600000000) AS window_start,
+       CAST(coalesce(b.n, 0) AS BIGINT) AS n_events
+FROM r LEFT JOIN b ON b.slot = r.slot
 """
     d["co_occurrence_topk"] = """
 WITH d AS (

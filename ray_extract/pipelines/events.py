@@ -1556,3 +1556,56 @@ def session_conversion(sf_dir: str, gap_minutes: int = 30,
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def dense_hourly_series(sf_dir: str):
+    """Gap-filled hourly event series — time-series DENSIFICATION: every
+    hour between the corpus min and max appears, zero-filled when no event
+    landed in it (the shape a forecasting model or charting layer needs;
+    a plain groupby silently drops empty windows).
+
+    Scale shape: per-batch partial counts per hour slot (bounded by the
+    time range, not the row count), one metadata-scale repartition(1)
+    merge that densifies with an arange over [min_slot, max_slot]. The
+    time range is data-derived — no driver pre-pass needed.
+
+    Output: (window_start, n_events) — one row per hour in range.
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    _HOUR_US = 3600000000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy()
+        slot = us // _HOUR_US
+        s, c = np.unique(slot, return_counts=True)
+        return pa.table(
+            {"slot": pa.array(s), "n": pa.array(c.astype(np.int64))}
+        )
+
+    def densify(t: pa.Table) -> pa.Table:
+        slot = t.column("slot").to_numpy()
+        n = t.column("n").to_numpy()
+        lo, hi = int(slot.min()), int(slot.max())
+        dense = np.zeros(hi - lo + 1, dtype=np.int64)
+        np.add.at(dense, slot - lo, n)
+        slots = np.arange(lo, hi + 1, dtype=np.int64)
+        return pa.table(
+            {
+                "window_start": pa.array(
+                    (slots * _HOUR_US).astype("datetime64[us]")
+                ),
+                "n_events": pa.array(dense),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(densify, batch_format="pyarrow")
+    )

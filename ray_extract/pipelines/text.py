@@ -1715,3 +1715,74 @@ def co_occurrence_topk(sf_dir: str, k: int = 25, num_buckets: int = 64):
         .repartition(1)
         .map_batches(topk_partial, batch_format="pyarrow")
     )
+
+
+def quota_sample(sf_dir: str, per_lang: int = 50):
+    """Per-group quota sampling: for each language, keep the ``per_lang``
+    documents with the smallest deterministic hash — the per-strata LIMIT
+    that balances a training mix (grouped top-n where the "score" is the
+    reshard-stable 62-bit rolling hash, so the sample is pseudo-random but
+    exactly reproducible).
+
+    Scale shape: the group domain (languages) is bounded, so this is the
+    partial-top-k pattern per group: each batch keeps at most
+    |langs| x per_lang rows (one lexsort), and the final cut is a
+    metadata-scale repartition(1) + one more lexsort. No shuffle of the
+    corpus, no per-group tasks.
+
+    Output: (doc_id, lang, rank) with rank 1..per_lang by (hash, doc_id).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        langs = batch.column("lang").to_numpy(zero_copy_only=False)
+        h = hash62_batch([str(i) for i in ids])
+        order = np.lexsort((ids, h, langs))
+        ids, langs, h = ids[order], langs[order], h[order]
+        # keep first per_lang rows of each language segment
+        new_seg = np.ones(len(ids), dtype=bool)
+        new_seg[1:] = langs[1:] != langs[:-1]
+        seg_start = np.flatnonzero(new_seg)
+        seg_of = np.cumsum(new_seg) - 1
+        pos = np.arange(len(ids)) - seg_start[seg_of]
+        keep = pos < per_lang
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep]),
+                "lang": pa.array(langs[keep].astype(str)),
+                "h": pa.array(h[keep]),
+            }
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        langs = t.column("lang").to_numpy(zero_copy_only=False)
+        h = t.column("h").to_numpy()
+        order = np.lexsort((ids, h, langs))
+        ids, langs, h = ids[order], langs[order], h[order]
+        new_seg = np.ones(len(ids), dtype=bool)
+        new_seg[1:] = langs[1:] != langs[:-1]
+        seg_start = np.flatnonzero(new_seg)
+        seg_of = np.cumsum(new_seg) - 1
+        pos = np.arange(len(ids)) - seg_start[seg_of]
+        keep = pos < per_lang
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep]),
+                "lang": pa.array(langs[keep].astype(str)),
+                "rank": pa.array((pos[keep] + 1).astype(np.int64)),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang"])
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow")
+    )

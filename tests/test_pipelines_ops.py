@@ -644,3 +644,19 @@ def test_forecast_revenue_matches_brute(ray_session):
     ).fetchone()
     assert int(row["n_items"]) == int(n)
     assert int(row["revenue_x10000"]) == int(rev)
+
+
+def test_dense_hourly_series_contiguous(ray_session):
+    """Rows cover every hour between min and max with no gaps; counts sum
+    to the event count."""
+    import duckdb
+
+    from ray_extract.pipelines.events import dense_hourly_series
+
+    sf = "/root/testdata/sf0.001"
+    df = dense_hourly_series(sf).to_pandas().sort_values("window_start")
+    deltas = df["window_start"].diff().dropna().dt.total_seconds()
+    assert (deltas == 3600).all()
+    n = duckdb.sql(f"SELECT count(*) FROM '{sf}/events.parquet'").fetchone()[0]
+    assert int(df["n_events"].sum()) == int(n)
+    assert (df["n_events"] == 0).any() or len(df) > 0

@@ -362,3 +362,26 @@ def test_co_occurrence_topk_counts(ray_session):
     for r in t.itertuples():
         want = sum(1 for s in sets if r.word_a in s and r.word_b in s)
         assert r.n_docs == want
+
+
+def test_quota_sample_per_lang_limits(ray_session):
+    """Exactly min(per_lang, group size) rows per language, ranks 1..n,
+    deterministic across runs."""
+    import duckdb
+
+    from ray_extract.pipelines.text import quota_sample
+
+    sf = "/root/testdata/sf0.001"
+    df = quota_sample(sf, per_lang=10).to_pandas()
+    sizes = duckdb.sql(
+        f"SELECT lang, count(*) n FROM '{sf}/documents.parquet' GROUP BY 1"
+    ).df().set_index("lang")["n"]
+    for lang, g in df.groupby("lang"):
+        want = min(10, int(sizes[lang]))
+        assert len(g) == want
+        assert sorted(g["rank"]) == list(range(1, want + 1))
+    again = quota_sample(sf, per_lang=10).to_pandas()
+    key = ["lang", "rank"]
+    assert df.sort_values(key).reset_index(drop=True).equals(
+        again.sort_values(key).reset_index(drop=True)
+    )
