@@ -1051,6 +1051,12 @@ def _q_dense_hourly_series(sf_dir: str):
     return dense_hourly_series(sf_dir)
 
 
+def _q_pagerank_dup_graph(sf_dir: str):
+    from ray_extract.pipelines.dedup import pagerank_dup_graph
+
+    return pagerank_dup_graph(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -1159,6 +1165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "co_occurrence_topk": _q_co_occurrence_topk,
         "quota_sample": _q_quota_sample,
         "dense_hourly_series": _q_dense_hourly_series,
+        "pagerank_dup_graph": _q_pagerank_dup_graph,
     }
 
 
@@ -2326,6 +2333,29 @@ SELECT event_type, CAST(max(n) AS BIGINT) AS n,
        CAST(min(b) FILTER (cc >= (90 * n + 99) // 100) * 8 AS BIGINT) AS p90_cents,
        CAST(min(b) FILTER (cc >= (99 * n + 99) // 100) * 8 AS BIGINT) AS p99_cents
 FROM cum GROUP BY event_type
+"""
+    # integer fixed-point PageRank over the simhash graph, 3 unrolled
+    # power iterations (r' = 150000 + (85 * sum(r//deg)) // 100)
+    _pr_iters = ""
+    _prev = "r0"
+    for _i in (1, 2, 3):
+        _pr_iters += f""",
+r{_i} AS (
+  SELECT e.dst AS node,
+         150000 + (85 * SUM({_prev}.r // g.d)) // 100 AS r
+  FROM edges e
+  JOIN {_prev} ON {_prev}.node = e.src
+  JOIN deg g ON g.src = e.src
+  GROUP BY e.dst
+)"""
+        _prev = f"r{_i}"
+    d["pagerank_dup_graph"] = f"""
+WITH pairs AS (SELECT doc_a, doc_b FROM ({d["dedup_simhash"]}) t),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg){_pr_iters}
+SELECT node AS doc_id, CAST(r AS BIGINT) AS rank FROM r3
 """
     # triangles in the same simhash pair graph: every triangle a<b<c is one
     # wedge (b,c) at apex a closed by edge (b,c)

@@ -972,3 +972,98 @@ def blocked_linkage(sf_dir: str, prefix_chars: int = 8, max_len_diff: int = 2,
         .groupby("pbucket")
         .map_groups(agg_bucket, batch_format="pandas")
     )
+
+
+def pagerank_dup_graph(sf_dir: str, n_iter: int = 3):
+    """PageRank over the (undirected) near-dup pair graph — the ITERATIVE
+    distributed algorithm the engine otherwise lacks: each of ``n_iter``
+    power-iteration steps is one broadcast-adjacency contribution fan-out
+    plus one dst-keyed groupby (the per-iteration shuffle PageRank always
+    pays), with ranks re-materialized between steps.
+
+    All arithmetic is integer fixed-point so the unrolled SQL oracle is
+    exact: r0 = 10^6; r_{k+1}(v) = 150000 + (85 * sum over in-edges of
+    (r_k(u) // deg(u))) // 100. The adjacency (src-sorted edge arrays +
+    degrees) is broadcast via ``ray.put`` — the same sparse-edge-list
+    assumption as triangle_count; for graphs beyond worker memory the
+    fan-out becomes a ranks |><| edges hash join instead.
+
+    Output: (doc_id, rank) after ``n_iter`` iterations.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    pairs = simhash_pairs(sf_dir).map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"
+    )
+    edge_refs = pairs.to_arrow_refs()
+    et = pa.concat_tables(ray.get(edge_refs))
+    a = et.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+    b = et.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+    src = np.r_[a, b]
+    dst = np.r_[b, a]
+    order = np.argsort(src, kind="stable")
+    src, dst = src[order], dst[order]
+    nodes, deg = np.unique(src, return_counts=True)
+    starts = np.searchsorted(src, nodes)
+    adj_ref = ray.put((nodes, deg, starts, dst))
+
+    ranks = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes),
+                "r": pa.array(np.full(len(nodes), 1_000_000, dtype=np.int64)),
+            }
+        )
+    )
+
+    def contribute(batch: pa.Table) -> pa.Table:
+        nd, dg, st, ds_arr = ray.get(adj_ref)
+        node = batch.column("node").to_numpy()
+        r = batch.column("r").to_numpy()
+        i = np.searchsorted(nd, node)
+        d = dg[i]
+        lo = st[i]
+        contrib = r // d
+        total = int(d.sum())
+        offs = np.arange(total) - np.repeat(np.cumsum(d) - d, d)
+        pos = np.repeat(lo, d) + offs
+        t = pa.table(
+            {
+                "node": pa.array(ds_arr[pos]),
+                "c": pa.array(np.repeat(contrib, d)),
+            }
+        )
+        return t.group_by("node").aggregate([("c", "sum")])
+
+    for _ in range(n_iter):
+        ranks = (
+            ranks.map_batches(contribute, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("c_sum", alias_name="s"))
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": pc.cast(t.column("node"), pa.int64()),
+                        "r": pa.array(
+                            150_000
+                            + (85 * pc.cast(t.column("s"), pa.int64())
+                               .to_numpy()) // 100
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+    return ranks.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t.column("node"), pa.int64()),
+                "rank": pc.cast(t.column("r"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

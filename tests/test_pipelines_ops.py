@@ -660,3 +660,19 @@ def test_dense_hourly_series_contiguous(ray_session):
     n = duckdb.sql(f"SELECT count(*) FROM '{sf}/events.parquet'").fetchone()[0]
     assert int(df["n_events"].sum()) == int(n)
     assert (df["n_events"] == 0).any() or len(df) > 0
+
+
+def test_pagerank_mass_and_floor(ray_session):
+    """Every rank >= the damping floor 150000; hub nodes (higher degree of
+    high-rank neighbors) rank above the floor; deterministic across runs."""
+    from ray_extract.pipelines.dedup import pagerank_dup_graph
+
+    sf = "/root/testdata/sf0.001"
+    df = pagerank_dup_graph(sf).to_pandas()
+    assert (df["rank"] >= 150000).all()
+    assert (df["rank"] > 150000).any()
+    again = pagerank_dup_graph(sf).to_pandas()
+    key = ["doc_id"]
+    assert df.sort_values(key).reset_index(drop=True).equals(
+        again.sort_values(key).reset_index(drop=True)
+    )
