@@ -1057,6 +1057,18 @@ def _q_pagerank_dup_graph(sf_dir: str):
     return pagerank_dup_graph(sf_dir)
 
 
+def _q_dwell_times(sf_dir: str):
+    from ray_extract.pipelines.events import dwell_times
+
+    return dwell_times(sf_dir)
+
+
+def _q_upsert_merge(sf_dir: str):
+    from ray_extract.pipelines.text import upsert_merge
+
+    return upsert_merge(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -1166,6 +1178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quota_sample": _q_quota_sample,
         "dense_hourly_series": _q_dense_hourly_series,
         "pagerank_dup_graph": _q_pagerank_dup_graph,
+        "dwell_times": _q_dwell_times,
+        "upsert_merge": _q_upsert_merge,
     }
 
 
@@ -2164,6 +2178,41 @@ SELECT user_id,
        CAST(sum(date_diff('microsecond', start_ts, end_ts)) AS BIGINT)
          AS total_session_dur_us
 FROM base GROUP BY user_id
+"""
+    d["dwell_times"] = """
+WITH w AS (
+  SELECT event_id, user_id,
+         lead(epoch_us(ts)) OVER win - epoch_us(ts) AS d,
+         lead(event_type) OVER win AS nt
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, CAST(coalesce(d, -1) AS BIGINT) AS dwell_us,
+       coalesce(nt, '') AS next_type
+FROM w
+"""
+    d["upsert_merge"] = """
+WITH base AS (
+  SELECT doc_id, 1 AS version, CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents
+),
+delta AS (
+  SELECT doc_id, 2 AS version, CAST(n_chars + 8 AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 10 = 3
+  UNION ALL
+  SELECT doc_id + 1000000, 1, CAST(n_chars AS BIGINT)
+  FROM documents WHERE doc_id % 50 = 0
+),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM delta),
+m AS (
+  SELECT doc_id,
+         CAST(max(CAST(version AS BIGINT) * 1099511627776 + n_chars)
+              AS BIGINT) AS packed
+  FROM u GROUP BY doc_id
+)
+SELECT doc_id, CAST(packed // 1099511627776 AS BIGINT) AS version,
+       CAST(packed % 1099511627776 AS BIGINT) AS n_chars
+FROM m
 """
     # per-language quota sample ranked by the reshard-stable rolling hash
     d["quota_sample"] = f"""

@@ -1786,3 +1786,84 @@ def quota_sample(sf_dir: str, per_lang: int = 50):
         .repartition(1)
         .map_batches(final, batch_format="pyarrow")
     )
+
+
+def upsert_merge(sf_dir: str):
+    """MERGE/upsert — the CDC pattern: fold a delta stream (updates + new
+    rows) into a base corpus, latest version wins per key. The delta here
+    is DERIVED deterministically from the base (doc_id % 10 == 3 rows get
+    updated text at version 2; every 50th doc spawns a brand-new id at
+    +1000000) so the operator needs no external input and the oracle can
+    re-derive it.
+
+    Scale shape: base and delta are two tagged streams; the union feeds a
+    per-batch PACKED-ARGMAX combiner (max of version * 2^40 + n_chars
+    carries the winning row's payload through an ordinary max aggregate)
+    and one key shuffle — the same argmax-through-groupby trick as
+    top_order_per_priority, which is how latest-wins merges stay one-pass
+    at any scale.
+
+    Output: (doc_id, version, n_chars) of the merged corpus.
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+    from ray.data.aggregate import Max
+
+    def base_stage(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        nch = pc.cast(batch.column("n_chars"), pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "packed": pa.array(np.int64(1) * (1 << 40) + nch),
+            }
+        )
+
+    def delta_stage(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        nch = pc.cast(batch.column("n_chars"), pa.int64()).to_numpy()
+        upd = ids % 10 == 3
+        new = ids % 50 == 0
+        # updated rows: version 2, text grows by the 8-char ' updated' suffix
+        out_ids = np.r_[ids[upd], ids[new] + 1_000_000]
+        out_pack = np.r_[
+            np.int64(2) * (1 << 40) + nch[upd] + 8,
+            np.int64(1) * (1 << 40) + nch[new],
+        ]
+        return pa.table(
+            {"doc_id": pa.array(out_ids), "packed": pa.array(out_pack)}
+        )
+
+    def reader():
+        return strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "n_chars"])
+        )
+
+    base = reader().map_batches(base_stage, batch_format="pyarrow")
+    delta = reader().map_batches(delta_stage, batch_format="pyarrow")
+
+    def combine(t: pa.Table) -> pa.Table:
+        return t.group_by("doc_id").aggregate([("packed", "max")]).rename_columns(
+            ["doc_id", "packed"]
+        )
+
+    merged = (
+        base.union(delta)
+        .map_batches(combine, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Max("packed", alias_name="packed"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        packed = pc.cast(t.column("packed"), pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "version": pa.array(packed >> 40),
+                "n_chars": pa.array(packed & ((1 << 40) - 1)),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

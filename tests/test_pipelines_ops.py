@@ -676,3 +676,21 @@ def test_pagerank_mass_and_floor(ray_session):
     assert df.sort_values(key).reset_index(drop=True).equals(
         again.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_dwell_times_sentinels(ray_session):
+    """Each user has exactly one -1 dwell (their last event); non-negative
+    otherwise; next_type empty iff dwell is -1."""
+    import duckdb
+
+    from ray_extract.pipelines.events import dwell_times
+
+    sf = "/root/testdata/sf0.001"
+    df = dwell_times(sf).to_pandas()
+    last = df[df["dwell_us"] == -1]
+    n_users = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM '{sf}/events.parquet'"
+    ).fetchone()[0]
+    assert len(last) == int(n_users)
+    assert ((df["next_type"] == "") == (df["dwell_us"] == -1)).all()
+    assert (df.loc[df["dwell_us"] != -1, "dwell_us"] >= 0).all()

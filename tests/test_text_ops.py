@@ -385,3 +385,27 @@ def test_quota_sample_per_lang_limits(ray_session):
     assert df.sort_values(key).reset_index(drop=True).equals(
         again.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_upsert_merge_latest_wins(ray_session):
+    """Updated keys carry version 2 and the +8 char delta; new keys appear
+    once; untouched keys stay at version 1."""
+    import duckdb
+
+    from ray_extract.pipelines.text import upsert_merge
+
+    sf = "/root/testdata/sf0.001"
+    df = upsert_merge(sf).to_pandas().set_index("doc_id")
+    base = duckdb.sql(
+        f"SELECT doc_id, n_chars FROM '{sf}/documents.parquet'"
+    ).df().set_index("doc_id")["n_chars"]
+    for did, nch in base.items():
+        if did % 10 == 3:
+            assert df.loc[did, "version"] == 2
+            assert df.loc[did, "n_chars"] == nch + 8
+        else:
+            assert df.loc[did, "version"] == 1
+            assert df.loc[did, "n_chars"] == nch
+        if did % 50 == 0:
+            assert df.loc[did + 1_000_000, "version"] == 1
+    assert df.index.is_unique
