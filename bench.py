@@ -257,6 +257,14 @@ def run_bench() -> dict:
           lambda: returned_revenue_by_customer(SF_DIR).count())
     timed("repetition_profile", lambda: repetition_profile(SF_DIR).count())
 
+    from ray_extract.pipelines.dedup import blocked_linkage, pagerank_dup_graph, triangle_count
+    from ray_extract.pipelines.text import co_occurrence_topk
+
+    timed("triangle_count", lambda: triangle_count(SF_DIR).count())
+    timed("pagerank_dup_graph", lambda: pagerank_dup_graph(SF_DIR).count())
+    timed("blocked_linkage", lambda: blocked_linkage(SF_DIR).count())
+    timed("co_occurrence_topk", lambda: co_occurrence_topk(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),
