@@ -1069,6 +1069,12 @@ def _q_upsert_merge(sf_dir: str):
     return upsert_merge(sf_dir)
 
 
+def _q_session_paths(sf_dir: str):
+    from ray_extract.pipelines.events import session_paths
+
+    return session_paths(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -1180,6 +1186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_dup_graph": _q_pagerank_dup_graph,
         "dwell_times": _q_dwell_times,
         "upsert_merge": _q_upsert_merge,
+        "session_paths": _q_session_paths,
     }
 
 
@@ -2178,6 +2185,35 @@ SELECT user_id,
        CAST(sum(date_diff('microsecond', start_ts, end_ts)) AS BIGINT)
          AS total_session_dur_us
 FROM base GROUP BY user_id
+"""
+    d["session_paths"] = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, event_id, event_type,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, sid
+                               ORDER BY ts, event_id) AS rn
+  FROM s
+),
+p AS (
+  SELECT user_id, sid,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS path
+  FROM r WHERE rn <= 8 GROUP BY user_id, sid
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM p GROUP BY path ORDER BY n_sessions DESC, path ASC LIMIT 15
 """
     d["dwell_times"] = """
 WITH w AS (

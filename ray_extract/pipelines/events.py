@@ -1671,3 +1671,110 @@ def dwell_times(sf_dir: str, num_buckets: int = 64):
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def session_paths(sf_dir: str, gap_minutes: int = 30, max_events: int = 8,
+                  k: int = 15, num_buckets: int = 64):
+    """Top-k session paths — the sequence-mining operator behind funnel
+    discovery: each gap-session becomes the string of its first
+    ``max_events`` event-type initials in time order, and paths are
+    counted corpus-wide.
+
+    Scale shape: one hash(user) shuffle; inside a bucket the paths are
+    built with ZERO per-session Python — events lexsorted by (user, ts,
+    event_id), session segments via the gap-break cumsum, each kept event
+    contributes one initial byte, and the per-session strings materialize
+    directly from (offsets, data) buffers via Arrow from_buffers. Path
+    counts pre-aggregate per bucket (an Arrow C++ group_by), the global
+    reduce is one path-keyed groupby of partials, top-k is the usual
+    partial + k-row cut.
+
+    Output: (path, n_sessions), ordered (n desc, path asc).
+    """
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    gap_us = np.int64(gap_minutes) * 60_000_000
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch.column("user_id"), pa.int64()).to_numpy()
+        bucket = np.abs((uid * np.int64(2654435761)) % np.int64(num_buckets))
+        # event-type initial as one byte (types have distinct initials here;
+        # widen to 2 bytes for corpora where they collide)
+        initial = pc.utf8_slice_codeunits(
+            pc.cast(batch.column("event_type"), pa.string()), 0, 1
+        )
+        return pa.table(
+            {
+                "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+                "user_id": pa.array(uid),
+                "ts": batch.column("ts"),
+                "ch": initial,
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        ch = g["ch"].to_numpy().astype("U1")
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, ch = uid[order], ts[order], ch[order]
+        n = len(g)
+        new_sess = np.ones(n, dtype=bool)
+        new_sess[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        sess_start = np.flatnonzero(new_sess)
+        sess_of = np.cumsum(new_sess) - 1
+        pos = np.arange(n) - sess_start[sess_of]
+        keep = pos < max_events
+        kept_sess = sess_of[keep]
+        data = ch[keep].astype("S1").tobytes()
+        lens = np.bincount(kept_sess, minlength=len(sess_start))
+        offsets = np.zeros(len(sess_start) + 1, dtype=np.int32)
+        np.cumsum(lens, out=offsets[1:])
+        paths = pa.Array.from_buffers(
+            pa.string(), len(sess_start),
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)],
+        )
+        t = pa.table({"path": paths})
+        part = t.group_by("path").aggregate([("path", "count")])
+        return pa.table(
+            {
+                "path": part.column("path"),
+                "n": pc.cast(part.column("path_count"), pa.int64()),
+            }
+        )
+
+    agg = (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts", "event_type"])
+        )
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("path")
+        .aggregate(Sum("n", alias_name="n_sessions"))
+    )
+
+    def topk(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "path": t.column("path"),
+                "n_sessions": pc.cast(t.column("n_sessions"), pa.int64()),
+            }
+        )
+        idx = pc.sort_indices(
+            out, sort_keys=[("n_sessions", "descending"), ("path", "ascending")]
+        )
+        return out.take(idx[: min(k, len(out))])
+
+    return (
+        agg.map_batches(topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(topk, batch_format="pyarrow")
+    )

@@ -694,3 +694,17 @@ def test_dwell_times_sentinels(ray_session):
     assert len(last) == int(n_users)
     assert ((df["next_type"] == "") == (df["dwell_us"] == -1)).all()
     assert (df.loc[df["dwell_us"] != -1, "dwell_us"] >= 0).all()
+
+
+def test_session_paths_chars_and_counts(ray_session):
+    """Paths use only the five type initials, lengths capped at 8, and the
+    top path count is bounded by the session count."""
+    from ray_extract.pipelines.events import session_paths, sessionize
+
+    sf = "/root/testdata/sf0.001"
+    df = session_paths(sf, k=50).to_pandas()
+    assert (df["path"].str.len() <= 8).all()
+    assert df["path"].str.match(r"^[cepsv]+$").all()
+    n_sessions = len(sessionize(sf).to_pandas())
+    assert df["n_sessions"].sum() <= n_sessions
+    assert df["n_sessions"].max() >= 1
