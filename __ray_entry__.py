@@ -1075,6 +1075,18 @@ def _q_session_paths(sf_dir: str):
     return session_paths(sf_dir)
 
 
+def _q_brand_band_revenue(sf_dir: str):
+    from ray_extract.pipelines.relational import brand_band_revenue
+
+    return brand_band_revenue(sf_dir)
+
+
+def _q_embedding_gram_pairs(sf_dir: str):
+    from ray_extract.pipelines.similarity import embedding_gram_pairs
+
+    return embedding_gram_pairs(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -1187,6 +1199,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dwell_times": _q_dwell_times,
         "upsert_merge": _q_upsert_merge,
         "session_paths": _q_session_paths,
+        "brand_band_revenue": _q_brand_band_revenue,
+        "embedding_gram_pairs": _q_embedding_gram_pairs,
     }
 
 
@@ -2185,6 +2199,37 @@ SELECT user_id,
        CAST(sum(date_diff('microsecond', start_ts, end_ts)) AS BIGINT)
          AS total_session_dur_us
 FROM base GROUP BY user_id
+"""
+    d["brand_band_revenue"] = """
+WITH f AS (
+  SELECT p.p_brand,
+         CAST(floor(l.l_quantity + 0.5) AS BIGINT) AS qty,
+         CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)) AS rev
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+)
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(rev) AS BIGINT) AS revenue_x10000
+FROM f
+WHERE (p_brand = 'Brand#1' AND qty BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND qty BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND qty BETWEEN 20 AND 30)
+GROUP BY p_brand
+"""
+    d["embedding_gram_pairs"] = """
+WITH q AS (
+  SELECT label,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x*1000+0.5) AS BIGINT)) AS ql
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(i.i AS BIGINT) AS i,
+       CAST(j.j AS BIGINT) AS j,
+       CAST(sum(ql[i.i + 1] * ql[j.j + 1]) AS BIGINT) AS sum_qq
+FROM q, range(8) AS i(i), range(8) AS j(j)
+WHERE j.j >= i.i
+GROUP BY 1, 2, 3
 """
     d["session_paths"] = """
 WITH o AS (

@@ -1749,3 +1749,107 @@ def forecast_revenue(sf_dir: str, qty_below: int = 24,
         .repartition(1)
         .map_batches(merge, batch_format="pyarrow")
     )
+
+
+BRAND_BANDS = (
+    ("Brand#1", 1, 11),
+    ("Brand#2", 10, 20),
+    ("Brand#3", 20, 30),
+)
+
+
+def brand_band_revenue(sf_dir: str, bands: tuple = BRAND_BANDS):
+    """TPC-H Q19-shaped disjunctive join: revenue from lineitems whose part
+    is one of a few brands AND whose quantity falls in that brand's band —
+    the OR-of-ANDs predicate that defeats simple pushdown.
+
+    Scale shape: the part side filtered to the named brands is a sliver of
+    the table, so the join is a broadcast probe (``ray.put`` of the
+    (partkey, band) sliver, Arrow C++ hash join per lineitem batch), the
+    band check is one vectorized gather + compare, and the per-brand
+    partials are bounded-domain — repartition(1) merge. Only the filtered
+    scan of lineitem does real work.
+
+    Output: (p_brand, n_items, revenue_x10000).
+    """
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    brands = [b[0] for b in bands]
+    lo = np.array([b[1] for b in bands], dtype=np.int64)
+    hi = np.array([b[2] for b in bands], dtype=np.int64)
+    brand_arr = pa.array(brands, type=pa.string())
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"],
+        filters=pads.field("p_brand").isin(brands),
+    )
+    part = pa.table(
+        {
+            "p_partkey": pc.cast(part.column("p_partkey"), pa.int64()),
+            "band": pc.cast(
+                pc.index_in(part.column("p_brand"), brand_arr), pa.int64()
+            ),
+        }
+    )
+    part_ref = ray.put(part)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        sliver = ray.get(part_ref)
+        qty = np.floor(batch.column("l_quantity").to_numpy() + 0.5).astype(
+            np.int64
+        )
+        rev = _cents(batch.column("l_extendedprice")) * (
+            100 - _cents(batch.column("l_discount"))
+        )
+        t = pa.table(
+            {
+                "l_partkey": pc.cast(batch.column("l_partkey"), pa.int64()),
+                "qty": pa.array(qty),
+                "rev": pa.array(rev),
+            }
+        ).join(sliver, keys=["l_partkey"], right_keys=["p_partkey"],
+               join_type="inner")
+        band = t.column("band").to_numpy()
+        q = t.column("qty").to_numpy()
+        keep = (q >= lo[band]) & (q <= hi[band])
+        kept_band = band[keep]
+        kept_rev = t.column("rev").to_numpy()[keep]
+        n = np.bincount(kept_band, minlength=len(bands)).astype(np.int64)
+        r = np.zeros(len(bands), dtype=np.int64)
+        np.add.at(r, kept_band, kept_rev)
+        return pa.table(
+            {
+                "p_brand": brand_arr,
+                "n": pa.array(n),
+                "rev": pa.array(r),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = t.group_by("p_brand").aggregate([("n", "sum"), ("rev", "sum")])
+        res = pa.table(
+            {
+                "p_brand": out.column("p_brand"),
+                "n_items": pc.cast(out.column("n_sum"), pa.int64()),
+                "revenue_x10000": pc.cast(out.column("rev_sum"), pa.int64()),
+            }
+        )
+        return res.filter(pc.greater(res.column("n_items"), 0))
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_partkey", "l_quantity", "l_extendedprice",
+                         "l_discount"],
+            )
+        )
+        .map_batches(probe, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow")
+    )

@@ -817,3 +817,62 @@ def norm_minmax_scaled(sf_dir: str):
         )
 
     return ds.map_batches(scale_batch, batch_format="pyarrow")
+
+
+def embedding_gram_pairs(sf_dir: str, n_dims: int = 8):
+    """Per-label Gram matrix over the leading embedding dimensions — the
+    covariance/PCA precursor (sum of q_i * q_j for i <= j < n_dims), in
+    exact quantized integers.
+
+    Scale shape: each batch computes per-label partial Gram matrices with
+    one matmul per present label (C BLAS, not Python loops over pairs);
+    partial rows are bounded by |labels| x n_dims^2 regardless of corpus
+    size, so the merge is a metadata-scale repartition(1) + Arrow group_by.
+
+    Output: (label, i, j, sum_qq) for 0 <= i <= j < n_dims.
+    """
+    import ray.data as rd
+
+    import pyarrow.compute as pc
+
+    iu = np.triu_indices(n_dims)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, e = _emb_matrix(batch)
+        q = np.floor(e[:, :n_dims] * 1000.0 + 0.5).astype(np.int64)
+        labels = batch.column("label").to_numpy().astype(np.int64)
+        out_l, out_i, out_j, out_s = [], [], [], []
+        for lab in np.unique(labels):
+            sub = q[labels == lab]
+            g = sub.T @ sub
+            out_l.append(np.full(len(iu[0]), lab, dtype=np.int64))
+            out_i.append(iu[0].astype(np.int64))
+            out_j.append(iu[1].astype(np.int64))
+            out_s.append(g[iu])
+        return pa.table(
+            {
+                "label": pa.array(np.concatenate(out_l)),
+                "i": pa.array(np.concatenate(out_i)),
+                "j": pa.array(np.concatenate(out_j)),
+                "s": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = t.group_by(["label", "i", "j"]).aggregate([("s", "sum")])
+        return pa.table(
+            {
+                "label": pc.cast(out.column("label"), pa.int64()),
+                "i": pc.cast(out.column("i"), pa.int64()),
+                "j": pc.cast(out.column("j"), pa.int64()),
+                "sum_qq": pc.cast(out.column("s_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding", "label"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow")
+    )

@@ -708,3 +708,38 @@ def test_session_paths_chars_and_counts(ray_session):
     n_sessions = len(sessionize(sf).to_pandas())
     assert df["n_sessions"].sum() <= n_sessions
     assert df["n_sessions"].max() >= 1
+
+
+def test_brand_band_disjunction(ray_session):
+    """Only the three named brands appear, and each count matches a direct
+    per-brand band query."""
+    import duckdb
+
+    from ray_extract.pipelines.relational import brand_band_revenue
+
+    sf = "/root/testdata/sf0.001"
+    df = brand_band_revenue(sf).to_pandas().set_index("p_brand")
+    assert set(df.index) <= {"Brand#1", "Brand#2", "Brand#3"}
+    for brand, lo, hi in (("Brand#1", 1, 11), ("Brand#2", 10, 20),
+                          ("Brand#3", 20, 30)):
+        n = duckdb.sql(
+            f"""SELECT count(*) FROM '{sf}/lineitem.parquet' l
+                JOIN '{sf}/part.parquet' p ON p.p_partkey = l.l_partkey
+                WHERE p.p_brand = '{brand}'
+                  AND l.l_quantity BETWEEN {lo} AND {hi}"""
+        ).fetchone()[0]
+        if int(n):
+            assert int(df.loc[brand, "n_items"]) == int(n)
+
+
+def test_gram_matrix_symmetry_and_diag(ray_session):
+    """Diagonal entries are sums of squares (non-negative); the pair grid
+    is the full upper triangle per label."""
+    from ray_extract.pipelines.similarity import embedding_gram_pairs
+
+    sf = "/root/testdata/sf0.001"
+    df = embedding_gram_pairs(sf).to_pandas()
+    diag = df[df["i"] == df["j"]]
+    assert (diag["sum_qq"] >= 0).all()
+    for _, g in df.groupby("label"):
+        assert len(g) == 36  # C(8,2) + 8
