@@ -1087,6 +1087,12 @@ def _q_embedding_gram_pairs(sf_dir: str):
     return embedding_gram_pairs(sf_dir)
 
 
+def _q_canonical_selection(sf_dir: str):
+    from ray_extract.pipelines.dedup import canonical_selection
+
+    return canonical_selection(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -1201,6 +1207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_paths": _q_session_paths,
         "brand_band_revenue": _q_brand_band_revenue,
         "embedding_gram_pairs": _q_embedding_gram_pairs,
+        "canonical_selection": _q_canonical_selection,
     }
 
 
@@ -2187,6 +2194,28 @@ SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id,
        CAST(CASE WHEN min(label) = node THEN 1 ELSE 0 END AS BIGINT)
          AS is_canonical
 FROM cc GROUP BY node
+"""
+    # canonical doc per cluster by quality, composed over dedup_clusters
+    d["canonical_selection"] = f"""
+WITH cl AS (SELECT doc_id, cluster_id FROM ({d["dedup_clusters"]}) t),
+tok AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+j AS (
+  SELECT cl.cluster_id, cl.doc_id, tok.n_tokens
+  FROM cl JOIN tok USING (doc_id)
+),
+r AS (
+  SELECT cluster_id, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_tokens DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS nm
+  FROM j
+)
+SELECT cluster_id, doc_id AS keep_id,
+       CAST(n_tokens AS BIGINT) AS keep_tokens,
+       CAST(nm AS BIGINT) AS n_members
+FROM r WHERE rn = 1
 """
     # per-user session summary composed over the sessionize oracle (one
     # source of truth for the gap-window semantics)

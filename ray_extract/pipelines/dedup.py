@@ -1067,3 +1067,92 @@ def pagerank_dup_graph(sf_dir: str, n_iter: int = 3):
         ),
         batch_format="pyarrow",
     )
+
+
+def canonical_selection(sf_dir: str, num_partitions: int | None = None):
+    """Pick the canonical document per near-dup cluster by QUALITY (most
+    tokens, doc_id as tiebreak) — the "which copy do we keep" step that
+    turns pair detection into an actual dedup policy (contrast with
+    duplicate_clusters' min-id convention).
+
+    Scale shape: the cluster map (one row per clustered doc) hash-joins
+    the per-doc token counts on doc_id (both sides big in general — a
+    native shuffle join), then the winner per cluster is the packed-argmax
+    trick through an ordinary max aggregate: max(n_tokens * 2^31 +
+    (2^31 - 1 - doc_id)) encodes (most tokens, smallest id) in one int64.
+
+    Output: (cluster_id, keep_id, keep_tokens, n_members).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    from .relational import _join_partitions, _multi_join_args
+
+    cl_tbl = duplicate_clusters(sf_dir)  # pa.Table (cluster-scale rows)
+    clusters = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pc.cast(cl_tbl.column("doc_id"), pa.int64()),
+                "cluster_id": pc.cast(cl_tbl.column("cluster_id"), pa.int64()),
+            }
+        )
+    )
+
+    def tokens_stage(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        nt = pc.add(pc.count_substring(text, " "), 1).to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "tdoc": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_tokens": pa.array(nt),
+            }
+        )
+
+    toks = _docs(sf_dir).map_batches(tokens_stage, batch_format="pyarrow")
+    num_partitions, agg_args = _multi_join_args(_join_partitions(num_partitions))
+
+    joined = clusters.join(
+        toks,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("doc_id",),
+        right_on=("tdoc",),
+        aggregator_ray_remote_args=agg_args,
+    )
+
+    def pack_stage(t: pa.Table) -> pa.Table:
+        nt = t.column("n_tokens").to_numpy()
+        did = t.column("doc_id").to_numpy()
+        packed = nt * np.int64(1 << 31) + (np.int64((1 << 31) - 1) - did)
+        out = pa.table(
+            {
+                "cluster_id": t.column("cluster_id"),
+                "packed": pa.array(packed),
+                "one": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+        return out.group_by("cluster_id").aggregate(
+            [("packed", "max"), ("one", "sum")]
+        )
+
+    agg = (
+        joined.map_batches(pack_stage, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .aggregate(Max("packed_max", alias_name="packed"),
+                   Sum("one_sum", alias_name="n_members"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        packed = pc.cast(t.column("packed"), pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "cluster_id": pc.cast(t.column("cluster_id"), pa.int64()),
+                "keep_id": pa.array(
+                    np.int64((1 << 31) - 1) - (packed % np.int64(1 << 31))
+                ),
+                "keep_tokens": pa.array(packed // np.int64(1 << 31)),
+                "n_members": pc.cast(t.column("n_members"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

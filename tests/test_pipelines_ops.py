@@ -743,3 +743,26 @@ def test_gram_matrix_symmetry_and_diag(ray_session):
     assert (diag["sum_qq"] >= 0).all()
     for _, g in df.groupby("label"):
         assert len(g) == 36  # C(8,2) + 8
+
+
+def test_canonical_selection_quality_rule(ray_session):
+    """The kept doc has the max token count in its cluster (doc_id breaks
+    ties); member counts sum to the clustered-doc total."""
+    import pandas as pd
+
+    from ray_extract.pipelines.dedup import canonical_selection, duplicate_clusters
+
+    sf = "/root/testdata/sf0.001"
+    df = canonical_selection(sf).to_pandas()
+    cl = duplicate_clusters(sf).to_pandas()
+    assert int(df["n_members"].sum()) == len(cl)
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"]).set_index("doc_id")
+    toks = docs["text"].str.split(" ").str.len()
+    merged = cl.merge(df, on="cluster_id")
+    for cid, g in merged.groupby("cluster_id"):
+        keep = int(g["keep_id"].iloc[0])
+        best = toks[g["doc_id"]].max()
+        assert toks[keep] == best
+        winners = [d for d in g["doc_id"] if toks[d] == best]
+        assert keep == min(winners)
