@@ -1093,6 +1093,12 @@ def _q_canonical_selection(sf_dir: str):
     return canonical_selection(sf_dir)
 
 
+def _q_session_assignment(sf_dir: str):
+    from ray_extract.pipelines.events import session_assignment
+
+    return session_assignment(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -1208,6 +1214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_band_revenue": _q_brand_band_revenue,
         "embedding_gram_pairs": _q_embedding_gram_pairs,
         "canonical_selection": _q_canonical_selection,
+        "session_assignment": _q_session_assignment,
     }
 
 
@@ -2228,6 +2235,20 @@ SELECT user_id,
        CAST(sum(date_diff('microsecond', start_ts, end_ts)) AS BIGINT)
          AS total_session_dur_us
 FROM base GROUP BY user_id
+"""
+    d["session_assignment"] = """
+WITH o AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM o
 """
     d["brand_band_revenue"] = """
 WITH f AS (

@@ -1778,3 +1778,70 @@ def session_paths(sf_dir: str, gap_minutes: int = 30, max_events: int = 8,
         .repartition(1)
         .map_batches(topk, batch_format="pyarrow")
     )
+
+
+def session_assignment(sf_dir: str, gap_minutes: int = 30,
+                       num_buckets: int = 64):
+    """Event-level session enrichment: every event tagged with its
+    (1-based per-user) session id — the JOIN-back form of sessionize that
+    downstream per-event features need (sessionize returns one row per
+    session; this returns one per event).
+
+    Same single hash(user) shuffle and vectorized gap-break pass; the
+    per-user session counter is a cumsum over break flags re-based per
+    user. Output: (event_id, user_id, session_id).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    gap_us = np.int64(gap_minutes) * 60_000_000
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch.column("user_id"), pa.int64()).to_numpy()
+        bucket = np.abs((uid * np.int64(2654435761)) % np.int64(num_buckets))
+        return pa.table(
+            {
+                "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+                "user_id": pa.array(uid),
+                "ts": batch.column("ts"),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid = uid[order], ts[order], eid[order]
+        n = len(g)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        brk = new_user.copy()
+        if n > 1:
+            brk[1:] |= (ts[1:] - ts[:-1]) > gap_us
+        sess_global = np.cumsum(brk)
+        # re-base to 1 per user: subtract the session count before the user
+        user_first = np.flatnonzero(new_user)
+        base = sess_global[user_first] - 1
+        counts = np.diff(np.r_[user_first, n])
+        session_id = sess_global - np.repeat(base, counts)
+        return pd.DataFrame(
+            {
+                "event_id": eid,
+                "user_id": uid,
+                "session_id": session_id.astype(np.int64),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts"])
+        )
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

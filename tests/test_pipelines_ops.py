@@ -766,3 +766,19 @@ def test_canonical_selection_quality_rule(ray_session):
         assert toks[keep] == best
         winners = [d for d in g["doc_id"] if toks[d] == best]
         assert keep == min(winners)
+
+
+def test_session_assignment_consistent_with_sessionize(ray_session):
+    """Per-user max session_id equals sessionize's session count; every
+    event is assigned."""
+    import duckdb
+
+    from ray_extract.pipelines.events import session_assignment, sessionize
+
+    sf = "/root/testdata/sf0.001"
+    df = session_assignment(sf).to_pandas()
+    n = duckdb.sql(f"SELECT count(*) FROM '{sf}/events.parquet'").fetchone()[0]
+    assert len(df) == int(n)
+    per_user = df.groupby("user_id")["session_id"].max()
+    want = sessionize(sf).to_pandas().groupby("user_id").size()
+    assert (per_user.sort_index().values == want.sort_index().values).all()
