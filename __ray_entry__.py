@@ -1099,6 +1099,12 @@ def _q_session_assignment(sf_dir: str):
     return session_assignment(sf_dir)
 
 
+def _q_media_frame_sample(sf_dir: str):
+    from ray_extract.pipelines.media import media_frame_sample
+
+    return media_frame_sample(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -1215,6 +1221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_gram_pairs": _q_embedding_gram_pairs,
         "canonical_selection": _q_canonical_selection,
         "session_assignment": _q_session_assignment,
+        "media_frame_sample": _q_media_frame_sample,
     }
 
 
@@ -1312,6 +1319,19 @@ SELECT did AS doc_id, i AS ord, media_ref, md5(media_ref) AS feature_hash,
        64 + length(media_ref) % 32 AS width,
        64 + length(media_ref) % 17 AS height
 FROM spans WHERE kind = 'media'
+""",
+        "media_frame_sample": _SPANS_CTE
+        + """
+, m AS (
+  SELECT did, i AS ord, media_ref,
+         8 + length(media_ref) % 8 AS nf
+  FROM spans WHERE kind = 'media'
+)
+SELECT did AS doc_id, ord, media_ref,
+       CAST(u.f AS BIGINT) AS frame_idx,
+       media_ref || '#f' || CAST(u.f AS VARCHAR) AS frame_ref,
+       CAST(u.f * 40 AS BIGINT) AS pts_ms
+FROM m, unnest(range(0, nf, 2)) AS u(f)
 """,
         "dedup_exact": """
 SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups

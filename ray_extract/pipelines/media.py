@@ -76,3 +76,78 @@ def media_features(sf_dir: str, cfg: ExtractConfig | None = None):
         ),
         batch_format="pyarrow",
     )
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage (video -> every ``stride``-th frame).
+
+    Real plumbing, stubbed probe: a real deployment would open the
+    container in ``__init__`` (once per actor) and read stream metadata;
+    here the frame count derives deterministically from the ref so the
+    stage stays SQL-checkable. The fan-out itself — one row per sampled
+    frame, vectorized repeat, no Python loop over frames — is exactly the
+    shape a real ffmpeg-backed sampler emits.
+    """
+
+    def __init__(self, stride: int = 2):
+        self.stride = stride
+        self.probe = None  # real: av.open / ffprobe handle per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref")
+        lens = pc.binary_length(refs).to_numpy().astype(np.int64)
+        n_frames = 8 + lens % 8
+        n_samp = (n_frames + self.stride - 1) // self.stride
+        total = int(n_samp.sum())
+        row = np.repeat(np.arange(len(batch), dtype=np.int64), n_samp)
+        offs = np.arange(total) - np.repeat(
+            np.cumsum(n_samp) - n_samp, n_samp
+        )
+        fidx = offs * self.stride
+        ref_rep = pc.take(refs, pa.array(row))
+        frame_ref = pc.binary_join_element_wise(
+            pc.cast(ref_rep, pa.string()),
+            pc.cast(pa.array(fidx), pa.string()),
+            "#f",
+        )
+        return pa.table(
+            {
+                "doc_id": pc.take(batch.column("doc_id"), pa.array(row)),
+                "ord": pc.take(batch.column("ord"), pa.array(row)),
+                "media_ref": ref_rep,
+                "frame_idx": pa.array(fidx),
+                "frame_ref": frame_ref,
+                "pts_ms": pa.array(fidx * 40),
+            }
+        )
+
+
+def media_frame_sample(sf_dir: str, stride: int = 2,
+                       cfg: ExtractConfig | None = None):
+    """Extract pipeline -> media spans -> actor-pool frame sampling.
+
+    Same scale shape as media_features: the fan-out multiplies rows by
+    ~n_frames/stride, so batch_size is kept small enough that an output
+    batch (rows x refs) stays block-sized.
+    """
+    out = extract_from_payloads(
+        synth_dataset(f"{sf_dir}/documents.parquet"), cfg or ExtractConfig()
+    )
+    flat = out.map_batches(flatten_blocks, batch_format="pyarrow")
+    media = flat.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), "media")).select(
+            ["doc_id", "ord", "media_ref"]
+        ),
+        batch_format="pyarrow",
+    )
+    sampler = media.map_batches(
+        FrameSampler, fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow", batch_size=2048, concurrency=2,
+    )
+    return sampler.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("ord"), "ord",
+            pc.cast(t.column("ord"), pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )

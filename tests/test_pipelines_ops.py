@@ -782,3 +782,28 @@ def test_session_assignment_consistent_with_sessionize(ray_session):
     per_user = df.groupby("user_id")["session_id"].max()
     want = sessionize(sf).to_pandas().groupby("user_id").size()
     assert (per_user.sort_index().values == want.sort_index().values).all()
+
+
+def test_frame_sampler_stride_and_bounds(ray_session):
+    """Sampled frame indices step by stride and stay below the per-ref
+    frame count; frame_ref encodes the index."""
+    import pyarrow as pa
+
+    from ray_extract.pipelines.media import FrameSampler
+
+    s = FrameSampler(stride=3)
+    batch = pa.table(
+        {
+            "doc_id": ["a", "b"],
+            "ord": pa.array([1, 2], type=pa.int32()),
+            "media_ref": ["media://a/1", "media://bb/2x"],
+        }
+    )
+    out = s(batch).to_pandas()
+    for ref, g in out.groupby("media_ref"):
+        nf = 8 + len(ref) % 8
+        idx = sorted(g["frame_idx"])
+        assert idx == list(range(0, nf, 3))
+        for r in g.itertuples():
+            assert r.frame_ref == f"{ref}#f{r.frame_idx}"
+            assert r.pts_ms == r.frame_idx * 40
