@@ -1105,6 +1105,12 @@ def _q_media_frame_sample(sf_dir: str):
     return media_frame_sample(sf_dir)
 
 
+def _q_winsorized_stats(sf_dir: str):
+    from ray_extract.pipelines.events import winsorized_stats
+
+    return winsorized_stats(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -1222,6 +1228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_selection": _q_canonical_selection,
         "session_assignment": _q_session_assignment,
         "media_frame_sample": _q_media_frame_sample,
+        "winsorized_stats": _q_winsorized_stats,
     }
 
 
@@ -2255,6 +2262,28 @@ SELECT user_id,
        CAST(sum(date_diff('microsecond', start_ts, end_ts)) AS BIGINT)
          AS total_session_dur_us
 FROM base GROUP BY user_id
+"""
+    d["winsorized_stats"] = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events
+),
+thr AS (
+  SELECT event_type,
+         CAST(quantile_disc(vc, 0.01) AS BIGINT) AS lo_cents,
+         CAST(quantile_disc(vc, 0.99) AS BIGINT) AS hi_cents
+  FROM ev GROUP BY event_type
+)
+SELECT ev.event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(max(t.lo_cents) AS BIGINT) AS lo_cents,
+       CAST(max(t.hi_cents) AS BIGINT) AS hi_cents,
+       CAST(sum(least(greatest(ev.vc, t.lo_cents), t.hi_cents)) AS BIGINT)
+         AS sum_wins_cents,
+       CAST(count(*) FILTER (ev.vc < t.lo_cents) AS BIGINT) AS n_clamped_lo,
+       CAST(count(*) FILTER (ev.vc > t.hi_cents) AS BIGINT) AS n_clamped_hi
+FROM ev JOIN thr t USING (event_type)
+GROUP BY ev.event_type
 """
     d["session_assignment"] = """
 WITH o AS (

@@ -1845,3 +1845,125 @@ def session_assignment(sf_dir: str, gap_minutes: int = 30,
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def winsorized_stats(sf_dir: str, lo_permille: int = 10, hi_permille: int = 990):
+    """Winsorized per-type value statistics: values clamped to each type's
+    [p1, p99] before aggregating — the robust-mean cleaning step that
+    keeps heavy tails from dominating a feature.
+
+    Pass 1 derives BOTH clamp thresholds per type with the same exact
+    counting-selection walk as value_outliers (one (type, cents) histogram
+    shuffle serves both percentiles); pass 2 is a stateless re-scan with
+    the O(|types|) clamp table in the task closure, partial-aggregated
+    per batch. Output stays integer cents, so the DuckDB quantile_disc +
+    CASE-clamp oracle is exact.
+
+    Output: (event_type, n, lo_cents, hi_cents, sum_wins_cents,
+    n_clamped_lo, n_clamped_hi).
+    """
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def counts(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch.column("value").to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "cents": pa.array(cents),
+                "n": pa.array(np.ones(len(cents), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["event_type", "cents"]).aggregate([("n", "sum")])
+
+    def select(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents")
+        cum = g["n"].to_numpy().cumsum()
+        n = int(cum[-1])
+        vals = g["cents"].to_numpy()
+        out = {}
+        for name, pm in (("lo_cents", lo_permille), ("hi_cents", hi_permille)):
+            rank = (pm * n + 999) // 1000
+            out[name] = int(vals[np.searchsorted(cum, rank)])
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"].iloc[:1].to_numpy(),
+                "lo_cents": np.array([out["lo_cents"]], dtype=np.int64),
+                "hi_cents": np.array([out["hi_cents"]], dtype=np.int64),
+            }
+        )
+
+    thr = (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+        )
+        .map_batches(counts, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("n_sum", alias_name="n"))
+        .groupby("event_type")
+        .map_groups(select, batch_format="pandas")
+        .to_pandas()  # bounded domain: one row per type
+    ).sort_values("event_type")
+    types = thr["event_type"].to_numpy().astype(str)
+    lo = thr["lo_cents"].to_numpy().astype(np.int64)
+    hi = thr["hi_cents"].to_numpy().astype(np.int64)
+    type_arr = pa.array(list(types), type=pa.string())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch.column("value").to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        idx = pc.index_in(batch.column("event_type"), type_arr).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        clo, chi = lo[idx], hi[idx]
+        wins = np.clip(cents, clo, chi)
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n": pa.array(np.ones(len(cents), dtype=np.int64)),
+                "s": pa.array(wins),
+                "cl": pa.array((cents < clo).astype(np.int64)),
+                "ch": pa.array((cents > chi).astype(np.int64)),
+            }
+        )
+        return t.group_by("event_type").aggregate(
+            [("n", "sum"), ("s", "sum"), ("cl", "sum"), ("ch", "sum")]
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = t.group_by("event_type").aggregate(
+            [("n_sum", "sum"), ("s_sum", "sum"), ("cl_sum", "sum"),
+             ("ch_sum", "sum")]
+        )
+        et = out.column("event_type")
+        idx = pc.index_in(et, type_arr).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "event_type": et,
+                "n": pc.cast(out.column("n_sum_sum"), pa.int64()),
+                "lo_cents": pa.array(lo[idx]),
+                "hi_cents": pa.array(hi[idx]),
+                "sum_wins_cents": pc.cast(out.column("s_sum_sum"), pa.int64()),
+                "n_clamped_lo": pc.cast(out.column("cl_sum_sum"), pa.int64()),
+                "n_clamped_hi": pc.cast(out.column("ch_sum_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow")
+    )

@@ -807,3 +807,26 @@ def test_frame_sampler_stride_and_bounds(ray_session):
         for r in g.itertuples():
             assert r.frame_ref == f"{ref}#f{r.frame_idx}"
             assert r.pts_ms == r.frame_idx * 40
+
+
+def test_winsorized_stats_bounds(ray_session):
+    """Winsorized sum lies between n*lo and n*hi; clamp counts match the
+    direct threshold comparison."""
+    import duckdb
+
+    from ray_extract.pipelines.events import winsorized_stats
+
+    sf = "/root/testdata/sf0.001"
+    df = winsorized_stats(sf).to_pandas().set_index("event_type")
+    assert (df["sum_wins_cents"] >= df["n"] * df["lo_cents"]).all()
+    assert (df["sum_wins_cents"] <= df["n"] * df["hi_cents"]).all()
+    for et, r in df.iterrows():
+        nlo, nhi = duckdb.sql(
+            f"""SELECT count(*) FILTER (CAST(floor(value*100+0.5) AS BIGINT)
+                   < {int(r['lo_cents'])}),
+                   count(*) FILTER (CAST(floor(value*100+0.5) AS BIGINT)
+                   > {int(r['hi_cents'])})
+                FROM '{sf}/events.parquet' WHERE event_type = '{et}'"""
+        ).fetchone()
+        assert int(r["n_clamped_lo"]) == int(nlo)
+        assert int(r["n_clamped_hi"]) == int(nhi)
