@@ -1111,6 +1111,12 @@ def _q_winsorized_stats(sf_dir: str):
     return winsorized_stats(sf_dir)
 
 
+def _q_jaccard_prefix_join(sf_dir: str):
+    from ray_extract.pipelines.dedup import jaccard_prefix_join
+
+    return jaccard_prefix_join(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -1229,6 +1235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_assignment": _q_session_assignment,
         "media_frame_sample": _q_media_frame_sample,
         "winsorized_stats": _q_winsorized_stats,
+        "jaccard_prefix_join": _q_jaccard_prefix_join,
     }
 
 
@@ -2263,6 +2270,8 @@ SELECT user_id,
          AS total_session_dur_us
 FROM base GROUP BY user_id
 """
+    # the prefix-filtered join computes EXACTLY dedup_ngram_jaccard's result
+    d["jaccard_prefix_join"] = d["dedup_ngram_jaccard"]
     d["winsorized_stats"] = """
 WITH ev AS (
   SELECT event_type,

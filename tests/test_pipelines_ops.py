@@ -830,3 +830,19 @@ def test_winsorized_stats_bounds(ray_session):
         ).fetchone()
         assert int(r["n_clamped_lo"]) == int(nlo)
         assert int(r["n_clamped_hi"]) == int(nhi)
+
+
+def test_jaccard_prefix_equals_full_index(ray_session):
+    """The prefix-filtered join must produce EXACTLY the inverted-index
+    pipeline's result (completeness of prefix filtering under a global
+    hash order)."""
+    from ray_extract.pipelines.dedup import jaccard_prefix_join, ngram_jaccard_pairs
+
+    sf = "/root/testdata/sf0.001"
+    key = ["doc_a", "doc_b"]
+    a = jaccard_prefix_join(sf).to_pandas().sort_values(key).reset_index(drop=True)
+    b = (
+        ngram_jaccard_pairs(sf).to_pandas()[["doc_a", "doc_b", "inter", "uni"]]
+        .sort_values(key).reset_index(drop=True)
+    )
+    assert a.equals(b)
