@@ -1117,6 +1117,18 @@ def _q_jaccard_prefix_join(sf_dir: str):
     return jaccard_prefix_join(sf_dir)
 
 
+def _q_cohort_matrix(sf_dir: str):
+    from ray_extract.pipelines.events import cohort_matrix
+
+    return cohort_matrix(sf_dir)
+
+
+def _q_longest_type_run(sf_dir: str):
+    from ray_extract.pipelines.events import longest_type_run
+
+    return longest_type_run(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -1236,6 +1248,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_sample": _q_media_frame_sample,
         "winsorized_stats": _q_winsorized_stats,
         "jaccard_prefix_join": _q_jaccard_prefix_join,
+        "cohort_matrix": _q_cohort_matrix,
+        "longest_type_run": _q_longest_type_run,
     }
 
 
@@ -2272,6 +2286,41 @@ FROM base GROUP BY user_id
 """
     # the prefix-filtered join computes EXACTLY dedup_ngram_jaccard's result
     d["jaccard_prefix_join"] = d["dedup_ngram_jaccard"]
+    d["cohort_matrix"] = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // CAST(604800000000 AS BIGINT) AS w
+  FROM events
+),
+w0 AS (SELECT user_id, min(w) AS w0 FROM uw GROUP BY user_id)
+SELECT CAST(w0.w0 AS BIGINT) AS cohort_week,
+       CAST(uw.w - w0.w0 AS BIGINT) AS weeks_since,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM uw JOIN w0 USING (user_id)
+GROUP BY 1, 2
+"""
+    d["longest_type_run"] = """
+WITH o AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rt
+  FROM events
+),
+runs AS (
+  SELECT user_id, event_type, count(*) AS len, min(rn) AS start_rn
+  FROM o GROUP BY user_id, event_type, rn - rt
+),
+best AS (
+  SELECT user_id, event_type, len,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY len DESC, start_rn ASC) AS k
+  FROM runs
+)
+SELECT user_id, event_type AS run_type, CAST(len AS BIGINT) AS run_len
+FROM best WHERE k = 1
+"""
     d["winsorized_stats"] = """
 WITH ev AS (
   SELECT event_type,

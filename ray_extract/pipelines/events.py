@@ -1967,3 +1967,206 @@ def winsorized_stats(sf_dir: str, lo_permille: int = 10, hi_permille: int = 990)
         .repartition(1)
         .map_batches(merge, batch_format="pyarrow")
     )
+
+
+def cohort_matrix(sf_dir: str, num_partitions: int | None = None):
+    """Cohort retention matrix: users grouped by FIRST-ACTIVE week, counted
+    in each subsequent week — the (cohort_week, weeks_since) table behind
+    every retention chart (period_retention's adjacent-pair check is one
+    diagonal of this).
+
+    Scale shape: pass 1 reduces events to each user's first-week (min
+    aggregate with per-batch combiner); pass 2 reduces events to distinct
+    (user, week) pairs (packed np.unique per batch + one dedup groupby);
+    the two user-keyed tables hash-join natively, and the (cohort, k)
+    counts pre-aggregate per batch into the final bounded-domain groupby
+    (weeks x weeks rows at most).
+
+    Output: (cohort_week, weeks_since, n_users).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def first_partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy()
+        t = pa.table(
+            {
+                "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+                "w": pa.array(us // _WEEK_US),
+            }
+        )
+        return t.group_by("user_id").aggregate([("w", "min")])
+
+    ev = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    )
+
+    first_week = (
+        ev.map_batches(first_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("w_min", alias_name="w0"))
+    )
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy()
+        uid = pc.cast(batch.column("user_id"), pa.int64()).to_numpy()
+        pack = np.unique(uid * np.int64(1 << 12) + us // _WEEK_US)
+        return pa.table(
+            {
+                "puser": pa.array(pack >> 12),
+                "week": pa.array(pack & ((1 << 12) - 1)),
+                "one": pa.array(np.ones(len(pack), dtype=np.int64)),
+            }
+        )
+
+    pairs = (
+        ev.map_batches(distinct_pairs, batch_format="pyarrow")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "pack": pa.array(
+                        t.column("puser").to_numpy() * np.int64(1 << 12)
+                        + t.column("week").to_numpy()
+                    ),
+                    "one": t.column("one"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("pack")
+        .aggregate(Sum("one", alias_name="dup"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "puser": pa.array(
+                        pc.cast(t.column("pack"), pa.int64()).to_numpy() >> 12
+                    ),
+                    "week": pa.array(
+                        pc.cast(t.column("pack"), pa.int64()).to_numpy()
+                        & ((1 << 12) - 1)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    from .relational import _join_partitions, _multi_join_args
+
+    num_partitions, agg_args = _multi_join_args(_join_partitions(num_partitions))
+    joined = pairs.join(
+        first_week,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("puser",),
+        right_on=("user_id",),
+        aggregator_ray_remote_args=agg_args,
+    )
+
+    def cohort_partial(t: pa.Table) -> pa.Table:
+        w0 = pc.cast(t.column("w0"), pa.int64()).to_numpy()
+        wk = pc.cast(t.column("week"), pa.int64()).to_numpy()
+        out = pa.table(
+            {
+                "cohort_week": pa.array(w0),
+                "weeks_since": pa.array(wk - w0),
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+        return out.group_by(["cohort_week", "weeks_since"]).aggregate(
+            [("n", "sum")]
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = t.group_by(["cohort_week", "weeks_since"]).aggregate(
+            [("n_sum", "sum")]
+        )
+        return pa.table(
+            {
+                "cohort_week": pc.cast(out.column("cohort_week"), pa.int64()),
+                "weeks_since": pc.cast(out.column("weeks_since"), pa.int64()),
+                "n_users": pc.cast(out.column("n_sum_sum"), pa.int64()),
+            }
+        )
+
+    # bounded domain (weeks x weeks): repartition(1) + one Arrow group_by
+    return (
+        joined.map_batches(cohort_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow")
+    )
+
+
+def longest_type_run(sf_dir: str, num_buckets: int = 64):
+    """Longest consecutive same-event-type run per user — the
+    gaps-and-islands pattern (SQL: row_number difference grouping), as one
+    vectorized bucketed pass: lexsort by (user, ts, event_id), run breaks =
+    user change OR type change, run lengths by reduceat, per-user argmax
+    with (length, earliest-run) tiebreak via packed max.
+
+    Output: (user_id, run_type, run_len).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch.column("user_id"), pa.int64()).to_numpy()
+        bucket = np.abs((uid * np.int64(2654435761)) % np.int64(num_buckets))
+        return pa.table(
+            {
+                "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+                "user_id": pa.array(uid),
+                "ts": batch.column("ts"),
+                "event_type": batch.column("event_type"),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        codes, types = pd.factorize(g["event_type"])
+        order = np.lexsort((eid, ts, uid))
+        uid, codes = uid[order], codes[order].astype(np.int64)
+        n = len(g)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        new_run = new_user.copy()
+        new_run[1:] |= codes[1:] != codes[:-1]
+        run_start = np.flatnonzero(new_run)
+        run_len = np.diff(np.r_[run_start, n])
+        run_user = uid[run_start]
+        run_code = codes[run_start]
+        # per-user argmax with earliest-run tiebreak: runs are in time
+        # order per user, so pack (len, reverse run index) and take max
+        run_idx_in_user = np.arange(len(run_start), dtype=np.int64)
+        first_run_of_user = np.ones(len(run_start), dtype=bool)
+        first_run_of_user[1:] = run_user[1:] != run_user[:-1]
+        u_starts = np.flatnonzero(first_run_of_user)
+        seg_of = np.cumsum(first_run_of_user) - 1
+        local_idx = run_idx_in_user - u_starts[seg_of]
+        BIG = np.int64(1 << 20)
+        packed = run_len * BIG * BIG + (BIG - 1 - local_idx) * BIG + run_code
+        best = np.maximum.reduceat(packed, u_starts)
+        return pd.DataFrame(
+            {
+                "user_id": run_user[u_starts],
+                "run_type": types.to_numpy()[(best % BIG).astype(np.int64)],
+                "run_len": (best // (BIG * BIG)).astype(np.int64),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts", "event_type"])
+        )
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -846,3 +846,44 @@ def test_jaccard_prefix_equals_full_index(ray_session):
         .sort_values(key).reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_cohort_matrix_mass(ray_session):
+    """weeks_since=0 row counts every user once; totals equal distinct
+    (user, week) pairs."""
+    import duckdb
+
+    from ray_extract.pipelines.events import cohort_matrix
+
+    sf = "/root/testdata/sf0.001"
+    df = cohort_matrix(sf).to_pandas()
+    n_users, n_pairs = duckdb.sql(
+        f"""SELECT count(DISTINCT user_id),
+               count(DISTINCT (user_id, epoch_us(ts)//CAST(604800000000 AS BIGINT)))
+            FROM '{sf}/events.parquet'"""
+    ).fetchone()
+    assert int(df.loc[df["weeks_since"] == 0, "n_users"].sum()) == int(n_users)
+    assert int(df["n_users"].sum()) == int(n_pairs)
+    assert (df["weeks_since"] >= 0).all()
+
+
+def test_longest_run_brute_force_one_user(ray_session):
+    """Engine's longest run matches a per-user python re-derivation."""
+    import pandas as pd
+
+    from ray_extract.pipelines.events import longest_type_run
+
+    sf = "/root/testdata/sf0.001"
+    df = longest_type_run(sf).to_pandas().set_index("user_id")
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type"])
+    for uid in list(df.index)[:5]:
+        g = ev[ev.user_id == uid].sort_values(["ts", "event_id"])
+        best_len, best_type, cur_len, cur_type = 0, None, 0, None
+        for t in g["event_type"]:
+            cur_len = cur_len + 1 if t == cur_type else 1
+            cur_type = t
+            if cur_len > best_len:
+                best_len, best_type = cur_len, t
+        assert int(df.loc[uid, "run_len"]) == best_len
+        assert df.loc[uid, "run_type"] == best_type
