@@ -1129,6 +1129,12 @@ def _q_longest_type_run(sf_dir: str):
     return longest_type_run(sf_dir)
 
 
+def _q_lang_confusion(sf_dir: str):
+    from ray_extract.pipelines.text import lang_confusion
+
+    return lang_confusion(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -1250,6 +1256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_prefix_join": _q_jaccard_prefix_join,
         "cohort_matrix": _q_cohort_matrix,
         "longest_type_run": _q_longest_type_run,
+        "lang_confusion": _q_lang_confusion,
     }
 
 
@@ -2286,6 +2293,13 @@ FROM base GROUP BY user_id
 """
     # the prefix-filtered join computes EXACTLY dedup_ngram_jaccard's result
     d["jaccard_prefix_join"] = d["dedup_ngram_jaccard"]
+    # confusion matrix composed over the lang_id detector oracle
+    d["lang_confusion"] = f"""
+WITH pred AS ({d["lang_id"]})
+SELECT d.lang AS meta_lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY 1, 2
+"""
     d["cohort_matrix"] = """
 WITH uw AS (
   SELECT DISTINCT user_id,

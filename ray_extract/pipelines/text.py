@@ -1867,3 +1867,50 @@ def upsert_merge(sf_dir: str):
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def lang_confusion(sf_dir: str):
+    """Language-detector confusion matrix: metadata lang x predicted lang
+    with counts — the detector-quality audit a multilingual pipeline runs
+    before trusting language routing.
+
+    Scale shape: one scan (detector + metadata in the same batch — no
+    join), per-batch partial counts over the bounded |langs|^2 domain,
+    repartition(1) + one Arrow group_by merge.
+
+    Output: (meta_lang, pred_lang, n).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pred = detect_languages_arrow(batch.column("text").combine_chunks())
+        t = pa.table(
+            {
+                "meta_lang": pc.cast(batch.column("lang"), pa.string()),
+                "pred_lang": pa.array(pred, type=pa.string()),
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["meta_lang", "pred_lang"]).aggregate([("n", "sum")])
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = t.group_by(["meta_lang", "pred_lang"]).aggregate([("n_sum", "sum")])
+        return pa.table(
+            {
+                "meta_lang": out.column("meta_lang"),
+                "pred_lang": out.column("pred_lang"),
+                "n": pc.cast(out.column("n_sum_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["text", "lang"])
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow")
+    )

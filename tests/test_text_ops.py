@@ -409,3 +409,23 @@ def test_upsert_merge_latest_wins(ray_session):
         if did % 50 == 0:
             assert df.loc[did + 1_000_000, "version"] == 1
     assert df.index.is_unique
+
+
+def test_lang_confusion_mass(ray_session):
+    """Counts sum to the corpus size, and the matrix exposes the real
+    property of this corpus: the text is English word-soup regardless of
+    metadata lang, so every en-metadata doc lands on the diagonal and
+    non-en rows land in the 'en' prediction column."""
+    import duckdb
+
+    from ray_extract.pipelines.text import lang_confusion
+
+    sf = "/root/testdata/sf0.001"
+    df = lang_confusion(sf).to_pandas()
+    n, n_en = duckdb.sql(
+        f"""SELECT count(*), count(*) FILTER (lang = 'en')
+            FROM '{sf}/documents.parquet'"""
+    ).fetchone()
+    assert int(df["n"].sum()) == int(n)
+    en_diag = df[(df["meta_lang"] == "en") & (df["pred_lang"] == "en")]["n"]
+    assert int(en_diag.sum()) == int(n_en)
