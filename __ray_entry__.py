@@ -1135,6 +1135,12 @@ def _q_lang_confusion(sf_dir: str):
     return lang_confusion(sf_dir)
 
 
+def _q_orders_profile(sf_dir: str):
+    from ray_extract.pipelines.relational import orders_profile
+
+    return orders_profile(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -1257,6 +1263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_matrix": _q_cohort_matrix,
         "longest_type_run": _q_longest_type_run,
         "lang_confusion": _q_lang_confusion,
+        "orders_profile": _q_orders_profile,
     }
 
 
@@ -2293,6 +2300,19 @@ FROM base GROUP BY user_id
 """
     # the prefix-filtered join computes EXACTLY dedup_ngram_jaccard's result
     d["jaccard_prefix_join"] = d["dedup_ngram_jaccard"]
+    d["orders_profile"] = """
+SELECT 'o_orderkey' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct FROM orders
+UNION ALL
+SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+"""
     # confusion matrix composed over the lang_id detector oracle
     d["lang_confusion"] = f"""
 WITH pred AS ({d["lang_id"]})

@@ -1853,3 +1853,106 @@ def brand_band_revenue(sf_dir: str, bands: tuple = BRAND_BANDS):
         .repartition(1)
         .map_batches(merge, batch_format="pyarrow")
     )
+
+
+PROFILE_COLUMNS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+def orders_profile(sf_dir: str, columns: tuple = PROFILE_COLUMNS):
+    """Single-pass data profiling: row and EXACT distinct counts for several
+    columns of one table at once — the schema-drift / cardinality audit a
+    pipeline runs before trusting a new data drop.
+
+    Scale shape: every batch emits per-column DISTINCT value strings
+    (np.unique per column — the combiner), all columns share ONE
+    (column, value)-keyed dedup shuffle, and per-column counts reduce at
+    metadata scale. Exactness comes from deduping on the value itself,
+    not a hash (no collision caveat); values canonicalize as strings the
+    same way SQL CAST does for ints and text.
+
+    Output: (column, n_rows, n_distinct).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    col_list = list(columns)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols, vals = [], []
+        n = len(batch)
+        for c in col_list:
+            v = pc.cast(batch.column(c), pa.string()).to_numpy(
+                zero_copy_only=False
+            )
+            u = np.unique(v)
+            cols.append(np.full(len(u), c, dtype=object))
+            vals.append(u)
+        # distinct-value rows (nr = 0) plus one row-count partial per
+        # column, tagged with a sentinel value no real cast produces —
+        # both ride the same (col, val) dedup shuffle
+        distinct_rows = pa.table(
+            {
+                "col": pa.array(np.concatenate(cols).astype(str)),
+                "val": pa.array(np.concatenate(vals).astype(str)),
+                "nr": pa.array(
+                    np.zeros(sum(len(v) for v in vals), dtype=np.int64)
+                ),
+            }
+        )
+        count_rows = pa.table(
+            {
+                "col": pa.array(list(col_list)),
+                "val": pa.array(["\x00rows"] * len(col_list)),
+                "nr": pa.array(np.full(len(col_list), n, dtype=np.int64)),
+            }
+        )
+        return pa.concat_tables([distinct_rows, count_rows])
+
+    dedup = (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/orders.parquet", columns=col_list)
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["col", "val"])
+        .aggregate(Sum("nr", alias_name="nr"))
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        is_rows = pc.equal(t.column("val"), "\x00rows").to_numpy(
+            zero_copy_only=False
+        )
+        col = t.column("col").to_numpy(zero_copy_only=False)
+        nr = pc.cast(t.column("nr"), pa.int64()).to_numpy()
+        names, codes = np.unique(col, return_inverse=True)
+        n_distinct = np.bincount(
+            codes, weights=(~is_rows).astype(np.int64), minlength=len(names)
+        ).astype(np.int64)
+        n_rows = np.zeros(len(names), dtype=np.int64)
+        np.add.at(n_rows, codes[is_rows], nr[is_rows])
+        return pa.table(
+            {
+                "column": pa.array(names.astype(str)),
+                "n_rows": pa.array(n_rows),
+                "n_distinct": pa.array(n_distinct),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = t.group_by("column").aggregate(
+            [("n_rows", "sum"), ("n_distinct", "sum")]
+        )
+        return pa.table(
+            {
+                "column": out.column("column"),
+                "n_rows": pc.cast(out.column("n_rows_sum"), pa.int64()),
+                "n_distinct": pc.cast(out.column("n_distinct_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        dedup.map_batches(count_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow")
+    )

@@ -301,3 +301,17 @@ def test_avg_order_gap_invariants(ray_session):
     row = df[df["custkey"] == ck].iloc[0]
     assert int(row["sum_gap_us"]) == int(want[0])
     assert int(row["max_gap_us"]) == int(want[1])
+
+
+def test_orders_profile_exact_cardinalities(ray_session):
+    """Row counts equal the table size for every column; key columns are
+    unique where expected."""
+    import duckdb
+
+    from ray_extract.pipelines.relational import orders_profile
+
+    df = orders_profile(SF).to_pandas().set_index("column")
+    n = duckdb.sql(f"SELECT count(*) FROM '{SF}/orders.parquet'").fetchone()[0]
+    assert (df["n_rows"] == int(n)).all()
+    assert int(df.loc["o_orderkey", "n_distinct"]) == int(n)  # primary key
+    assert int(df.loc["o_orderpriority", "n_distinct"]) == 5
