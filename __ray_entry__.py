@@ -1141,6 +1141,12 @@ def _q_orders_profile(sf_dir: str):
     return orders_profile(sf_dir)
 
 
+def _q_part_price_deviation(sf_dir: str):
+    from ray_extract.pipelines.relational import part_price_deviation
+
+    return part_price_deviation(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -1264,6 +1270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "longest_type_run": _q_longest_type_run,
         "lang_confusion": _q_lang_confusion,
         "orders_profile": _q_orders_profile,
+        "part_price_deviation": _q_part_price_deviation,
     }
 
 
@@ -2300,6 +2307,15 @@ FROM base GROUP BY user_id
 """
     # the prefix-filtered join computes EXACTLY dedup_ngram_jaccard's result
     d["jaccard_prefix_join"] = d["dedup_ngram_jaccard"]
+    d["part_price_deviation"] = """
+SELECT p.p_type,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                - CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS deviation_cents
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY p.p_type
+"""
     d["orders_profile"] = """
 SELECT 'o_orderkey' AS column, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct FROM orders

@@ -1956,3 +1956,92 @@ def orders_profile(sf_dir: str, columns: tuple = PROFILE_COLUMNS):
         .repartition(1)
         .map_batches(merge, batch_format="pyarrow")
     )
+
+
+def part_price_deviation(sf_dir: str, num_partitions: int | None = None):
+    """Average sale-vs-list price deviation per part type — lineitem |><|
+    part on PARTKEY (the one TPC-H join key the other operators don't
+    exercise big-big).
+
+    Scale shape: lineitem pre-aggregates per partkey inside map_batches
+    (count + price-cents sum — one row per (partkey, block)), the native
+    hash-shuffle join attaches each part's list price and type, and the
+    deviation partials reduce over the bounded type domain. Deviation =
+    sum(l_extendedprice_cents) - n * p_retailprice_cents, exact int64.
+
+    Output: (p_type, n_items, deviation_cents).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    num_partitions, agg_args = _multi_join_args(_join_partitions(num_partitions))
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_partkey": pc.cast(batch.column("l_partkey"), pa.int64()),
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "price": pa.array(_cents(batch.column("l_extendedprice"))),
+            }
+        )
+        return t.group_by("l_partkey").aggregate([("n", "sum"), ("price", "sum")])
+
+    li = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_partkey", "l_extendedprice"])
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    part = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/part.parquet",
+                        columns=["p_partkey", "p_type", "p_retailprice"])
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "p_partkey": pc.cast(t.column("p_partkey"), pa.int64()),
+                "p_type": t.column("p_type"),
+                "list_cents": pa.array(_cents(t.column("p_retailprice"))),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = li.join(
+        part,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+        aggregator_ray_remote_args=agg_args,
+    )
+
+    def dev_partial(t: pa.Table) -> pa.Table:
+        n = pc.cast(t.column("n_sum"), pa.int64()).to_numpy()
+        price = pc.cast(t.column("price_sum"), pa.int64()).to_numpy()
+        lst = pc.cast(t.column("list_cents"), pa.int64()).to_numpy()
+        out = pa.table(
+            {
+                "p_type": t.column("p_type"),
+                "n": pa.array(n),
+                "dev": pa.array(price - n * lst),
+            }
+        )
+        return out.group_by("p_type").aggregate([("n", "sum"), ("dev", "sum")])
+
+    agg = (
+        joined.map_batches(dev_partial, batch_format="pyarrow")
+        .groupby("p_type")
+        .aggregate(Sum("n_sum", alias_name="n_items"),
+                   Sum("dev_sum", alias_name="deviation_cents"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "p_type": t.column("p_type"),
+                "n_items": pc.cast(t.column("n_items"), pa.int64()),
+                "deviation_cents": pc.cast(t.column("deviation_cents"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

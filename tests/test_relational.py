@@ -315,3 +315,17 @@ def test_orders_profile_exact_cardinalities(ray_session):
     assert (df["n_rows"] == int(n)).all()
     assert int(df.loc["o_orderkey", "n_distinct"]) == int(n)  # primary key
     assert int(df.loc["o_orderpriority", "n_distinct"]) == 5
+
+
+def test_part_price_deviation_mass(ray_session):
+    """Per-type item counts sum to the joined lineitem count."""
+    import duckdb
+
+    from ray_extract.pipelines.relational import part_price_deviation
+
+    df = part_price_deviation(SF).to_pandas()
+    n = duckdb.sql(
+        f"""SELECT count(*) FROM '{SF}/lineitem.parquet' l
+            JOIN '{SF}/part.parquet' p ON p.p_partkey = l.l_partkey"""
+    ).fetchone()[0]
+    assert int(df["n_items"].sum()) == int(n)
