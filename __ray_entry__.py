@@ -1147,6 +1147,12 @@ def _q_part_price_deviation(sf_dir: str):
     return part_price_deviation(sf_dir)
 
 
+def _q_centroid_spread(sf_dir: str):
+    from ray_extract.pipelines.similarity import centroid_spread
+
+    return centroid_spread(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -1271,6 +1277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": _q_lang_confusion,
         "orders_profile": _q_orders_profile,
         "part_price_deviation": _q_part_price_deviation,
+        "centroid_spread": _q_centroid_spread,
     }
 
 
@@ -2307,6 +2314,28 @@ FROM base GROUP BY user_id
 """
     # the prefix-filtered join computes EXACTLY dedup_ngram_jaccard's result
     d["jaccard_prefix_join"] = d["dedup_ngram_jaccard"]
+    d["centroid_spread"] = """
+WITH q AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label, u.i AS i,
+         CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+           AS qv
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+s AS (
+  SELECT label, i, CAST(sum(qv) AS BIGINT) AS sv,
+         CAST(sum(qv * qv) AS BIGINT) AS q2
+  FROM q GROUP BY label, i
+),
+n AS (
+  SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n
+  FROM embeddings GROUP BY 1
+)
+SELECT n.label, n.n AS n_vecs,
+       CAST(n.n * n.n * sum(s.q2) - n.n * sum(s.sv * s.sv) AS BIGINT)
+         AS spread_xn2
+FROM s JOIN n USING (label)
+GROUP BY n.label, n.n
+"""
     d["part_price_deviation"] = """
 SELECT p.p_type,
        CAST(count(*) AS BIGINT) AS n_items,

@@ -876,3 +876,75 @@ def embedding_gram_pairs(sf_dir: str, n_dims: int = 8):
         .repartition(1)
         .map_batches(merge, batch_format="pyarrow")
     )
+
+
+def centroid_spread(sf_dir: str):
+    """Per-label cluster tightness: the sum of squared distances from each
+    vector to its label centroid — the k-means inertia / embedding-quality
+    number, EXACT in integers via the identity
+    sum_v ||n*q_v - S||^2 = n^2 * sum(Q2_i) - n * sum(S_i^2)
+    (distances scaled by n^2, so no rational centroid ever materializes).
+
+    Scale shape: ONE scan — each batch emits per-label partials (count,
+    total squared component sum, per-dim component sums as a dense list),
+    the bounded |labels| x dims merge runs in one repartition(1) task, and
+    the closed form needs no second pass at all. int64 holds up to ~10^5
+    vectors/label at the 1000x quantization; beyond that, upgrade the
+    merge arithmetic to Python bigints (the partials stay int64).
+
+    Output: (label, n_vecs, spread_xn2).
+    """
+    import ray.data as rd
+
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, e = _emb_matrix(batch)
+        q = np.floor(e * 1000.0 + 0.5).astype(np.int64)
+        labels = batch.column("label").to_numpy().astype(np.int64)
+        u, codes = np.unique(labels, return_inverse=True)
+        dim = q.shape[1]
+        svec = np.zeros((len(u), dim), dtype=np.int64)
+        np.add.at(svec, codes, q)
+        q2 = np.zeros(len(u), dtype=np.int64)
+        np.add.at(q2, codes, (q * q).sum(axis=1))
+        n = np.bincount(codes).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(u),
+                "n": pa.array(n),
+                "q2": pa.array(q2),
+                "svec": pa.array(list(svec)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        labels = t.column("label").to_numpy()
+        n = t.column("n").to_numpy()
+        q2 = t.column("q2").to_numpy()
+        sv = t.column("svec").combine_chunks()
+        dim = len(sv[0])
+        flat = sv.flatten().to_numpy(zero_copy_only=False).reshape(len(t), dim)
+        u, codes = np.unique(labels, return_inverse=True)
+        N = np.zeros(len(u), dtype=np.int64)
+        Q2 = np.zeros(len(u), dtype=np.int64)
+        S = np.zeros((len(u), dim), dtype=np.int64)
+        np.add.at(N, codes, n)
+        np.add.at(Q2, codes, q2)
+        np.add.at(S, codes, flat)
+        spread = N * N * Q2 - N * (S * S).sum(axis=1)
+        return pa.table(
+            {
+                "label": pa.array(u),
+                "n_vecs": pa.array(N),
+                "spread_xn2": pa.array(spread),
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding", "label"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow")
+    )

@@ -887,3 +887,31 @@ def test_longest_run_brute_force_one_user(ray_session):
                 best_len, best_type = cur_len, t
         assert int(df.loc[uid, "run_len"]) == best_len
         assert df.loc[uid, "run_type"] == best_type
+
+
+def test_centroid_spread_identity(ray_session):
+    """spread_xn2 / n^2 equals the brute-force sum of squared distances to
+    the quantized centroid (checked in exact rational arithmetic)."""
+    import pandas as pd
+    from fractions import Fraction
+
+    from ray_extract.pipelines.similarity import centroid_spread
+
+    sf = "/root/testdata/sf0.001"
+    df = centroid_spread(sf).to_pandas().set_index("label")
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    for lab in list(df.index)[:3]:
+        vs = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in
+             emb.loc[emb.label == lab, "embedding"]]
+        )
+        q = np.floor(vs * 1000.0 + 0.5).astype(object)  # exact python ints
+        n = len(q)
+        cent = [Fraction(int(sum(q[:, i])), n) for i in range(q.shape[1])]
+        brute = sum(
+            sum((Fraction(int(q[v, i])) - cent[i]) ** 2
+                for i in range(q.shape[1]))
+            for v in range(n)
+        )
+        assert Fraction(int(df.loc[lab, "spread_xn2"]), n * n) == brute
+        assert int(df.loc[lab, "n_vecs"]) == n
