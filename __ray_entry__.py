@@ -1664,13 +1664,13 @@ FROM documents GROUP BY source
 """,
         "revenue_by_priority": """
 SELECT o_orderpriority,
-       SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS revenue_x10000
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS revenue_x10000
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """,
         "revenue_by_nation": """
-SELECT n_name, SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS revenue_cents
+SELECT n_name, CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey

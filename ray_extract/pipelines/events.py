@@ -43,7 +43,11 @@ def windowed_counts(sf_dir: str, window: str = "hour"):
         return pa.table(
             {
                 "event_type": t.column("event_type"),
-                "window_start": t.column("window_start"),
+                # us precision: floor_temporal yields timestamp[s]; pandas
+                # would surface datetime64[s] vs the oracle's datetime64[us]
+                "window_start": pc.cast(
+                    t.column("window_start"), pa.timestamp("us")
+                ),
                 "n_events": pc.cast(t.column("n_events"), pa.int64()),
                 "sum_value": pa.array(np.round(t.column("sum_value").to_numpy(), 4)),
             }

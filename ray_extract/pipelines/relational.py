@@ -768,7 +768,11 @@ def top_revenue_orders(sf_dir: str, segment: str = "BUILDING",
             lambda t: pa.table(
                 {
                     "o_orderkey": t.column("o_orderkey"),
-                    "o_orderdate": t.column("o_orderdate"),
+                    # timestamp[us] to match the oracle's pandas dtype
+                    # (timestamp[s] surfaces as datetime64[s])
+                    "o_orderdate": pc.cast(
+                        t.column("o_orderdate"), pa.timestamp("us")
+                    ),
                     "revenue_x10000": pc.cast(
                         t.column("revenue_x10000"), pa.int64()
                     ),

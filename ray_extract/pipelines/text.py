@@ -1317,7 +1317,7 @@ def oov_bigram_rate(sf_dir: str, vocab_k: int = 500):
             np.int64
         )
         keep = nb >= 1
-        nbk, noovk = nb[keep], n_oov[keep]
+        nbk, noovk = nb[keep].astype(np.int64), n_oov[keep]
         return pa.table(
             {
                 "doc_id": pa.array(ids[keep]),

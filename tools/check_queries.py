@@ -91,6 +91,10 @@ def main():
             continue
         diffs = []
         for c in got.columns:
+            if got[c].dtype != want[c].dtype:
+                # the driver's value-hash is dtype-sensitive (DuckDB HUGEINT
+                # -> float64/object breaks it even when values are equal)
+                diffs.append(f"{c}: dtype {got[c].dtype} != {want[c].dtype}")
             eq = (got[c].values == want[c].values)
             import numpy as np
 
