@@ -295,12 +295,54 @@ def _extract_flat(sf_dir: str):
 
 # ------------------------------------------------------------------- queries
 
+
 def _q_extract_spans(sf_dir: str):
     _, flat = _extract_flat(sf_dir)
     return flat.map_batches(
         lambda t: _i64(t, {"ord", "offset", "length", "page_number"}),
         batch_format="pyarrow",
     )
+
+
+def _q_pdf_real_extract(sf_dir: str):
+    """Real-PDF text extraction over the reference's own committed PDFs
+    (tests/data/sample-one-page.pdf, sample-two-page.pdf) through the DEFAULT
+    pipeline — the content-stream kernel in functions/pdftext.py replacing the
+    reference's Azure round-trip (azure_wrapper.py:32-61). The oracle is the
+    committed golden block sequence (the reference pins extraction the same
+    way with its golden JSON fixtures). Input is fixed, independent of sf."""
+    import pyarrow as pa
+
+    from ray_extract.functions.hashing import md5_str
+    from ray_extract.pipelines.extract import (
+        ExtractConfig,
+        extract_from_payloads,
+        flatten_blocks,
+    )
+    from ray_extract.sources.files import read_document_dir
+
+    ds = read_document_dir("/root/reference/tests/data", suffix=".pdf")
+    flat = extract_from_payloads(ds, ExtractConfig()).map_batches(
+        flatten_blocks, batch_format="pyarrow"
+    )
+
+    def summarize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        text = t.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "ord": pc.cast(t.column("ord"), pa.int64()),
+                "kind": t.column("kind"),
+                "page_number": pc.cast(t.column("page_number"), pa.int64()),
+                "n_chars": pa.array([len(s) for s in text], type=pa.int64()),
+                "text_md5": pa.array([md5_str(s) for s in text]),
+                "text_prefix": pa.array([s[:48] for s in text]),
+            }
+        )
+
+    return flat.map_batches(summarize, batch_format="pyarrow")
 
 
 def _q_extract_spans_routed(sf_dir: str):
@@ -1168,6 +1210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_parser_output_meta": _q_extract_parser_output_meta,
         "extract_table_cells": _q_extract_table_cells,
         "extract_join_meta": _q_extract_join_meta,
+        "pdf_real_extract": _q_pdf_real_extract,
         "media_decode": _q_media_decode,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -1661,6 +1704,39 @@ SELECT source,
        CAST(max(n_chars) AS BIGINT) AS max_chars,
        CAST(min(n_chars) AS BIGINT) AS min_chars
 FROM documents GROUP BY source
+""",
+        "pdf_real_extract": """
+WITH g(doc_id, ord, kind, page_number, n_chars, text_md5, text_prefix) AS (VALUES
+  ('sample-one-page', 0, 'sectionHeading', 0, 48, 'a8ce6b915d49918d4a4324c10012e126', 'UNITED STATES SECURITIES AND EXCHANGE COMMISSION'),
+  ('sample-one-page', 1, 'sectionHeading', 0, 22, '6fcfeb648db2a02847276d4d4db246d4', 'Washington, D.C. 20549'),
+  ('sample-one-page', 2, 'sectionHeading', 0, 9, '474a4b5890951613a008911af22f99f3', 'FORM 10-Q'),
+  ('sample-one-page', 3, 'sectionHeading', 0, 89, '47afae05cc67294ae78333ab87c97ebf', '☒ QUARTERLY REPORT PURSUANT TO SECTION 13 OR 15('),
+  ('sample-one-page', 4, 'Text', 0, 45, '0a1d792a1d307f5a86d1792c5ae07f39', 'For the Quarterly Period Ended March 31, 2020'),
+  ('sample-one-page', 5, 'sectionHeading', 0, 2, '1d00e7dce692e8dc3f6877f035e3a616', 'OR'),
+  ('sample-one-page', 6, 'sectionHeading', 0, 90, '86c3dd0d7a3467cb6d522fdbc84d4ccb', '☐ TRANSITION REPORT PURSUANT TO SECTION 13 OR 15'),
+  ('sample-one-page', 7, 'Text', 0, 33, 'b08f336205d28945d0f986556e139800', 'For the Transition Period From to'),
+  ('sample-one-page', 8, 'Text', 0, 32, '952004247d5bd0c9615d338d887c0d2f', 'Commission File Number 001-37845'),
+  ('sample-one-page', 9, 'title', 0, 21, '8dbba7c72d247462907b162d95b97b51', 'MICROSOFT CORPORATION'),
+  ('sample-one-page', 10, 'Text', 0, 58, '02f7e98b43fbeae59dd8417df3349157', 'WASHINGTON 91-1144442 (STATE OF INCORPORATION) ('),
+  ('sample-one-page', 11, 'Text', 0, 91, '06106267b312a406a9b841aceb1e74c5', 'ONE MICROSOFT WAY, REDMOND, WASHINGTON 98052-639'),
+  ('sample-one-page', 12, 'Text', 0, 59, '5388eadb9139006f32ed69e752dfee9a', 'Securities registered pursuant to Section 12(b) '),
+  ('sample-one-page', 13, 'Text', 0, 71, '7f0387597214c21fa44afa618a2cd145', 'Title of each class Trading Symbol Name of excha'),
+  ('sample-one-page', 14, 'Text', 0, 219, '373794d6b70c6d009fb4a0f1d2e487b9', 'Common stock, $0.00000625 par value per share MS'),
+  ('sample-one-page', 15, 'Text', 0, 1027, 'd63a19500b4bed11577582442ba1d4e5', 'NONE Indicate by check mark whether the registra'),
+  ('sample-one-page', 16, 'Text', 0, 367, '0b6dd006b135f0ea1d2e68a868c98c9a', 'Large accelerated filer ☒ Accelerated filer Non-'),
+  ('sample-one-page', 17, 'Text', 0, 249, 'e2755e8e775568d5aab50e01f72a6b47', 'Indicate by check mark whether the registrant is'),
+  ('sample-one-page', 18, 'sectionHeading', 0, 105, '7f6f11bbbbb835d84ac3bcc1a6afeca8', 'Class Outstanding as of April 24, 2020 Common St'),
+  ('sample-two-page', 0, 'title', 0, 17, '85dd1ebd329374f4618fd195147c9bb7', 'A Simple PDF File'),
+  ('sample-two-page', 1, 'Text', 0, 41, '47b454ea4d41f89c12dda7e8182f4f25', 'This is a small demonstration .pdf file -'),
+  ('sample-two-page', 2, 'Text', 0, 119, 'eb986e486be22d3421d03e8d6b6704e3', 'just for use in the Virtual Mechanics tutorials.'),
+  ('sample-two-page', 3, 'Text', 0, 239, '896a259775725b714a1bb1a8a4558a0d', 'And more text. And more text. And more text. And'),
+  ('sample-two-page', 4, 'Text', 0, 139, '4ce78b501d1e78b6b551d6fd6cd9c5d5', 'And more text. And more text. And more text. And'),
+  ('sample-two-page', 5, 'sectionHeading', 1, 17, 'efcd4aeb85c214908dcaabbb233696aa', 'Simple PDF File 2'),
+  ('sample-two-page', 6, 'Text', 1, 341, 'bcba2a69e8798516196f58b0b9090d46', '...continued from page 1. Yet more text. And mor'))
+SELECT doc_id, CAST(ord AS BIGINT) AS ord, kind,
+       CAST(page_number AS BIGINT) AS page_number,
+       CAST(n_chars AS BIGINT) AS n_chars, text_md5, text_prefix
+FROM g
 """,
         "revenue_by_priority": """
 SELECT o_orderpriority,

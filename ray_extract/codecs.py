@@ -17,9 +17,10 @@ format:
   split_into_batches semantics.
 
 Layout ANALYSIS of PDF content is not a codec concern: the parse stage's
-kernel is injectable (ExtractConfig.parse_fn); without an injected PDF
-layout parser, PDF documents route/split/dead-letter cleanly but cannot be
-converted — the same boundary the reference has without its Azure client.
+kernel is injectable (ExtractConfig.parse_fn), and its default dispatches by
+magic sniff — SPDF to the structured decode, real PDF bytes to the
+content-stream text extractor in functions/pdftext.py (the local replacement
+for the reference's Azure round-trip, azure_wrapper.py:32-61).
 """
 
 from __future__ import annotations

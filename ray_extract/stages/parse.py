@@ -32,7 +32,6 @@ from ..payload import (
     PARA_DT,
     TAB_DT,
     concat_structured as _concat,
-    decode,
     strings_from_lens,
 )
 from ..schema import LIST_COLUMNS, SCALAR_FIELDS
@@ -68,12 +67,18 @@ class LayoutParser:
         self.roles = list(vocab.ROLES)
         self.max_retries = max_retries
         self.retry_exceptions = retry_exceptions
-        # with the default SPDF kernel, payloads in another registered
-        # format (e.g. real PDF bytes that passed codec validation) fail
-        # fast with an actionable reason instead of retrying a decode that
-        # can never succeed
-        self.spdf_only = parse_fn is None
-        self.parse_fn = parse_fn or decode
+        # default kernel dispatches by magic sniff: SPDF -> structured
+        # decode, real PDF bytes -> the from-scratch content-stream text
+        # extractor (functions/pdftext.py — the local replacement for the
+        # reference's Azure round-trip, azure_wrapper.py:32-61). Payloads in
+        # no registered format fail fast with an actionable reason instead
+        # of retrying a parse that can never succeed.
+        self.auto_kernel = parse_fn is None
+        if parse_fn is None:
+            from ..functions.pdftext import parse_auto
+
+            parse_fn = parse_auto
+        self.parse_fn = parse_fn
         self.split_fallback = split_fallback
         self.fallback_batch_pages = fallback_batch_pages
 
@@ -125,16 +130,15 @@ class LayoutParser:
             raw = payloads[i].as_py()
             if status[i] != "ok" or not raw:
                 continue
-            if self.spdf_only and not raw.startswith(SPDF_MAGIC):
+            if self.auto_kernel and not raw.startswith(SPDF_MAGIC):
                 from ..codecs import codec_for
 
-                c = codec_for(raw)
-                fmt = c.name if c is not None else "unknown"
-                status[i] = "error"
-                error[i] = (f"no layout kernel for format '{fmt}': the default "
-                            "parser reads SPDF only — inject one via "
-                            "ExtractConfig.parse_fn")
-                continue
+                if codec_for(raw) is None:
+                    status[i] = "error"
+                    error[i] = ("no layout kernel for format 'unknown': the "
+                                "default kernels read SPDF and PDF — inject "
+                                "one via ExtractConfig.parse_fn")
+                    continue
             try:
                 flats[i] = call_with_retries(
                     self.parse_fn, raw,
