@@ -623,7 +623,124 @@ def sentence_dedup(sf_dir: str, chunk_words: int = 10, num_buckets: int = 64):
 
 
 # ------------------------------------------------- duplicate-cluster resolve
-def duplicate_clusters(sf_dir: str, max_iters: int = 64):
+def _clusters_label_join(edges, max_iters: int):
+    """Connected components with DATASET-RESIDENT labels — the 100-TB path.
+
+    No node-scale array ever touches the driver: labels live in a
+    (node, label) Dataset; each round is one hash join (edges |><| labels
+    on src, partial-min combiner per dst inside map_batches) unioned with
+    the previous labels and reduced by one groupby-min. The driver sees
+    only the per-round changed-count (a single int). Rounds are bounded by
+    the cluster diameter, as in the broadcast path.
+    """
+    import ray.data as rd  # noqa: F401
+    from ray.data.aggregate import Count, Min
+
+    from .relational import _join_partitions, _multi_join_args
+
+    nparts, agg_args = _multi_join_args(_join_partitions(None))
+    sent = np.iinfo(np.int64).max
+
+    def node_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": np.unique(batch.column("src").to_numpy())})
+
+    labels = (
+        edges.map_batches(node_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="n_"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": pc.cast(t.column("node"), pa.int64()),
+                    "label": pc.cast(t.column("node"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def prop(t: pa.Table) -> pa.Table:
+        # partial min label per dst inside the batch: combiner before the
+        # groupby so the shuffle moves one row per (batch, dst)
+        dst = t.column("dst").to_numpy()
+        lab = t.column("label").to_numpy()
+        order = np.argsort(dst, kind="stable")
+        d, l_ = dst[order], lab[order]
+        starts = np.r_[0, np.flatnonzero(d[1:] != d[:-1]) + 1]
+        return pa.table(
+            {
+                "node": d[starts],
+                "cand": np.minimum.reduceat(l_, starts),
+                "old": np.full(len(starts), sent, dtype=np.int64),
+            }
+        )
+
+    def carry_old(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "cand": t.column("label"),
+                "old": t.column("label"),
+            }
+        )
+
+    for _ in range(max_iters):
+        j = edges.join(
+            labels,
+            join_type="inner",
+            num_partitions=nparts,
+            on=("src",),
+            right_on=("node",),
+            aggregator_ray_remote_args=agg_args,
+        )
+        agg = (
+            j.map_batches(prop, batch_format="pyarrow")
+            .union(labels.map_batches(carry_old, batch_format="pyarrow"))
+            .groupby("node")
+            .aggregate(Min("cand", alias_name="new"),
+                       Min("old", alias_name="old_l"))
+            .materialize()
+        )
+
+        def changed_partial(t: pa.Table) -> pa.Table:
+            nw = pc.cast(t.column("new"), pa.int64()).to_numpy()
+            ol = pc.cast(t.column("old_l"), pa.int64()).to_numpy()
+            return pa.table({"c": pa.array([int((nw < ol).sum())],
+                                           type=pa.int64())})
+
+        changed = agg.map_batches(
+            changed_partial, batch_format="pyarrow"
+        ).sum("c")
+        labels = agg.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": pc.cast(t.column("node"), pa.int64()),
+                    "label": pc.cast(t.column("new"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        if not changed:
+            break
+
+    return labels.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("node"),
+                "cluster_id": t.column("label"),
+                "is_canonical": pc.cast(
+                    pc.equal(t.column("node"), t.column("label")), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def duplicate_clusters(sf_dir: str, max_iters: int = 64,
+                       label_backend: str = "auto",
+                       broadcast_node_limit: int = 50_000_000):
     """Connected components over the simhash near-duplicate pair graph —
     the cluster-resolution step a real dedup pipeline runs AFTER pair
     generation (pairs only say "a~b"; keeping one doc per duplicate GROUP
@@ -646,6 +763,12 @@ def duplicate_clusters(sf_dir: str, max_iters: int = 64):
     join and keep the same iteration structure (or use pointer-jumping to
     cut rounds to O(log diameter)).
 
+    ``label_backend`` picks the label-lookup strategy: "broadcast" (above —
+    fastest while the clustered-node set fits a worker), "join" (fully
+    dataset-resident labels, one hash join per round, nothing node-scale on
+    the driver — see ``_clusters_label_join``), or "auto" (broadcast below
+    ``broadcast_node_limit`` symmetric edge rows, join above).
+
     Output: (doc_id, cluster_id, is_canonical) for every doc that appears
     in at least one qualifying pair; cluster_id = min doc_id of the
     component, is_canonical = 1 for the doc that would be KEPT.
@@ -662,6 +785,13 @@ def duplicate_clusters(sf_dir: str, max_iters: int = 64):
         .map_batches(sym, batch_format="pyarrow")
         .materialize()  # pair-scale, reused every round
     )
+
+    if label_backend == "auto":
+        label_backend = (
+            "broadcast" if edges.count() <= broadcast_node_limit else "join"
+        )
+    if label_backend == "join":
+        return _clusters_label_join(edges, max_iters)
 
     def node_partial(batch: pa.Table) -> pa.Table:
         return pa.table({"node": np.unique(batch.column("src").to_numpy())})
@@ -763,7 +893,141 @@ def degree_distribution(sf_dir: str, max_hamming: int = 3):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
-def triangle_count(sf_dir: str, num_buckets: int = 64):
+def _triangle_join(pairs, n_edges: int, num_buckets: int):
+    """Triangle closure via a wedge |><| edge hash join — the 100-TB path.
+
+    Nothing graph-scale touches the driver or a single worker: wedges are
+    enumerated per apex bucket (same triangular arithmetic as the
+    broadcast path) and emitted as packed (b << 31 | c) keys with
+    per-bucket multiplicity, then CLOSED by an inner hash join against the
+    packed edge-key dataset; n_triangles = sum of matched wedge
+    multiplicities. The wedge count itself needs no enumeration at all:
+    n_wedges = sum over apexes of C(out_degree, 2).
+    """
+    import pandas as pd
+    import ray.data as rd  # noqa: F401
+    from ray.data.aggregate import Sum
+
+    from .relational import _join_partitions, _multi_join_args
+
+    nparts, agg_args = _multi_join_args(_join_partitions(None))
+
+    def edge_keys(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pa.array(
+                    (t.column("doc_a").to_numpy().astype(np.int64) << 31)
+                    | t.column("doc_b").to_numpy().astype(np.int64)
+                )
+            }
+        )
+
+    ek = pairs.map_batches(edge_keys, batch_format="pyarrow").materialize()
+
+    # n_wedges from the out-degree distribution (oriented doc_a < doc_b)
+    def outdeg_partial(t: pa.Table) -> pa.Table:
+        nodes, counts = np.unique(t.column("doc_a").to_numpy(),
+                                  return_counts=True)
+        return pa.table({"apex": nodes, "d": counts.astype(np.int64)})
+
+    n_wedges = int(
+        pairs.map_batches(outdeg_partial, batch_format="pyarrow")
+        .groupby("apex")
+        .aggregate(Sum("d", alias_name="deg"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "w": pa.array(
+                        [
+                            int(
+                                (
+                                    lambda d: (d * (d - 1) // 2).sum()
+                                )(pc.cast(t.column("deg"), pa.int64())
+                                  .to_numpy())
+                            )
+                        ],
+                        type=pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sum("w")
+        or 0
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy()
+        bucket = np.abs((a * np.int64(2654435761)) % np.int64(num_buckets))
+        return t.append_column("bucket", pa.array(bucket))
+
+    def wedge_keys(g):
+        a = g["doc_a"].to_numpy().astype(np.int64)
+        b = g["doc_b"].to_numpy().astype(np.int64)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        n = len(a)
+        if n < 2:
+            return pd.DataFrame({"k": np.array([], dtype=np.int64),
+                                 "w": np.array([], dtype=np.int64)})
+        new_seg = np.ones(n, dtype=bool)
+        new_seg[1:] = a[1:] != a[:-1]
+        starts = np.flatnonzero(new_seg)
+        seg_of = np.cumsum(new_seg) - 1
+        cnt = np.diff(np.r_[starts, n])
+        local = np.arange(n) - starts[seg_of]
+        reps = cnt[seg_of] - 1 - local
+        total = int(reps.sum())
+        if total == 0:
+            return pd.DataFrame({"k": np.array([], dtype=np.int64),
+                                 "w": np.array([], dtype=np.int64)})
+        i_idx = np.repeat(np.arange(n), reps)
+        block_start = np.r_[0, np.cumsum(reps)[:-1]]
+        j_idx = np.arange(total) - np.repeat(block_start, reps) + i_idx + 1
+        cand = (b[i_idx] << 31) | b[j_idx]
+        # combiner: one row per distinct wedge key per bucket
+        keys, w = np.unique(cand, return_counts=True)
+        return pd.DataFrame({"k": keys, "w": w.astype(np.int64)})
+
+    closed = (
+        pairs.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(wedge_keys, batch_format="pandas")
+        .join(
+            ek,
+            join_type="inner",
+            num_partitions=nparts,
+            on=("k",),
+            right_on=("k",),
+            aggregator_ray_remote_args=agg_args,
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "t": pa.array(
+                        [int(pc.sum(t.column("w")).as_py() or 0)],
+                        type=pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sum("t")
+        or 0
+    )
+
+    return pa.table(
+        {
+            "n_edges": pa.array([n_edges], type=pa.int64()),
+            "n_wedges": pa.array([n_wedges], type=pa.int64()),
+            "n_triangles": pa.array([int(closed)], type=pa.int64()),
+        }
+    )
+
+
+def triangle_count(sf_dir: str, num_buckets: int = 64,
+                   closure_backend: str = "auto",
+                   broadcast_edge_limit: int = 20_000_000):
     """Triangle count over the near-duplicate pair graph — the graph-shaped
     aggregate (clustering-coefficient numerator) that complements
     duplicate_clusters / degree_distribution.
@@ -775,10 +1039,12 @@ def triangle_count(sf_dir: str, num_buckets: int = 64):
     near-dup graphs are far smaller than the corpus), each bucket
     enumerates its apexes' neighbor pairs with the same triangular index
     arithmetic as _bucket_pairs (work proportional to the wedge count),
-    and closure is a binary search against the packed edge set broadcast
-    via ``ray.put`` — the same small-side-broadcast assumption as the
-    bloom semi-join, valid while the EDGE LIST fits a worker (for denser
-    graphs, replace the broadcast with a second hash-join on (b, c)).
+    and closure checks against the packed edge set. ``closure_backend``
+    picks the closure strategy: "broadcast" (packed edge keys via
+    ``ray.put``, in-kernel binary search — fastest while the EDGE LIST
+    fits a worker), "join" (wedge keys |><| edge keys hash join, nothing
+    graph-scale on any single node — see ``_triangle_join``), or "auto"
+    (broadcast below ``broadcast_edge_limit`` edges, join above).
     Packing assumes doc ids < 2^31.
 
     Output: one row (n_edges, n_wedges, n_triangles).
@@ -788,7 +1054,14 @@ def triangle_count(sf_dir: str, num_buckets: int = 64):
 
     pairs = simhash_pairs(sf_dir).map_batches(
         lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"
-    ).materialize()  # reused: broadcast closure set + wedge enumeration
+    ).materialize()  # reused: closure set/join + wedge enumeration
+
+    if closure_backend == "auto":
+        closure_backend = (
+            "broadcast" if pairs.count() <= broadcast_edge_limit else "join"
+        )
+    if closure_backend == "join":
+        return _triangle_join(pairs, pairs.count(), num_buckets)
 
     edge_refs = pairs.map_batches(
         lambda t: pa.table(
@@ -886,7 +1159,8 @@ def triangle_count(sf_dir: str, num_buckets: int = 64):
 
 
 def blocked_linkage(sf_dir: str, prefix_chars: int = 8, max_len_diff: int = 2,
-                    num: int = 1, den: int = 2, num_buckets: int = 64):
+                    num: int = 1, den: int = 2, num_buckets: int = 64,
+                    max_block_df: int | None = None):
     """Blocked record linkage — the classic entity-resolution join: only
     documents sharing a BLOCKING KEY (text prefix) are compared, candidates
     within the block must also pass a cheap length filter
@@ -897,10 +1171,15 @@ def blocked_linkage(sf_dir: str, prefix_chars: int = 8, max_len_diff: int = 2,
     shared shingles): blocking trades recall (cross-prefix matches are
     invisible — the standard linkage trade) for a candidate count bounded
     by block sizes. Scale shape: one shuffle on hash(prefix) — all
-    occurrences of a block land together (hot prefixes skew the bucket;
-    cap block size upstream for adversarial corpora) — then the same
-    triangular pair enumeration and packed-key np.unique aggregation as
-    the jaccard pipeline; integer-only verification.
+    occurrences of a block land together — then the same triangular pair
+    enumeration and packed-key np.unique aggregation as the jaccard
+    pipeline; integer-only verification. ``max_block_df`` caps the hot
+    blocks: a (prefix, word) key shared by more than this many documents
+    is dropped before pairing (a boilerplate prefix over 1% of a 100-TB
+    corpus otherwise makes one block quadratic) — the same per-bucket
+    exact-global-df cap as ngram_jaccard's max_shingle_df; None keeps the
+    SQL oracle exhaustive and MUST be set for adversarial corpora at
+    scale.
 
     Output: (doc_a, doc_b, inter, uni) for linked pairs.
     """
@@ -938,7 +1217,8 @@ def blocked_linkage(sf_dir: str, prefix_chars: int = 8, max_len_diff: int = 2,
     sh = sh.map_batches(_add_bucket("prefix", num_buckets),
                         batch_format="pandas")
     pairs = sh.groupby("bucket").map_groups(
-        _bucket_pairs(["prefix", "word"], ["n_sh"]), batch_format="pandas"
+        _bucket_pairs(["prefix", "word"], ["n_sh"], max_key_df=max_block_df),
+        batch_format="pandas",
     )
 
     def pair_bucket(batch: pa.Table) -> pa.Table:
@@ -974,7 +1254,135 @@ def blocked_linkage(sf_dir: str, prefix_chars: int = 8, max_len_diff: int = 2,
     )
 
 
-def pagerank_dup_graph(sf_dir: str, n_iter: int = 3):
+def _pagerank_join(pairs, n_iter: int):
+    """PageRank with the adjacency as a DATASET — the 100-TB path.
+
+    The edge list never leaves the object store: degrees come from one
+    groupby, (src, dst, deg) is materialized once, and each power-iteration
+    step is a ranks |><| edges hash join (contribution = r // deg computed
+    per joined row, partial-summed per dst inside the batch) followed by
+    the dst-keyed groupby every distributed PageRank pays.
+    """
+    import ray.data as rd  # noqa: F401
+    from ray.data.aggregate import Sum
+
+    from .relational import _join_partitions, _multi_join_args
+
+    nparts, agg_args = _multi_join_args(_join_partitions(None))
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy().astype(np.int64)
+        b = batch.column("doc_b").to_numpy().astype(np.int64)
+        return pa.table({"src": np.r_[a, b], "dst": np.r_[b, a]})
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        nodes, counts = np.unique(batch.column("src").to_numpy(),
+                                  return_counts=True)
+        return pa.table({"node": nodes, "d": counts.astype(np.int64)})
+
+    deg = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("d", alias_name="deg"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": pc.cast(t.column("node"), pa.int64()),
+                    "deg": pc.cast(t.column("deg"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    edges_deg = (
+        edges.join(
+            deg,
+            join_type="inner",
+            num_partitions=nparts,
+            on=("src",),
+            right_on=("node",),
+            aggregator_ray_remote_args=agg_args,
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t.column("src"),
+                    "dst": t.column("dst"),
+                    "deg": t.column("deg"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # reused every iteration
+    )
+
+    ranks = deg.map_batches(
+        lambda t: pa.table(
+            {
+                "rnode": t.column("node"),
+                "r": pa.array(np.full(len(t), 1_000_000, dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def contribute(t: pa.Table) -> pa.Table:
+        dst = t.column("dst").to_numpy()
+        c = t.column("r").to_numpy() // t.column("deg").to_numpy()
+        order = np.argsort(dst, kind="stable")
+        d, cs = dst[order], c[order]
+        starts = np.r_[0, np.flatnonzero(d[1:] != d[:-1]) + 1]
+        return pa.table(
+            {"node": d[starts], "c": np.add.reduceat(cs, starts)}
+        )
+
+    for _ in range(n_iter):
+        ranks = (
+            edges_deg.join(
+                ranks,
+                join_type="inner",
+                num_partitions=nparts,
+                on=("src",),
+                right_on=("rnode",),
+                aggregator_ray_remote_args=agg_args,
+            )
+            .map_batches(contribute, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("c", alias_name="s"))
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "rnode": pc.cast(t.column("node"), pa.int64()),
+                        "r": pa.array(
+                            150_000
+                            + (85 * pc.cast(t.column("s"), pa.int64())
+                               .to_numpy()) // 100
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+    return ranks.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("rnode"),
+                "rank": pc.cast(t.column("r"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def pagerank_dup_graph(sf_dir: str, n_iter: int = 3,
+                       edge_backend: str = "auto",
+                       broadcast_edge_limit: int = 20_000_000):
     """PageRank over the (undirected) near-dup pair graph — the ITERATIVE
     distributed algorithm the engine otherwise lacks: each of ``n_iter``
     power-iteration steps is one broadcast-adjacency contribution fan-out
@@ -983,10 +1391,12 @@ def pagerank_dup_graph(sf_dir: str, n_iter: int = 3):
 
     All arithmetic is integer fixed-point so the unrolled SQL oracle is
     exact: r0 = 10^6; r_{k+1}(v) = 150000 + (85 * sum over in-edges of
-    (r_k(u) // deg(u))) // 100. The adjacency (src-sorted edge arrays +
-    degrees) is broadcast via ``ray.put`` — the same sparse-edge-list
-    assumption as triangle_count; for graphs beyond worker memory the
-    fan-out becomes a ranks |><| edges hash join instead.
+    (r_k(u) // deg(u))) // 100. ``edge_backend`` picks the adjacency
+    strategy: "broadcast" (src-sorted edge arrays + degrees via ``ray.put``
+    — fastest while the sparse edge list fits a worker), "join" (adjacency
+    stays a Dataset, one ranks |><| edges hash join per iteration — see
+    ``_pagerank_join``), or "auto" (broadcast below
+    ``broadcast_edge_limit`` edges, join above).
 
     Output: (doc_id, rank) after ``n_iter`` iterations.
     """
@@ -997,6 +1407,15 @@ def pagerank_dup_graph(sf_dir: str, n_iter: int = 3):
     pairs = simhash_pairs(sf_dir).map_batches(
         lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"
     )
+    if edge_backend != "broadcast":
+        pairs = pairs.materialize()
+        if edge_backend == "auto":
+            edge_backend = (
+                "broadcast" if pairs.count() <= broadcast_edge_limit
+                else "join"
+            )
+        if edge_backend == "join":
+            return _pagerank_join(pairs, n_iter)
     edge_refs = pairs.to_arrow_refs()
     et = pa.concat_tables(ray.get(edge_refs))
     a = et.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)

@@ -39,9 +39,18 @@ class MediaDecoder:
         raise NotImplementedError("media byte decoding requires image/audio libs")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        refs = batch.column("media_ref").to_pylist()
-        feats = [hashlib.md5(r.encode()).hexdigest() for r in refs]
-        lens = np.array([len(r) for r in refs], dtype=np.int64)
+        # md5 is per-element by nature; feed it zero-copy slices of the
+        # Arrow string buffer instead of materializing Python strings
+        refs = pc.cast(batch.column("media_ref").combine_chunks(), pa.string())
+        offs = np.frombuffer(refs.buffers()[1], dtype=np.int32)[
+            refs.offset : refs.offset + len(refs) + 1
+        ]
+        data = memoryview(refs.buffers()[2])
+        feats = [
+            hashlib.md5(data[offs[i] : offs[i + 1]]).hexdigest()
+            for i in range(len(refs))
+        ]
+        lens = np.diff(offs).astype(np.int64)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),

@@ -444,7 +444,8 @@ def approx_distinct_hll(sf_dir: str, p: int = 6):
     )
 
 
-def tfidf_top_terms(sf_dir: str, k: int = 5):
+def tfidf_top_terms(sf_dir: str, k: int = 5, vocab_backend: str = "auto",
+                    broadcast_vocab_limit: int = 20_000_000):
     """Top-k TF-IDF-scored terms per source — the vocabulary-building /
     keyword-extraction operator of a training-data pipeline.
 
@@ -465,17 +466,20 @@ def tfidf_top_terms(sf_dir: str, k: int = 5):
        The result is vocabulary-sized (|terms| x |sources| upper bound,
        zipf-bounded in practice) — materialized ONCE so the df reduction
        and the join don't recompute the corpus scan.
-    3. groupby(term) over that aggregate -> df(term), then the df table is
-       BROADCAST (``ray.put`` once, zero-copy ``ray.get`` + Arrow hash join
-       per batch) back onto the distributed (source, term, tf) aggregate.
-       A vocabulary df table is zipf-small relative to the corpus, so
-       broadcast beats a shuffle join here; for vocabularies too large to
-       broadcast, hash-bucket BOTH sides on the term and join bucket-local.
-       (A native ``Dataset.join`` also works but trips a Ray 2.49 edge: the
-       join schema reaches aggregators only with each input's first block,
-       and groupby outputs can START with an empty block — partitions that
-       then receive no rows finalize a column-less table and the Arrow join
-       fails. Broadcast sidesteps the shuffle entirely.)
+    3. groupby(term) over that aggregate -> df(term), joined back onto the
+       distributed (source, term, tf) aggregate. ``vocab_backend`` picks
+       the join strategy: "broadcast" (df table via ``ray.put`` once,
+       zero-copy ``ray.get`` + Arrow hash join per batch — a zipf-small
+       vocabulary beats a shuffle), "join" (a native hash-shuffle
+       ``Dataset.join`` on the term — the path for web-scale vocabularies
+       that exceed driver/worker RAM; NOTHING vocabulary-scale is ever
+       collected), or "auto" (broadcast below ``broadcast_vocab_limit``
+       (source x term) aggregate rows, join above).
+       (Ray 2.49 join edge, relevant to tiny inputs only: the join schema
+       reaches aggregators with each input's first block, and groupby
+       outputs can START with an empty block — partitions that then
+       receive no rows can finalize column-less. Ample vocabularies —
+       exactly when "join" is selected — populate every partition.)
     4. Grouped top-k with the same combiner shape as top_docs_per_source:
        per-batch head(k) per source, final per-source reduction over
        <= k x n_blocks candidate rows. Tiebreak: score desc, term asc.
@@ -528,6 +532,68 @@ def tfidf_top_terms(sf_dir: str, k: int = 5):
     )
     import ray
 
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["score_ppm", "term"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["source", "term", "tf", "df", "score_ppm", "rnk"]]
+
+    if vocab_backend == "auto":
+        vocab_backend = (
+            "broadcast" if agg.count() <= broadcast_vocab_limit else "join"
+        )
+    if vocab_backend == "join":
+        from .relational import _join_partitions, _multi_join_args
+
+        nparts, agg_args = _multi_join_args(_join_partitions(None))
+        voc = (
+            agg.groupby("w")
+            .aggregate(Sum("df", alias_name="df_total"))
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "wv": pc.cast(t.column("w"), pa.string()),
+                        "df_total": pc.cast(t.column("df_total"), pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+        def score_joined(batch: pa.Table) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {
+                    "source": batch.column("source").to_pandas(),
+                    "term": pc.cast(batch.column("w"), pa.string()).to_pandas(),
+                    "tf": pc.cast(batch.column("tf"), pa.int64()).to_numpy(),
+                    "df": pc.cast(batch.column("df_total"), pa.int64())
+                    .to_numpy(),
+                }
+            )
+            out["score_ppm"] = out["tf"] * 1_000_000 // out["df"]
+            out = out.sort_values(
+                ["source", "score_ppm", "term"],
+                ascending=[True, False, True], kind="mergesort",
+            )
+            return out.groupby("source", sort=False).head(k)
+
+        return (
+            agg.select_columns(["source", "w", "tf"])
+            .join(
+                voc,
+                join_type="inner",
+                num_partitions=nparts,
+                on=("w",),
+                right_on=("wv",),
+                aggregator_ray_remote_args=agg_args,
+            )
+            .map_batches(score_joined, batch_format="pyarrow")
+            .groupby("source")
+            .map_groups(final, batch_format="pandas")
+        )
+
     voc_pd = agg.groupby("w").aggregate(Sum("df", alias_name="df_total")).to_pandas()
     voc_tbl = pa.table(
         {
@@ -574,14 +640,6 @@ def tfidf_top_terms(sf_dir: str, k: int = 5):
         return out.groupby("source", sort=False).head(k)
 
     joined = agg.select_columns(["source", "w", "tf"])
-
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["score_ppm", "term"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        g = g.reset_index(drop=True)
-        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["source", "term", "tf", "df", "score_ppm", "rnk"]]
 
     return (
         joined.map_batches(score_partial, batch_format="pyarrow")

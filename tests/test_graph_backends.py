@@ -1,0 +1,45 @@
+"""Dup-graph ops: the dataset-resident (join) backends must produce exactly
+the broadcast backends' results (the broadcast paths are oracle-verified by
+the driver; these tests force the 100-TB join paths over the same input).
+"""
+
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _norm(x):
+    if hasattr(x, "to_pandas"):
+        x = x.to_pandas()
+    return x.sort_values(list(x.columns)).reset_index(drop=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_duplicate_clusters_join_backend_matches_broadcast():
+    from ray_extract.pipelines.dedup import duplicate_clusters
+
+    b = _norm(duplicate_clusters(SF, label_backend="broadcast"))
+    j = _norm(duplicate_clusters(SF, label_backend="join"))
+    assert len(b) > 0
+    pd.testing.assert_frame_equal(b, j)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_join_backend_matches_broadcast():
+    from ray_extract.pipelines.dedup import pagerank_dup_graph
+
+    b = _norm(pagerank_dup_graph(SF, edge_backend="broadcast"))
+    j = _norm(pagerank_dup_graph(SF, edge_backend="join"))
+    assert len(b) > 0
+    pd.testing.assert_frame_equal(b, j)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triangle_count_join_backend_matches_broadcast():
+    from ray_extract.pipelines.dedup import triangle_count
+
+    b = _norm(triangle_count(SF, closure_backend="broadcast"))
+    j = _norm(triangle_count(SF, closure_backend="join"))
+    assert b["n_triangles"][0] > 0
+    pd.testing.assert_frame_equal(b, j)
