@@ -345,6 +345,42 @@ def _q_pdf_real_extract(sf_dir: str):
     return flat.map_batches(summarize, batch_format="pyarrow")
 
 
+def _q_order_count_distribution(sf_dir: str):
+    from ray_extract.pipelines.relational import order_count_distribution
+
+    return order_count_distribution(sf_dir)
+
+
+def _q_local_supplier_volume(sf_dir: str):
+    from ray_extract.pipelines.relational import local_supplier_volume
+
+    return local_supplier_volume(sf_dir)
+
+
+def _q_global_sales_opportunity(sf_dir: str):
+    from ray_extract.pipelines.relational import global_sales_opportunity
+
+    return global_sales_opportunity(sf_dir)
+
+
+def _q_kmeans_assign(sf_dir: str):
+    from ray_extract.pipelines.similarity import kmeans_assign
+
+    return kmeans_assign(sf_dir)
+
+
+def _q_contamination_check(sf_dir: str):
+    from ray_extract.pipelines.dedup import contamination_check
+
+    return contamination_check(sf_dir)
+
+
+def _q_cross_source_dup_matrix(sf_dir: str):
+    from ray_extract.pipelines.dedup import cross_source_dup_matrix
+
+    return cross_source_dup_matrix(sf_dir)
+
+
 def _q_extract_spans_routed(sf_dir: str):
     """Same result as extract_spans, but through the ROUTED topology (the
     production path: payload corpus on disk, two filtered reads, small docs
@@ -1211,6 +1247,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_table_cells": _q_extract_table_cells,
         "extract_join_meta": _q_extract_join_meta,
         "pdf_real_extract": _q_pdf_real_extract,
+        "kmeans_assign": _q_kmeans_assign,
+        "contamination_check": _q_contamination_check,
+        "cross_source_dup_matrix": _q_cross_source_dup_matrix,
+        "order_count_distribution": _q_order_count_distribution,
+        "local_supplier_volume": _q_local_supplier_volume,
+        "global_sales_opportunity": _q_global_sales_opportunity,
         "media_decode": _q_media_decode,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -1704,6 +1746,96 @@ SELECT source,
        CAST(max(n_chars) AS BIGINT) AS max_chars,
        CAST(min(n_chars) AS BIGINT) AS min_chars
 FROM documents GROUP BY source
+""",
+        "kmeans_assign": """
+WITH dims AS (
+  SELECT vec_id, u.i AS i,
+         least(greatest(CAST(floor(CAST(embedding[i] AS DOUBLE) * 127 + 0.5)
+                             AS BIGINT), -31), 31) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+cids AS (SELECT vec_id AS cid FROM embeddings ORDER BY vec_id LIMIT 8),
+cent AS (SELECT cids.cid, d.i, d.q AS cq
+         FROM dims d JOIN cids ON d.vec_id = cids.cid),
+dist AS (SELECT d.vec_id, c.cid,
+                CAST(SUM((d.q - c.cq) * (d.q - c.cq)) AS BIGINT) AS d2
+         FROM dims d JOIN cent c ON d.i = c.i GROUP BY 1, 2),
+best AS (SELECT vec_id, cid, d2,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d2 ASC, cid ASC) AS rn
+         FROM dist)
+SELECT CAST(cid AS BIGINT) AS centroid_id,
+       CAST(count(*) AS BIGINT) AS n_assigned,
+       CAST(sum(d2) AS BIGINT) AS sum_d2,
+       CAST(min(d2) AS BIGINT) AS min_d2,
+       CAST(max(d2) AS BIGINT) AS max_d2
+FROM best WHERE rn = 1 GROUP BY cid
+""",
+        "contamination_check": """
+WITH docs AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+              FROM documents),
+sh AS (SELECT DISTINCT doc_id, source,
+              array_to_string(ws[u.i:u.i+2], ' ') AS shingle
+       FROM docs, unnest(range(1, len(ws) - 1)) AS u(i)),
+bs AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+hits AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n
+         FROM sh s JOIN bs USING (shingle)
+         WHERE s.source <> 'src0' GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_shared,
+       CAST(CASE WHEN coalesce(h.n, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS contaminated
+FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+""",
+        "cross_source_dup_matrix": """
+WITH d AS (SELECT DISTINCT
+             md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS h,
+             source
+           FROM documents),
+p AS (SELECT a.source AS source_a, b.source AS source_b
+      FROM d a JOIN d b ON a.h = b.h AND a.source < b.source)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared_texts
+FROM p GROUP BY 1, 2
+""",
+        "order_count_distribution": """
+WITH oc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1),
+d AS (SELECT c.c_custkey, coalesce(oc.n, 0) AS c_count
+      FROM customer c LEFT JOIN oc ON c.c_custkey = oc.o_custkey)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM d GROUP BY c_count
+""",
+        "local_supplier_volume": """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+            AS BIGINT) AS revenue_x10000
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+""",
+        "global_sales_opportunity": """
+WITH pos AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                         AS BIGINT) AS s
+             FROM customer WHERE c_acctbal > 0),
+c AS (SELECT c_custkey, CAST(c_nationkey % 7 AS BIGINT) AS code,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+      FROM customer),
+f AS (SELECT c.* FROM c, pos
+      WHERE c.bal * pos.n > pos.s
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT'))
+SELECT code AS cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(bal) AS BIGINT) AS totacctbal_cents
+FROM f GROUP BY code
 """,
         "pdf_real_extract": """
 WITH g(doc_id, ord, kind, page_number, n_chars, text_md5, text_prefix) AS (VALUES

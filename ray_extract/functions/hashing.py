@@ -37,6 +37,11 @@ def md5_str(s: str) -> str:
     return hashlib.md5(s.encode()).hexdigest()
 
 
+def md5_bytes(b) -> str:
+    """md5 hex of a bytes-like (feed zero-copy Arrow buffer slices)."""
+    return hashlib.md5(b).hexdigest()
+
+
 # ------------------------------------------------------- vectorized kernels
 # The scalar forms above are the SPECIFICATION (and what the DuckDB oracles
 # mirror); the batch forms below compute identical values with numpy — the

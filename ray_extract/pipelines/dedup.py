@@ -29,6 +29,7 @@ import pyarrow.compute as pc
 
 from ..functions.hashing import (
     lsh_bands,
+    md5_bytes,
     md5_str,
     minhash_signature,
     simhash32_batch,
@@ -1856,3 +1857,218 @@ def jaccard_prefix_join(sf_dir: str, k: int = 3, num: int = 1, den: int = 2,
         )
 
     return final.map_batches(finish, batch_format="pyarrow")
+
+
+def contamination_check(sf_dir: str, bench_source: str = "src0", k: int = 3):
+    """Benchmark decontamination — the pre-training hygiene op: for every
+    corpus document, how many distinct word k-shingles it shares with a
+    held-out benchmark set (here: all documents of ``bench_source``), and a
+    contaminated flag. Docs with n-gram overlap against eval sets must be
+    dropped before training.
+
+    Scale shape: shingles explode once per side (all-Arrow, distinct per
+    doc); the benchmark side is reduced to a globally-distinct shingle set
+    by one groupby (benchmark sets are corpus-small but NOT assumed
+    driver-small: the overlap test is a native hash-shuffle semi-join on
+    the shingle, never a broadcast); hit counts per doc pre-combine inside
+    batches, and zero-hit docs surface via a union with a zero row per doc
+    instead of a second join.
+
+    Output: (doc_id, n_shared, contaminated) over all non-benchmark docs.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from .relational import _join_partitions, _multi_join_args
+
+    nparts, agg_args = _multi_join_args(_join_partitions(None))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc_u, sh, _n = word_shingles_batch(batch.column("text"), k)
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        src = batch.column("source").combine_chunks()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[doc_u]),
+                "source": pc.take(src, pa.array(doc_u)),
+                "shingle": sh,
+            }
+        )
+
+    sh = (
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+        )
+        .map_batches(lambda t: t.replace_schema_metadata(None),
+                     batch_format="pyarrow")
+        .map_batches(explode, batch_format="pyarrow")
+        .materialize()  # scanned twice (benchmark side + corpus side)
+    )
+
+    bench = (
+        sh.filter(expr=f"source == '{bench_source}'")
+        .groupby("shingle")
+        .aggregate(Count(alias_name="bn_"))
+        .map_batches(
+            lambda t: pa.table(
+                {"bshingle": pc.cast(t.column("shingle"), pa.string())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    corpus = sh.filter(expr=f"source != '{bench_source}'")
+
+    def hit_partial(t: pa.Table) -> pa.Table:
+        ids, counts = np.unique(
+            pc.cast(t.column("doc_id"), pa.int64()).to_numpy(),
+            return_counts=True,
+        )
+        return pa.table({"doc_id": ids, "n": counts.astype(np.int64)})
+
+    hits = (
+        corpus.select_columns(["doc_id", "shingle"])
+        .join(
+            bench,
+            join_type="inner",
+            num_partitions=nparts,
+            on=("shingle",),
+            right_on=("bshingle",),
+            aggregator_ray_remote_args=agg_args,
+        )
+        .map_batches(hit_partial, batch_format="pyarrow")
+    )
+
+    def zero_rows(t: pa.Table) -> pa.Table:
+        # from the RAW doc table, not the exploded shingles: docs shorter
+        # than k words have no shingles but must still report n_shared = 0
+        keep = pc.not_equal(t.column("source"), bench_source)
+        ids = pc.cast(t.column("doc_id"), pa.int64()).filter(keep).to_numpy()
+        return pa.table(
+            {"doc_id": ids, "n": np.zeros(len(ids), dtype=np.int64)}
+        )
+
+    zeros = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).map_batches(zero_rows, batch_format="pyarrow")
+
+    return (
+        hits.union(zeros)
+        .groupby("doc_id")
+        .aggregate(Sum("n", alias_name="n_shared"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                    "n_shared": pc.cast(t.column("n_shared"), pa.int64()),
+                    "contaminated": pc.cast(
+                        pc.greater(
+                            pc.cast(t.column("n_shared"), pa.int64()), 0
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def cross_source_dup_matrix(sf_dir: str, fingerprint_words: int = 5):
+    """Cross-source near-duplicate matrix: for every source pair, how many
+    distinct document FINGERPRINTS (md5 of the first ``fingerprint_words``
+    words — the cheap head-prefix fingerprint) occur in BOTH — the mixing
+    diagnostic run before weighting corpus sources (a high shared count
+    means two "sources" are substantially the same crawl).
+
+    Scale shape: one shuffle on the fingerprint hash carrying
+    per-batch-distinct (hash, source) rows; each fingerprint group emits
+    its C(s, 2) source pairs (s <= |sources|, bounded); pair counts
+    pre-combine per batch and finish in a bounded-domain repartition(1)
+    reduce over <= |sources|^2 rows.
+
+    Output: (source_a, source_b, n_shared_texts) with source_a < source_b.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        words = pc.split_pattern(text, " ")
+        prefix = pc.binary_join(
+            pc.list_slice(words, 0, fingerprint_words), " "
+        )
+        offs = np.frombuffer(prefix.buffers()[1], dtype=np.int32)[
+            prefix.offset : prefix.offset + len(prefix) + 1
+        ]
+        data = memoryview(prefix.buffers()[2])
+        hashes = [
+            md5_bytes(data[offs[i] : offs[i + 1]])
+            for i in range(len(prefix))
+        ]
+        t = pa.table(
+            {
+                "content_hash": pa.array(hashes, type=pa.string()),
+                "source": batch.column("source").combine_chunks(),
+            }
+        )
+        # per-batch distinct (hash, source)
+        return t.group_by(["content_hash", "source"]).aggregate([])
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # g: all (hash, source) rows of one hash partition
+        g = g.drop_duplicates(["content_hash", "source"])
+        g = g.sort_values(["content_hash", "source"], kind="mergesort")
+        h = g["content_hash"].to_numpy()
+        s = g["source"].to_numpy()
+        n = len(g)
+        new_seg = np.ones(n, dtype=bool)
+        new_seg[1:] = h[1:] != h[:-1]
+        starts = np.flatnonzero(new_seg)
+        seg_of = np.cumsum(new_seg) - 1
+        cnt = np.diff(np.r_[starts, n])
+        local = np.arange(n) - starts[seg_of]
+        reps = cnt[seg_of] - 1 - local
+        total = int(reps.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {
+                    "source_a": pd.Series([], dtype=object),
+                    "source_b": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        i_idx = np.repeat(np.arange(n), reps)
+        block_start = np.r_[0, np.cumsum(reps)[:-1]]
+        j_idx = np.arange(total) - np.repeat(block_start, reps) + i_idx + 1
+        df = pd.DataFrame({"source_a": s[i_idx], "source_b": s[j_idx]})
+        out = df.groupby(["source_a", "source_b"], sort=False).size()
+        out = out.reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    ds = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["text", "source"])
+        .map_batches(add_hash, batch_format="pyarrow")
+        .map_batches(_add_bucket("content_hash", 64), batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(group_pairs, batch_format="pandas")
+    )
+
+    return (
+        ds.repartition(1)
+        .map_batches(
+            lambda t: (
+                lambda g: pa.table(
+                    {
+                        "source_a": g.column("source_a"),
+                        "source_b": g.column("source_b"),
+                        "n_shared_texts": pc.cast(g.column("n_sum"),
+                                                  pa.int64()),
+                    }
+                )
+            )(t.group_by(["source_a", "source_b"]).aggregate([("n", "sum")])),
+            batch_format="pyarrow",
+        )
+    )

@@ -2049,3 +2049,354 @@ def part_price_deviation(sf_dir: str, num_partitions: int | None = None):
         ),
         batch_format="pyarrow",
     )
+
+
+def order_count_distribution(sf_dir: str, num_partitions: int | None = None):
+    """Customer order-count distribution (TPC-H Q13 shape): how many
+    customers placed exactly k orders — INCLUDING the zero-order customers
+    only a left join surfaces.
+
+    Scale shape: order counts are pre-combined per custkey inside each
+    batch (the shuffle moves one row per distinct custkey per block), the
+    customer projection LEFT-joins them natively (big-big hash shuffle,
+    nulls -> 0), and the final histogram is a bounded-domain reduce:
+    per-batch bincounts, repartition(1), one Arrow group_by over <= a few
+    hundred distinct counts.
+
+    Output: (c_count, custdist).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    num_partitions, agg_args = _multi_join_args(_join_partitions(num_partitions))
+
+    def oc_partial(batch: pa.Table) -> pa.Table:
+        keys, counts = np.unique(
+            pc.cast(batch.column("o_custkey"), pa.int64()).to_numpy(),
+            return_counts=True,
+        )
+        return pa.table({"o_custkey": keys, "n": counts.astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    oc = (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        )
+        .map_batches(oc_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="n_orders"))
+    )
+
+    cust = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    ).map_batches(
+        lambda t: pa.table(
+            {"c_custkey": pc.cast(t.column("c_custkey"), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = cust.join(
+        oc,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+        aggregator_ray_remote_args=agg_args,
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        n = pc.cast(t.column("n_orders"), pa.int64()).fill_null(0).to_numpy(
+            zero_copy_only=False
+        )
+        vals, counts = np.unique(n, return_counts=True)
+        return pa.table({"c_count": vals, "custdist": counts.astype(np.int64)})
+
+    return (
+        joined.map_batches(hist_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(
+            lambda t: (
+                lambda g: pa.table(
+                    {
+                        "c_count": pc.cast(g.column("c_count"), pa.int64()),
+                        "custdist": pc.cast(g.column("custdist_sum"), pa.int64()),
+                    }
+                )
+            )(t.group_by("c_count").aggregate([("custdist", "sum")])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def local_supplier_volume(sf_dir: str, num_partitions: int | None = None):
+    """Revenue from lineitems whose supplier and ordering customer share a
+    nation (TPC-H Q5 shape), per region and nation.
+
+    Scale shape: supplier (tiny) and nation+region (bounded) are broadcast
+    dimensions resolved inside map_batches; the two big-big hops —
+    lineitem |><| orders on orderkey and the result |><| customer on
+    custkey — are native hash-shuffle joins with per-batch combiners
+    feeding them. The c_nationkey = s_nationkey locality filter runs
+    per joined batch before the bounded (region, nation) reduce.
+
+    Output: (r_name, n_name, revenue_x10000).
+    """
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    num_partitions, agg_args = _multi_join_args(_join_partitions(num_partitions))
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sup = pa.table(
+        {
+            "l_suppkey": pc.cast(sup.column("s_suppkey"), pa.int64()),
+            "s_nationkey": pc.cast(sup.column("s_nationkey"), pa.int64()),
+        }
+    ).replace_schema_metadata(None)
+    sup_ref = ray.put(sup)
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    nr = pa.table(
+        {
+            "nk": pc.cast(nat.column("n_nationkey"), pa.int64()),
+            "n_name": pc.cast(nat.column("n_name"), pa.string()),
+            "rk": pc.cast(nat.column("n_regionkey"), pa.int64()),
+        }
+    ).join(
+        pa.table(
+            {
+                "rk": pc.cast(reg.column("r_regionkey"), pa.int64()),
+                "r_name": pc.cast(reg.column("r_name"), pa.string()),
+            }
+        ),
+        keys="rk",
+    ).replace_schema_metadata(None)
+    nr_ref = ray.put(nr)
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        dim = ray.get(sup_ref)
+        price = _cents(batch.column("l_extendedprice"))
+        disc = _cents(batch.column("l_discount"))
+        t = pa.table(
+            {
+                "l_orderkey": pc.cast(batch.column("l_orderkey"), pa.int64()),
+                "l_suppkey": pc.cast(batch.column("l_suppkey"), pa.int64()),
+                "rev": pa.array(price * (100 - disc)),
+            }
+        ).join(dim, keys="l_suppkey", join_type="inner")
+        return t.group_by(["l_orderkey", "s_nationkey"]).aggregate(
+            [("rev", "sum")]
+        )
+
+    li = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        )
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    orders = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"])
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    cust = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"])
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": pc.cast(t.column("c_custkey"), pa.int64()),
+                "c_nationkey": pc.cast(t.column("c_nationkey"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        aggregator_ray_remote_args=agg_args,
+    ).join(
+        cust,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+        aggregator_ray_remote_args=agg_args,
+    )
+
+    def local_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.equal(t.column("s_nationkey"), t.column("c_nationkey"))
+        )
+        dim = ray.get(nr_ref)
+        j = pa.table(
+            {
+                "nk": t.column("s_nationkey"),
+                "rev": pc.cast(t.column("rev_sum"), pa.int64()),
+            }
+        ).join(dim, keys="nk", join_type="inner")
+        return j.group_by(["r_name", "n_name"]).aggregate([("rev", "sum")])
+
+    return (
+        joined.map_batches(local_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(
+            lambda t: (
+                lambda g: pa.table(
+                    {
+                        "r_name": g.column("r_name"),
+                        "n_name": g.column("n_name"),
+                        "revenue_x10000": pc.cast(
+                            g.column("rev_sum_sum"), pa.int64()
+                        ),
+                    }
+                )
+            )(t.group_by(["r_name", "n_name"]).aggregate([("rev_sum", "sum")])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def global_sales_opportunity(sf_dir: str, n_codes: int = 7,
+                             num_partitions: int | None = None):
+    """Wealthy-but-inactive customers per country code (TPC-H Q22 shape):
+    customers whose balance beats the average POSITIVE balance and who
+    never placed a 1-URGENT order (this synthetic corpus gives every
+    customer SOME order, so plain no-orders is vacuous), grouped by
+    country code (c_nationkey modulo ``n_codes`` stands in for the phone
+    prefix).
+
+    Scale shape: the global (count, sum) over positive balances is a
+    two-int aggregate (bounded driver pull); the above-average test is
+    exact integer arithmetic (bal * n > total, no float average); the
+    no-orders condition is a native LEFT ANTI hash join against the
+    order custkeys (pre-deduped per batch); the final rollup is a
+    bounded-domain reduce over ``n_codes`` rows.
+
+    Output: (cntrycode, numcust, totacctbal_cents).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    num_partitions, agg_args = _multi_join_args(_join_partitions(num_partitions))
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        bal = _cents(t.column("c_acctbal"))
+        pos = bal[bal > 0]
+        return pa.table(
+            {
+                "n": pa.array([len(pos)], type=pa.int64()),
+                "s": pa.array([int(pos.sum())], type=pa.int64()),
+            }
+        )
+
+    cust_raw = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    )
+    stats = (
+        cust_raw.map_batches(bal_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "n": pa.array([int(pc.sum(t.column("n")).as_py() or 0)],
+                                  type=pa.int64()),
+                    "s": pa.array([int(pc.sum(t.column("s")).as_py() or 0)],
+                                  type=pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .take(1)[0]
+    )
+    n_pos, s_pos = int(stats["n"]), int(stats["s"])
+
+    def rich(t: pa.Table) -> pa.Table:
+        bal = _cents(t.column("c_acctbal"))
+        keep = bal * n_pos > s_pos
+        return pa.table(
+            {
+                "c_custkey": pc.cast(t.column("c_custkey"), pa.int64())
+                .to_numpy()[keep],
+                "code": pc.cast(t.column("c_nationkey"), pa.int64())
+                .to_numpy()[keep] % n_codes,
+                "bal": bal[keep],
+            }
+        )
+
+    def ok_partial(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t.column("o_orderpriority"), "1-URGENT")
+        return pa.table(
+            {
+                "o_custkey": np.unique(
+                    pc.cast(t.column("o_custkey"), pa.int64())
+                    .filter(keep)
+                    .to_numpy()
+                )
+            }
+        )
+
+    ordered = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderpriority"])
+    ).map_batches(ok_partial, batch_format="pyarrow")
+
+    anti = cust_raw.map_batches(rich, batch_format="pyarrow").join(
+        ordered,
+        join_type="left_anti",
+        num_partitions=num_partitions,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+        aggregator_ray_remote_args=agg_args,
+    )
+
+    def code_partial(t: pa.Table) -> pa.Table:
+        return t.group_by("code").aggregate(
+            [("c_custkey", "count"), ("bal", "sum")]
+        )
+
+    return (
+        anti.map_batches(code_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(
+            lambda t: (
+                lambda g: pa.table(
+                    {
+                        "cntrycode": pc.cast(g.column("code"), pa.int64()),
+                        "numcust": pc.cast(
+                            g.column("c_custkey_count_sum"), pa.int64()
+                        ),
+                        "totacctbal_cents": pc.cast(
+                            g.column("bal_sum_sum"), pa.int64()
+                        ),
+                    }
+                )
+            )(t.group_by("code").aggregate(
+                [("c_custkey_count", "sum"), ("bal_sum", "sum")]
+            )),
+            batch_format="pyarrow",
+        )
+    )

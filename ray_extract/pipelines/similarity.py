@@ -33,6 +33,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _read_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
@@ -947,4 +948,104 @@ def centroid_spread(sf_dir: str):
         .map_batches(partial, batch_format="pyarrow")
         .repartition(1)
         .map_batches(merge, batch_format="pyarrow")
+    )
+
+
+def kmeans_assign(sf_dir: str, k: int = 8, scale: int = 127, clip: int = 31):
+    """One k-means ASSIGNMENT pass over quantized embeddings — the workhorse
+    step of distributed Lloyd / IVF-index building: every vector goes to its
+    nearest centroid, with per-centroid cluster stats out.
+
+    Centroids are the ``k`` vectors with the smallest vec_ids (deterministic
+    seeding, the k-means|| stand-in); all arithmetic is integer on the same
+    q = clamp(floor(x*scale + 0.5), -clip, clip) grid as
+    embedding_quantize_stats, so assignment (squared-L2 argmin, centroid-id
+    tiebreak) is exact and the DuckDB unnest oracle matches bit-for-bit.
+
+    Scale shape: the centroid matrix is k x d (bounded) — collected via a
+    per-batch partial top-k on vec_id + one repartition(1) reduce, then
+    broadcast once with ``ray.put``; each batch computes distances with one
+    integer matmul (||x||^2 + ||c||^2 - 2 x.c) and emits a k-row combiner;
+    the final reduce is a bounded-domain repartition(1) over k rows. The
+    embedding column never leaves the scan stage.
+
+    Output: (centroid_id, n_assigned, sum_d2, min_d2, max_d2).
+    """
+    import ray
+    import ray.data as rd
+
+    def quant(e: np.ndarray) -> np.ndarray:
+        return np.clip(np.floor(e * float(scale) + 0.5), -clip, clip).astype(
+            np.int64
+        )
+
+    def seed_partial(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("vec_id"), pa.int64()).to_numpy()
+        order = np.argsort(ids, kind="stable")[:k]
+        return pa.table(
+            {
+                "vec_id": ids[order],
+                "embedding": batch.column("embedding").take(pa.array(order)),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    seeds = (
+        ds.map_batches(seed_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(seed_partial, batch_format="pyarrow")
+        .take_all()  # <= k rows per partial — bounded
+    )
+    seeds.sort(key=lambda r: r["vec_id"])
+    seeds = seeds[:k]
+    cent_ids = np.array([r["vec_id"] for r in seeds], dtype=np.int64)
+    cmat = quant(np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                           for r in seeds]))
+    cref = ray.put((cent_ids, cmat, (cmat * cmat).sum(axis=1)))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids_c, cm, c2 = ray.get(cref)
+        _, e = _emb_matrix(batch)
+        q = quant(e)
+        # integer squared L2 via one matmul: |q|^2 + |c|^2 - 2 q.c
+        d2 = (q * q).sum(axis=1, keepdims=True) + c2[None, :] - 2 * (q @ cm.T)
+        best = np.argmin(d2, axis=1)  # first min = smallest centroid id
+        bd = d2[np.arange(len(q)), best]
+        t = pa.table(
+            {
+                "centroid_id": pa.array(ids_c[best]),
+                "n": pa.array(np.ones(len(q), dtype=np.int64)),
+                "s": pa.array(bd),
+                "mn": pa.array(bd),
+                "mx": pa.array(bd),
+            }
+        )
+        return t.group_by("centroid_id").aggregate(
+            [("n", "sum"), ("s", "sum"), ("mn", "min"), ("mx", "max")]
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(
+            lambda t: (
+                lambda g: pa.table(
+                    {
+                        "centroid_id": pc.cast(g.column("centroid_id"),
+                                               pa.int64()),
+                        "n_assigned": pc.cast(g.column("n_sum_sum"),
+                                              pa.int64()),
+                        "sum_d2": pc.cast(g.column("s_sum_sum"), pa.int64()),
+                        "min_d2": pc.cast(g.column("mn_min_min"), pa.int64()),
+                        "max_d2": pc.cast(g.column("mx_max_max"), pa.int64()),
+                    }
+                )
+            )(t.group_by("centroid_id").aggregate(
+                [("n_sum", "sum"), ("s_sum", "sum"),
+                 ("mn_min", "min"), ("mx_max", "max")]
+            )),
+            batch_format="pyarrow",
+        )
     )
