@@ -381,6 +381,54 @@ def _q_cross_source_dup_matrix(sf_dir: str):
     return cross_source_dup_matrix(sf_dir)
 
 
+def _q_unigram_surprisal(sf_dir: str):
+    from ray_extract.pipelines.text import unigram_surprisal
+
+    return unigram_surprisal(sf_dir)
+
+
+def _q_skew_report(sf_dir: str):
+    from ray_extract.pipelines.text import skew_report
+
+    return skew_report(sf_dir)
+
+
+def _q_kwic_extract(sf_dir: str):
+    from ray_extract.pipelines.text import kwic_extract
+
+    return kwic_extract(sf_dir)
+
+
+def _q_source_dedup_rate(sf_dir: str):
+    from ray_extract.pipelines.dedup import source_dedup_rate
+
+    return source_dedup_rate(sf_dir)
+
+
+def _q_daily_revenue_rolling7(sf_dir: str):
+    from ray_extract.pipelines.relational import daily_revenue_rolling7
+
+    return daily_revenue_rolling7(sf_dir)
+
+
+def _q_ann_filtered(sf_dir: str):
+    from ray_extract.pipelines.similarity import ann_filtered
+
+    return ann_filtered(sf_dir)
+
+
+def _q_minhash_estimate_audit(sf_dir: str):
+    from ray_extract.pipelines.dedup import minhash_estimate_audit
+
+    return minhash_estimate_audit(sf_dir)
+
+
+def _q_priority_share_by_month(sf_dir: str):
+    from ray_extract.pipelines.relational import priority_share_by_month
+
+    return priority_share_by_month(sf_dir)
+
+
 def _q_extract_spans_routed(sf_dir: str):
     """Same result as extract_spans, but through the ROUTED topology (the
     production path: payload corpus on disk, two filtered reads, small docs
@@ -1253,6 +1301,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_count_distribution": _q_order_count_distribution,
         "local_supplier_volume": _q_local_supplier_volume,
         "global_sales_opportunity": _q_global_sales_opportunity,
+        "unigram_surprisal": _q_unigram_surprisal,
+        "skew_report": _q_skew_report,
+        "kwic_extract": _q_kwic_extract,
+        "source_dedup_rate": _q_source_dedup_rate,
+        "daily_revenue_rolling7": _q_daily_revenue_rolling7,
+        "ann_filtered": _q_ann_filtered,
+        "minhash_estimate_audit": _q_minhash_estimate_audit,
+        "priority_share_by_month": _q_priority_share_by_month,
         "media_decode": _q_media_decode,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -1746,6 +1802,140 @@ SELECT source,
        CAST(max(n_chars) AS BIGINT) AS max_chars,
        CAST(min(n_chars) AS BIGINT) AS min_chars
 FROM documents GROUP BY source
+""",
+        "ann_filtered": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+           FROM embeddings WHERE vec_id < 10),
+s AS (
+  SELECT q.qid, e.vec_id,
+         list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS sc
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id != q.qid AND e.label = q.ql
+),
+r AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id) AS rk
+  FROM s
+)
+SELECT qid AS query_id, CAST(rk AS BIGINT) AS rank, vec_id AS neighbor_id
+FROM r WHERE rk <= 5
+""",
+        "minhash_estimate_audit": """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(ws[u.i:u.i+2], ' ') AS shingle
+       FROM docs, unnest(range(1, len(ws) - 1)) AS u(i)),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+mh AS (SELECT doc_id, u.j AS j,
+              min(md5(CAST(u.j AS VARCHAR) || ':' || shingle)) AS h
+       FROM sh, unnest(range(0, 16)) AS u(j) GROUP BY doc_id, u.j),
+bands AS (SELECT doc_id, j // 4 AS band_id,
+                 md5(string_agg(h, '|' ORDER BY j)) AS band_sig
+          FROM mh GROUP BY doc_id, j // 4),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+          AND a.doc_id < b.doc_id),
+ag AS (SELECT c.doc_a, c.doc_b,
+              CAST(count(*) FILTER (ma.h = mb.h) AS BIGINT) AS est
+       FROM cand c
+       JOIN mh ma ON ma.doc_id = c.doc_a
+       JOIN mh mb ON mb.doc_id = c.doc_b AND mb.j = ma.j
+       GROUP BY 1, 2),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle
+                             AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT ag.doc_a, ag.doc_b,
+       CAST(ag.est * 1000 // 16 AS BIGINT) AS est_permille,
+       CAST(CASE WHEN sa.n + sb.n - coalesce(i.i, 0) > 0
+                 THEN coalesce(i.i, 0) * 1000
+                      // (sa.n + sb.n - coalesce(i.i, 0))
+                 ELSE 1000 END AS BIGINT) AS true_permille,
+       CAST(abs(ag.est * 1000 // 16
+                - CASE WHEN sa.n + sb.n - coalesce(i.i, 0) > 0
+                       THEN coalesce(i.i, 0) * 1000
+                            // (sa.n + sb.n - coalesce(i.i, 0))
+                       ELSE 1000 END) AS BIGINT) AS err_permille
+FROM ag
+JOIN sizes sa ON sa.doc_id = ag.doc_a
+JOIN sizes sb ON sb.doc_id = ag.doc_b
+LEFT JOIN inter i ON i.doc_a = ag.doc_a AND i.doc_b = ag.doc_b
+""",
+        "priority_share_by_month": """
+WITH g AS (SELECT date_trunc('month', o_orderdate) AS month,
+                  o_orderpriority AS priority,
+                  CAST(count(*) AS BIGINT) AS n_orders
+           FROM orders GROUP BY 1, 2)
+SELECT CAST(month AS TIMESTAMP) AS month, priority, n_orders,
+       CAST(n_orders * 1000000
+            // CAST(SUM(n_orders) OVER (PARTITION BY month) AS BIGINT)
+            AS BIGINT) AS share_ppm
+FROM g
+""",
+        "unigram_surprisal": """
+WITH w0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents),
+w AS (SELECT * FROM w0 WHERE w <> ''),
+df AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM w GROUP BY 1),
+occ AS (SELECT doc_id, w.w AS w, CAST(count(*) AS BIGINT) AS c
+        FROM w GROUP BY 1, 2)
+SELECT occ.doc_id,
+       CAST(sum(occ.c) AS BIGINT) AS n_tokens,
+       CAST(sum(occ.c * (1000000 // df.df)) AS BIGINT) AS surprisal
+FROM occ JOIN df ON occ.w = df.w
+GROUP BY occ.doc_id
+""",
+        "skew_report": """
+WITH s AS (SELECT 'lang' AS col, lang AS val FROM documents
+           UNION ALL
+           SELECT 'source', source FROM documents),
+g AS (SELECT col, val, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1, 2),
+r AS (SELECT col, val, n,
+             CAST(count(*) OVER (PARTITION BY col) AS BIGINT) AS n_distinct,
+             CAST(sum(n) OVER (PARTITION BY col) AS BIGINT) AS total,
+             row_number() OVER (PARTITION BY col
+                                ORDER BY n DESC, val ASC) AS rn
+      FROM g)
+SELECT col, n_distinct, total, val AS top_value, n AS top_n,
+       CAST(n * 1000000 // total AS BIGINT) AS top_share_ppm
+FROM r WHERE rn = 1
+""",
+        "kwic_extract": """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+hits AS (SELECT doc_id, ws, u.i AS pos
+         FROM docs, unnest(range(1, len(ws) + 1)) AS u(i)
+         WHERE ws[i] = 'window')
+SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       array_to_string(ws[greatest(pos - 2, 1):pos + 2], ' ') AS context
+FROM hits
+""",
+        "source_dedup_rate": """
+WITH h AS (SELECT source, md5(text) AS ch, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1, 2)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       CAST((sum(n) - count(*)) * 1000 // sum(n) AS BIGINT) AS dup_permille
+FROM h GROUP BY source
+""",
+        "daily_revenue_rolling7": """
+WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS rev
+           FROM orders GROUP BY 1),
+cal AS (SELECT CAST(unnest(generate_series(
+                 (SELECT min(day) FROM d),
+                 (SELECT max(day) FROM d),
+                 INTERVAL 1 DAY)) AS DATE) AS day),
+j AS (SELECT cal.day, CAST(coalesce(d.rev, 0) AS BIGINT) AS rev
+      FROM cal LEFT JOIN d ON cal.day = d.day)
+SELECT CAST(day AS TIMESTAMP) AS day, rev AS rev_cents,
+       CAST(SUM(rev) OVER (ORDER BY day
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS rolling7_cents
+FROM j
 """,
         "kmeans_assign": """
 WITH dims AS (

@@ -265,6 +265,20 @@ def run_bench() -> dict:
     timed("blocked_linkage", lambda: blocked_linkage(SF_DIR).count())
     timed("co_occurrence_topk", lambda: co_occurrence_topk(SF_DIR).count())
 
+    from ray_extract.pipelines.dedup import contamination_check
+    from ray_extract.pipelines.relational import (
+        local_supplier_volume,
+        order_count_distribution,
+    )
+    from ray_extract.pipelines.similarity import kmeans_assign
+
+    timed("kmeans_assign", lambda: kmeans_assign(SF_DIR).count())
+    timed("contamination_check", lambda: contamination_check(SF_DIR).count())
+    timed("local_supplier_volume",
+          lambda: local_supplier_volume(SF_DIR).count())
+    timed("order_count_distribution",
+          lambda: order_count_distribution(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),

@@ -2072,3 +2072,255 @@ def cross_source_dup_matrix(sf_dir: str, fingerprint_words: int = 5):
             batch_format="pyarrow",
         )
     )
+
+
+def source_dedup_rate(sf_dir: str):
+    """Within-source exact-duplicate rate — the per-source health metric a
+    mixing plan reads next to cross_source_dup_matrix: how much of each
+    source is redundant BEFORE weighting it.
+
+    Scale shape: one shuffle on (content hash, source) carrying per-batch
+    combined counts; group sizes reduce to distinct/total per source in a
+    second bounded groupby (|sources| rows).
+
+    Output: (source, n_docs, n_unique, dup_permille).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        offs = np.frombuffer(text.buffers()[1], dtype=np.int32)[
+            text.offset : text.offset + len(text) + 1
+        ]
+        data = memoryview(text.buffers()[2])
+        hashes = [
+            md5_bytes(data[offs[i] : offs[i + 1]]) for i in range(len(text))
+        ]
+        t = pa.table(
+            {
+                "content_hash": pa.array(hashes, type=pa.string()),
+                "source": batch.column("source").combine_chunks(),
+                "n": np.ones(len(batch), dtype=np.int64),
+            }
+        )
+        return t.group_by(["content_hash", "source"]).aggregate([("n", "sum")])
+
+    per_hash = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["text", "source"])
+        .map_batches(add_hash, batch_format="pyarrow")
+        .groupby(["content_hash", "source"])
+        .aggregate(Sum("n_sum", alias_name="n"))
+    )
+
+    def src_partial(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "source": t.column("source"),
+                "docs": pc.cast(t.column("n"), pa.int64()),
+                "uniq": np.ones(len(t), dtype=np.int64),
+            }
+        )
+        return out.group_by("source").aggregate(
+            [("docs", "sum"), ("uniq", "sum")]
+        )
+
+    return (
+        per_hash.map_batches(src_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(
+            lambda t: (
+                lambda g: pa.table(
+                    {
+                        "source": g.column("source"),
+                        "n_docs": pc.cast(g.column("docs_sum_sum"),
+                                          pa.int64()),
+                        "n_unique": pc.cast(g.column("uniq_sum_sum"),
+                                            pa.int64()),
+                        "dup_permille": pa.array(
+                            (
+                                (
+                                    pc.cast(g.column("docs_sum_sum"),
+                                            pa.int64()).to_numpy()
+                                    - pc.cast(g.column("uniq_sum_sum"),
+                                              pa.int64()).to_numpy()
+                                )
+                                * 1000
+                            )
+                            // pc.cast(g.column("docs_sum_sum"),
+                                       pa.int64()).to_numpy()
+                        ),
+                    }
+                )
+            )(t.group_by("source").aggregate(
+                [("docs_sum", "sum"), ("uniq_sum", "sum")]
+            )),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def minhash_estimate_audit(sf_dir: str, k: int = 3, num_perm: int = 16,
+                           band_rows: int = 4,
+                           num_partitions: int | None = None):
+    """Sketch-quality audit: for every LSH candidate pair, the MinHash
+    Jaccard ESTIMATE (fraction of agreeing signature slots) next to the
+    TRUE shingle Jaccard — the verification a pipeline runs before trusting
+    a sketch-only dedup at scale.
+
+    Scale shape: full signatures are one row per doc (the same DuckDB md5
+    kernel as minhash_lsh_pairs, aggregated to a packed 'h0|h1|...' string);
+    candidates come from the banded LSH shuffle; signatures attach to the
+    pairs via TWO native hash joins (doc-scale sides stay datasets); slot
+    agreement is counted vectorized on the split signature lists; the true
+    (inter, uni) comes from the inverted-index pair machinery with the
+    acceptance threshold disabled, LEFT-joined so candidates sharing no
+    shingle read as jaccard 0.
+
+    Output: (doc_a, doc_b, est_permille, true_permille, err_permille).
+    """
+    import ray.data as rd
+
+    from .relational import _join_partitions, _multi_join_args
+
+    nparts, agg_args = _multi_join_args(_join_partitions(num_partitions))
+
+    def sig_stage(batch: pa.Table) -> pa.Table:
+        from ..functions.duck import duck
+
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        doc_u, shingles, n_sh = word_shingles_batch(batch.column("text"), k)
+        if not len(doc_u):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "sig": pa.array([], type=pa.string()),
+                    "n_sh": pa.array([], type=pa.int64()),
+                }
+            )
+        sh = pa.table({"doc_idx": pa.array(doc_u), "shingle": shingles})
+        con = duck()
+        con.register("sh_tbl", sh)
+        res = con.execute(
+            f"""
+            WITH mh AS (
+              SELECT s.doc_idx, r.j,
+                     min(md5(CAST(r.j AS VARCHAR) || ':' || s.shingle)) AS h
+              FROM sh_tbl s CROSS JOIN range({num_perm}) r(j)
+              GROUP BY s.doc_idx, r.j
+            )
+            SELECT doc_idx, string_agg(h, '|' ORDER BY j) AS sig
+            FROM mh GROUP BY doc_idx
+            """
+        ).arrow()
+        con.unregister("sh_tbl")
+        di = res.column("doc_idx").to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[di]),
+                "sig": res.column("sig").cast(pa.string()),
+                "n_sh": pa.array(n_sh[di]),
+            }
+        )
+
+    sigs = _docs(sf_dir).map_batches(sig_stage, batch_format="pyarrow")
+    sigs_a = sigs.map_batches(
+        lambda t: pa.table(
+            {"da": t.column("doc_id"), "sig_a": t.column("sig"),
+             "na": t.column("n_sh")}
+        ),
+        batch_format="pyarrow",
+    )
+    sigs_b = sigs.map_batches(
+        lambda t: pa.table(
+            {"db": t.column("doc_id"), "sig_b": t.column("sig"),
+             "nb": t.column("n_sh")}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def pack(t: pa.Table) -> pa.Table:
+        pk = (
+            pc.cast(t.column("doc_a"), pa.int64()).to_numpy() * (1 << 31)
+            + pc.cast(t.column("doc_b"), pa.int64()).to_numpy()
+        )
+        return t.append_column("pk", pa.array(pk))
+
+    cand = minhash_lsh_pairs(sf_dir, k=k, num_perm=num_perm,
+                             band_rows=band_rows).map_batches(
+        pack, batch_format="pyarrow"
+    )
+    truth = ngram_jaccard_pairs(sf_dir, k=k, num=0, den=1).map_batches(
+        lambda t: pa.table(
+            {
+                "pkt": pc.cast(t.column("doc_a"), pa.int64()).to_numpy()
+                * (1 << 31)
+                + pc.cast(t.column("doc_b"), pa.int64()).to_numpy(),
+                "inter": pc.cast(t.column("inter"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = (
+        cand.join(
+            sigs_a,
+            join_type="inner",
+            num_partitions=nparts,
+            on=("doc_a",),
+            right_on=("da",),
+            aggregator_ray_remote_args=agg_args,
+        )
+        .join(
+            sigs_b,
+            join_type="inner",
+            num_partitions=nparts,
+            on=("doc_b",),
+            right_on=("db",),
+            aggregator_ray_remote_args=agg_args,
+        )
+        .join(
+            truth,
+            join_type="left_outer",
+            num_partitions=nparts,
+            on=("pk",),
+            right_on=("pkt",),
+            aggregator_ray_remote_args=agg_args,
+        )
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        sa = pc.split_pattern(
+            pc.cast(t.column("sig_a").combine_chunks(), pa.string()), "|"
+        )
+        sb = pc.split_pattern(
+            pc.cast(t.column("sig_b").combine_chunks(), pa.string()), "|"
+        )
+        eq = pc.equal(pc.list_flatten(sa), pc.list_flatten(sb)).to_numpy(
+            zero_copy_only=False
+        )
+        per_row = np.add.reduceat(
+            eq.astype(np.int64), sa.offsets.to_numpy()[:-1]
+        ) if len(t) else np.array([], dtype=np.int64)
+        est = per_row * 1000 // num_perm
+        inter = (
+            pc.cast(t.column("inter"), pa.int64())
+            .fill_null(0)
+            .to_numpy(zero_copy_only=False)
+        )
+        na = pc.cast(t.column("na"), pa.int64()).to_numpy()
+        nb = pc.cast(t.column("nb"), pa.int64()).to_numpy()
+        uni = na + nb - inter
+        true_pm = np.where(uni > 0, inter * 1000 // np.maximum(uni, 1), 1000)
+        return pa.table(
+            {
+                "doc_a": t.column("doc_a"),
+                "doc_b": t.column("doc_b"),
+                "est_permille": pa.array(est),
+                "true_permille": pa.array(true_pm),
+                "err_permille": pa.array(np.abs(est - true_pm)),
+            }
+        )
+
+    return joined.map_batches(score, batch_format="pyarrow")

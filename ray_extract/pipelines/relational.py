@@ -2400,3 +2400,122 @@ def global_sales_opportunity(sf_dir: str, n_codes: int = 7,
             batch_format="pyarrow",
         )
     )
+
+
+def daily_revenue_rolling7(sf_dir: str):
+    """Daily order revenue with a dense 7-day rolling sum — the time-series
+    rollup (gap-filled calendar, trailing window) every ops dashboard runs.
+
+    Scale shape: per-batch (day, revenue) combiners — the shuffle carries
+    one row per distinct day per block, and the calendar domain is bounded
+    (years, not rows) — then one repartition(1) kernel builds the dense
+    day series and computes the rolling sum as a prefix-sum difference.
+
+    Output: (day, rev_cents, rolling7_cents) for every calendar day
+    between the first and last order date.
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(
+                pc.cast(batch.column("o_orderdate"), pa.timestamp("us")),
+                unit="day",
+            ),
+            pa.int64(),
+        ).to_numpy() // 86_400_000_000
+        t = pa.table(
+            {
+                "day": pa.array(day),
+                "rev": pa.array(_cents(batch.column("o_totalprice"))),
+            }
+        )
+        return t.group_by("day").aggregate([("rev", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("day").aggregate([("rev_sum", "sum")])
+        day = pc.cast(g.column("day"), pa.int64()).to_numpy()
+        rev = pc.cast(g.column("rev_sum_sum"), pa.int64()).to_numpy()
+        lo, hi = int(day.min()), int(day.max())
+        dense = np.zeros(hi - lo + 1, dtype=np.int64)
+        dense[day - lo] = rev
+        cs = np.cumsum(dense)
+        roll = cs - np.r_[np.zeros(min(7, len(cs)), dtype=np.int64), cs[:-7]]
+        days = (np.arange(lo, hi + 1) * 86_400_000_000).astype(
+            "datetime64[us]"
+        )
+        return pa.table(
+            {
+                "day": pa.array(days),
+                "rev_cents": pa.array(dense),
+                "rolling7_cents": pa.array(roll),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate", "o_totalprice"])
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def priority_share_by_month(sf_dir: str):
+    """Order-priority mix per calendar month — the composition-over-time
+    rollup (did URGENT share drift?) behind data-quality monitoring.
+
+    Scale shape: per-batch (month, priority, n) combiners; the domain is
+    bounded (months x 5 priorities), so the final reduce is one
+    repartition(1) Arrow group_by plus a vectorized share computation
+    against per-month totals.
+
+    Output: (month, priority, n_orders, share_ppm).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(
+            pc.cast(batch.column("o_orderdate"), pa.timestamp("us")),
+            unit="month",
+        )
+        t = pa.table(
+            {
+                "month": pc.cast(month, pa.timestamp("us")),
+                "priority": batch.column("o_orderpriority"),
+                "n": np.ones(len(batch), dtype=np.int64),
+            }
+        )
+        return t.group_by(["month", "priority"]).aggregate([("n", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["month", "priority"]).aggregate([("n_sum", "sum")])
+        month = pc.cast(g.column("month"), pa.timestamp("us"))
+        n = pc.cast(g.column("n_sum_sum"), pa.int64()).to_numpy()
+        mkey = pc.cast(month, pa.int64()).to_numpy()
+        uniq, inv = np.unique(mkey, return_inverse=True)
+        totals = np.bincount(inv, weights=n).astype(np.int64)
+        return pa.table(
+            {
+                "month": month,
+                "priority": g.column("priority"),
+                "n_orders": pa.array(n),
+                "share_ppm": pa.array(n * 1_000_000 // totals[inv]),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate", "o_orderpriority"])
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow")
+    )

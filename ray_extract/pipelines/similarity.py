@@ -1049,3 +1049,60 @@ def kmeans_assign(sf_dir: str, k: int = 8, scale: int = 127, clip: int = 31):
             batch_format="pyarrow",
         )
     )
+
+
+def ann_filtered(sf_dir: str, n_queries: int = 10, k: int = 5):
+    """Metadata-FILTERED exact vector search: top-k cosine neighbors among
+    candidates sharing the query's label — the predicate-pushdown hybrid
+    search every vector store needs (filter + similarity in one pass).
+
+    Scale shape: identical to ann_bruteforce (broadcast query matrix,
+    per-batch matmul + partial top-k, one query-keyed reduce) — the label
+    predicate is applied per batch as a score mask, so filtered search
+    costs the SAME single scan, not a pre-materialized filtered copy.
+
+    Output: (query_id, rank, neighbor_id).
+    """
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data as rd
+
+    tbl = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding", "label"],
+        filter=pads.field("vec_id") < n_queries,
+    )
+    qids = tbl.column("vec_id").to_numpy()
+    qlab = pc.cast(tbl.column("label"), pa.int64()).to_numpy()
+    q = np.stack(tbl.column("embedding").to_pylist()).astype(np.float64)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    order = np.argsort(qids)
+    qref = ray.put((qids[order], qlab[order], q[order]))
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        qids_, qlab_, q_ = ray.get(qref)
+        ids, e = _emb_matrix(batch)
+        lab = pc.cast(batch.column("label"), pa.int64()).to_numpy()
+        e /= np.linalg.norm(e, axis=1, keepdims=True)
+        scores = e @ q_.T
+        out_q, out_v, out_s = [], [], []
+        for j in range(len(qids_)):
+            s = scores[:, j].copy()
+            s[(ids == qids_[j]) | (lab != qlab_[j])] = -np.inf
+            live = np.flatnonzero(np.isfinite(s))
+            if len(live) == 0:
+                continue
+            kk = min(k, len(live))
+            top = live[np.lexsort((ids[live], -s[live]))[:kk]]
+            out_q.append(np.full(len(top), qids_[j], dtype=np.int64))
+            out_v.append(ids[top].astype(np.int64))
+            out_s.append(s[top])
+        return _partial_table(out_q, out_v, out_s)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+    partial = ds.map_batches(score_batch, batch_format="pyarrow")
+    return partial.groupby("query_id").map_groups(
+        _topk_stage(k, with_score=False), batch_format="pandas"
+    )

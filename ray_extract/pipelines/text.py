@@ -1972,3 +1972,242 @@ def lang_confusion(sf_dir: str):
         .repartition(1)
         .map_batches(merge, batch_format="pyarrow")
     )
+
+
+def unigram_surprisal(sf_dir: str, scale: int = 1_000_000,
+                      num_partitions: int | None = None):
+    """Per-document unigram-surprisal quality score — the LM-free perplexity
+    proxy a training-data pipeline uses to rank documents: rare-word-heavy
+    docs score high, boilerplate scores low. Integer-exact: score =
+    sum over token occurrences of (scale // df(word)).
+
+    Scale shape: one corpus scan emits per-batch (doc, word, count) rows
+    (a document never spans batches) AND per-batch distinct-doc partials
+    for df; df(word) comes from one vocabulary-sized groupby; the score
+    hop is a native hash-shuffle join on the word (vocab never collected
+    anywhere), then one groupby(doc) with per-batch combiners.
+
+    Output: (doc_id, n_tokens, surprisal).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+    from .relational import _join_partitions, _multi_join_args
+
+    nparts, agg_args = _multi_join_args(_join_partitions(num_partitions))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        words = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(words)
+        per_doc = np.diff(words.offsets.to_numpy())
+        idx = pa.array(np.repeat(np.arange(len(batch), dtype=np.int64),
+                                 per_doc))
+        t = pa.table(
+            {
+                "doc": pc.take(pa.array(ids), idx),
+                "w": flat,
+            }
+        ).filter(pc.not_equal(flat, ""))
+        return t.group_by(["doc", "w"]).aggregate([("w", "count")])
+
+    occ = (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+        )
+        .map_batches(explode, batch_format="pyarrow")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc": t.column("doc"),
+                    "w": t.column("w"),
+                    "c": pc.cast(t.column("w_count"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # (doc, word) distinct rows — scanned twice
+    )
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        # occ rows are distinct per (doc, w) within a batch; docs never
+        # span batches, so counting rows per w gives exact df partials
+        return pa.table(
+            {"w": t.column("w"),
+             "d": np.ones(len(t), dtype=np.int64)}
+        ).group_by("w").aggregate([("d", "sum")])
+
+    df = (
+        occ.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("d_sum", alias_name="df"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "wv": pc.cast(t.column("w"), pa.string()),
+                    "df": pc.cast(t.column("df"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy()
+        d = t.column("df").to_numpy()
+        out = pa.table(
+            {
+                "doc_id": t.column("doc"),
+                "n": pa.array(c),
+                "s": pa.array(c * (scale // d)),
+            }
+        )
+        return out.group_by("doc_id").aggregate([("n", "sum"), ("s", "sum")])
+
+    return (
+        occ.join(
+            df,
+            join_type="inner",
+            num_partitions=nparts,
+            on=("w",),
+            right_on=("wv",),
+            aggregator_ray_remote_args=agg_args,
+        )
+        .map_batches(score_partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n_sum", alias_name="n_tokens"),
+                   Sum("s_sum", alias_name="surprisal"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                    "n_tokens": pc.cast(t.column("n_tokens"), pa.int64()),
+                    "surprisal": pc.cast(t.column("surprisal"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def skew_report(sf_dir: str):
+    """Key-skew diagnostic over the categorical document columns — the
+    pre-shuffle check a partitioning plan needs: per column, how many
+    distinct values, and how concentrated the top value is.
+
+    Scale shape: per-batch partial counts per (column, value) — the
+    shuffle moves one row per distinct value per block — then a
+    bounded-domain repartition(1) reduce (categorical domains are small
+    by definition; a high-cardinality column would use the CMS/heavy-
+    hitter pipeline instead).
+
+    Output: (col, n_distinct, total, top_value, top_n, top_share_ppm);
+    top value ties break on the smaller value string.
+    """
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        outs = []
+        for col in ("source", "lang"):
+            t = pa.table(
+                {
+                    "col": pa.array([col] * len(batch)),
+                    "val": pc.cast(batch.column(col), pa.string()),
+                    "n": np.ones(len(batch), dtype=np.int64),
+                }
+            )
+            outs.append(
+                t.group_by(["col", "val"]).aggregate([("n", "sum")])
+            )
+        return pa.concat_tables(outs)
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["col", "val"]).aggregate([("n_sum", "sum")])
+        import pandas as pd
+
+        df = g.to_pandas()
+        df = df.rename(columns={"n_sum_sum": "n"})
+        rows = []
+        for col, grp in df.groupby("col"):
+            total = int(grp["n"].sum())
+            top = grp.sort_values(["n", "val"],
+                                  ascending=[False, True]).iloc[0]
+            rows.append(
+                (col, len(grp), total, top["val"], int(top["n"]),
+                 int(top["n"]) * 1_000_000 // total)
+            )
+        rows.sort()
+        return pa.table(
+            {
+                "col": pa.array([r[0] for r in rows]),
+                "n_distinct": pa.array([r[1] for r in rows],
+                                       type=pa.int64()),
+                "total": pa.array([r[2] for r in rows], type=pa.int64()),
+                "top_value": pa.array([r[3] for r in rows]),
+                "top_n": pa.array([r[4] for r in rows], type=pa.int64()),
+                "top_share_ppm": pa.array([r[5] for r in rows],
+                                          type=pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["source", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def kwic_extract(sf_dir: str, keyword: str | None = None, window: int = 2):
+    """Keyword-in-context extraction: every occurrence of ``keyword`` with
+    its +/- ``window``-word context — the concordance/snippet op behind
+    corpus inspection and targeted filtering. ``keyword`` defaults to a
+    high-frequency term of the synthetic corpus vocabulary; in practice
+    callers pass their term of interest.
+
+    Scale shape: pure map — occurrences are found vectorized on the
+    flattened word array (one numpy equality over the batch); context
+    assembly touches only the (sparse) match positions. No shuffle at all;
+    output order is normalized downstream by the comparator.
+
+    Output: (doc_id, pos, context) with pos the 1-based word index.
+    """
+    import ray.data as rd
+
+    kw = keyword if keyword is not None else "window"
+
+    def find(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        words = pc.split_pattern(text, " ")
+        offs = words.offsets.to_numpy()
+        flat = words.flatten().to_numpy(zero_copy_only=False)
+        hit = np.flatnonzero(flat == kw)
+        if len(hit) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "pos": pa.array([], type=pa.int64()),
+                    "context": pa.array([], type=pa.string()),
+                }
+            )
+        doc_idx = np.searchsorted(offs, hit, side="right") - 1
+        pos = hit - offs[doc_idx] + 1
+        lo = np.maximum(hit - window, offs[doc_idx])
+        hi = np.minimum(hit + window + 1, offs[doc_idx + 1])
+        ctx = [" ".join(flat[a:b]) for a, b in zip(lo, hi)]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[doc_idx]),
+                "pos": pa.array(pos.astype(np.int64)),
+                "context": pa.array(ctx, type=pa.string()),
+            }
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(find, batch_format="pyarrow")
