@@ -345,6 +345,36 @@ def _q_pdf_real_extract(sf_dir: str):
     return flat.map_batches(summarize, batch_format="pyarrow")
 
 
+def _q_nation_pair_volume(sf_dir: str):
+    from ray_extract.pipelines.relational import nation_pair_volume
+
+    return nation_pair_volume(sf_dir)
+
+
+def _q_market_share(sf_dir: str):
+    from ray_extract.pipelines.relational import market_share
+
+    return market_share(sf_dir)
+
+
+def _q_product_profit(sf_dir: str):
+    from ray_extract.pipelines.relational import product_profit
+
+    return product_profit(sf_dir)
+
+
+def _q_small_qty_revenue(sf_dir: str):
+    from ray_extract.pipelines.relational import small_qty_revenue
+
+    return small_qty_revenue(sf_dir)
+
+
+def _q_top_supplier(sf_dir: str):
+    from ray_extract.pipelines.relational import top_supplier
+
+    return top_supplier(sf_dir)
+
+
 def _q_order_count_distribution(sf_dir: str):
     from ray_extract.pipelines.relational import order_count_distribution
 
@@ -1295,6 +1325,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_table_cells": _q_extract_table_cells,
         "extract_join_meta": _q_extract_join_meta,
         "pdf_real_extract": _q_pdf_real_extract,
+        "nation_pair_volume": _q_nation_pair_volume,
+        "market_share": _q_market_share,
+        "product_profit": _q_product_profit,
+        "small_qty_revenue": _q_small_qty_revenue,
+        "top_supplier": _q_top_supplier,
         "kmeans_assign": _q_kmeans_assign,
         "contamination_check": _q_contamination_check,
         "cross_source_dup_matrix": _q_cross_source_dup_matrix,
@@ -1987,6 +2022,89 @@ p AS (SELECT a.source AS source_a, b.source AS source_b
       FROM d a JOIN d b ON a.h = b.h AND a.source < b.source)
 SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared_texts
 FROM p GROUP BY 1, 2
+""",
+        "nation_pair_volume": """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT))) AS BIGINT)
+           AS revenue_x10000
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE s_nationkey <> c_nationkey
+GROUP BY 1, 2, 3
+""",
+        "market_share": """
+WITH j AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(floor(l_extendedprice*100+0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT)) AS rev,
+         s_nationkey
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n ON c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey AND r_name = 'ASIA'
+  JOIN supplier ON l_suppkey = s_suppkey)
+SELECT CAST(o_year AS BIGINT) AS o_year,
+       CAST(SUM(rev) AS BIGINT) AS total_x10000,
+       CAST(COALESCE(SUM(rev) FILTER (WHERE s_nationkey =
+            (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3')), 0)
+            AS BIGINT) AS nation_x10000,
+       CAST((CAST(COALESCE(SUM(rev) FILTER (WHERE s_nationkey =
+            (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3')), 0)
+            AS HUGEINT) * 1000000) // CAST(SUM(rev) AS HUGEINT) AS BIGINT)
+           AS share_ppm
+FROM j GROUP BY o_year
+""",
+        "product_profit": """
+SELECT n_name,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)
+                  * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT))
+                - 100 * CAST(floor(p_retailprice*100+0.5) AS BIGINT)
+                  * CAST(floor(l_quantity+0.5) AS BIGINT)) AS BIGINT)
+         AS profit_x10000
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+""",
+        "small_qty_revenue": """
+WITH st AS (
+  SELECT l_partkey AS pk,
+         CAST(SUM(CAST(floor(l_quantity+0.5) AS BIGINT)) AS BIGINT) AS qs,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#13'
+  GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS matched_rows,
+       CAST(COALESCE(SUM(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)), 0)
+            AS BIGINT) AS total_cents,
+       CAST(COALESCE(SUM(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)), 0) // 7
+            AS BIGINT) AS avg_yearly_cents
+FROM lineitem JOIN st ON l_partkey = st.pk
+WHERE 5 * CAST(floor(l_quantity+0.5) AS BIGINT) * st.cnt < st.qs
+""",
+        "top_supplier": """
+WITH r AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)
+                  * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT))) AS BIGINT)
+           AS total_revenue_x10000
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1998-01-01' AND l_shipdate < DATE '1998-04-01'
+  GROUP BY 1)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_revenue_x10000
+FROM r JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue_x10000 = (SELECT max(total_revenue_x10000) FROM r)
 """,
         "order_count_distribution": """
 WITH oc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n

@@ -2519,3 +2519,705 @@ def priority_share_by_month(sf_dir: str):
         .repartition(1)
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def _years(col: pa.ChunkedArray) -> np.ndarray:
+    """Calendar year per row as int64 (numpy datetime64[Y] arithmetic)."""
+    return col.to_numpy().astype("datetime64[Y]").astype(np.int64) + 1970
+
+
+def nation_pair_volume(sf_dir: str, num_partitions: int | None = None):
+    """Shipping volume between every (supplier nation, customer nation) pair
+    per ship-year, cross-nation pairs only (TPC-H Q7 generalized from one
+    nation pair to all of them).
+
+    Scale shape: supplier and nation are broadcast dims resolved inside
+    ``map_batches``; lineitem is pre-aggregated to (orderkey, supp_nation,
+    year) before the two native hash joins (orders, then customer), so the
+    exchanges move one row per (order, nation, year) instead of one per
+    lineitem. The final reduce domain is |nations|^2 x |years| — bounded by
+    the calendar and the nation table, not the data.
+
+    Reference behavior source: TPC-H Q7 (volume shipping) re-expressed over
+    the columns present in the synthetic tables (no ps_supplycost here).
+
+    Output: (supp_nation, cust_nation, l_year, revenue_x10000).
+    """
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    num_partitions, agg_args = _multi_join_args(_join_partitions(num_partitions))
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sup = pa.table(
+        {
+            "l_suppkey": pc.cast(sup.column("s_suppkey"), pa.int64()),
+            "s_nationkey": pc.cast(sup.column("s_nationkey"), pa.int64()),
+        }
+    ).replace_schema_metadata(None)
+    sup_ref = ray.put(sup)
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    names = pa.table(
+        {
+            "nk": pc.cast(nat.column("n_nationkey"), pa.int64()),
+            "n_name": pc.cast(nat.column("n_name"), pa.string()),
+        }
+    ).replace_schema_metadata(None)
+    nat_ref = ray.put(names)
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        dim = ray.get(sup_ref)
+        price = _cents(batch.column("l_extendedprice"))
+        disc = _cents(batch.column("l_discount"))
+        t = pa.table(
+            {
+                "l_orderkey": pc.cast(batch.column("l_orderkey"), pa.int64()),
+                "l_suppkey": pc.cast(batch.column("l_suppkey"), pa.int64()),
+                "l_year": pa.array(_years(batch.column("l_shipdate"))),
+                "rev": pa.array(price * (100 - disc)),
+            }
+        ).join(dim, keys="l_suppkey", join_type="inner")
+        return t.group_by(["l_orderkey", "s_nationkey", "l_year"]).aggregate(
+            [("rev", "sum")]
+        )
+
+    li = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                     "l_discount", "l_shipdate"],
+        )
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    orders = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"])
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    cust = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"])
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": pc.cast(t.column("c_custkey"), pa.int64()),
+                "c_nationkey": pc.cast(t.column("c_nationkey"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        aggregator_ray_remote_args=agg_args,
+    ).join(
+        cust,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+        aggregator_ray_remote_args=agg_args,
+    )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.not_equal(t.column("s_nationkey"), t.column("c_nationkey"))
+        )
+        dim = ray.get(nat_ref)
+        dim_s = dim.rename_columns(["nk", "supp_nation"])
+        dim_c = dim.rename_columns(["ck", "cust_nation"])
+        j = (
+            pa.table(
+                {
+                    "nk": t.column("s_nationkey"),
+                    "ck": t.column("c_nationkey"),
+                    "l_year": t.column("l_year"),
+                    "rev": pc.cast(t.column("rev_sum"), pa.int64()),
+                }
+            )
+            .join(dim_s, keys="nk", join_type="inner")
+            .join(dim_c, keys="ck", join_type="inner")
+        )
+        return j.group_by(["supp_nation", "cust_nation", "l_year"]).aggregate(
+            [("rev", "sum")]
+        )
+
+    return (
+        joined.map_batches(pair_partial, batch_format="pyarrow")
+        .repartition(1)  # O(|nations|^2 x |years|) rows by construction
+        .map_batches(
+            lambda t: (
+                lambda g: pa.table(
+                    {
+                        "supp_nation": g.column("supp_nation"),
+                        "cust_nation": g.column("cust_nation"),
+                        "l_year": pc.cast(g.column("l_year"), pa.int64()),
+                        "revenue_x10000": pc.cast(g.column("rev_sum_sum"),
+                                                  pa.int64()),
+                    }
+                )
+            )(
+                t.group_by(["supp_nation", "cust_nation", "l_year"]).aggregate(
+                    [("rev_sum", "sum")]
+                )
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def market_share(sf_dir: str, nation: str = "NATION_3", region: str = "ASIA",
+                 ptype: str = "PROMO", num_partitions: int | None = None):
+    """Per-order-year market share (ppm) of one nation's suppliers within a
+    region's customers for one part type (TPC-H Q8 shape).
+
+    Scale shape: the type-filtered part subset is the broadcast semi-join
+    side (|part|/|types| keys; switch to a native partkey join past the
+    broadcast budget); supplier and nation/region are broadcast dims. The
+    two big-big hops (orders, customer) are native hash joins fed by a
+    per-(orderkey, is_nation) combiner. Share arithmetic is exact integer
+    ppm computed on the O(|years|) final block with Python bigints (the
+    x10000 revenue sums exceed int64 when multiplied by 1e6).
+
+    Output: (o_year, total_x10000, nation_x10000, share_ppm).
+    """
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    num_partitions, agg_args = _multi_join_args(_join_partitions(num_partitions))
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    keep = part.filter(pc.equal(part.column("p_type"), ptype))
+    pk = pa.table(
+        {"l_partkey": pc.cast(keep.column("p_partkey"), pa.int64())}
+    ).replace_schema_metadata(None)
+    pk_ref = ray.put(pk)
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sup = pa.table(
+        {
+            "l_suppkey": pc.cast(sup.column("s_suppkey"), pa.int64()),
+            "s_nationkey": pc.cast(sup.column("s_nationkey"), pa.int64()),
+        }
+    ).replace_schema_metadata(None)
+    sup_ref = ray.put(sup)
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rk = reg.filter(pc.equal(reg.column("r_name"), region)).column("r_regionkey")
+    region_nations = nat.filter(
+        pc.is_in(nat.column("n_regionkey"), value_set=rk.combine_chunks())
+    )
+    cnk = pa.table(
+        {"c_nationkey": pc.cast(region_nations.column("n_nationkey"), pa.int64())}
+    ).replace_schema_metadata(None)
+    cnk_ref = ray.put(cnk)
+    target = nat.filter(pc.equal(nat.column("n_name"), nation))
+    target_nk = (
+        pc.cast(target.column("n_nationkey"), pa.int64()).to_pylist() or [-1]
+    )[0]
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        price = _cents(batch.column("l_extendedprice"))
+        disc = _cents(batch.column("l_discount"))
+        t = pa.table(
+            {
+                "l_orderkey": pc.cast(batch.column("l_orderkey"), pa.int64()),
+                "l_partkey": pc.cast(batch.column("l_partkey"), pa.int64()),
+                "l_suppkey": pc.cast(batch.column("l_suppkey"), pa.int64()),
+                "rev": pa.array(price * (100 - disc)),
+            }
+        )
+        t = t.join(ray.get(pk_ref), keys="l_partkey", join_type="inner")
+        t = t.join(ray.get(sup_ref), keys="l_suppkey", join_type="inner")
+        is_nat = pc.cast(
+            pc.equal(t.column("s_nationkey"), pa.scalar(target_nk, pa.int64())),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "is_nation": is_nat,
+                "rev": t.column("rev"),
+            }
+        )
+        return t.group_by(["l_orderkey", "is_nation"]).aggregate([("rev", "sum")])
+
+    li = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_partkey", "l_suppkey",
+                     "l_extendedprice", "l_discount"],
+        )
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    orders = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+                "o_year": pa.array(_years(t.column("o_orderdate"))),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    cust = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"])
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": pc.cast(t.column("c_custkey"), pa.int64()),
+                "c_nationkey": pc.cast(t.column("c_nationkey"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        aggregator_ray_remote_args=agg_args,
+    ).join(
+        cust,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+        aggregator_ray_remote_args=agg_args,
+    )
+
+    def year_partial(t: pa.Table) -> pa.Table:
+        t = t.join(ray.get(cnk_ref), keys="c_nationkey", join_type="inner")
+        rev = pc.cast(t.column("rev_sum"), pa.int64())
+        nat_rev = pc.multiply(rev, t.column("is_nation"))
+        return (
+            pa.table(
+                {
+                    "o_year": t.column("o_year"),
+                    "total": rev,
+                    "nat": nat_rev,
+                }
+            )
+            .group_by("o_year")
+            .aggregate([("total", "sum"), ("nat", "sum")])
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_year").aggregate(
+            [("total_sum", "sum"), ("nat_sum", "sum")]
+        )
+        years = pc.cast(g.column("o_year"), pa.int64()).to_pylist()
+        tot = pc.cast(g.column("total_sum_sum"), pa.int64()).to_pylist()
+        nt = pc.cast(g.column("nat_sum_sum"), pa.int64()).to_pylist()
+        ppm = [n * 1_000_000 // t if t else 0 for n, t in zip(nt, tot)]
+        return pa.table(
+            {
+                "o_year": pa.array(years, pa.int64()),
+                "total_x10000": pa.array(tot, pa.int64()),
+                "nation_x10000": pa.array(nt, pa.int64()),
+                "share_ppm": pa.array(ppm, pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(year_partial, batch_format="pyarrow")
+        .repartition(1)  # O(|years|) rows by construction
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def product_profit(sf_dir: str, name_like: str = "widget",
+                   num_partitions: int | None = None):
+    """Profit proxy by supplier nation and order year for parts whose name
+    contains a token (TPC-H Q9 shape with p_retailprice standing in for
+    ps_supplycost, which these tables don't carry).
+
+    profit_x10000 = extended_cents*(100-disc) - 100*retail_cents*quantity.
+
+    Scale shape: the name-filtered part subset joins natively on partkey
+    (big-big: part grows with the corpus), orders joins natively on
+    orderkey; supplier/nation resolve by broadcast. Lineitem is combined to
+    (partkey, orderkey, nation) partials before either exchange. Final
+    reduce domain |nations| x |years| is calendar-bounded.
+
+    Output: (n_name, o_year, profit_x10000).
+    """
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    num_partitions, agg_args = _multi_join_args(_join_partitions(num_partitions))
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sup = pa.table(
+        {
+            "l_suppkey": pc.cast(sup.column("s_suppkey"), pa.int64()),
+            "s_nationkey": pc.cast(sup.column("s_nationkey"), pa.int64()),
+        }
+    ).replace_schema_metadata(None)
+    sup_ref = ray.put(sup)
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    names = pa.table(
+        {
+            "s_nationkey": pc.cast(nat.column("n_nationkey"), pa.int64()),
+            "n_name": pc.cast(nat.column("n_name"), pa.string()),
+        }
+    ).replace_schema_metadata(None)
+    nat_ref = ray.put(names)
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        price = _cents(batch.column("l_extendedprice"))
+        disc = _cents(batch.column("l_discount"))
+        qty = np.floor(
+            batch.column("l_quantity").to_numpy() + 0.5
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "l_partkey": pc.cast(batch.column("l_partkey"), pa.int64()),
+                "l_orderkey": pc.cast(batch.column("l_orderkey"), pa.int64()),
+                "l_suppkey": pc.cast(batch.column("l_suppkey"), pa.int64()),
+                "rev": pa.array(price * (100 - disc)),
+                "qty": pa.array(qty),
+            }
+        ).join(ray.get(sup_ref), keys="l_suppkey", join_type="inner")
+        return t.group_by(["l_partkey", "l_orderkey", "s_nationkey"]).aggregate(
+            [("rev", "sum"), ("qty", "sum")]
+        )
+
+    li = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_orderkey", "l_suppkey", "l_quantity",
+                     "l_extendedprice", "l_discount"],
+        )
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    def part_map(t: pa.Table) -> pa.Table:
+        m = pc.match_substring(t.column("p_name"), name_like)
+        t = t.filter(m)
+        return pa.table(
+            {
+                "p_partkey": pc.cast(t.column("p_partkey"), pa.int64()),
+                "retail_cents": pa.array(_cents(t.column("p_retailprice"))),
+            }
+        )
+
+    part = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/part.parquet",
+                        columns=["p_partkey", "p_name", "p_retailprice"])
+    ).map_batches(part_map, batch_format="pyarrow")
+
+    orders = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_orderdate"])
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "o_year": pa.array(_years(t.column("o_orderdate"))),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = li.join(
+        part,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+        aggregator_ray_remote_args=agg_args,
+    ).join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        aggregator_ray_remote_args=agg_args,
+    )
+
+    def profit_partial(t: pa.Table) -> pa.Table:
+        profit = pc.subtract(
+            pc.cast(t.column("rev_sum"), pa.int64()),
+            pc.multiply(
+                pc.multiply(pc.cast(t.column("qty_sum"), pa.int64()),
+                            pa.scalar(100, pa.int64())),
+                t.column("retail_cents"),
+            ),
+        )
+        j = pa.table(
+            {
+                "s_nationkey": t.column("s_nationkey"),
+                "o_year": t.column("o_year"),
+                "profit": profit,
+            }
+        ).join(ray.get(nat_ref), keys="s_nationkey", join_type="inner")
+        return j.group_by(["n_name", "o_year"]).aggregate([("profit", "sum")])
+
+    return (
+        joined.map_batches(profit_partial, batch_format="pyarrow")
+        .repartition(1)  # O(|nations| x |years|) rows by construction
+        .map_batches(
+            lambda t: (
+                lambda g: pa.table(
+                    {
+                        "n_name": g.column("n_name"),
+                        "o_year": pc.cast(g.column("o_year"), pa.int64()),
+                        "profit_x10000": pc.cast(g.column("profit_sum_sum"),
+                                                 pa.int64()),
+                    }
+                )
+            )(t.group_by(["n_name", "o_year"]).aggregate([("profit_sum", "sum")])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def small_qty_revenue(sf_dir: str, brand: str = "Brand#13"):
+    """Revenue lost to small-quantity lineitems of one brand's parts: rows
+    whose quantity is under 20% of that part's corpus-wide average quantity
+    (TPC-H Q17 shape; the average is over ALL lineitems of the part).
+
+    The 0.2*avg comparison is exact-integer: qty < sum/(5*cnt) <=>
+    5*qty*cnt < sum, with quantities rounded half-up once on both sides.
+
+    Scale shape: the brand's partkey set is a broadcast semi-join filter
+    (|part|/|brands| keys); per-part (sum, cnt) stats come from a combiner
+    + native groupby on partkey. The stats table is one row per brand part,
+    so the second pass resolves it by broadcast rather than a native join —
+    Ray 2.49's hash join mis-disseminates schemas when the build side
+    starts with an empty block (small key domains from groupby outputs),
+    and the brand-part domain is exactly that shape; past the broadcast
+    budget, salt-and-join on partkey instead.
+
+    Output: one row (matched_rows, total_cents, avg_yearly_cents).
+    """
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    keep = part.filter(pc.equal(part.column("p_brand"), brand))
+    pk = pa.table(
+        {"l_partkey": pc.cast(keep.column("p_partkey"), pa.int64())}
+    ).replace_schema_metadata(None)
+    pk_ref = ray.put(pk)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_partkey": pc.cast(batch.column("l_partkey"), pa.int64()),
+                "qty": pa.array(
+                    np.floor(batch.column("l_quantity").to_numpy() + 0.5)
+                    .astype(np.int64)
+                ),
+                "one": pa.array(
+                    np.ones(batch.num_rows, np.int64)
+                ),
+            }
+        ).join(ray.get(pk_ref), keys="l_partkey", join_type="inner")
+        return t.group_by("l_partkey").aggregate([("qty", "sum"), ("one", "sum")])
+
+    from ray.data.aggregate import Sum
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    stats = (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=li_cols[:2])
+        )
+        .map_batches(stats_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("qty_sum", alias_name="qs"), Sum("one_sum", alias_name="cnt"))
+    )
+    # One row per part of ONE brand — bounded, collected as Arrow refs and
+    # re-broadcast (see docstring for the join-landmine rationale).
+    refs = stats.to_arrow_refs()
+    parts = [t for t in ray.get(refs) if t.num_rows]
+    if parts:
+        stats_tbl = pa.concat_tables(parts, promote_options="default")
+    else:
+        stats_tbl = pa.table(
+            {
+                "l_partkey": pa.array([], pa.int64()),
+                "qs": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+    stats_tbl = (
+        stats_tbl.select(["l_partkey", "qs", "cnt"])
+        .replace_schema_metadata(None)
+    )
+    stats_ref = ray.put(stats_tbl)
+
+    def match_partial(batch: pa.Table) -> pa.Table:
+        qty = np.floor(batch.column("l_quantity").to_numpy() + 0.5).astype(np.int64)
+        t = pa.table(
+            {
+                "l_partkey": pc.cast(batch.column("l_partkey"), pa.int64()),
+                "qty": pa.array(qty),
+                "cents": pa.array(_cents(batch.column("l_extendedprice"))),
+            }
+        ).join(ray.get(stats_ref), keys="l_partkey", join_type="inner")
+        ok = pc.less(
+            pc.multiply(
+                pc.multiply(t.column("qty"), pa.scalar(5, pa.int64())),
+                pc.cast(t.column("cnt"), pa.int64()),
+            ),
+            pc.cast(t.column("qs"), pa.int64()),
+        )
+        t = t.filter(ok)
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "cents": pa.array(
+                    [pc.sum(t.column("cents")).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.sum(t.column("n")).as_py() or 0
+        cents = pc.sum(t.column("cents")).as_py() or 0
+        return pa.table(
+            {
+                "matched_rows": pa.array([n], pa.int64()),
+                "total_cents": pa.array([cents], pa.int64()),
+                "avg_yearly_cents": pa.array([cents // 7], pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=li_cols)
+        )
+        .map_batches(match_partial, batch_format="pyarrow")
+        .repartition(1)  # O(|blocks|) single-row partials
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def top_supplier(sf_dir: str, start: str = "1998-01-01", end: str = "1998-04-01"):
+    """Supplier(s) with the maximum revenue over a ship-date window, ties
+    kept (TPC-H Q15 shape, the CREATE VIEW + max subquery flattened).
+
+    Scale shape: a per-batch (suppkey -> revenue) combiner feeds one native
+    groupby; the per-supplier aggregate is materialized once (one row per
+    active supplier in a 3-month window) and scanned twice — once for the
+    global max (partial max per block, tiny final), once for the equality
+    filter. Winner names resolve from the supplier dim by broadcast.
+
+    Output: (s_suppkey, s_name, total_revenue_x10000).
+    """
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    lo = np.datetime64(start).astype("datetime64[us]")
+    hi = np.datetime64(end).astype("datetime64[us]")
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"])
+    sup = pa.table(
+        {
+            "l_suppkey": pc.cast(sup.column("s_suppkey"), pa.int64()),
+            "s_name": pc.cast(sup.column("s_name"), pa.string()),
+        }
+    ).replace_schema_metadata(None)
+    sup_ref = ray.put(sup)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("l_shipdate").to_numpy()
+        mask = (d >= lo) & (d < hi)
+        batch = batch.filter(pa.array(mask))
+        price = _cents(batch.column("l_extendedprice"))
+        disc = _cents(batch.column("l_discount"))
+        return (
+            pa.table(
+                {
+                    "l_suppkey": pc.cast(batch.column("l_suppkey"), pa.int64()),
+                    "rev": pa.array(price * (100 - disc)),
+                }
+            )
+            .group_by("l_suppkey")
+            .aggregate([("rev", "sum")])
+        )
+
+    agg = (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_suppkey", "l_shipdate",
+                         "l_extendedprice", "l_discount"],
+            )
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("rev_sum", alias_name="total_revenue_x10000"))
+        .materialize()  # one row per active supplier in the window
+    )
+
+    best = agg.max("total_revenue_x10000")
+
+    def winners(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.equal(
+                pc.cast(t.column("total_revenue_x10000"), pa.int64()),
+                pa.scalar(best, pa.int64()),
+            )
+        )
+        j = pa.table(
+            {
+                "l_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()),
+                "total_revenue_x10000": pc.cast(
+                    t.column("total_revenue_x10000"), pa.int64()
+                ),
+            }
+        ).join(ray.get(sup_ref), keys="l_suppkey", join_type="inner")
+        return pa.table(
+            {
+                "s_suppkey": j.column("l_suppkey"),
+                "s_name": j.column("s_name"),
+                "total_revenue_x10000": j.column("total_revenue_x10000"),
+            }
+        )
+
+    return agg.map_batches(winners, batch_format="pyarrow")

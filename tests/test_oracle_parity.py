@@ -44,13 +44,18 @@ SUBSET = [
     "markov_transitions",
     "customer_spend_ntile",
     "blocked_linkage",
+    "nation_pair_volume",
+    "market_share",
+    "small_qty_revenue",
+    "top_supplier",
 ]
 
 
 @pytest.fixture(scope="module")
 def oracle_con():
     con = duckdb.connect()
-    for t in ["documents", "embeddings", "events", "orders", "lineitem", "customer", "nation"]:
+    for t in ["documents", "embeddings", "events", "orders", "lineitem",
+              "customer", "nation", "supplier", "part", "region"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     return con
 

@@ -329,3 +329,81 @@ def test_part_price_deviation_mass(ray_session):
             JOIN '{SF}/part.parquet' p ON p.p_partkey = l.l_partkey"""
     ).fetchone()[0]
     assert int(df["n_items"].sum()) == int(n)
+
+
+def test_nation_pair_volume_excludes_local_pairs(ray_session):
+    """Q7 shape: no same-nation pair appears, and the pair total plus the
+    Q5 local total equals all-lineitem revenue (the two partitions of the
+    supp-nation x cust-nation space)."""
+    from ray_extract.pipelines.relational import (
+        local_supplier_volume,
+        nation_pair_volume,
+    )
+
+    pairs = nation_pair_volume(SF).to_pandas()
+    assert (pairs["supp_nation"] != pairs["cust_nation"]).all()
+    local = local_supplier_volume(SF).to_pandas()
+    con = duckdb.connect()
+    total = con.execute(
+        f"""SELECT SUM(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)
+                   * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT)))
+            FROM '{SF}/lineitem.parquet'
+            JOIN '{SF}/orders.parquet' ON l_orderkey = o_orderkey"""
+    ).fetchone()[0]
+    assert int(pairs["revenue_x10000"].sum()) + int(
+        local["revenue_x10000"].sum()
+    ) == int(total)
+
+
+def test_market_share_numerator_bounded(ray_session):
+    from ray_extract.pipelines.relational import market_share
+
+    df = market_share(SF).to_pandas()
+    assert len(df) > 0
+    assert (df["nation_x10000"] <= df["total_x10000"]).all()
+    assert (df["share_ppm"] >= 0).all() and (df["share_ppm"] <= 1_000_000).all()
+
+
+def test_product_profit_name_filter_is_subset(ray_session):
+    """Filtering to a rarer token can only shrink per-group profit mass."""
+    from ray_extract.pipelines.relational import product_profit
+
+    wide = product_profit(SF, name_like="widget").to_pandas()
+    narrow = product_profit(SF, name_like="blue widget").to_pandas()
+    assert set(map(tuple, narrow[["n_name", "o_year"]].values)) <= set(
+        map(tuple, wide[["n_name", "o_year"]].values)
+    )
+
+
+def test_small_qty_revenue_threshold_monotone(ray_session):
+    """A stricter brand filter (nonexistent brand) matches nothing; the
+    default brand matches a positive count at this sf."""
+    from ray_extract.pipelines.relational import small_qty_revenue
+
+    got = small_qty_revenue(SF).to_pandas()
+    assert int(got["matched_rows"].iloc[0]) > 0
+    assert int(got["avg_yearly_cents"].iloc[0]) == int(
+        got["total_cents"].iloc[0]
+    ) // 7
+    none = small_qty_revenue(SF, brand="Brand#none").to_pandas()
+    assert int(none["matched_rows"].iloc[0]) == 0
+    assert int(none["total_cents"].iloc[0]) == 0
+
+
+def test_top_supplier_is_argmax_with_ties(ray_session):
+    from ray_extract.pipelines.relational import top_supplier
+
+    df = top_supplier(SF).to_pandas()
+    assert len(df) >= 1
+    assert df["total_revenue_x10000"].nunique() == 1
+    con = duckdb.connect()
+    want = con.execute(
+        f"""SELECT max(r) FROM (
+              SELECT SUM(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)
+                     * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT))) AS r
+              FROM '{SF}/lineitem.parquet'
+              WHERE l_shipdate >= DATE '1998-01-01'
+                AND l_shipdate < DATE '1998-04-01'
+              GROUP BY l_suppkey)"""
+    ).fetchone()[0]
+    assert int(df["total_revenue_x10000"].iloc[0]) == int(want)
