@@ -345,6 +345,36 @@ def _q_pdf_real_extract(sf_dir: str):
     return flat.map_batches(summarize, batch_format="pyarrow")
 
 
+def _q_attribution_first_last(sf_dir: str):
+    from ray_extract.pipelines.events import attribution_first_last
+
+    return attribution_first_last(sf_dir)
+
+
+def _q_bounce_rate(sf_dir: str):
+    from ray_extract.pipelines.events import bounce_rate
+
+    return bounce_rate(sf_dir)
+
+
+def _q_zipf_profile(sf_dir: str):
+    from ray_extract.pipelines.text import zipf_profile
+
+    return zipf_profile(sf_dir)
+
+
+def _q_hapax_ratio(sf_dir: str):
+    from ray_extract.pipelines.text import hapax_ratio
+
+    return hapax_ratio(sf_dir)
+
+
+def _q_kmeans_update(sf_dir: str):
+    from ray_extract.pipelines.similarity import kmeans_update
+
+    return kmeans_update(sf_dir)
+
+
 def _q_nation_pair_volume(sf_dir: str):
     from ray_extract.pipelines.relational import nation_pair_volume
 
@@ -1325,6 +1355,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_table_cells": _q_extract_table_cells,
         "extract_join_meta": _q_extract_join_meta,
         "pdf_real_extract": _q_pdf_real_extract,
+        "attribution_first_last": _q_attribution_first_last,
+        "bounce_rate": _q_bounce_rate,
+        "zipf_profile": _q_zipf_profile,
+        "hapax_ratio": _q_hapax_ratio,
+        "kmeans_update": _q_kmeans_update,
         "nation_pair_volume": _q_nation_pair_volume,
         "market_share": _q_market_share,
         "product_profit": _q_product_profit,
@@ -2022,6 +2057,85 @@ p AS (SELECT a.source AS source_a, b.source AS source_b
       FROM d a JOIN d b ON a.h = b.h AND a.source < b.source)
 SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared_texts
 FROM p GROUP BY 1, 2
+""",
+        "attribution_first_last": """
+WITH o AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS cnt
+  FROM events),
+f AS (SELECT user_id, event_type AS first_type FROM o WHERE rn = 1),
+l AS (SELECT user_id, event_type AS last_type FROM o WHERE rn = cnt)
+SELECT first_type, last_type, CAST(count(*) AS BIGINT) AS n_users
+FROM f JOIN l USING (user_id) GROUP BY 1, 2
+""",
+        "bounce_rate": """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o),
+r AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY user_id, sid
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id, sid) AS n_ev
+  FROM s)
+SELECT event_type AS entry_type,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(*) FILTER (WHERE n_ev = 1) AS BIGINT) AS n_bounces,
+       CAST(count(*) FILTER (WHERE n_ev = 1) * 1000000 // count(*) AS BIGINT)
+         AS bounce_ppm
+FROM r WHERE rn = 1 GROUP BY 1
+""",
+        "zipf_profile": """
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+c AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, word ASC) AS BIGINT) AS "rank",
+       word, n
+FROM c ORDER BY n DESC, word LIMIT 50
+""",
+        "hapax_ratio": """
+WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+c AS (SELECT source, word, count(*) AS n FROM w GROUP BY 1, 2)
+SELECT source, CAST(count(*) AS BIGINT) AS n_vocab,
+       CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS n_hapax,
+       CAST(count(*) FILTER (WHERE n = 1) * 1000000 // count(*) AS BIGINT)
+         AS hapax_ppm
+FROM c GROUP BY 1
+""",
+        "kmeans_update": """
+WITH dims AS (
+  SELECT vec_id, u.i AS i,
+         least(greatest(CAST(floor(CAST(embedding[i] AS DOUBLE) * 127 + 0.5)
+                             AS BIGINT), -31), 31) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+cids AS (SELECT vec_id AS cid FROM embeddings ORDER BY vec_id LIMIT 8),
+cent AS (SELECT cids.cid, d.i, d.q AS cq
+         FROM dims d JOIN cids ON d.vec_id = cids.cid),
+dist AS (SELECT d.vec_id, c.cid,
+                CAST(SUM((d.q - c.cq) * (d.q - c.cq)) AS BIGINT) AS d2
+         FROM dims d JOIN cent c ON d.i = c.i GROUP BY 1, 2),
+best AS (SELECT vec_id, cid, d2,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d2 ASC, cid ASC) AS rn
+         FROM dist)
+SELECT CAST(b.cid AS BIGINT) AS centroid_id,
+       CAST(d.i AS BIGINT) AS dim,
+       CAST(SUM(d.q) AS BIGINT) AS sum_q,
+       CAST(count(*) AS BIGINT) AS n_assigned
+FROM best b JOIN dims d ON b.vec_id = d.vec_id
+WHERE b.rn = 1
+GROUP BY 1, 2
 """,
         "nation_pair_volume": """
 SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,

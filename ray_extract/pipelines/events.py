@@ -2174,3 +2174,184 @@ def longest_type_run(sf_dir: str, num_buckets: int = 64):
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def attribution_first_last(sf_dir: str, num_buckets: int = 64):
+    """First-touch x last-touch attribution: for every user, the type of
+    their first and last event (ordered by ts, event_id), counted per
+    (first_type, last_type) pair — the marketing-attribution contingency
+    table (SQL: two ROW_NUMBER picks joined on user).
+
+    Scale shape: one hash(user) shuffle; per bucket one vectorized pass —
+    lexsort by (user, ts, event_id), user boundaries give first/last rows
+    directly, pairs count via a packed np.unique. Each bucket emits at most
+    |types|^2 rows, so the cross-bucket reduce is metadata-scale.
+
+    Output: (first_type, last_type, n_users).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch.column("user_id"), pa.int64()).to_numpy()
+        bucket = np.abs((uid * np.int64(2654435761)) % np.int64(num_buckets))
+        return pa.table(
+            {
+                "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+                "user_id": pa.array(uid),
+                "ts": batch.column("ts"),
+                "event_type": batch.column("event_type"),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        codes, types = pd.factorize(g["event_type"])
+        order = np.lexsort((eid, ts, uid))
+        uid_s = uid[order]
+        codes_s = codes[order].astype(np.int64)
+        first_mask = np.r_[True, uid_s[1:] != uid_s[:-1]]
+        last_mask = np.r_[uid_s[1:] != uid_s[:-1], True]
+        k = max(len(types), 1)
+        pair, counts = np.unique(
+            codes_s[first_mask] * k + codes_s[last_mask], return_counts=True
+        )
+        tarr = types.to_numpy()
+        return pd.DataFrame(
+            {
+                "first_type": tarr[pair // k],
+                "last_type": tarr[pair % k],
+                "n_users": counts.astype(np.int64),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = t.group_by(["first_type", "last_type"]).aggregate(
+            [("n_users", "sum")]
+        )
+        return pa.table(
+            {
+                "first_type": out.column("first_type"),
+                "last_type": out.column("last_type"),
+                "n_users": pc.cast(out.column("n_users_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["event_id", "user_id", "ts", "event_type"],
+            )
+        )
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # O(|types|^2) rows per bucket by construction
+        .map_batches(merge, batch_format="pyarrow")
+    )
+
+
+def bounce_rate(sf_dir: str, gap_minutes: int = 30, num_buckets: int = 64):
+    """Bounce rate by session entry type: share (ppm) of sessions that
+    contain exactly one event, grouped by the type of the session's first
+    event (ordered by ts, event_id). Same 30-minute-gap session rule as
+    ``sessionize``.
+
+    Scale shape: one hash(user) shuffle; per bucket one vectorized pass —
+    session starts = user boundary OR gap exceeded, entry rows are the
+    starts themselves, a bounce is a start whose next row is also a start.
+    Bounded |types| partials per bucket; exact integer ppm on the final
+    block.
+
+    Output: (entry_type, n_sessions, n_bounces, bounce_ppm).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    gap_us = np.int64(gap_minutes) * 60_000_000
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch.column("user_id"), pa.int64()).to_numpy()
+        bucket = np.abs((uid * np.int64(2654435761)) % np.int64(num_buckets))
+        return pa.table(
+            {
+                "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+                "user_id": pa.array(uid),
+                "ts": batch.column("ts"),
+                "event_type": batch.column("event_type"),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        codes, types = pd.factorize(g["event_type"])
+        order = np.lexsort((eid, ts, uid))
+        uid_s, ts_s = uid[order], ts[order]
+        codes_s = codes[order].astype(np.int64)
+        new_user = np.r_[True, uid_s[1:] != uid_s[:-1]]
+        gap_hit = np.r_[True, (ts_s[1:] - ts_s[:-1]) > gap_us]
+        start = new_user | gap_hit
+        entry_c = codes_s[start]
+        # a session bounces iff the row after its start is another start
+        # (or the start is the last row of the bucket)
+        nxt = np.r_[start[1:], True]
+        bounce = nxt[start]
+        k = max(len(types), 1)
+        uniq, counts = np.unique(entry_c * 2 + bounce, return_counts=True)
+        tarr = types.to_numpy()
+        return pd.DataFrame(
+            {
+                "entry_type": tarr[uniq // 2],
+                "is_bounce": (uniq % 2).astype(np.int64),
+                "n": counts.astype(np.int64),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["entry_type", "is_bounce"]).aggregate([("n", "sum")])
+        et = g.column("entry_type").to_pylist()
+        ib = pc.cast(g.column("is_bounce"), pa.int64()).to_pylist()
+        n = pc.cast(g.column("n_sum"), pa.int64()).to_pylist()
+        tot: dict = {}
+        bnc: dict = {}
+        for e, b, c in zip(et, ib, n):
+            tot[e] = tot.get(e, 0) + c
+            if b:
+                bnc[e] = bnc.get(e, 0) + c
+        keys = sorted(tot)
+        return pa.table(
+            {
+                "entry_type": pa.array(keys, pa.string()),
+                "n_sessions": pa.array([tot[k] for k in keys], pa.int64()),
+                "n_bounces": pa.array([bnc.get(k, 0) for k in keys], pa.int64()),
+                "bounce_ppm": pa.array(
+                    [bnc.get(k, 0) * 1_000_000 // tot[k] for k in keys],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["event_id", "user_id", "ts", "event_type"],
+            )
+        )
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # O(2|types|) rows per bucket by construction
+        .map_batches(finish, batch_format="pyarrow")
+    )

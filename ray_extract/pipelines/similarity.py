@@ -1106,3 +1106,98 @@ def ann_filtered(sf_dir: str, n_queries: int = 10, k: int = 5):
     return partial.groupby("query_id").map_groups(
         _topk_stage(k, with_score=False), batch_format="pandas"
     )
+
+
+def kmeans_update(sf_dir: str, k: int = 8, scale: int = 127, clip: int = 31):
+    """One full Lloyd UPDATE step over quantized embeddings: assign every
+    vector to its nearest centroid (same integer grid, seeding, and argmin
+    tiebreak as ``kmeans_assign``), then emit the per-(centroid, dimension)
+    component sums and member counts — the exact-integer sufficient
+    statistics of the new centroids (new_c[i] = sum_q/n, left as a
+    rational so the DuckDB oracle matches bit-for-bit).
+
+    Scale shape: centroids broadcast once; assignment is one integer
+    matmul per batch; each batch emits a k x d dense partial (bounded by
+    the model, not the data) via np.add.at, and the final reduce is a
+    repartition(1) over k*d-row partials.
+
+    Output: (centroid_id, dim, sum_q, n_assigned) — dim is 1-based to
+    match the SQL unnest convention.
+    """
+    import ray
+    import ray.data as rd
+
+    def quant(e: np.ndarray) -> np.ndarray:
+        return np.clip(np.floor(e * float(scale) + 0.5), -clip, clip).astype(
+            np.int64
+        )
+
+    def seed_partial(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("vec_id"), pa.int64()).to_numpy()
+        order = np.argsort(ids, kind="stable")[:k]
+        return pa.table(
+            {
+                "vec_id": ids[order],
+                "embedding": batch.column("embedding").take(pa.array(order)),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    seeds = (
+        ds.map_batches(seed_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(seed_partial, batch_format="pyarrow")
+        .take_all()  # <= k rows per partial — bounded
+    )
+    seeds.sort(key=lambda r: r["vec_id"])
+    seeds = seeds[:k]
+    cent_ids = np.array([r["vec_id"] for r in seeds], dtype=np.int64)
+    cmat = quant(np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                           for r in seeds]))
+    cref = ray.put((cent_ids, cmat, (cmat * cmat).sum(axis=1)))
+
+    def update_partial(batch: pa.Table) -> pa.Table:
+        ids_c, cm, c2 = ray.get(cref)
+        _, e = _emb_matrix(batch)
+        q = quant(e)
+        d2 = (q * q).sum(axis=1, keepdims=True) + c2[None, :] - 2 * (q @ cm.T)
+        best = np.argmin(d2, axis=1)
+        kk, d = cm.shape
+        sums = np.zeros((kk, d), dtype=np.int64)
+        np.add.at(sums, best, q)
+        counts = np.bincount(best, minlength=kk).astype(np.int64)
+        return pa.table(
+            {
+                "centroid_id": pa.array(np.repeat(ids_c, d)),
+                "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), kk)),
+                "sum_q": pa.array(sums.ravel()),
+                "n": pa.array(np.repeat(counts, d)),
+            }
+        )
+
+    return (
+        ds.map_batches(update_partial, batch_format="pyarrow")
+        .repartition(1)  # O(k*d) rows per partial by construction
+        .map_batches(
+            lambda t: (
+                lambda g: pa.table(
+                    {
+                        "centroid_id": pc.cast(g.column("centroid_id"),
+                                               pa.int64()),
+                        "dim": pc.cast(g.column("dim"), pa.int64()),
+                        "sum_q": pc.cast(g.column("sum_q_sum"), pa.int64()),
+                        "n_assigned": pc.cast(g.column("n_sum"), pa.int64()),
+                    }
+                )
+            )(
+                # a centroid whose seed ties away to a smaller id can end up
+                # empty — drop it to match the oracle's member-join shape
+                t.group_by(["centroid_id", "dim"])
+                .aggregate([("sum_q", "sum"), ("n", "sum")])
+                .filter(pc.greater(pc.field("n_sum"), 0))
+            ),
+            batch_format="pyarrow",
+        )
+    )

@@ -2211,3 +2211,144 @@ def kwic_extract(sf_dir: str, keyword: str | None = None, window: int = 2):
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(find, batch_format="pyarrow")
+
+
+def zipf_profile(sf_dir: str, k: int = 50):
+    """Rank-frequency (Zipf) profile of the corpus: the top-k words by
+    count with their 1-based rank, deterministic tiebreak (n desc, word
+    asc) — the vocabulary health-check that catches boilerplate floods.
+
+    Scale shape: per-batch partial counts (all-Arrow split + group_by)
+    before the one vocabulary shuffle; top-k over the aggregated table via
+    distributed sort + limit; ranks assigned on the final k-row block.
+
+    Output: (rank, word, n).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        flat = pc.list_flatten(pc.split_pattern(text, " "))
+        t = pa.table({"word": flat})
+        part = t.group_by("word").aggregate([("word", "count")])
+        return pa.table(
+            {
+                "word": part.column("word"),
+                "n": pc.cast(part.column("word_count"), pa.int64()),
+            }
+        )
+
+    agg = (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def rank(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("n", "descending"), ("word", "ascending")]
+        )
+        t = t.take(idx)
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, t.num_rows + 1, dtype=np.int64)),
+                "word": t.column("word"),
+                "n": pc.cast(t.column("n"), pa.int64()),
+            }
+        )
+
+    return (
+        agg.map_batches(
+            lambda t: pa.table(
+                {"word": t.column("word"), "n": pc.cast(t.column("n"), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["n", "word"], descending=[True, False])
+        .limit(k)
+        .repartition(1)  # k rows by construction
+        .map_batches(rank, batch_format="pyarrow")
+    )
+
+
+def hapax_ratio(sf_dir: str):
+    """Per-source hapax legomena ratio: the share (ppm) of each source's
+    vocabulary that occurs exactly once — a standard corpus-quality /
+    OCR-noise signal (noisy extraction inflates one-off tokens).
+
+    Scale shape: per-batch (source, word) partial counts feed ONE native
+    groupby; the post-groupby rows are final per (source, word), so each
+    block reduces to |sources| partial rows and the ppm math runs on the
+    final metadata-scale block with exact integers.
+
+    Output: (source, n_vocab, n_hapax, hapax_ppm).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        words = pc.split_pattern(text, " ")
+        counts = pc.list_value_length(words).to_numpy().astype(np.int64)
+        src = pa.array(
+            np.repeat(
+                pc.cast(batch.column("source"), pa.string()).to_numpy(
+                    zero_copy_only=False
+                ),
+                counts,
+            )
+        )
+        t = pa.table({"source": src, "word": pc.list_flatten(words)})
+        part = t.group_by(["source", "word"]).aggregate([("word", "count")])
+        return pa.table(
+            {
+                "source": part.column("source"),
+                "word": part.column("word"),
+                "n": pc.cast(part.column("word_count"), pa.int64()),
+            }
+        )
+
+    agg = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "word"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def vocab_partial(t: pa.Table) -> pa.Table:
+        one = pc.cast(pc.equal(t.column("n"), pa.scalar(1, pa.int64())),
+                      pa.int64())
+        g = pa.table(
+            {
+                "source": t.column("source"),
+                "v": pa.array(np.ones(t.num_rows, np.int64)),
+                "h": one,
+            }
+        ).group_by("source").aggregate([("v", "sum"), ("h", "sum")])
+        return g
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate([("v_sum", "sum"), ("h_sum", "sum")])
+        src = g.column("source").to_pylist()
+        v = pc.cast(g.column("v_sum_sum"), pa.int64()).to_pylist()
+        h = pc.cast(g.column("h_sum_sum"), pa.int64()).to_pylist()
+        order = np.argsort(np.asarray(src, dtype=object))
+        return pa.table(
+            {
+                "source": pa.array([src[i] for i in order], pa.string()),
+                "n_vocab": pa.array([v[i] for i in order], pa.int64()),
+                "n_hapax": pa.array([h[i] for i in order], pa.int64()),
+                "hapax_ppm": pa.array(
+                    [h[i] * 1_000_000 // v[i] if v[i] else 0 for i in order],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        agg.map_batches(vocab_partial, batch_format="pyarrow")
+        .repartition(1)  # O(|sources|) rows per block by construction
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -915,3 +915,68 @@ def test_centroid_spread_identity(ray_session):
         )
         assert Fraction(int(df.loc[lab, "spread_xn2"]), n * n) == brute
         assert int(df.loc[lab, "n_vecs"]) == n
+
+
+def test_attribution_pairs_cover_all_users(ray_session):
+    """Every user contributes exactly one (first, last) pair."""
+    import pandas as pd
+
+    from ray_extract.pipelines.events import attribution_first_last
+
+    sf = "/root/testdata/sf0.001"
+    df = attribution_first_last(sf).to_pandas()
+    n_users = pd.read_parquet(f"{sf}/events.parquet", columns=["user_id"])[
+        "user_id"
+    ].nunique()
+    assert int(df["n_users"].sum()) == n_users
+
+
+def test_bounce_rate_bounded_and_counts_sessions(ray_session):
+    from ray_extract.pipelines.events import bounce_rate, sessionize
+
+    sf = "/root/testdata/sf0.001"
+    df = bounce_rate(sf).to_pandas()
+    assert (df["n_bounces"] <= df["n_sessions"]).all()
+    assert (df["bounce_ppm"] <= 1_000_000).all()
+    sess = sessionize(sf).to_pandas()
+    assert int(df["n_sessions"].sum()) == len(sess)
+    assert int(df["n_bounces"].sum()) == int((sess["n_events"] == 1).sum())
+
+
+def test_zipf_profile_rank_is_monotone(ray_session):
+    from ray_extract.pipelines.text import zipf_profile
+
+    df = zipf_profile("/root/testdata/sf0.001").to_pandas()
+    assert list(df["rank"]) == list(range(1, len(df) + 1))
+    assert (np.diff(df["n"].to_numpy()) <= 0).all()
+
+
+def test_hapax_ratio_brute_force_one_source(ray_session):
+    from ray_extract.pipelines.text import hapax_ratio
+
+    sf = "/root/testdata/sf0.001"
+    df = hapax_ratio(sf).to_pandas().set_index("source")
+    import pandas as pd
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["source", "text"])
+    src = df.index[0]
+    from collections import Counter
+
+    c = Counter(
+        w for t in docs.loc[docs.source == src, "text"] for w in t.split(" ")
+    )
+    assert int(df.loc[src, "n_vocab"]) == len(c)
+    assert int(df.loc[src, "n_hapax"]) == sum(1 for v in c.values() if v == 1)
+
+
+def test_kmeans_update_consistent_with_assign(ray_session):
+    """The update step's member counts must equal the assign step's, and
+    component sums must be bounded by clip * n."""
+    from ray_extract.pipelines.similarity import kmeans_assign, kmeans_update
+
+    sf = "/root/testdata/sf0.001"
+    upd = kmeans_update(sf).to_pandas()
+    asg = kmeans_assign(sf).to_pandas().set_index("centroid_id")
+    per_c = upd.groupby("centroid_id")["n_assigned"].first()
+    for cid, n in per_c.items():
+        assert int(asg.loc[cid, "n_assigned"]) == int(n)
+    assert (upd["sum_q"].abs() <= 31 * upd["n_assigned"]).all()
