@@ -345,6 +345,30 @@ def _q_pdf_real_extract(sf_dir: str):
     return flat.map_batches(summarize, batch_format="pyarrow")
 
 
+def _q_bigram_novelty(sf_dir: str):
+    from ray_extract.pipelines.text import bigram_novelty
+
+    return bigram_novelty(sf_dir)
+
+
+def _q_source_mixture_weights(sf_dir: str):
+    from ray_extract.pipelines.text import source_mixture_weights
+
+    return source_mixture_weights(sf_dir)
+
+
+def _q_late_event_stats(sf_dir: str):
+    from ray_extract.pipelines.events import late_event_stats
+
+    return late_event_stats(sf_dir)
+
+
+def _q_event_dedup_hourly(sf_dir: str):
+    from ray_extract.pipelines.events import event_dedup_hourly
+
+    return event_dedup_hourly(sf_dir)
+
+
 def _q_attribution_first_last(sf_dir: str):
     from ray_extract.pipelines.events import attribution_first_last
 
@@ -1355,6 +1379,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_table_cells": _q_extract_table_cells,
         "extract_join_meta": _q_extract_join_meta,
         "pdf_real_extract": _q_pdf_real_extract,
+        "bigram_novelty": _q_bigram_novelty,
+        "source_mixture_weights": _q_source_mixture_weights,
+        "late_event_stats": _q_late_event_stats,
+        "event_dedup_hourly": _q_event_dedup_hourly,
         "attribution_first_last": _q_attribution_first_last,
         "bounce_rate": _q_bounce_rate,
         "zipf_profile": _q_zipf_profile,
@@ -2057,6 +2085,62 @@ p AS (SELECT a.source AS source_a, b.source AS source_b
       FROM d a JOIN d b ON a.h = b.h AND a.source < b.source)
 SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared_texts
 FROM p GROUP BY 1, 2
+""",
+        "bigram_novelty": """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+pairs AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(ws[u.i:u.i+1], ' ') AS bigram
+  FROM docs, unnest(range(1, len(ws))) AS u(i)),
+first AS (SELECT bigram, min(doc_id) AS first_doc FROM pairs GROUP BY 1)
+SELECT p.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(count(*) FILTER (WHERE p.doc_id = f.first_doc) AS BIGINT)
+         AS n_novel,
+       CAST(count(*) FILTER (WHERE p.doc_id = f.first_doc) * 1000000
+            // count(*) AS BIGINT) AS novelty_ppm
+FROM pairs p JOIN first f USING (bigram)
+GROUP BY 1
+""",
+        "source_mixture_weights": """
+WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1),
+t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS k FROM c)
+SELECT source, n_docs,
+       CAST(n_docs * 1000000 // t.total AS BIGINT) AS share_ppm,
+       CAST(t.total * 1000000 // (t.k * n_docs) AS BIGINT) AS weight_ppm
+FROM c, t
+""",
+        "late_event_stats": """
+WITH o AS (
+  SELECT event_type, ts,
+         max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (WHERE prev_max IS NOT NULL AND ts < prev_max)
+            AS BIGINT) AS n_late,
+       CAST(count(*) FILTER (WHERE prev_max IS NOT NULL AND ts < prev_max)
+            * 1000000 // count(*) AS BIGINT) AS late_ppm
+FROM o GROUP BY 1
+""",
+        "event_dedup_hourly": """
+WITH cells AS (
+  SELECT DISTINCT
+         user_id * CAST(1048576 AS BIGINT)
+           + (epoch_us(ts) // CAST(3600000000 AS BIGINT))
+             % CAST(1048576 AS BIGINT) AS cell,
+         event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2)
+SELECT event_type,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST((sum(n) - count(*)) * 1000000 // sum(n) AS BIGINT) AS dup_ppm
+FROM cells GROUP BY 1
 """,
         "attribution_first_last": """
 WITH o AS (

@@ -2355,3 +2355,169 @@ def bounce_rate(sf_dir: str, gap_minutes: int = 30, num_buckets: int = 64):
         .repartition(1)  # O(2|types|) rows per bucket by construction
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def late_event_stats(sf_dir: str, num_buckets: int = 64):
+    """Out-of-order arrival rate per event type: an event is LATE when its
+    timestamp is behind the running maximum of the same user's earlier
+    events in arrival (event_id) order — the watermark-lag signal a
+    streaming ingester alarms on.
+
+    Scale shape: one hash(user) shuffle; per bucket one vectorized pass —
+    sort by (user, event_id), running max via pandas' Cython groupby
+    cummax, boundary-masked shift; |types|-row partials per bucket.
+
+    Output: (event_type, n_events, n_late, late_ppm).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch.column("user_id"), pa.int64()).to_numpy()
+        bucket = np.abs((uid * np.int64(2654435761)) % np.int64(num_buckets))
+        return pa.table(
+            {
+                "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+                "user_id": pa.array(uid),
+                "ts": batch.column("ts"),
+                "event_type": batch.column("event_type"),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_id"], kind="mergesort")
+        cm = g.groupby("user_id", sort=False)["ts"].cummax()
+        prev = cm.shift(1)
+        first = g["user_id"].to_numpy() != np.r_[np.int64(-1),
+                                                 g["user_id"].to_numpy()[:-1]]
+        late = (g["ts"].to_numpy() < prev.to_numpy()) & ~first
+        out = pd.DataFrame({"event_type": g["event_type"].to_numpy(),
+                            "late": late.astype(np.int64)})
+        agg = out.groupby("event_type", sort=False)["late"].agg(["count", "sum"])
+        return pd.DataFrame(
+            {
+                "event_type": agg.index.to_numpy(),
+                "n_events": agg["count"].to_numpy().astype(np.int64),
+                "n_late": agg["sum"].to_numpy().astype(np.int64),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate(
+            [("n_events", "sum"), ("n_late", "sum")]
+        )
+        et = g.column("event_type").to_pylist()
+        ne = pc.cast(g.column("n_events_sum"), pa.int64()).to_pylist()
+        nl = pc.cast(g.column("n_late_sum"), pa.int64()).to_pylist()
+        order = sorted(range(len(et)), key=lambda i: et[i])
+        return pa.table(
+            {
+                "event_type": pa.array([et[i] for i in order], pa.string()),
+                "n_events": pa.array([ne[i] for i in order], pa.int64()),
+                "n_late": pa.array([nl[i] for i in order], pa.int64()),
+                "late_ppm": pa.array(
+                    [nl[i] * 1_000_000 // ne[i] for i in order], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["event_id", "user_id", "ts", "event_type"],
+            )
+        )
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # O(|types|) rows per bucket by construction
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def event_dedup_hourly(sf_dir: str):
+    """Telemetry dedup audit: collapse events to distinct (user, type,
+    hour) cells and report the per-type duplication rate — the volume a
+    windowed streaming dedup would drop.
+
+    Scale shape: a per-batch combiner first reduces each batch to its
+    distinct (packed user-hour, type) cells, so the one native groupby
+    (packed int64 + type string composite key) moves one row per distinct
+    cell per batch; per-type counts then reduce on the metadata-scale
+    final block. The hour is packed modulo 2^20 (covers ~120 years of
+    hours), mirrored exactly in the SQL oracle.
+
+    Output: (event_type, n_events, n_cells, dup_ppm).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    _HOUR_US = np.int64(3_600_000_000)
+    _MOD = np.int64(1 << 20)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch.column("user_id"), pa.int64()).to_numpy()
+        ts = batch.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        cell = uid * _MOD + (ts // _HOUR_US) % _MOD
+        t = pa.table(
+            {
+                "cell": pa.array(cell),
+                "event_type": batch.column("event_type"),
+                "n": pa.array(np.ones(len(cell), np.int64)),
+            }
+        )
+        return t.group_by(["cell", "event_type"]).aggregate([("n", "sum")])
+
+    agg = (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["user_id", "ts", "event_type"],
+            )
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["cell", "event_type"])
+        .aggregate(Sum("n_sum", alias_name="n_events"))
+    )
+
+    def type_partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "ne": pc.cast(t.column("n_events"), pa.int64()),
+                "nc": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        ).group_by("event_type").aggregate([("ne", "sum"), ("nc", "sum")])
+        return g
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate(
+            [("ne_sum", "sum"), ("nc_sum", "sum")]
+        )
+        et = g.column("event_type").to_pylist()
+        ne = pc.cast(g.column("ne_sum_sum"), pa.int64()).to_pylist()
+        nc = pc.cast(g.column("nc_sum_sum"), pa.int64()).to_pylist()
+        order = sorted(range(len(et)), key=lambda i: et[i])
+        return pa.table(
+            {
+                "event_type": pa.array([et[i] for i in order], pa.string()),
+                "n_events": pa.array([ne[i] for i in order], pa.int64()),
+                "n_cells": pa.array([nc[i] for i in order], pa.int64()),
+                "dup_ppm": pa.array(
+                    [(ne[i] - nc[i]) * 1_000_000 // ne[i] for i in order],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        agg.map_batches(type_partial, batch_format="pyarrow")
+        .repartition(1)  # O(|types|) rows per block by construction
+        .map_batches(finish, batch_format="pyarrow")
+    )

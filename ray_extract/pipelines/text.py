@@ -2352,3 +2352,161 @@ def hapax_ratio(sf_dir: str):
         .repartition(1)  # O(|sources|) rows per block by construction
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def bigram_novelty(sf_dir: str):
+    """Per-document bigram novelty in doc_id order: the share (ppm) of a
+    document's distinct bigrams whose FIRST corpus occurrence (minimum
+    doc_id) is this document — the incremental-crawl novelty signal that
+    separates fresh content from recombined boilerplate.
+
+    Scale shape: distinct (bigram, doc) pairs are formed per batch
+    (all-Arrow, same kernel family as bigram_counts); one native groupby
+    computes min(doc_id) per bigram; re-deriving the per-doc pairs joins
+    against that aggregate natively on the bigram key (big-big: the
+    bigram vocabulary grows with the corpus). Counts reduce per doc.
+
+    Output: (doc_id, n_bigrams, n_novel, novelty_ppm).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        words = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(words)
+        n = len(flat)
+        if n < 2:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()),
+                 "doc_id": pa.array([], pa.int64())}
+            )
+        offsets = words.offsets.to_numpy()
+        starts = offsets[1:-1]
+        mask = np.ones(n - 1, dtype=bool)
+        mask[starts - 1] = False
+        mask_arr = pa.array(mask)
+        left = flat.slice(0, n - 1).filter(mask_arr)
+        right = flat.slice(1, n - 1).filter(mask_arr)
+        bigram = pc.binary_join_element_wise(left, right, " ")
+        # bigram row j belongs to the doc whose word range contains j
+        doc_idx = np.searchsorted(offsets[1:], np.flatnonzero(mask),
+                                  side="right")
+        t = pa.table({"bigram": bigram, "doc_id": pa.array(ids[doc_idx])})
+        # distinct within batch (combiner for both downstream aggregates)
+        return t.group_by(["bigram", "doc_id"]).aggregate([]).select(
+            ["bigram", "doc_id"]
+        )
+
+    docs = strip_schema_metadata(_docs(sf_dir))
+    pair_ds = docs.map_batches(pairs, batch_format="pyarrow")
+
+    first = pair_ds.groupby("bigram").aggregate(Min("doc_id", alias_name="first_doc"))
+
+    from .relational import _join_partitions, _multi_join_args
+
+    num_partitions, agg_args = _multi_join_args(_join_partitions(None))
+    joined = pair_ds.join(
+        first,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("bigram",),
+        right_on=("bigram",),
+        aggregator_ray_remote_args=agg_args,
+    )
+
+    def doc_partial(t: pa.Table) -> pa.Table:
+        novel = pc.cast(
+            pc.equal(pc.cast(t.column("doc_id"), pa.int64()),
+                     pc.cast(t.column("first_doc"), pa.int64())),
+            pa.int64(),
+        )
+        g = pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "b": pa.array(np.ones(t.num_rows, np.int64)),
+                "nv": novel,
+            }
+        ).group_by("doc_id").aggregate([("b", "sum"), ("nv", "sum")])
+        return g
+
+    agg = (
+        joined.map_batches(doc_partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("b_sum", alias_name="n_bigrams"),
+                   Sum("nv_sum", alias_name="n_novel"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nb = pc.cast(t.column("n_bigrams"), pa.int64()).to_numpy()
+        nv = pc.cast(t.column("n_novel"), pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "n_bigrams": pa.array(nb),
+                "n_novel": pa.array(nv),
+                "novelty_ppm": pa.array(
+                    np.where(nb > 0, nv * 1_000_000 // np.maximum(nb, 1), 0)
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def source_mixture_weights(sf_dir: str):
+    """Per-source resampling weights that would rebalance the corpus to a
+    uniform source mixture — the domain-mixing knob of LLM data recipes
+    (weight_ppm = 1e6 * target_share / actual_share, exact integers).
+
+    Scale shape: a per-batch source-count combiner, one metadata-scale
+    reduce (|sources| rows).
+
+    Output: (source, n_docs, share_ppm, weight_ppm).
+    """
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"source": pc.cast(batch.column("source"), pa.string())})
+            .group_by("source")
+            .aggregate([("source", "count")])
+        )
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "n": pc.cast(g.column("source_count"), pa.int64()),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate([("n", "sum")])
+        src = g.column("source").to_pylist()
+        n = pc.cast(g.column("n_sum"), pa.int64()).to_pylist()
+        total = sum(n)
+        k = len(src)
+        order = sorted(range(k), key=lambda i: src[i])
+        return pa.table(
+            {
+                "source": pa.array([src[i] for i in order], pa.string()),
+                "n_docs": pa.array([n[i] for i in order], pa.int64()),
+                "share_ppm": pa.array(
+                    [n[i] * 1_000_000 // total for i in order], pa.int64()
+                ),
+                # uniform target: each source should hold total/k docs
+                "weight_ppm": pa.array(
+                    [total * 1_000_000 // (k * n[i]) for i in order],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # O(|sources|) rows per partial by construction
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -980,3 +980,62 @@ def test_kmeans_update_consistent_with_assign(ray_session):
     for cid, n in per_c.items():
         assert int(asg.loc[cid, "n_assigned"]) == int(n)
     assert (upd["sum_q"].abs() <= 31 * upd["n_assigned"]).all()
+
+
+def test_bigram_novelty_first_doc_is_fully_novel(ray_session):
+    """The smallest doc_id sees every one of its bigrams first."""
+    from ray_extract.pipelines.text import bigram_novelty
+
+    df = bigram_novelty(SF).to_pandas().sort_values("doc_id")
+    first = df.iloc[0]
+    assert int(first["n_novel"]) == int(first["n_bigrams"])
+    assert int(first["novelty_ppm"]) == 1_000_000
+    assert (df["n_novel"] <= df["n_bigrams"]).all()
+
+
+def test_source_mixture_weights_rebalance(ray_session):
+    """weight * share ~= 1e6/k for every source (exact up to floor)."""
+    from ray_extract.pipelines.text import source_mixture_weights
+
+    df = source_mixture_weights(SF).to_pandas()
+    k = len(df)
+    total = int(df["n_docs"].sum())
+    for _, r in df.iterrows():
+        assert int(r["weight_ppm"]) == total * 1_000_000 // (k * int(r["n_docs"]))
+    assert abs(int(df["share_ppm"].sum()) - 1_000_000) < k
+
+
+def test_late_event_stats_brute_force_one_user(ray_session):
+    import pandas as pd
+
+    from ray_extract.pipelines.events import late_event_stats
+
+    df = late_event_stats(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    n_late = 0
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values("event_id")
+        prev = g["ts"].cummax().shift(1)
+        n_late += int((g["ts"] < prev).sum())
+    assert int(df["n_late"].sum()) == n_late
+    assert int(df["n_events"].sum()) == len(ev)
+
+
+def test_event_dedup_hourly_cells_bounded(ray_session):
+    import pandas as pd
+
+    from ray_extract.pipelines.events import event_dedup_hourly
+
+    df = event_dedup_hourly(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    assert int(df["n_events"].sum()) == len(ev)
+    assert (df["n_cells"] <= df["n_events"]).all()
+    want = (
+        ev.assign(hour=ev["ts"].astype("int64") // 3_600_000_000)
+        .groupby("event_type")
+        .apply(lambda g: g[["user_id", "hour"]].drop_duplicates().shape[0],
+               include_groups=False)
+    )
+    got = df.set_index("event_type")["n_cells"]
+    for t_, v in want.items():
+        assert int(got[t_]) == int(v)
