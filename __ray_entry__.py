@@ -345,6 +345,30 @@ def _q_pdf_real_extract(sf_dir: str):
     return flat.map_batches(summarize, batch_format="pyarrow")
 
 
+def _q_nation_share_in_region(sf_dir: str):
+    from ray_extract.pipelines.relational import nation_share_in_region
+
+    return nation_share_in_region(sf_dir)
+
+
+def _q_supplier_hhi(sf_dir: str):
+    from ray_extract.pipelines.relational import supplier_hhi
+
+    return supplier_hhi(sf_dir)
+
+
+def _q_anomalous_days(sf_dir: str):
+    from ray_extract.pipelines.events import anomalous_days
+
+    return anomalous_days(sf_dir)
+
+
+def _q_label_centroid_similarity(sf_dir: str):
+    from ray_extract.pipelines.similarity import label_centroid_similarity
+
+    return label_centroid_similarity(sf_dir)
+
+
 def _q_bigram_novelty(sf_dir: str):
     from ray_extract.pipelines.text import bigram_novelty
 
@@ -1379,6 +1403,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_table_cells": _q_extract_table_cells,
         "extract_join_meta": _q_extract_join_meta,
         "pdf_real_extract": _q_pdf_real_extract,
+        "nation_share_in_region": _q_nation_share_in_region,
+        "supplier_hhi": _q_supplier_hhi,
+        "anomalous_days": _q_anomalous_days,
+        "label_centroid_similarity": _q_label_centroid_similarity,
         "bigram_novelty": _q_bigram_novelty,
         "source_mixture_weights": _q_source_mixture_weights,
         "late_event_stats": _q_late_event_stats,
@@ -2085,6 +2113,88 @@ p AS (SELECT a.source AS source_a, b.source AS source_b
       FROM d a JOIN d b ON a.h = b.h AND a.source < b.source)
 SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared_texts
 FROM p GROUP BY 1, 2
+""",
+        "nation_share_in_region": """
+WITH nr AS (
+  SELECT r_name, n_name,
+         CAST(SUM(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)
+              * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT))) AS BIGINT)
+           AS revenue_x10000
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2)
+SELECT r_name, n_name, revenue_x10000,
+       CAST(CAST(revenue_x10000 AS HUGEINT) * 1000000
+            // SUM(CAST(revenue_x10000 AS HUGEINT))
+               OVER (PARTITION BY r_name) AS BIGINT) AS share_ppm
+FROM nr
+""",
+        "supplier_hhi": """
+WITH s AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)
+              * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT))) AS BIGINT)
+           AS rev
+  FROM lineitem GROUP BY 1),
+j AS (SELECT n_name, rev,
+             CAST(CAST(rev AS HUGEINT) * 1000000
+                  // SUM(CAST(rev AS HUGEINT)) OVER (PARTITION BY n_name)
+                  AS BIGINT) AS share
+      FROM s
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey)
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(rev) AS BIGINT) AS revenue_x10000,
+       CAST(SUM(CAST(share AS HUGEINT) * share) // 1000000 AS BIGINT)
+         AS hhi_ppm
+FROM j GROUP BY 1
+""",
+        "anomalous_days": """
+WITH d AS (
+  SELECT epoch_us(ts) // CAST(86400000000 AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+dense AS (
+  SELECT u.day AS day, COALESCE(d.n, 0) AS n
+  FROM (SELECT unnest(range(lo, hi + 1)) AS day FROM bounds) u
+  LEFT JOIN d ON u.day = d.day),
+r AS (
+  SELECT day, n,
+         SUM(n) OVER (ORDER BY day
+                      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail,
+         row_number() OVER (ORDER BY day) AS rn
+  FROM dense)
+SELECT make_timestamp(day * CAST(86400000000 AS BIGINT)) AS day,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(trail AS BIGINT) AS trailing_sum,
+       CAST(CASE WHEN n * 7 > 2 * trail THEN 1 ELSE 0 END AS BIGINT)
+         AS is_anomaly
+FROM r WHERE rn > 7
+""",
+        "label_centroid_similarity": """
+WITH q AS (
+  SELECT CAST(label AS BIGINT) AS label, u.i AS i,
+         least(greatest(CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 127 + 0.5)
+                             AS BIGINT), -31), 31) AS qv
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+s AS (SELECT label, i, CAST(SUM(qv) AS BIGINT) AS sv FROM q GROUP BY 1, 2),
+p AS (SELECT a.label AS label_a, b.label AS label_b,
+             SUM(CAST(a.sv AS HUGEINT) * b.sv) AS dot,
+             SUM(CAST(a.sv AS HUGEINT) * a.sv) AS n2a,
+             SUM(CAST(b.sv AS HUGEINT) * b.sv) AS n2b
+      FROM s a JOIN s b ON a.i = b.i AND a.label < b.label
+      GROUP BY 1, 2)
+SELECT label_a, label_b,
+       CAST(CASE WHEN dot > 0 THEN 1 WHEN dot < 0 THEN -1 ELSE 0 END
+            AS BIGINT) AS dot_sign,
+       CAST(CASE WHEN n2a = 0 OR n2b = 0 THEN 0
+                 ELSE (CAST(1000000000 AS HUGEINT) * dot * dot)
+                      // (n2a * n2b) END AS BIGINT) AS cos2_ppb
+FROM p
 """,
         "bigram_novelty": """
 WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

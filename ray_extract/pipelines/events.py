@@ -2521,3 +2521,68 @@ def event_dedup_hourly(sf_dir: str):
         .repartition(1)  # O(|types|) rows per block by construction
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def anomalous_days(sf_dir: str, factor: int = 2, trailing: int = 7):
+    """Days whose event count exceeds ``factor`` x the trailing-N-day
+    average — the volume-anomaly alarm. The comparison is exact-integer:
+    n > factor * sum_prev / window  <=>  n * window > factor * sum_prev,
+    where window counts only days with a full trailing history.
+
+    Scale shape: per-batch (day -> count) combiner; the day domain is
+    calendar-bounded, so the rolling pass is one vectorized scan over the
+    O(|days|) final block (dense day axis, cumsum differences).
+
+    Output: (day, n_events, trailing_sum, is_anomaly) for days with a
+    full trailing window.
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    _DAY_US = np.int64(86_400_000_000)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        day = ts // _DAY_US
+        uniq, counts = np.unique(day, return_counts=True)
+        return pa.table(
+            {"day": pa.array(uniq), "n": pa.array(counts.astype(np.int64))}
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("day").aggregate([("n", "sum")])
+        day = pc.cast(g.column("day"), pa.int64()).to_numpy()
+        n = pc.cast(g.column("n_sum"), pa.int64()).to_numpy()
+        order = np.argsort(day)
+        day, n = day[order], n[order]
+        # dense axis so "trailing 7 days" includes zero-count days
+        lo, hi = day[0], day[-1]
+        dense = np.zeros(hi - lo + 1, dtype=np.int64)
+        dense[day - lo] = n
+        cs = np.r_[0, np.cumsum(dense)]
+        # trailing sum of the `trailing` days BEFORE each day
+        idx = np.arange(trailing, len(dense))
+        trail = cs[idx] - cs[idx - trailing]
+        cnt = dense[idx]
+        is_anom = (cnt * np.int64(trailing)
+                   > np.int64(factor) * trail).astype(np.int64)
+        return pa.table(
+            {
+                "day": pa.array(
+                    ((idx + lo) * _DAY_US).astype("datetime64[us]")
+                ),
+                "n_events": pa.array(cnt),
+                "trailing_sum": pa.array(trail),
+                "is_anomaly": pa.array(is_anom),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # O(|days|) rows per partial by construction
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -3221,3 +3221,240 @@ def top_supplier(sf_dir: str, start: str = "1998-01-01", end: str = "1998-04-01"
         )
 
     return agg.map_batches(winners, batch_format="pyarrow")
+
+
+def nation_share_in_region(sf_dir: str, num_partitions: int | None = None):
+    """Each nation's share (ppm) of its region's total revenue — the
+    percent-of-total window over an aggregate (SQL: SUM() OVER
+    (PARTITION BY region) on a GROUP BY result).
+
+    Scale shape: revenue keys on the customer nation, so the topology is
+    a per-orderkey combiner feeding two native hash joins (lineitem
+    |><| orders, then |><| customer), nation/region resolved by
+    broadcast; the percent-of-total math runs on the O(|nations|) final
+    block with exact integers.
+
+    Output: (r_name, n_name, revenue_x10000, share_ppm).
+    """
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    num_partitions, agg_args = _multi_join_args(_join_partitions(num_partitions))
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    nr = pa.table(
+        {
+            "c_nationkey": pc.cast(nat.column("n_nationkey"), pa.int64()),
+            "n_name": pc.cast(nat.column("n_name"), pa.string()),
+            "rk": pc.cast(nat.column("n_regionkey"), pa.int64()),
+        }
+    ).join(
+        pa.table(
+            {
+                "rk": pc.cast(reg.column("r_regionkey"), pa.int64()),
+                "r_name": pc.cast(reg.column("r_name"), pa.string()),
+            }
+        ),
+        keys="rk",
+    ).replace_schema_metadata(None)
+    nr_ref = ray.put(nr)
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        price = _cents(batch.column("l_extendedprice"))
+        disc = _cents(batch.column("l_discount"))
+        return (
+            pa.table(
+                {
+                    "l_orderkey": pc.cast(batch.column("l_orderkey"), pa.int64()),
+                    "rev": pa.array(price * (100 - disc)),
+                }
+            )
+            .group_by("l_orderkey")
+            .aggregate([("rev", "sum")])
+        )
+
+    li = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        )
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    orders = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"])
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    cust = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"])
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": pc.cast(t.column("c_custkey"), pa.int64()),
+                "c_nationkey": pc.cast(t.column("c_nationkey"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        aggregator_ray_remote_args=agg_args,
+    ).join(
+        cust,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+        aggregator_ray_remote_args=agg_args,
+    )
+
+    def nation_partial(t: pa.Table) -> pa.Table:
+        j = pa.table(
+            {
+                "c_nationkey": t.column("c_nationkey"),
+                "rev": pc.cast(t.column("rev_sum"), pa.int64()),
+            }
+        ).join(ray.get(nr_ref), keys="c_nationkey", join_type="inner")
+        return j.group_by(["r_name", "n_name"]).aggregate([("rev", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["r_name", "n_name"]).aggregate([("rev_sum", "sum")])
+        r = g.column("r_name").to_pylist()
+        n = g.column("n_name").to_pylist()
+        rev = pc.cast(g.column("rev_sum_sum"), pa.int64()).to_pylist()
+        region_total: dict = {}
+        for rn, v in zip(r, rev):
+            region_total[rn] = region_total.get(rn, 0) + v
+        order = sorted(range(len(r)), key=lambda i: (r[i], n[i]))
+        return pa.table(
+            {
+                "r_name": pa.array([r[i] for i in order], pa.string()),
+                "n_name": pa.array([n[i] for i in order], pa.string()),
+                "revenue_x10000": pa.array([rev[i] for i in order], pa.int64()),
+                "share_ppm": pa.array(
+                    [rev[i] * 1_000_000 // region_total[r[i]] for i in order],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        joined.map_batches(nation_partial, batch_format="pyarrow")
+        .repartition(1)  # O(|nations|) rows by construction
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def supplier_hhi(sf_dir: str, num_partitions: int | None = None):
+    """Herfindahl–Hirschman concentration index of supplier revenue within
+    each supplier nation: sum over suppliers of (ppm share)^2, reported in
+    ppm-of-ppm (// 1e6) — the market-concentration audit.
+
+    Scale shape: per-batch (suppkey -> revenue) combiner, one native
+    groupby on suppkey, nation resolved by broadcast; the squared-share
+    math runs on the per-supplier aggregate (one row per supplier — the
+    bounded post-agg table), with exact Python bigints on the final
+    block.
+
+    Output: (n_name, n_suppliers, revenue_x10000, hhi_ppm).
+    """
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    dim = pa.table(
+        {
+            "l_suppkey": pc.cast(sup.column("s_suppkey"), pa.int64()),
+            "s_nationkey": pc.cast(sup.column("s_nationkey"), pa.int64()),
+        }
+    ).join(
+        pa.table(
+            {
+                "s_nationkey": pc.cast(nat.column("n_nationkey"), pa.int64()),
+                "n_name": pc.cast(nat.column("n_name"), pa.string()),
+            }
+        ),
+        keys="s_nationkey",
+    ).replace_schema_metadata(None)
+    dim_ref = ray.put(dim)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price = _cents(batch.column("l_extendedprice"))
+        disc = _cents(batch.column("l_discount"))
+        return (
+            pa.table(
+                {
+                    "l_suppkey": pc.cast(batch.column("l_suppkey"), pa.int64()),
+                    "rev": pa.array(price * (100 - disc)),
+                }
+            )
+            .group_by("l_suppkey")
+            .aggregate([("rev", "sum")])
+        )
+
+    agg = (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_suppkey", "l_extendedprice", "l_discount"],
+            )
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("rev_sum", alias_name="rev"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        j = pa.table(
+            {
+                "l_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()),
+                "rev": pc.cast(t.column("rev"), pa.int64()),
+            }
+        ).join(ray.get(dim_ref), keys="l_suppkey", join_type="inner")
+        names = j.column("n_name").to_pylist()
+        rev = pc.cast(j.column("rev"), pa.int64()).to_pylist()
+        total: dict = {}
+        cnt: dict = {}
+        for nm, v in zip(names, rev):
+            total[nm] = total.get(nm, 0) + v
+            cnt[nm] = cnt.get(nm, 0) + 1
+        hhi: dict = {}
+        for nm, v in zip(names, rev):
+            share = v * 1_000_000 // total[nm]
+            hhi[nm] = hhi.get(nm, 0) + share * share
+        keys = sorted(total)
+        return pa.table(
+            {
+                "n_name": pa.array(keys, pa.string()),
+                "n_suppliers": pa.array([cnt[k] for k in keys], pa.int64()),
+                "revenue_x10000": pa.array([total[k] for k in keys], pa.int64()),
+                "hhi_ppm": pa.array([hhi[k] // 1_000_000 for k in keys],
+                                    pa.int64()),
+            }
+        )
+
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow")

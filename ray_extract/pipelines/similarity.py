@@ -1201,3 +1201,92 @@ def kmeans_update(sf_dir: str, k: int = 8, scale: int = 127, clip: int = 31):
             batch_format="pyarrow",
         )
     )
+
+
+def label_centroid_similarity(sf_dir: str, scale: int = 127, clip: int = 31):
+    """Pairwise cosine similarity between per-label centroids of the
+    quantized embeddings, exact to the ppb via cross-multiplied integer
+    arithmetic (no floating sqrt): for centroids a = Sa/na, b = Sb/nb,
+
+        cos^2(a,b) * 1e9 = 1e9 * (Sa.Sb)^2 // (|Sa|^2 * |Sb|^2),
+
+    reported with the dot sign — rational-exact on both sides, so the
+    DuckDB HUGEINT oracle matches bit-for-bit.
+
+    Scale shape: per-batch (label, dim) integer component sums (k x d
+    partials, bounded by the label set); the pair math runs on the final
+    k x d block with Python bigints ((31*n)^2-magnitude squares overflow
+    int64 but not Python ints / HUGEINT).
+
+    Output: (label_a, label_b, dot_sign, cos2_ppb) for label_a < label_b.
+    """
+    import ray.data as rd
+
+    def quant(e: np.ndarray) -> np.ndarray:
+        return np.clip(np.floor(e * float(scale) + 0.5), -clip, clip).astype(
+            np.int64
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        la = batch.column("embedding").combine_chunks()
+        dim_n = len(la[0])
+        e = (
+            la.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(batch.num_rows, dim_n)
+        )
+        q = quant(e)
+        labels = pc.cast(batch.column("label"), pa.int64()).to_numpy()
+        uniq, inv = np.unique(labels, return_inverse=True)
+        k, d = len(uniq), q.shape[1]
+        sums = np.zeros((k, d), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d)),
+                "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), k)),
+                "s": pa.array(sums.ravel()),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["label", "dim"]).aggregate([("s", "sum")])
+        lab = pc.cast(g.column("label"), pa.int64()).to_numpy()
+        dim = pc.cast(g.column("dim"), pa.int64()).to_numpy()
+        s = pc.cast(g.column("s_sum"), pa.int64()).to_numpy()
+        uniq = np.unique(lab)
+        d = int(dim.max())
+        mat = np.zeros((len(uniq), d), dtype=object)  # python ints: exact
+        li = np.searchsorted(uniq, lab)
+        mat[li, dim - 1] = [int(x) for x in s]
+        la, lb, sign, ppb = [], [], [], []
+        for i in range(len(uniq)):
+            for j in range(i + 1, len(uniq)):
+                dot = int(sum(mat[i, x] * mat[j, x] for x in range(d)))
+                n2a = int(sum(mat[i, x] * mat[i, x] for x in range(d)))
+                n2b = int(sum(mat[j, x] * mat[j, x] for x in range(d)))
+                la.append(int(uniq[i]))
+                lb.append(int(uniq[j]))
+                sign.append(1 if dot > 0 else (-1 if dot < 0 else 0))
+                ppb.append(
+                    (1_000_000_000 * dot * dot) // (n2a * n2b)
+                    if n2a and n2b
+                    else 0
+                )
+        return pa.table(
+            {
+                "label_a": pa.array(la, pa.int64()),
+                "label_b": pa.array(lb, pa.int64()),
+                "dot_sign": pa.array(sign, pa.int64()),
+                "cos2_ppb": pa.array(ppb, pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["embedding", "label"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # O(k*d) rows per partial by construction
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -1039,3 +1039,55 @@ def test_event_dedup_hourly_cells_bounded(ray_session):
     got = df.set_index("event_type")["n_cells"]
     for t_, v in want.items():
         assert int(got[t_]) == int(v)
+
+
+def test_nation_share_sums_to_million_per_region(ray_session):
+    from ray_extract.pipelines.relational import nation_share_in_region
+
+    df = nation_share_in_region(SF).to_pandas()
+    for _, g in df.groupby("r_name"):
+        # floor division loses at most |nations-in-region|-1 ppm
+        assert 1_000_000 - len(g) < int(g["share_ppm"].sum()) <= 1_000_000
+
+
+def test_supplier_hhi_bounds(ray_session):
+    """HHI in ppm is at most 1e6 (monopoly) and at least 1e6/n."""
+    from ray_extract.pipelines.relational import supplier_hhi
+
+    df = supplier_hhi(SF).to_pandas()
+    for _, r in df.iterrows():
+        n = int(r["n_suppliers"])
+        assert int(r["hhi_ppm"]) <= 1_000_000
+        assert int(r["hhi_ppm"]) >= 1_000_000 // n - n  # floor slack
+
+
+def test_anomalous_days_trailing_sums(ray_session):
+    import pandas as pd
+
+    from ray_extract.pipelines.events import anomalous_days
+
+    df = anomalous_days(SF).to_pandas().sort_values("day").reset_index(drop=True)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["ts"])
+    daily = (
+        ev["ts"].astype("int64").floordiv(86_400_000_000).value_counts().sort_index()
+    )
+    dense = daily.reindex(
+        range(daily.index.min(), daily.index.max() + 1), fill_value=0
+    )
+    vals = dense.to_numpy()
+    cs = np.r_[0, np.cumsum(vals)]
+    for i, (_, r) in enumerate(df.iterrows()):
+        j = i + 7
+        assert int(r["n_events"]) == int(vals[j])
+        assert int(r["trailing_sum"]) == int(cs[j] - cs[j - 7])
+        assert int(r["is_anomaly"]) == int(vals[j] * 7 > 2 * (cs[j] - cs[j - 7]))
+
+
+def test_label_centroid_similarity_selfconsistent(ray_session):
+    from ray_extract.pipelines.similarity import label_centroid_similarity
+
+    df = label_centroid_similarity(SF).to_pandas()
+    assert (df["label_a"] < df["label_b"]).all()
+    assert (df["cos2_ppb"] >= 0).all() and (df["cos2_ppb"] <= 1_000_000_000).all()
+    k = df["label_a"].nunique() + 1
+    assert len(df) == k * (k - 1) // 2
