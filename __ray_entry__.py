@@ -345,6 +345,24 @@ def _q_pdf_real_extract(sf_dir: str):
     return flat.map_batches(summarize, batch_format="pyarrow")
 
 
+def _q_segment_recency(sf_dir: str):
+    from ray_extract.pipelines.relational import segment_recency
+
+    return segment_recency(sf_dir)
+
+
+def _q_user_activity_quartiles(sf_dir: str):
+    from ray_extract.pipelines.events import user_activity_quartiles
+
+    return user_activity_quartiles(sf_dir)
+
+
+def _q_pair_cosine_profile(sf_dir: str):
+    from ray_extract.pipelines.similarity import pair_cosine_profile
+
+    return pair_cosine_profile(sf_dir)
+
+
 def _q_nation_share_in_region(sf_dir: str):
     from ray_extract.pipelines.relational import nation_share_in_region
 
@@ -1403,6 +1421,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_table_cells": _q_extract_table_cells,
         "extract_join_meta": _q_extract_join_meta,
         "pdf_real_extract": _q_pdf_real_extract,
+        "segment_recency": _q_segment_recency,
+        "user_activity_quartiles": _q_user_activity_quartiles,
+        "pair_cosine_profile": _q_pair_cosine_profile,
         "nation_share_in_region": _q_nation_share_in_region,
         "supplier_hhi": _q_supplier_hhi,
         "anomalous_days": _q_anomalous_days,
@@ -2113,6 +2134,58 @@ p AS (SELECT a.source AS source_a, b.source AS source_b
       FROM d a JOIN d b ON a.h = b.h AND a.source < b.source)
 SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared_texts
 FROM p GROUP BY 1, 2
+""",
+        "segment_recency": """
+WITH l AS (
+  SELECT o_custkey, max(o_orderdate) AS last_d FROM orders GROUP BY 1),
+j AS (SELECT c_mktsegment, epoch_us(last_d) AS lu
+      FROM l JOIN customer ON o_custkey = c_custkey),
+gm AS (SELECT max(lu) AS g FROM j)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST((g - max(lu)) // 86400000000 AS BIGINT) AS min_days,
+       CAST((CAST(count(*) AS HUGEINT) * g - sum(CAST(lu AS HUGEINT)))
+            // (CAST(count(*) AS HUGEINT) * 86400000000) AS BIGINT)
+         AS avg_days,
+       CAST((g - min(lu)) // 86400000000 AS BIGINT) AS max_days
+FROM j, gm GROUP BY c_mktsegment, g
+""",
+        "user_activity_quartiles": """
+WITH pu AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS ne,
+         CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+           AS np
+  FROM events GROUP BY 1),
+t AS (SELECT ne, np, ntile(4) OVER (ORDER BY ne, user_id) AS quartile
+      FROM pu)
+SELECT CAST(quartile AS BIGINT) AS quartile,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(ne) AS BIGINT) AS n_events,
+       CAST(sum(np) AS BIGINT) AS n_purchases,
+       CAST(sum(np) * 1000000 // sum(ne) AS BIGINT) AS purchase_ppm
+FROM t GROUP BY 1
+""",
+        "pair_cosine_profile": """
+WITH q AS (
+  SELECT vec_id, u.i AS i,
+         least(greatest(CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 127 + 0.5)
+                             AS BIGINT), -31), 31) AS qv
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+p AS (
+  SELECT a.vec_id // 2 AS pid,
+         CAST(SUM(a.qv * b.qv) AS BIGINT) AS dot,
+         CAST(SUM(a.qv * a.qv) AS BIGINT) AS n2a,
+         CAST(SUM(b.qv * b.qv) AS BIGINT) AS n2b
+  FROM q a JOIN q b ON b.vec_id = a.vec_id + 1 AND a.i = b.i
+  WHERE a.vec_id % 2 = 0
+  GROUP BY 1),
+v AS (
+  SELECT (CASE WHEN dot > 0 THEN 1 WHEN dot < 0 THEN -1 ELSE 0 END)
+         * (CASE WHEN n2a * n2b > 0
+                 THEN (100 * dot * dot) // (n2a * n2b) ELSE 0 END) AS bucket
+  FROM p)
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_pairs
+FROM v GROUP BY 1
 """,
         "nation_share_in_region": """
 WITH nr AS (

@@ -279,6 +279,26 @@ def run_bench() -> dict:
     timed("order_count_distribution",
           lambda: order_count_distribution(SF_DIR).count())
 
+    from ray_extract.pipelines.events import (
+        attribution_first_last,
+        event_dedup_hourly,
+        user_activity_quartiles,
+    )
+    from ray_extract.pipelines.relational import (
+        nation_pair_volume,
+        product_profit,
+    )
+    from ray_extract.pipelines.text import bigram_novelty
+
+    timed("nation_pair_volume", lambda: nation_pair_volume(SF_DIR).count())
+    timed("product_profit", lambda: product_profit(SF_DIR).count())
+    timed("bigram_novelty", lambda: bigram_novelty(SF_DIR).count())
+    timed("attribution_first_last",
+          lambda: attribution_first_last(SF_DIR).count())
+    timed("event_dedup_hourly", lambda: event_dedup_hourly(SF_DIR).count())
+    timed("user_activity_quartiles",
+          lambda: user_activity_quartiles(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),

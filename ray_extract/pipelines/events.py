@@ -2586,3 +2586,134 @@ def anomalous_days(sf_dir: str, factor: int = 2, trailing: int = 7):
         .repartition(1)  # O(|days|) rows per partial by construction
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def user_activity_quartiles(sf_dir: str, tiles: int = 4,
+                            bucket_size: int = 16):
+    """Power-user concentration: users tiled into activity quartiles by
+    global NTILE over (event count, user_id), with each tile's share of
+    purchase events — who generates the conversions.
+
+    Scale shape: the global rank reuses the range-partitioned two-pass of
+    ``customer_spend_ntile`` (value buckets -> metadata-scale prefix sum ->
+    in-bucket rebase); per-user (events, purchases) is a combiner + one
+    native groupby; the tile reduce is O(tiles).
+
+    Output: (quartile, n_users, n_events, n_purchases, purchase_ppm).
+    """
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch.column("user_id"), pa.int64())
+        purch = pc.cast(
+            pc.equal(batch.column("event_type"), "purchase"), pa.int64()
+        )
+        return (
+            pa.table(
+                {
+                    "user_id": uid,
+                    "ne": pa.array(np.ones(batch.num_rows, np.int64)),
+                    "np_": purch,
+                }
+            )
+            .group_by("user_id")
+            .aggregate([("ne", "sum"), ("np_", "sum")])
+        )
+
+    per_user = (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("ne_sum", alias_name="n_events"),
+                   Sum("np__sum", alias_name="n_purchases"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "user_id": pc.cast(t.column("user_id"), pa.int64()),
+                    "n_events": pc.cast(t.column("n_events"), pa.int64()),
+                    "n_purchases": pc.cast(t.column("n_purchases"), pa.int64()),
+                    "vbucket": pc.cast(
+                        pc.divide(pc.cast(t.column("n_events"), pa.int64()),
+                                  bucket_size),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # reused by the count pass and the rank pass
+    )
+
+    counts = (
+        per_user.map_batches(
+            lambda t: t.select(["vbucket"]).group_by("vbucket").aggregate(
+                [("vbucket", "count")]
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("vbucket")
+        .aggregate(Sum("vbucket_count", alias_name="n"))
+        .to_pandas()  # metadata scale: one row per activity-value bucket
+        .sort_values("vbucket")
+    )
+    n_total = int(counts["n"].sum())
+    csum = counts["n"].to_numpy().cumsum()
+    offsets = dict(zip(counts["vbucket"].to_numpy().tolist(),
+                       np.r_[0, csum[:-1]].tolist()))
+    q, r = divmod(n_total, tiles)
+    starts = np.array(
+        [t * q + min(t, r) for t in range(1, tiles + 1)], dtype=np.int64
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ne = g["n_events"].to_numpy()
+        uid = g["user_id"].to_numpy()
+        npur = g["n_purchases"].to_numpy()
+        order = np.lexsort((uid, ne))
+        rank = int(offsets[int(g["vbucket"].iloc[0])]) + np.arange(
+            len(g), dtype=np.int64
+        )
+        tile = np.searchsorted(starts, rank, side="right") + 1
+        out = pd.DataFrame(
+            {"quartile": tile, "ne": ne[order], "npur": npur[order]}
+        )
+        return (
+            out.groupby("quartile", as_index=False)
+            .agg(n_users=("ne", "size"), n_events=("ne", "sum"),
+                 n_purchases=("npur", "sum"))
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("quartile").aggregate(
+            [("n_users", "sum"), ("n_events", "sum"), ("n_purchases", "sum")]
+        )
+        qt = pc.cast(g.column("quartile"), pa.int64()).to_pylist()
+        nu = pc.cast(g.column("n_users_sum"), pa.int64()).to_pylist()
+        ne = pc.cast(g.column("n_events_sum"), pa.int64()).to_pylist()
+        npr = pc.cast(g.column("n_purchases_sum"), pa.int64()).to_pylist()
+        order = sorted(range(len(qt)), key=lambda i: qt[i])
+        return pa.table(
+            {
+                "quartile": pa.array([qt[i] for i in order], pa.int64()),
+                "n_users": pa.array([nu[i] for i in order], pa.int64()),
+                "n_events": pa.array([ne[i] for i in order], pa.int64()),
+                "n_purchases": pa.array([npr[i] for i in order], pa.int64()),
+                "purchase_ppm": pa.array(
+                    [npr[i] * 1_000_000 // ne[i] for i in order], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        per_user.groupby("vbucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # O(tiles) rows per bucket by construction
+        .map_batches(finish, batch_format="pyarrow")
+    )

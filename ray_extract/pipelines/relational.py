@@ -3458,3 +3458,127 @@ def supplier_hhi(sf_dir: str, num_partitions: int | None = None):
         )
 
     return agg.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def segment_recency(sf_dir: str, num_partitions: int | None = None):
+    """Customer recency by market segment: days between each customer's
+    LAST order and the corpus's latest order date, reduced to per-segment
+    min / integer-average / max — the CRM churn panel.
+
+    Scale shape: per-customer last-order is a combiner + one native
+    groupby on custkey; segment resolves via a native join against the
+    customer table (big-big: customers grow with the corpus). The final
+    block holds only per-segment sufficient statistics (n, sum, min, max
+    of last-order microseconds), so the global-max subtraction happens
+    once, exactly, at metadata scale: avg_days = (n*gm - sum) // (n*DAY).
+
+    Output: (c_mktsegment, n_customers, min_days, avg_days, max_days).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    from ..functions.tables import strip_schema_metadata
+
+    num_partitions, agg_args = _multi_join_args(_join_partitions(num_partitions))
+    _DAY_US = 86_400_000_000
+
+    def last_partial(batch: pa.Table) -> pa.Table:
+        ts = (
+            batch.column("o_orderdate")
+            .to_numpy()
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return (
+            pa.table(
+                {
+                    "custkey": pc.cast(batch.column("o_custkey"), pa.int64()),
+                    "last_us": pa.array(ts),
+                }
+            )
+            .group_by("custkey")
+            .aggregate([("last_us", "max")])
+        )
+
+    last = (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderdate"])
+        )
+        .map_batches(last_partial, batch_format="pyarrow")
+        .groupby("custkey")
+        .aggregate(Max("last_us_max", alias_name="last_us"))
+    )
+
+    cust = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_mktsegment"])
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": pc.cast(t.column("c_custkey"), pa.int64()),
+                "c_mktsegment": pc.cast(t.column("c_mktsegment"), pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = last.join(
+        cust,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("custkey",),
+        right_on=("c_custkey",),
+        aggregator_ray_remote_args=agg_args,
+    )
+
+    def seg_partial(t: pa.Table) -> pa.Table:
+        lu = pc.cast(t.column("last_us"), pa.int64())
+        return (
+            pa.table(
+                {
+                    "c_mktsegment": t.column("c_mktsegment"),
+                    "n": pa.array(np.ones(t.num_rows, np.int64)),
+                    "s": lu,
+                    "mn": lu,
+                    "mx": lu,
+                }
+            )
+            .group_by("c_mktsegment")
+            .aggregate([("n", "sum"), ("s", "sum"), ("mn", "min"), ("mx", "max")])
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("c_mktsegment").aggregate(
+            [("n_sum", "sum"), ("s_sum", "sum"),
+             ("mn_min", "min"), ("mx_max", "max")]
+        )
+        seg = g.column("c_mktsegment").to_pylist()
+        n = pc.cast(g.column("n_sum_sum"), pa.int64()).to_pylist()
+        s = pc.cast(g.column("s_sum_sum"), pa.int64()).to_pylist()
+        mn = pc.cast(g.column("mn_min_min"), pa.int64()).to_pylist()
+        mx = pc.cast(g.column("mx_max_max"), pa.int64()).to_pylist()
+        gm = max(mx)
+        order = sorted(range(len(seg)), key=lambda i: seg[i])
+        return pa.table(
+            {
+                "c_mktsegment": pa.array([seg[i] for i in order], pa.string()),
+                "n_customers": pa.array([n[i] for i in order], pa.int64()),
+                "min_days": pa.array(
+                    [(gm - mx[i]) // _DAY_US for i in order], pa.int64()
+                ),
+                "avg_days": pa.array(
+                    [(n[i] * gm - s[i]) // (n[i] * _DAY_US) for i in order],
+                    pa.int64(),
+                ),
+                "max_days": pa.array(
+                    [(gm - mn[i]) // _DAY_US for i in order], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        joined.map_batches(seg_partial, batch_format="pyarrow")
+        .repartition(1)  # O(|segments|) rows per partial by construction
+        .map_batches(finish, batch_format="pyarrow")
+    )

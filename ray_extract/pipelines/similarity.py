@@ -1290,3 +1290,91 @@ def label_centroid_similarity(sf_dir: str, scale: int = 127, clip: int = 31):
         .repartition(1)  # O(k*d) rows per partial by construction
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def pair_cosine_profile(sf_dir: str, num_buckets: int = 64,
+                        scale: int = 127, clip: int = 31):
+    """Distribution drift detector: signed squared-cosine percent buckets
+    over the deterministic disjoint pairs (vec 2k, vec 2k+1) — a cheap,
+    exactly-reproducible profile of "how similar are neighboring
+    ingest records", integer-exact via cross-multiplication (bucket =
+    sign(dot) * (100*dot^2 // (|a|^2 |b|^2)), no sqrt).
+
+    Scale shape: pair members may land in different scan blocks, so pairs
+    co-locate via ONE hash(pair_id) bucket shuffle; each bucket runs one
+    vectorized pass (sort by vec_id, align even/odd rows, batched integer
+    dot products with object-dtype bigints only at the final divide). The
+    bucket partials are bounded by the 201-value bucket domain.
+
+    Output: (bucket, n_pairs) — bucket in [-100, 100].
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    def quant(e: np.ndarray) -> np.ndarray:
+        return np.clip(np.floor(e * float(scale) + 0.5), -clip, clip).astype(
+            np.int64
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("vec_id"), pa.int64()).to_numpy()
+        pair = ids // 2
+        h = np.abs((pair * np.int64(2654435761)) % np.int64(num_buckets))
+        return pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "pair_id": pa.array(pair),
+                "embedding": batch.column("embedding"),
+                "bucket": pa.array(h),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        e = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in g["embedding"].iloc[order]]
+        )
+        q = quant(e)
+        # adjacent rows with consecutive (even, odd) ids form a pair
+        is_pair = (ids[:-1] % 2 == 0) & (ids[1:] == ids[:-1] + 1)
+        a = q[:-1][is_pair]
+        b = q[1:][is_pair]
+        dot = (a * b).sum(axis=1)
+        n2a = (a * a).sum(axis=1)
+        n2b = (b * b).sum(axis=1)
+        # |dot| <= 31^2 * 64 < 2^16, squares fit int64 comfortably
+        denom = n2a * n2b
+        ok = denom > 0
+        val = np.zeros(len(dot), dtype=np.int64)
+        val[ok] = (100 * dot[ok] * dot[ok]) // denom[ok]
+        sign = np.sign(dot).astype(np.int64)
+        buck = sign * val
+        uniq, counts = np.unique(buck, return_counts=True)
+        return pd.DataFrame(
+            {"bucket": uniq.astype(np.int64),
+             "n_pairs": counts.astype(np.int64)}
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("bucket").aggregate([("n_pairs", "sum")])
+        b = pc.cast(g.column("bucket"), pa.int64()).to_numpy()
+        n = pc.cast(g.column("n_pairs_sum"), pa.int64()).to_numpy()
+        order = np.argsort(b)
+        return pa.table(
+            {
+                "bucket": pa.array(b[order]),
+                "n_pairs": pa.array(n[order]),
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # O(201) rows per bucket by construction
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -1091,3 +1091,38 @@ def test_label_centroid_similarity_selfconsistent(ray_session):
     assert (df["cos2_ppb"] >= 0).all() and (df["cos2_ppb"] <= 1_000_000_000).all()
     k = df["label_a"].nunique() + 1
     assert len(df) == k * (k - 1) // 2
+
+
+def test_segment_recency_ordering_invariants(ray_session):
+    from ray_extract.pipelines.relational import segment_recency
+
+    df = segment_recency(SF).to_pandas()
+    assert (df["min_days"] <= df["avg_days"]).all()
+    assert (df["avg_days"] <= df["max_days"]).all()
+    assert int(df["min_days"].min()) == 0  # some segment holds the latest order
+
+
+def test_user_activity_quartiles_partition_users(ray_session):
+    import pandas as pd
+
+    from ray_extract.pipelines.events import user_activity_quartiles
+
+    df = user_activity_quartiles(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "event_type"])
+    assert int(df["n_users"].sum()) == ev["user_id"].nunique()
+    assert int(df["n_events"].sum()) == len(ev)
+    assert int(df["n_purchases"].sum()) == int((ev["event_type"] == "purchase").sum())
+    # later quartiles hold more-active users: per-user mean activity rises
+    mean_act = df["n_events"] / df["n_users"]
+    assert (np.diff(mean_act.to_numpy()) >= 0).all()
+
+
+def test_pair_cosine_profile_counts_all_pairs(ray_session):
+    import pandas as pd
+
+    from ray_extract.pipelines.similarity import pair_cosine_profile
+
+    df = pair_cosine_profile(SF).to_pandas()
+    n_vecs = len(pd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id"]))
+    assert int(df["n_pairs"].sum()) == n_vecs // 2
+    assert df["bucket"].between(-100, 100).all()
