@@ -345,6 +345,18 @@ def _q_pdf_real_extract(sf_dir: str):
     return flat.map_batches(summarize, batch_format="pyarrow")
 
 
+def _q_weighted_median_price(sf_dir: str):
+    from ray_extract.pipelines.relational import weighted_median_price
+
+    return weighted_median_price(sf_dir)
+
+
+def _q_cube_revenue(sf_dir: str):
+    from ray_extract.pipelines.relational import cube_revenue
+
+    return cube_revenue(sf_dir)
+
+
 def _q_segment_recency(sf_dir: str):
     from ray_extract.pipelines.relational import segment_recency
 
@@ -1421,6 +1433,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_table_cells": _q_extract_table_cells,
         "extract_join_meta": _q_extract_join_meta,
         "pdf_real_extract": _q_pdf_real_extract,
+        "weighted_median_price": _q_weighted_median_price,
+        "cube_revenue": _q_cube_revenue,
         "segment_recency": _q_segment_recency,
         "user_activity_quartiles": _q_user_activity_quartiles,
         "pair_cosine_profile": _q_pair_cosine_profile,
@@ -2134,6 +2148,31 @@ p AS (SELECT a.source AS source_a, b.source AS source_b
       FROM d a JOIN d b ON a.h = b.h AND a.source < b.source)
 SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared_texts
 FROM p GROUP BY 1, 2
+""",
+        "weighted_median_price": """
+WITH base AS (SELECT l_returnflag AS rf,
+                     CAST(floor(l_extendedprice*100+0.5) AS BIGINT) AS price,
+                     CAST(floor(l_quantity+0.5) AS BIGINT) AS w
+              FROM lineitem),
+agg AS (SELECT rf, price, CAST(SUM(w) AS BIGINT) AS w FROM base GROUP BY 1, 2),
+c AS (SELECT rf, price,
+             SUM(w) OVER (PARTITION BY rf ORDER BY price) AS cw,
+             SUM(w) OVER (PARTITION BY rf) AS tw
+      FROM agg)
+SELECT rf AS l_returnflag,
+       CAST(min(tw) AS BIGINT) AS total_weight,
+       CAST(min(price) FILTER (WHERE cw >= (tw + 1) // 2) AS BIGINT)
+         AS wmedian_cents
+FROM c GROUP BY rf
+""",
+        "cube_revenue": """
+SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       CAST(SUM(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT)))
+            AS BIGINT) AS revenue_x10000
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY CUBE (o_orderpriority, l_returnflag)
 """,
         "segment_recency": """
 WITH l AS (

@@ -3582,3 +3582,227 @@ def segment_recency(sf_dir: str, num_partitions: int | None = None):
         .repartition(1)  # O(|segments|) rows per partial by construction
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def weighted_median_price(sf_dir: str, bucket_cents: int = 1 << 16):
+    """Exact quantity-weighted median of the extended price per return
+    flag — distributed weighted selection WITHOUT a sort: pass 1 builds a
+    coarse value-bucket weight histogram (metadata-scale exchange), the
+    driver locates each group's median bucket and residual rank, pass 2
+    re-scans ONLY that bucket's rows for the exact value. The exchanged
+    state is O(|groups| x |buckets|) + O(|groups| x bucket_width) —
+    independent of row count, where a sort-based median shuffles every row.
+
+    Rule: smallest price with cumulative weight >= ceil(W/2), weights =
+    half-up-rounded quantities (matches the SQL window oracle exactly).
+
+    Output: (l_returnflag, total_weight, wmedian_cents).
+    """
+    import ray
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        price = _cents(batch.column("l_extendedprice"))
+        w = np.floor(batch.column("l_quantity").to_numpy() + 0.5).astype(np.int64)
+        return (
+            pa.table(
+                {
+                    "rf": batch.column("l_returnflag"),
+                    "b": pa.array(price // bucket_cents),
+                    "w": pa.array(w),
+                }
+            )
+            .group_by(["rf", "b"])
+            .aggregate([("w", "sum")])
+        )
+
+    ds = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+        )
+    )
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .repartition(1)  # O(|groups| x |price buckets|) rows by construction
+        .map_batches(
+            lambda t: (
+                lambda g: pa.table(
+                    {
+                        "rf": g.column("rf"),
+                        "b": pc.cast(g.column("b"), pa.int64()),
+                        "w": pc.cast(g.column("w_sum_sum"), pa.int64()),
+                    }
+                )
+            )(t.group_by(["rf", "b"]).aggregate([("w_sum", "sum")])),
+            batch_format="pyarrow",
+        )
+        .to_pandas()  # metadata scale (see above)
+    )
+
+    targets: dict[str, tuple[int, int, int]] = {}
+    for rf, g in hist.groupby("rf"):
+        g = g.sort_values("b")
+        cum = g["w"].to_numpy().cumsum()
+        total = int(cum[-1])
+        thresh = (total + 1) // 2
+        i = int(np.searchsorted(cum, thresh))
+        before = int(cum[i - 1]) if i else 0
+        targets[rf] = (int(g["b"].iloc[i]), thresh - before, total)
+    tref = ray.put(targets)
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        tg = ray.get(tref)
+        price = _cents(batch.column("l_extendedprice"))
+        w = np.floor(batch.column("l_quantity").to_numpy() + 0.5).astype(np.int64)
+        rf = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
+        b = price // bucket_cents
+        keep = np.zeros(len(rf), dtype=bool)
+        for flag, (bb, _, _) in tg.items():
+            keep |= (rf == flag) & (b == bb)
+        t = pa.table(
+            {
+                "rf": pa.array(rf[keep]),
+                "price": pa.array(price[keep]),
+                "w": pa.array(w[keep]),
+            }
+        )
+        return t.group_by(["rf", "price"]).aggregate([("w", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        tg = ray.get(tref)
+        g = t.group_by(["rf", "price"]).aggregate([("w_sum", "sum")])
+        rf = g.column("rf").to_numpy(zero_copy_only=False)
+        price = pc.cast(g.column("price"), pa.int64()).to_numpy()
+        w = pc.cast(g.column("w_sum_sum"), pa.int64()).to_numpy()
+        out_rf, out_tw, out_med = [], [], []
+        for flag in sorted(tg):
+            _, resid, total = tg[flag]
+            m = rf == flag
+            p_, w_ = price[m], w[m]
+            order = np.argsort(p_)
+            cum = w_[order].cumsum()
+            out_rf.append(flag)
+            out_tw.append(total)
+            out_med.append(int(p_[order][np.searchsorted(cum, resid)]))
+        return pa.table(
+            {
+                "l_returnflag": pa.array(out_rf, pa.string()),
+                "total_weight": pa.array(out_tw, pa.int64()),
+                "wmedian_cents": pa.array(out_med, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(exact_partial, batch_format="pyarrow")
+        .repartition(1)  # O(|groups| x bucket_width) rows by construction
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def cube_revenue(sf_dir: str, num_partitions: int | None = None):
+    """CUBE-grain revenue over (order priority, return flag): all four
+    grains — (p, r), (p), (r), () — with 'ALL' placeholders, every coarse
+    grain derived from the bounded finest aggregate instead of re-scanning
+    (the GROUPING SETS evaluation strategy for bounded dimensions).
+
+    Scale shape: one per-(orderkey, returnflag) combiner feeds the single
+    native join with orders; the finest (priority x flag) aggregate is
+    O(|p| x |r|) and every other grain folds from it on the final block.
+
+    Output: (o_orderpriority, l_returnflag, revenue_x10000) with 'ALL'
+    sentinels, matching GROUP BY CUBE + COALESCE.
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    num_partitions, agg_args = _multi_join_args(_join_partitions(num_partitions))
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        price = _cents(batch.column("l_extendedprice"))
+        disc = _cents(batch.column("l_discount"))
+        return (
+            pa.table(
+                {
+                    "l_orderkey": pc.cast(batch.column("l_orderkey"), pa.int64()),
+                    "l_returnflag": batch.column("l_returnflag"),
+                    "rev": pa.array(price * (100 - disc)),
+                }
+            )
+            .group_by(["l_orderkey", "l_returnflag"])
+            .aggregate([("rev", "sum")])
+        )
+
+    li = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_returnflag",
+                     "l_extendedprice", "l_discount"],
+        )
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    orders = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_orderpriority"])
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "o_orderpriority": pc.cast(t.column("o_orderpriority"),
+                                           pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        aggregator_ray_remote_args=agg_args,
+    )
+
+    def fine_partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "o_orderpriority": t.column("o_orderpriority"),
+                    "l_returnflag": t.column("l_returnflag"),
+                    "rev": pc.cast(t.column("rev_sum"), pa.int64()),
+                }
+            )
+            .group_by(["o_orderpriority", "l_returnflag"])
+            .aggregate([("rev", "sum")])
+        )
+
+    def cube(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_orderpriority", "l_returnflag"]).aggregate(
+            [("rev_sum", "sum")]
+        )
+        p = g.column("o_orderpriority").to_pylist()
+        r = g.column("l_returnflag").to_pylist()
+        v = pc.cast(g.column("rev_sum_sum"), pa.int64()).to_pylist()
+        rows: dict = {}
+        for pp, rr, vv in zip(p, r, v):
+            for key in [(pp, rr), (pp, "ALL"), ("ALL", rr), ("ALL", "ALL")]:
+                rows[key] = rows.get(key, 0) + vv
+        keys = sorted(rows)
+        return pa.table(
+            {
+                "o_orderpriority": pa.array([k[0] for k in keys], pa.string()),
+                "l_returnflag": pa.array([k[1] for k in keys], pa.string()),
+                "revenue_x10000": pa.array([rows[k] for k in keys], pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(fine_partial, batch_format="pyarrow")
+        .repartition(1)  # O(|priorities| x |flags|) rows by construction
+        .map_batches(cube, batch_format="pyarrow")
+    )

@@ -407,3 +407,49 @@ def test_top_supplier_is_argmax_with_ties(ray_session):
               GROUP BY l_suppkey)"""
     ).fetchone()[0]
     assert int(df["total_revenue_x10000"].iloc[0]) == int(want)
+
+
+def test_weighted_median_is_exact_vs_brute_force(ray_session):
+    import pandas as pd
+
+    from ray_extract.pipelines.relational import weighted_median_price
+
+    df = weighted_median_price(SF).to_pandas().set_index("l_returnflag")
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    li["price"] = np.floor(li["l_extendedprice"] * 100 + 0.5).astype(np.int64)
+    li["w"] = np.floor(li["l_quantity"] + 0.5).astype(np.int64)
+    for rf, g in li.groupby("l_returnflag"):
+        g = g.sort_values("price")
+        cum = g["w"].to_numpy().cumsum()
+        total = int(cum[-1])
+        want = int(g["price"].to_numpy()[np.searchsorted(cum, (total + 1) // 2)])
+        assert int(df.loc[rf, "wmedian_cents"]) == want
+        assert int(df.loc[rf, "total_weight"]) == total
+
+
+def test_weighted_median_bucket_width_invariant(ray_session):
+    """The two-pass selection must give the same answer at any bucket
+    granularity (including width 1 = pure counting selection)."""
+    from ray_extract.pipelines.relational import weighted_median_price
+
+    a = weighted_median_price(SF).to_pandas()
+    b = weighted_median_price(SF, bucket_cents=1 << 22).to_pandas()
+    assert a.equals(b)
+
+
+def test_cube_revenue_grains_consistent(ray_session):
+    from ray_extract.pipelines.relational import cube_revenue
+
+    df = cube_revenue(SF).to_pandas()
+    total = df[
+        (df.o_orderpriority == "ALL") & (df.l_returnflag == "ALL")
+    ]["revenue_x10000"].iloc[0]
+    fine = df[(df.o_orderpriority != "ALL") & (df.l_returnflag != "ALL")]
+    by_p = df[(df.o_orderpriority != "ALL") & (df.l_returnflag == "ALL")]
+    by_r = df[(df.o_orderpriority == "ALL") & (df.l_returnflag != "ALL")]
+    assert int(fine["revenue_x10000"].sum()) == int(total)
+    assert int(by_p["revenue_x10000"].sum()) == int(total)
+    assert int(by_r["revenue_x10000"].sum()) == int(total)
