@@ -345,6 +345,24 @@ def _q_pdf_real_extract(sf_dir: str):
     return flat.map_batches(summarize, batch_format="pyarrow")
 
 
+def _q_rag_chunk(sf_dir: str):
+    from ray_extract.pipelines.text import rag_chunk
+
+    return rag_chunk(sf_dir)
+
+
+def _q_word_dominance_filter(sf_dir: str):
+    from ray_extract.pipelines.text import word_dominance_filter
+
+    return word_dominance_filter(sf_dir)
+
+
+def _q_time_weighted_value(sf_dir: str):
+    from ray_extract.pipelines.events import time_weighted_value
+
+    return time_weighted_value(sf_dir)
+
+
 def _q_weighted_median_price(sf_dir: str):
     from ray_extract.pipelines.relational import weighted_median_price
 
@@ -1433,6 +1451,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_table_cells": _q_extract_table_cells,
         "extract_join_meta": _q_extract_join_meta,
         "pdf_real_extract": _q_pdf_real_extract,
+        "rag_chunk": _q_rag_chunk,
+        "word_dominance_filter": _q_word_dominance_filter,
+        "time_weighted_value": _q_time_weighted_value,
         "weighted_median_price": _q_weighted_median_price,
         "cube_revenue": _q_cube_revenue,
         "segment_recency": _q_segment_recency,
@@ -2148,6 +2169,46 @@ p AS (SELECT a.source AS source_a, b.source AS source_b
       FROM d a JOIN d b ON a.h = b.h AND a.source < b.source)
 SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared_texts
 FROM p GROUP BY 1, 2
+""",
+        "rag_chunk": """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ch AS (SELECT doc_id,
+              CAST(u.c - 1 AS BIGINT) AS chunk_id,
+              CAST((u.c - 1) * 24 AS BIGINT) AS start_word,
+              CAST(least(32, len(ws) - (u.c - 1) * 24) AS BIGINT) AS n_words,
+              CAST(len(array_to_string(
+                     ws[(u.c - 1) * 24 + 1 :
+                        (u.c - 1) * 24
+                        + least(32, len(ws) - (u.c - 1) * 24)],
+                     ' ')) AS BIGINT) AS n_chars
+       FROM d, unnest(range(1, (len(ws) + 23) // 24 + 1)) AS u(c))
+SELECT doc_id, chunk_id, start_word, n_words, n_chars FROM ch
+""",
+        "word_dominance_filter": """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+c AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY 1, 2),
+m AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS top_count,
+             CAST(sum(n) AS BIGINT) AS n_words
+      FROM c GROUP BY 1)
+SELECT doc_id, n_words, top_count,
+       CAST(top_count * 1000000 // n_words AS BIGINT) AS dominance_ppm,
+       CAST(CASE WHEN top_count * 100 > n_words * 10 THEN 1 ELSE 0 END
+            AS BIGINT) AS flagged
+FROM m
+""",
+        "time_weighted_value": """
+WITH o AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dwell
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_weighted,
+       CAST(SUM(dwell) AS BIGINT) AS sum_dwell_us,
+       CAST(SUM(CAST(cents AS HUGEINT) * dwell)
+            // SUM(CAST(dwell AS HUGEINT)) AS BIGINT) AS twavg_cents
+FROM o WHERE dwell IS NOT NULL GROUP BY 1
 """,
         "weighted_median_price": """
 WITH base AS (SELECT l_returnflag AS rf,

@@ -2717,3 +2717,101 @@ def user_activity_quartiles(sf_dir: str, tiles: int = 4,
         .repartition(1)  # O(tiles) rows per bucket by construction
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def time_weighted_value(sf_dir: str, num_buckets: int = 64):
+    """Time-weighted average event value per type: each event's value
+    (cents) weighted by its dwell time (microseconds until the same user's
+    next event, arrival order ts, event_id); users' last events carry no
+    dwell and are excluded — the session-intensity metric that plain AVG
+    misses.
+
+    Scale shape: one hash(user) shuffle, per bucket one vectorized pass
+    (lexsort + forward shift with boundary masking); |types|-row weighted
+    sums per bucket; the final divide runs with Python bigints (value x
+    dwell products overflow int64 at extreme scale; the partials note the
+    decimal128 upgrade path).
+
+    Output: (event_type, n_weighted, sum_dwell_us, twavg_cents).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch.column("user_id"), pa.int64()).to_numpy()
+        bucket = np.abs((uid * np.int64(2654435761)) % np.int64(num_buckets))
+        cents = np.floor(
+            batch.column("value").to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+                "user_id": pa.array(uid),
+                "ts": batch.column("ts"),
+                "event_type": batch.column("event_type"),
+                "cents": pa.array(cents),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        cents = g["cents"].to_numpy()
+        codes, types = pd.factorize(g["event_type"])
+        order = np.lexsort((eid, ts, uid))
+        uid_s, ts_s = uid[order], ts[order]
+        cents_s, codes_s = cents[order], codes[order].astype(np.int64)
+        same = uid_s[1:] == uid_s[:-1]
+        dwell = (ts_s[1:] - ts_s[:-1])[same]
+        c = cents_s[:-1][same]
+        k = codes_s[:-1][same]
+        out = pd.DataFrame(
+            {"code": k, "wv": c * dwell, "w": dwell,
+             "n": np.ones(len(k), np.int64)}
+        ).groupby("code", as_index=False).sum()
+        return pd.DataFrame(
+            {
+                "event_type": types.to_numpy()[out["code"].to_numpy()],
+                "wv": out["wv"].to_numpy().astype(np.int64),
+                "w": out["w"].to_numpy().astype(np.int64),
+                "n": out["n"].to_numpy().astype(np.int64),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate(
+            [("wv", "sum"), ("w", "sum"), ("n", "sum")]
+        )
+        et = g.column("event_type").to_pylist()
+        wv = pc.cast(g.column("wv_sum"), pa.int64()).to_pylist()
+        w = pc.cast(g.column("w_sum"), pa.int64()).to_pylist()
+        n = pc.cast(g.column("n_sum"), pa.int64()).to_pylist()
+        order = sorted(range(len(et)), key=lambda i: et[i])
+        return pa.table(
+            {
+                "event_type": pa.array([et[i] for i in order], pa.string()),
+                "n_weighted": pa.array([n[i] for i in order], pa.int64()),
+                "sum_dwell_us": pa.array([w[i] for i in order], pa.int64()),
+                "twavg_cents": pa.array(
+                    [wv[i] // w[i] if w[i] else 0 for i in order], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["event_id", "user_id", "ts", "event_type", "value"],
+            )
+        )
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # O(|types|) rows per bucket by construction
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -2510,3 +2510,111 @@ def source_mixture_weights(sf_dir: str):
         .repartition(1)  # O(|sources|) rows per partial by construction
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def rag_chunk(sf_dir: str, size: int = 32, stride: int = 24):
+    """RAG-style overlapping chunking: every document explodes into word
+    windows of ``size`` words at ``stride`` spacing (the last window may be
+    short) — the retrieval-corpus building step. Emits chunk geometry plus
+    the exact joined-text character count so the oracle verifies content,
+    not just shape.
+
+    Scale shape: shuffle-free — one all-Arrow pass per batch: chunk counts
+    from list lengths, flat per-word char-length prefix sums give every
+    chunk's character total as two gathers (no string is materialized per
+    chunk).
+
+    Output: (doc_id, chunk_id, start_word, n_words, n_chars).
+    """
+    import ray.data as rd
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        words = pc.split_pattern(text, " ")
+        W = pc.list_value_length(words).to_numpy().astype(np.int64)
+        n_chunks = (W + stride - 1) // stride
+        doc_idx = np.repeat(np.arange(len(ids)), n_chunks)
+        # within-doc chunk ordinals
+        ends = np.cumsum(n_chunks)
+        chunk_id = np.arange(ends[-1] if len(ends) else 0, dtype=np.int64) - (
+            np.repeat(ends - n_chunks, n_chunks)
+        )
+        start = chunk_id * stride
+        n_words = np.minimum(size, W[doc_idx] - start)
+        # exact chunk char counts from flat word-length prefix sums
+        flat_len = pc.utf8_length(pc.list_flatten(words)).to_numpy().astype(
+            np.int64
+        )
+        P = np.r_[0, np.cumsum(flat_len)]
+        offsets = words.offsets.to_numpy().astype(np.int64)[:-1]
+        lo = offsets[doc_idx] + start
+        n_chars = P[lo + n_words] - P[lo] + (n_words - 1)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[doc_idx]),
+                "chunk_id": pa.array(chunk_id),
+                "start_word": pa.array(start),
+                "n_words": pa.array(n_words),
+                "n_chars": pa.array(n_chars),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(chunks, batch_format="pyarrow")
+
+
+def word_dominance_filter(sf_dir: str, threshold_pct: int = 10):
+    """Gopher-style quality rule: the share of a document taken by its
+    single most frequent word; documents over ``threshold_pct`` flag as
+    repetitious boilerplate.
+
+    Scale shape: shuffle-free — two chained Arrow group_bys per batch
+    ((doc, word) counts, then per-doc max/sum), zero Python in the loop.
+
+    Output: (doc_id, n_words, top_count, dominance_ppm, flagged).
+    """
+    import ray.data as rd
+
+    def dominance(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        words = pc.split_pattern(text, " ")
+        counts = pc.list_value_length(words).to_numpy().astype(np.int64)
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, counts)),
+                "word": pc.list_flatten(words),
+            }
+        )
+        c = t.group_by(["doc_id", "word"]).aggregate([("word", "count")])
+        m = (
+            pa.table(
+                {
+                    "doc_id": c.column("doc_id"),
+                    "n": pc.cast(c.column("word_count"), pa.int64()),
+                }
+            )
+            .group_by("doc_id")
+            .aggregate([("n", "max"), ("n", "sum")])
+        )
+        top = pc.cast(m.column("n_max"), pa.int64())
+        tot = pc.cast(m.column("n_sum"), pa.int64())
+        dom = pc.divide(pc.multiply(top, pa.scalar(1_000_000, pa.int64())), tot)
+        flagged = pc.cast(
+            pc.greater(
+                pc.multiply(top, pa.scalar(100, pa.int64())),
+                pc.multiply(tot, pa.scalar(threshold_pct, pa.int64())),
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(m.column("doc_id"), pa.int64()),
+                "n_words": tot,
+                "top_count": top,
+                "dominance_ppm": dom,
+                "flagged": flagged,
+            }
+        )
+
+    return _docs(sf_dir).map_batches(dominance, batch_format="pyarrow")

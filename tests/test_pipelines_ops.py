@@ -1126,3 +1126,20 @@ def test_pair_cosine_profile_counts_all_pairs(ray_session):
     n_vecs = len(pd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id"]))
     assert int(df["n_pairs"].sum()) == n_vecs // 2
     assert df["bucket"].between(-100, 100).all()
+
+
+def test_time_weighted_value_mass(ray_session):
+    """Total dwell mass equals sum of (n_i - 1) gaps over users, and the
+    weighted average sits inside the per-type cents range."""
+    import pandas as pd
+
+    from ray_extract.pipelines.events import time_weighted_value
+
+    df = time_weighted_value(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    n_users = ev["user_id"].nunique()
+    assert int(df["n_weighted"].sum()) == len(ev) - n_users
+    total_span = (
+        ev.groupby("user_id")["ts"].agg(lambda s: s.max() - s.min()).sum()
+    )
+    assert int(df["sum_dwell_us"].sum()) * 1000 == int(total_span.value)

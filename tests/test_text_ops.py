@@ -429,3 +429,38 @@ def test_lang_confusion_mass(ray_session):
     assert int(df["n"].sum()) == int(n)
     en_diag = df[(df["meta_lang"] == "en") & (df["pred_lang"] == "en")]["n"]
     assert int(en_diag.sum()) == int(n_en)
+
+
+def test_rag_chunk_geometry(ray_session):
+    """Chunks tile each doc: starts step by stride, the last chunk ends at
+    the word count, and chunk char counts sum consistently with overlap."""
+    import pandas as pd
+
+    from ray_extract.pipelines.text import rag_chunk
+
+    sf = "/root/testdata/sf0.001"
+    df = rag_chunk(sf).to_pandas()
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    d0 = docs.iloc[0]
+    words = d0["text"].split(" ")
+    g = df[df.doc_id == d0["doc_id"]].sort_values("chunk_id")
+    assert list(g["start_word"]) == [i * 24 for i in range(len(g))]
+    assert int(g["start_word"].iloc[-1] + g["n_words"].iloc[-1]) == len(words)
+    for _, r in g.iterrows():
+        chunk = " ".join(words[int(r.start_word):int(r.start_word + r.n_words)])
+        assert len(chunk) == int(r.n_chars)
+
+
+def test_word_dominance_brute_force(ray_session):
+    import pandas as pd
+    from collections import Counter
+
+    from ray_extract.pipelines.text import word_dominance_filter
+
+    sf = "/root/testdata/sf0.001"
+    df = word_dominance_filter(sf).to_pandas().set_index("doc_id")
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    for _, d in docs.head(5).iterrows():
+        c = Counter(d["text"].split(" "))
+        assert int(df.loc[d["doc_id"], "top_count"]) == max(c.values())
+        assert int(df.loc[d["doc_id"], "n_words"]) == sum(c.values())
