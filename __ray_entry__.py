@@ -345,6 +345,24 @@ def _q_pdf_real_extract(sf_dir: str):
     return flat.map_batches(summarize, batch_format="pyarrow")
 
 
+def _q_revenue_trend(sf_dir: str):
+    from ray_extract.pipelines.relational import revenue_trend
+
+    return revenue_trend(sf_dir)
+
+
+def _q_order_reconciliation(sf_dir: str):
+    from ray_extract.pipelines.relational import order_reconciliation
+
+    return order_reconciliation(sf_dir)
+
+
+def _q_core_vocabulary(sf_dir: str):
+    from ray_extract.pipelines.text import core_vocabulary
+
+    return core_vocabulary(sf_dir)
+
+
 def _q_rag_chunk(sf_dir: str):
     from ray_extract.pipelines.text import rag_chunk
 
@@ -1451,6 +1469,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_table_cells": _q_extract_table_cells,
         "extract_join_meta": _q_extract_join_meta,
         "pdf_real_extract": _q_pdf_real_extract,
+        "revenue_trend": _q_revenue_trend,
+        "order_reconciliation": _q_order_reconciliation,
+        "core_vocabulary": _q_core_vocabulary,
         "rag_chunk": _q_rag_chunk,
         "word_dominance_filter": _q_word_dominance_filter,
         "time_weighted_value": _q_time_weighted_value,
@@ -2169,6 +2190,56 @@ p AS (SELECT a.source AS source_a, b.source AS source_b
       FROM d a JOIN d b ON a.h = b.h AND a.source < b.source)
 SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared_texts
 FROM p GROUP BY 1, 2
+""",
+        "revenue_trend": """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS mo,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1),
+x AS (SELECT CAST(date_diff('month', (SELECT min(mo) FROM m), mo) AS HUGEINT)
+               AS xi,
+             CAST(rev AS HUGEINT) AS yi
+      FROM m),
+s AS (SELECT CAST(count(*) AS HUGEINT) AS n, SUM(xi) AS sx, SUM(yi) AS sy,
+             SUM(xi * xi) AS sxx, SUM(xi * yi) AS sxy,
+             max(xi) AS xmax
+      FROM x)
+SELECT CAST(n AS BIGINT) AS n_months,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(sy * sxx - sx * sxy AS BIGINT) AS icept_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS denom,
+       CAST(((n * sxy - sx * sy) * (xmax + 1) + (sy * sxx - sx * sxy))
+            // (n * sxx - sx * sx) AS BIGINT) AS next_month_cents
+FROM s
+""",
+        "order_reconciliation": """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)
+              * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT))) AS BIGINT)
+           AS rev
+  FROM lineitem GROUP BY 1),
+j AS (
+  SELECT o_orderstatus, rev,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 100 AS total
+  FROM li JOIN orders ON l_orderkey = o_orderkey)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(*) FILTER (WHERE abs(rev - total) * 100 <= total * 25)
+            AS BIGINT) AS n_within_tol,
+       CAST(count(*) FILTER (WHERE abs(rev - total) * 100 <= total * 25)
+            * 1000000 // count(*) AS BIGINT) AS within_ppm
+FROM j GROUP BY 1
+""",
+        "core_vocabulary": """
+WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+c AS (SELECT word, CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(count(*) AS BIGINT) AS total_n
+      FROM w GROUP BY 1),
+k AS (SELECT count(DISTINCT source) AS ns FROM documents)
+SELECT word, n_sources, total_n FROM c, k WHERE n_sources = ns
 """,
         "rag_chunk": """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

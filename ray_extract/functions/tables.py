@@ -18,3 +18,17 @@ def strip_schema_metadata(ds):
         return t.replace_schema_metadata(None)
 
     return ds.map_batches(strip, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def concat_nonempty(tables, empty_schema: "dict[str, object] | None" = None):
+    """``pa.concat_tables`` that tolerates Ray 2.49's column-less 0-row
+    passthrough blocks (map_batches does not invoke the fn on some empty
+    blocks, so ``to_arrow_refs`` can yield schema-less tables that break a
+    naive concat). Filters 0-row tables; returns an empty table with
+    ``empty_schema`` ({name: pa.DataType}) when nothing survives."""
+    parts = [t for t in tables if t.num_rows]
+    if parts:
+        return pa.concat_tables(parts, promote_options="default")
+    if empty_schema is None:
+        raise ValueError("all blocks empty and no empty_schema given")
+    return pa.table({k: pa.array([], type=v) for k, v in empty_schema.items()})

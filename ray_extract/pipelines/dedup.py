@@ -1076,10 +1076,12 @@ def triangle_count(sf_dir: str, num_buckets: int = 64,
         batch_format="pyarrow",
     ).to_arrow_refs()  # sparse edge list only — never the corpus; Arrow
     # blocks, not take_all's per-row Python dicts (6x faster at 450k edges)
+    from ..functions.tables import concat_nonempty
+
     packed = np.sort(
-        pa.concat_tables(ray.get(edge_refs)).column("k").to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
+        concat_nonempty(
+            ray.get(edge_refs), {"k": pa.int64()}
+        ).column("k").to_numpy(zero_copy_only=False).astype(np.int64)
     )
     packed_ref = ray.put(packed)
     n_edges = len(packed)
@@ -1418,7 +1420,11 @@ def pagerank_dup_graph(sf_dir: str, n_iter: int = 3,
         if edge_backend == "join":
             return _pagerank_join(pairs, n_iter)
     edge_refs = pairs.to_arrow_refs()
-    et = pa.concat_tables(ray.get(edge_refs))
+    from ..functions.tables import concat_nonempty
+
+    et = concat_nonempty(
+        ray.get(edge_refs), {"doc_a": pa.int64(), "doc_b": pa.int64()}
+    )
     a = et.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
     b = et.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
     src = np.r_[a, b]

@@ -3806,3 +3806,209 @@ def cube_revenue(sf_dir: str, num_partitions: int | None = None):
         .repartition(1)  # O(|priorities| x |flags|) rows by construction
         .map_batches(cube, batch_format="pyarrow")
     )
+
+
+def revenue_trend(sf_dir: str):
+    """Exact-integer least-squares trend over the monthly revenue series:
+    slope and intercept of revenue ~ month-index as EXACT rationals
+    (numerators/denominator from the normal equations — no float in the
+    fit), plus the next month's floor-evaluated projection.
+
+    slope = (n*Sxy - Sx*Sy) / D, intercept = (Sy*Sxx - Sx*Sxy) / D,
+    D = n*Sxx - Sx^2; projection = (slope_num*x + icept_num) // D.
+
+    Scale shape: the monthly series is a combiner + calendar-bounded
+    groupby; the normal-equation sums and the projection run on the
+    O(|months|) final block with Python bigints (month-index x cents
+    products overflow int64 at corpus scale).
+
+    Output: one row (n_months, slope_num, icept_num, denom,
+    next_month_cents).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        months = (
+            batch.column("o_orderdate")
+            .to_numpy()
+            .astype("datetime64[M]")
+            .astype(np.int64)
+        )
+        return (
+            pa.table(
+                {
+                    "m": pa.array(months),
+                    "rev": pa.array(_cents(batch.column("o_totalprice"))),
+                }
+            )
+            .group_by("m")
+            .aggregate([("rev", "sum")])
+        )
+
+    def fit(t: pa.Table) -> pa.Table:
+        g = t.group_by("m").aggregate([("rev_sum", "sum")])
+        m = pc.cast(g.column("m"), pa.int64()).to_numpy()
+        y = pc.cast(g.column("rev_sum_sum"), pa.int64()).to_numpy()
+        order = np.argsort(m)
+        m, y = m[order], y[order]
+        # month index relative to the first month keeps magnitudes small
+        x = [int(v - m[0]) for v in m]
+        yy = [int(v) for v in y]
+        n = len(x)
+        sx, sy = sum(x), sum(yy)
+        sxx = sum(v * v for v in x)
+        sxy = sum(a * b for a, b in zip(x, yy))
+        denom = n * sxx - sx * sx
+        slope_num = n * sxy - sx * sy
+        icept_num = sy * sxx - sx * sxy
+        nxt = (slope_num * (x[-1] + 1) + icept_num) // denom if denom else 0
+        return pa.table(
+            {
+                "n_months": pa.array([n], pa.int64()),
+                "slope_num": pa.array([slope_num], pa.int64()),
+                "icept_num": pa.array([icept_num], pa.int64()),
+                "denom": pa.array([denom], pa.int64()),
+                "next_month_cents": pa.array([nxt], pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate", "o_totalprice"])
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # O(|months|) rows by construction
+        .map_batches(fit, batch_format="pyarrow")
+    )
+
+
+def order_reconciliation(sf_dir: str, tol_pct: int = 25,
+                         num_partitions: int | None = None):
+    """Data-quality reconciliation: per order status, how many orders'
+    lineitem revenue (sum of extprice x (1-disc), cents) agrees with the
+    order's own o_totalprice within ``tol_pct`` percent — the referential
+    consistency audit every warehouse runs after ingest. Exact integer
+    test: |sum*100 - total*100| * 100 <= total*100 * tol_pct.
+
+    Scale shape: per-orderkey lineitem combiner feeds ONE native hash
+    join with orders; per-batch partials fold AFTER the join (groupby on
+    the join key — status/total are functionally dependent) so no global
+    pre-join shuffle is needed; the verdict is a bounded per-status reduce.
+
+    Output: (o_orderstatus, n_orders, n_within_tol, within_ppm).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    num_partitions, agg_args = _multi_join_args(_join_partitions(num_partitions))
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        price = _cents(batch.column("l_extendedprice"))
+        disc = _cents(batch.column("l_discount"))
+        return (
+            pa.table(
+                {
+                    "l_orderkey": pc.cast(batch.column("l_orderkey"), pa.int64()),
+                    "rev": pa.array(price * (100 - disc)),
+                }
+            )
+            .group_by("l_orderkey")
+            .aggregate([("rev", "sum")])
+        )
+
+    li = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        )
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    orders = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        )
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "o_orderstatus": pc.cast(t.column("o_orderstatus"), pa.string()),
+                "total": pa.array(_cents(t.column("o_totalprice"))),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        aggregator_ray_remote_args=agg_args,
+    )
+
+    from ray.data.aggregate import Sum
+
+    # fold the per-batch lineitem partials: one row per order. status and
+    # total are functionally dependent on the key, so they ride as keys.
+    per_order = joined.map_batches(
+        lambda t: pa.table(
+            {
+                "k": t.column("l_orderkey"),
+                "o_orderstatus": t.column("o_orderstatus"),
+                "total": t.column("total"),
+                "rev": pc.cast(t.column("rev_sum"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).groupby(["k", "o_orderstatus", "total"]).aggregate(
+        Sum("rev", alias_name="rev_sum")
+    )
+
+    def verdict_partial(t: pa.Table) -> pa.Table:
+        rev = pc.cast(t.column("rev_sum"), pa.int64()).to_numpy()
+        total = pc.cast(t.column("total"), pa.int64()).to_numpy()
+        # rev is x10000 (cents x discount-percent); totals are cents
+        diff = np.abs(rev - total * 100)
+        ok = (diff * 100 <= total * 100 * tol_pct).astype(np.int64)
+        return (
+            pa.table(
+                {
+                    "o_orderstatus": t.column("o_orderstatus"),
+                    "n": pa.array(np.ones(len(ok), np.int64)),
+                    "w": pa.array(ok),
+                }
+            )
+            .group_by("o_orderstatus")
+            .aggregate([("n", "sum"), ("w", "sum")])
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderstatus").aggregate(
+            [("n_sum", "sum"), ("w_sum", "sum")]
+        )
+        st = g.column("o_orderstatus").to_pylist()
+        n = pc.cast(g.column("n_sum_sum"), pa.int64()).to_pylist()
+        w = pc.cast(g.column("w_sum_sum"), pa.int64()).to_pylist()
+        order = sorted(range(len(st)), key=lambda i: st[i])
+        return pa.table(
+            {
+                "o_orderstatus": pa.array([st[i] for i in order], pa.string()),
+                "n_orders": pa.array([n[i] for i in order], pa.int64()),
+                "n_within_tol": pa.array([w[i] for i in order], pa.int64()),
+                "within_ppm": pa.array(
+                    [w[i] * 1_000_000 // n[i] for i in order], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        per_order.map_batches(verdict_partial, batch_format="pyarrow")
+        .repartition(1)  # O(|statuses|) rows per partial by construction
+        .map_batches(finish, batch_format="pyarrow")
+    )

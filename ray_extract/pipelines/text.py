@@ -2618,3 +2618,90 @@ def word_dominance_filter(sf_dir: str, threshold_pct: int = 10):
         )
 
     return _docs(sf_dir).map_batches(dominance, batch_format="pyarrow")
+
+
+def core_vocabulary(sf_dir: str):
+    """Vocabulary core: words present in EVERY source (the K-way distinct
+    set intersection), with their corpus-wide counts — boilerplate
+    detection across domains.
+
+    Scale shape: per-batch distinct (source, word) pairs + total counts
+    combine before the ONE word-key shuffle; a word's source count and
+    total fold in the same groupby; the |sources| threshold comes from a
+    bounded side-aggregate.
+
+    Output: (word, n_sources, total_n) for core words only.
+    """
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    # |sources| is a dimension-table read (bounded domain by construction)
+    src = pq.read_table(f"{sf_dir}/documents.parquet", columns=["source"])
+    n_sources = len(pc.unique(src.column("source")))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        words = pc.split_pattern(text, " ")
+        counts = pc.list_value_length(words).to_numpy().astype(np.int64)
+        t = pa.table(
+            {
+                "source": pa.array(
+                    np.repeat(
+                        batch.column("source").to_numpy(zero_copy_only=False),
+                        counts,
+                    )
+                ),
+                "word": pc.list_flatten(words),
+            }
+        )
+        d = t.group_by(["source", "word"]).aggregate([("word", "count")])
+        return pa.table(
+            {
+                "word": d.column("word"),
+                "source": d.column("source"),
+                "n": pc.cast(d.column("word_count"), pa.int64()),
+            }
+        )
+
+    # second combiner: per-batch (word -> distinct-source count, total)
+    def word_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["word", "source"]).aggregate([("n", "sum")])
+        w = pa.table(
+            {
+                "word": g.column("word"),
+                "s": pa.array(np.ones(g.num_rows, np.int64)),
+                "n": pc.cast(g.column("n_sum"), pa.int64()),
+            }
+        )
+        return w.group_by("word").aggregate([("s", "sum"), ("n", "sum")])
+
+    # NOTE: the (source, word) pair must be GLOBALLY distinct before source
+    # counting, so the shuffle keys on (word, source) first, then words fold
+    agg = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["word", "source"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(word_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("s_sum", alias_name="n_sources"),
+                   Sum("n_sum", alias_name="total_n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        keep = pc.equal(
+            pc.cast(t.column("n_sources"), pa.int64()),
+            pa.scalar(n_sources, pa.int64()),
+        )
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "word": t.column("word"),
+                "n_sources": pc.cast(t.column("n_sources"), pa.int64()),
+                "total_n": pc.cast(t.column("total_n"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

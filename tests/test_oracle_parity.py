@@ -48,6 +48,9 @@ SUBSET = [
     "market_share",
     "small_qty_revenue",
     "top_supplier",
+    "revenue_trend",
+    "order_reconciliation",
+    "core_vocabulary",
 ]
 
 
