@@ -363,6 +363,90 @@ def _q_core_vocabulary(sf_dir: str):
     return core_vocabulary(sf_dir)
 
 
+def _q_order_width_histogram(sf_dir: str):
+    from ray_extract.pipelines.relational import order_width_histogram
+
+    return order_width_histogram(sf_dir)
+
+
+def _q_revenue_concentration(sf_dir: str):
+    from ray_extract.pipelines.relational import revenue_concentration
+
+    return revenue_concentration(sf_dir)
+
+
+def _q_top_parts_by_quantity(sf_dir: str):
+    from ray_extract.pipelines.relational import top_parts_by_quantity
+
+    return top_parts_by_quantity(sf_dir)
+
+
+def _q_acctbal_band_profile(sf_dir: str):
+    from ray_extract.pipelines.relational import acctbal_band_profile
+
+    return acctbal_band_profile(sf_dir)
+
+
+def _q_supplier_balance_leader(sf_dir: str):
+    from ray_extract.pipelines.relational import supplier_balance_leader
+
+    return supplier_balance_leader(sf_dir)
+
+
+def _q_user_resurrections(sf_dir: str):
+    from ray_extract.pipelines.events import user_resurrections
+
+    return user_resurrections(sf_dir)
+
+
+def _q_gap_hour_histogram(sf_dir: str):
+    from ray_extract.pipelines.events import gap_hour_histogram
+
+    return gap_hour_histogram(sf_dir)
+
+
+def _q_value_autocorr_terms(sf_dir: str):
+    from ray_extract.pipelines.events import value_autocorr_terms
+
+    return value_autocorr_terms(sf_dir)
+
+
+def _q_word_length_histogram(sf_dir: str):
+    from ray_extract.pipelines.text import word_length_histogram
+
+    return word_length_histogram(sf_dir)
+
+
+def _q_allcaps_ratio(sf_dir: str):
+    from ray_extract.pipelines.text import allcaps_ratio
+
+    return allcaps_ratio(sf_dir)
+
+
+def _q_lexical_density(sf_dir: str):
+    from ray_extract.pipelines.text import lexical_density
+
+    return lexical_density(sf_dir)
+
+
+def _q_vocab_growth(sf_dir: str):
+    from ray_extract.pipelines.text import vocab_growth
+
+    return vocab_growth(sf_dir)
+
+
+def _q_dominant_dim_histogram(sf_dir: str):
+    from ray_extract.pipelines.similarity import dominant_dim_histogram
+
+    return dominant_dim_histogram(sf_dir)
+
+
+def _q_dim_sign_profile(sf_dir: str):
+    from ray_extract.pipelines.similarity import dim_sign_profile
+
+    return dim_sign_profile(sf_dir)
+
+
 def _q_rag_chunk(sf_dir: str):
     from ray_extract.pipelines.text import rag_chunk
 
@@ -1472,6 +1556,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_trend": _q_revenue_trend,
         "order_reconciliation": _q_order_reconciliation,
         "core_vocabulary": _q_core_vocabulary,
+        "order_width_histogram": _q_order_width_histogram,
+        "revenue_concentration": _q_revenue_concentration,
+        "top_parts_by_quantity": _q_top_parts_by_quantity,
+        "acctbal_band_profile": _q_acctbal_band_profile,
+        "supplier_balance_leader": _q_supplier_balance_leader,
+        "user_resurrections": _q_user_resurrections,
+        "gap_hour_histogram": _q_gap_hour_histogram,
+        "value_autocorr_terms": _q_value_autocorr_terms,
+        "word_length_histogram": _q_word_length_histogram,
+        "allcaps_ratio": _q_allcaps_ratio,
+        "lexical_density": _q_lexical_density,
+        "vocab_growth": _q_vocab_growth,
+        "dominant_dim_histogram": _q_dominant_dim_histogram,
+        "dim_sign_profile": _q_dim_sign_profile,
         "rag_chunk": _q_rag_chunk,
         "word_dominance_filter": _q_word_dominance_filter,
         "time_weighted_value": _q_time_weighted_value,
@@ -2240,6 +2338,154 @@ c AS (SELECT word, CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
       FROM w GROUP BY 1),
 k AS (SELECT count(DISTINCT source) AS ns FROM documents)
 SELECT word, n_sources, total_n FROM c, k WHERE n_sources = ns
+""",
+        "order_width_histogram": """
+WITH o AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(SUM(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem GROUP BY 1)
+SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(rev) AS BIGINT) AS sum_rev_cents
+FROM o GROUP BY 1
+""",
+        "revenue_concentration": """
+WITH s AS (SELECT o_custkey,
+  CAST(SUM(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) AS BIGINT) AS spend
+  FROM orders GROUP BY 1),
+k AS (SELECT CAST(count(*) AS BIGINT) AS n,
+  CAST((count(*) + 99) // 100 AS BIGINT) AS k,
+  CAST(SUM(spend) AS BIGINT) AS total FROM s),
+r AS (SELECT spend, row_number() OVER (ORDER BY spend DESC, o_custkey) AS rn
+      FROM s),
+t AS (SELECT CAST(SUM(r.spend) AS BIGINT) AS top_sum FROM r, k
+      WHERE r.rn <= k.k)
+SELECT k.n AS n_customers, k.k AS top_k, t.top_sum AS top_spend_cents,
+       k.total AS total_spend_cents,
+       CAST(CAST(t.top_sum AS HUGEINT) * 1000000 // k.total AS BIGINT)
+         AS share_ppm
+FROM k, t
+""",
+        "top_parts_by_quantity": """
+WITH q AS (SELECT l_partkey,
+  CAST(SUM(CAST(floor(l_quantity*100+0.5) AS BIGINT)) AS BIGINT) AS qty_x100,
+  CAST(SUM(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)) AS BIGINT)
+    AS rev_cents
+  FROM lineitem GROUP BY 1),
+t AS (SELECT * FROM q ORDER BY qty_x100 DESC, l_partkey LIMIT 20)
+SELECT CAST(t.l_partkey AS BIGINT) AS partkey, p.p_brand, p.p_type,
+       t.qty_x100, t.rev_cents
+FROM t JOIN part p ON p.p_partkey = t.l_partkey
+""",
+        "acctbal_band_profile": """
+WITH c AS (SELECT c_mktsegment,
+  (CAST(floor(c_acctbal*100+0.5) AS BIGINT) + 1000000) // 100000 - 10 AS band,
+  CAST(floor(c_acctbal*100+0.5) AS BIGINT) AS bal FROM customer)
+SELECT c_mktsegment, CAST(band AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(SUM(bal) AS BIGINT) AS sum_bal_cents
+FROM c GROUP BY 1, 2
+""",
+        "supplier_balance_leader": """
+WITH s AS (SELECT s_nationkey,
+             CAST(floor(s_acctbal*100+0.5) AS BIGINT) AS bal, s_suppkey
+           FROM supplier),
+m AS (SELECT s_nationkey, max(bal) AS best FROM s GROUP BY 1),
+w AS (SELECT s.s_nationkey, m.best AS bal_cents,
+             CAST(min(s.s_suppkey) AS BIGINT) AS suppkey
+      FROM s JOIN m ON s.s_nationkey = m.s_nationkey AND s.bal = m.best
+      GROUP BY 1, 2)
+SELECT n.n_name, CAST(w.s_nationkey AS BIGINT) AS nationkey, w.suppkey,
+       w.bal_cents
+FROM w JOIN nation n ON n.n_nationkey = w.s_nationkey
+""",
+        "user_resurrections": """
+WITH g AS (SELECT user_id, ts,
+  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events),
+u AS (SELECT user_id,
+  CAST(count(*) FILTER (WHERE pts IS NOT NULL AND
+        date_diff('microsecond', pts, ts) > 172800000000) AS BIGINT) AS nr
+  FROM g GROUP BY 1)
+SELECT nr AS n_resurrections, CAST(count(*) AS BIGINT) AS n_users
+FROM u GROUP BY 1
+""",
+        "gap_hour_histogram": """
+WITH g AS (SELECT event_type, ts,
+  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events)
+SELECT event_type,
+       CAST(date_diff('microsecond', pts, ts) // 3600000000 AS BIGINT)
+         AS gap_hours,
+       CAST(count(*) AS BIGINT) AS n_gaps
+FROM g WHERE pts IS NOT NULL GROUP BY 1, 2
+""",
+        "value_autocorr_terms": """
+WITH g AS (SELECT event_type,
+  CAST(floor(value*100+0.5) AS BIGINT) AS y,
+  lag(CAST(floor(value*100+0.5) AS BIGINT)) OVER
+    (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS x
+  FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(x) AS BIGINT) AS sum_x,
+       CAST(SUM(y) AS BIGINT) AS sum_y,
+       CAST(SUM(CAST(x AS HUGEINT) * y) AS BIGINT) AS sum_xy,
+       CAST(SUM(CAST(x AS HUGEINT) * x) AS BIGINT) AS sum_xx,
+       CAST(SUM(CAST(y AS HUGEINT) * y) AS BIGINT) AS sum_yy
+FROM g WHERE x IS NOT NULL GROUP BY 1
+""",
+        "word_length_histogram": """
+SELECT CAST(length(word) AS BIGINT) AS wlen,
+       CAST(count(*) AS BIGINT) AS n_words
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY 1
+""",
+        "allcaps_ratio": """
+WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+a AS (SELECT source,
+  CAST(count(*) FILTER (WHERE regexp_matches(word, '^[A-Z]{2,}$'))
+       AS BIGINT) AS n_allcaps,
+  CAST(count(*) AS BIGINT) AS n_tokens
+  FROM w GROUP BY 1)
+SELECT source, n_allcaps, n_tokens,
+       CAST(n_allcaps * 1000000 // n_tokens AS BIGINT) AS allcaps_ppm
+FROM a
+""",
+        "lexical_density": """
+WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+a AS (SELECT source,
+  CAST(count(*) FILTER (WHERE lower(word) IN
+       ('the','and','of','to','is','a')) AS BIGINT) AS n_stopwords,
+  CAST(count(*) AS BIGINT) AS n_tokens
+  FROM w GROUP BY 1)
+SELECT source, n_stopwords, n_tokens,
+       CAST(n_stopwords * 1000000 // n_tokens AS BIGINT) AS stopword_ppm
+FROM a
+""",
+        "vocab_growth": """
+WITH b AS (SELECT max(doc_id) AS mx FROM documents),
+f AS (SELECT word, min(doc_id) AS fd FROM
+  (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY 1)
+SELECT CAST(fd * 10 // (mx + 1) AS BIGINT) AS slice_idx,
+       CAST(count(*) AS BIGINT) AS n_new_words
+FROM f, b GROUP BY 1
+""",
+        "dominant_dim_histogram": """
+SELECT CAST(list_position(embedding, list_max(embedding)) - 1 AS BIGINT)
+         AS dim,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM embeddings GROUP BY 1
+""",
+        "dim_sign_profile": """
+WITH s AS (SELECT unnest(embedding) AS v,
+                  unnest(range(len(embedding))) AS i
+           FROM embeddings)
+SELECT CAST(i AS BIGINT) AS dim,
+       CAST(count(*) FILTER (WHERE v < 0) AS BIGINT) AS n_neg,
+       CAST(count(*) FILTER (WHERE v = 0) AS BIGINT) AS n_zero,
+       CAST(count(*) FILTER (WHERE v > 0) AS BIGINT) AS n_pos
+FROM s GROUP BY 1
 """,
         "rag_chunk": """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

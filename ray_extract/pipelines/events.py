@@ -2815,3 +2815,264 @@ def time_weighted_value(sf_dir: str, num_buckets: int = 64):
         .repartition(1)  # O(|types|) rows per bucket by construction
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def user_resurrections(sf_dir: str, gap_days: int = 2, num_buckets: int = 64):
+    """Resurrection histogram: per user, count consecutive-event gaps
+    longer than ``gap_days`` (ordered by ts then event_id), then histogram
+    users by resurrection count — the churn-and-return profile.
+
+    Scale shape: one hash(user) bucket shuffle, ONE vectorized pass per
+    bucket (lexsort + shifted-delta mask), and the histogram fold is a
+    bounded-domain repartition(1) reduce over per-bucket partials.
+
+    Output: (n_resurrections, n_users).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    gap_us = np.int64(gap_days) * 86_400_000_000
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch.column("user_id"), pa.int64()).to_numpy()
+        bucket = np.abs((uid * np.int64(2654435761)) % np.int64(num_buckets))
+        return pa.table(
+            {
+                "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+                "user_id": pa.array(uid),
+                "ts": batch.column("ts"),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, ts = uid[order], ts[order]
+        n = len(g)
+        same = np.zeros(n, dtype=bool)
+        same[1:] = uid[1:] == uid[:-1]
+        delta = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            delta[1:] = (ts[1:] - ts[:-1]).astype("timedelta64[us]").astype(
+                np.int64
+            )
+        res = (same & (delta > gap_us)).astype(np.int64)
+        # per-user resurrection counts via segment sums
+        seg_first = np.flatnonzero(~same)
+        csum = np.r_[0, np.cumsum(res)]
+        ends = np.r_[seg_first[1:], n]
+        per_user = csum[ends] - csum[seg_first]
+        cnt = np.bincount(per_user)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame(
+            {"n_resurrections": nz.astype(np.int64),
+             "n_users": cnt[nz].astype(np.int64)}
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("n_resurrections").aggregate([("n_users", "sum")])
+        idx = pc.sort_indices(g, sort_keys=[("n_resurrections", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "n_resurrections": pc.cast(g.column("n_resurrections"),
+                                           pa.int64()),
+                "n_users": pc.cast(g.column("n_users_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts"])
+        )
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # O(|distinct counts| x buckets) rows
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def gap_hour_histogram(sf_dir: str, num_buckets: int = 64):
+    """Inter-event gap histogram: hours between a user's consecutive
+    events (any type), keyed by the LATER event's type — the arrival-
+    process profile behind session-gap tuning.
+
+    Scale shape: hash(user) bucket shuffle, one vectorized lexsort pass
+    per bucket, bounded (type x gap-hour) domain folds via repartition(1).
+
+    Output: (event_type, gap_hours, n_gaps).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch.column("user_id"), pa.int64()).to_numpy()
+        bucket = np.abs((uid * np.int64(2654435761)) % np.int64(num_buckets))
+        return pa.table(
+            {
+                "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+                "user_id": pa.array(uid),
+                "ts": batch.column("ts"),
+                "event_type": pc.cast(batch.column("event_type"), pa.string()),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, et = uid[order], ts[order], et[order]
+        n = len(g)
+        same = np.zeros(n, dtype=bool)
+        same[1:] = uid[1:] == uid[:-1]
+        delta = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            delta[1:] = (ts[1:] - ts[:-1]).astype("timedelta64[us]").astype(
+                np.int64
+            )
+        keep = same
+        gh = delta[keep] // 3_600_000_000
+        out = pd.DataFrame({"event_type": et[keep], "gap_hours": gh})
+        out["n"] = np.int64(1)
+        return out.groupby(["event_type", "gap_hours"], as_index=False)[
+            "n"
+        ].sum()
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "gap_hours"]).aggregate([("n", "sum")])
+        idx = pc.sort_indices(
+            g, sort_keys=[("event_type", "ascending"),
+                          ("gap_hours", "ascending")]
+        )
+        g = g.take(idx)
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "gap_hours": pc.cast(g.column("gap_hours"), pa.int64()),
+                "n_gaps": pc.cast(g.column("n_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["event_id", "user_id", "ts", "event_type"],
+            )
+        )
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # O(|types| x |gap hours|) rows per bucket
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def value_autocorr_terms(sf_dir: str, num_buckets: int = 64):
+    """Lag-1 autocorrelation SUFFICIENT STATISTICS of event value per
+    event type, over consecutive events of the same (user, type): pair
+    count and exact-integer sums (x=prev cents, y=current cents) of x, y,
+    xy, xx, yy — everything Pearson r needs, computed without a single
+    float so the oracle is exact. (At extreme corpus scale the xx/xy sums
+    need rescaled units — cents keep int64 headroom through ~1e8 pairs.)
+
+    Scale shape: hash(user) bucket shuffle, one lexsort pass per bucket,
+    bounded |types| fold via repartition(1).
+
+    Output: (event_type, n_pairs, sum_x, sum_y, sum_xy, sum_xx, sum_yy).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch.column("user_id"), pa.int64()).to_numpy()
+        bucket = np.abs((uid * np.int64(2654435761)) % np.int64(num_buckets))
+        cents = np.floor(
+            batch.column("value").to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+                "user_id": pa.array(uid),
+                "ts": batch.column("ts"),
+                "event_type": pc.cast(batch.column("event_type"), pa.string()),
+                "cents": pa.array(cents),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        ts = g["ts"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        v = g["cents"].to_numpy()
+        # sequence key is (user, type): lexsort puts each sequence
+        # contiguous, time-ordered
+        order = np.lexsort((eid, ts, et, uid))
+        uid, et, v = uid[order], et[order], v[order]
+        n = len(g)
+        same = np.zeros(n, dtype=bool)
+        same[1:] = (uid[1:] == uid[:-1]) & (et[1:] == et[:-1])
+        x = np.roll(v, 1)
+        keep = same
+        xt, yt, tt = x[keep], v[keep], et[keep]
+        out = pd.DataFrame(
+            {
+                "event_type": tt,
+                "n_pairs": np.int64(1),
+                "sum_x": xt,
+                "sum_y": yt,
+                "sum_xy": xt * yt,
+                "sum_xx": xt * xt,
+                "sum_yy": yt * yt,
+            }
+        )
+        return out.groupby("event_type", as_index=False).sum()
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate(
+            [("n_pairs", "sum"), ("sum_x", "sum"), ("sum_y", "sum"),
+             ("sum_xy", "sum"), ("sum_xx", "sum"), ("sum_yy", "sum")]
+        )
+        idx = pc.sort_indices(g, sort_keys=[("event_type", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "n_pairs": pc.cast(g.column("n_pairs_sum"), pa.int64()),
+                "sum_x": pc.cast(g.column("sum_x_sum"), pa.int64()),
+                "sum_y": pc.cast(g.column("sum_y_sum"), pa.int64()),
+                "sum_xy": pc.cast(g.column("sum_xy_sum"), pa.int64()),
+                "sum_xx": pc.cast(g.column("sum_xx_sum"), pa.int64()),
+                "sum_yy": pc.cast(g.column("sum_yy_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["event_id", "user_id", "ts", "event_type", "value"],
+            )
+        )
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # O(|types| x buckets) partial rows
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -4012,3 +4012,418 @@ def order_reconciliation(sf_dir: str, tol_pct: int = 25,
         .repartition(1)  # O(|statuses|) rows per partial by construction
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def order_width_histogram(sf_dir: str):
+    """Distribution of order "width" (lineitems per order) with the revenue
+    carried at each width — the fact-table shape profile that drives join
+    fan-out planning.
+
+    Scale shape: per-batch (orderkey -> count, revenue) partials combine
+    before the ONE orderkey shuffle; the width histogram itself is a
+    bounded-domain (1..7 lines in TPC-H-ish data) per-block partial fold +
+    repartition(1) final reduce — no second wide shuffle.
+
+    Output: (n_lines, n_orders, sum_rev_cents).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "k": pc.cast(batch.column("l_orderkey"), pa.int64()),
+                "n": pa.array(np.ones(len(batch), np.int64)),
+                "rev": pa.array(_cents(batch.column("l_extendedprice"))),
+            }
+        )
+        return t.group_by("k").aggregate([("n", "sum"), ("rev", "sum")])
+
+    per_order = (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_extendedprice"])
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("n_sum", alias_name="n_lines"),
+                   Sum("rev_sum", alias_name="rev"))
+    )
+
+    def width_partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "n_lines": pc.cast(t.column("n_lines"), pa.int64()),
+                "o": pa.array(np.ones(t.num_rows, np.int64)),
+                "rev": pc.cast(t.column("rev"), pa.int64()),
+            }
+        )
+        return g.group_by("n_lines").aggregate([("o", "sum"), ("rev", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("n_lines").aggregate([("o_sum", "sum"),
+                                             ("rev_sum", "sum")])
+        idx = pc.sort_indices(g, sort_keys=[("n_lines", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "n_lines": pc.cast(g.column("n_lines"), pa.int64()),
+                "n_orders": pc.cast(g.column("o_sum_sum"), pa.int64()),
+                "sum_rev_cents": pc.cast(g.column("rev_sum_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        per_order.map_batches(width_partial, batch_format="pyarrow")
+        .repartition(1)  # O(|distinct widths|) rows per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def revenue_concentration(sf_dir: str, top_pct: int = 1,
+                          bucket_cents: int = 1 << 20):
+    """Revenue concentration: what share (ppm) of total customer spend the
+    top ``top_pct`` percent of customers hold (k = ceil(n * pct/100),
+    ordered by spend desc then custkey) — the Pareto/inequality audit.
+
+    Scale shape: a naive version global-sorts all customers; this is the
+    two-pass bucket-selection pattern instead — (1) per-customer spend
+    (ONE shuffle) tagged with a coarse spend-value bucket; bucket
+    (count, sum) pairs reduce to metadata scale and the driver walks them
+    from the top to find the cutoff bucket + residual rank; (2) ONLY the
+    cutoff bucket's rows are rescanned and sorted (bounded by bucket
+    width, same contract as weighted_median_price).
+
+    Output: one row (n_customers, top_k, top_spend_cents,
+    total_spend_cents, share_ppm).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def spend_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "custkey": pc.cast(batch.column("o_custkey"), pa.int64()),
+                "spend": pa.array(_cents(batch.column("o_totalprice"))),
+            }
+        )
+        return t.group_by("custkey").aggregate([("spend", "sum")])
+
+    spend = (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_totalprice"])
+        )
+        .map_batches(spend_partial, batch_format="pyarrow")
+        .groupby("custkey")
+        .aggregate(Sum("spend_sum", alias_name="spend_cents"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "custkey": pc.cast(t.column("custkey"), pa.int64()),
+                    "spend_cents": pc.cast(t.column("spend_cents"),
+                                           pa.int64()),
+                    "vbucket": pc.cast(
+                        pc.divide(pc.cast(t.column("spend_cents"),
+                                          pa.int64()),
+                                  bucket_cents),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # reused by the histogram pass and the rescan
+    )
+
+    hist = (
+        spend.map_batches(
+            lambda t: pa.table(
+                {
+                    "vbucket": t.column("vbucket"),
+                    "n": pa.array(np.ones(t.num_rows, np.int64)),
+                    "s": t.column("spend_cents"),
+                }
+            ).group_by("vbucket").aggregate([("n", "sum"), ("s", "sum")]),
+            batch_format="pyarrow",
+        )
+        .groupby("vbucket")
+        .aggregate(Sum("n_sum", alias_name="n"), Sum("s_sum", alias_name="s"))
+        .to_pandas()  # metadata scale: one row per spend-value bucket
+        .sort_values("vbucket", ascending=False)
+    )
+    n_total = int(hist["n"].sum())
+    total = int(hist["s"].sum())
+    k = -(-n_total * top_pct // 100)  # ceil
+
+    taken = 0
+    top_sum = 0
+    cutoff_bucket = None
+    residual = 0
+    for vb, n, s in zip(hist["vbucket"], hist["n"], hist["s"]):
+        if taken + int(n) <= k:
+            taken += int(n)
+            top_sum += int(s)
+            if taken == k:
+                break
+        else:
+            cutoff_bucket, residual = int(vb), k - taken
+            break
+
+    if cutoff_bucket is not None and residual > 0:
+        # rescan ONLY the cutoff bucket (bounded by bucket value width)
+        part = spend.filter(
+            expr=f"vbucket == {cutoff_bucket}"
+        ).to_pandas()
+        order = np.lexsort(
+            (part["custkey"].to_numpy(), -part["spend_cents"].to_numpy())
+        )
+        top_sum += int(part["spend_cents"].to_numpy()[order][:residual].sum())
+
+    return pa.table(
+        {
+            "n_customers": pa.array([n_total], pa.int64()),
+            "top_k": pa.array([k], pa.int64()),
+            "top_spend_cents": pa.array([top_sum], pa.int64()),
+            "total_spend_cents": pa.array([total], pa.int64()),
+            "share_ppm": pa.array([top_sum * 1_000_000 // total], pa.int64()),
+        }
+    )
+
+
+def top_parts_by_quantity(sf_dir: str, k: int = 20):
+    """Top-k parts by total shipped quantity, annotated with the part
+    dimension (brand, type) — the hot-SKU report.
+
+    Scale shape: per-batch (partkey -> qty, revenue) partials combine
+    before the ONE partkey shuffle; top-k is per-block partial top-k then
+    a k-row final cut (never a global sort); the dimension attach is a
+    PRUNED read of part.parquet with a partkey-IN pushdown filter over the
+    k surviving keys — the big dimension never loads.
+
+    Output: (partkey, p_brand, p_type, qty_x100, rev_cents).
+    """
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "partkey": pc.cast(batch.column("l_partkey"), pa.int64()),
+                "qty": pa.array(_cents(batch.column("l_quantity"))),
+                "rev": pa.array(_cents(batch.column("l_extendedprice"))),
+            }
+        )
+        return t.group_by("partkey").aggregate([("qty", "sum"),
+                                                ("rev", "sum")])
+
+    agg = (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_partkey", "l_quantity", "l_extendedprice"],
+            )
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("partkey")
+        .aggregate(Sum("qty_sum", alias_name="qty_x100"),
+                   Sum("rev_sum", alias_name="rev_cents"))
+    )
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("qty_x100", "descending"), ("partkey", "ascending")]
+        )
+        return t.take(idx[:k])
+
+    top = (
+        agg.map_batches(partial_topk, batch_format="pyarrow")
+        .repartition(1)  # O(k x blocks) rows by construction
+        .map_batches(partial_topk, batch_format="pyarrow")
+        .to_arrow_refs()
+    )
+    import ray
+
+    from ..functions.tables import concat_nonempty
+
+    tt = concat_nonempty(
+        ray.get(top),
+        {"partkey": pa.int64(), "qty_x100": pa.int64(),
+         "rev_cents": pa.int64()},
+    )
+    keys = pc.cast(tt.column("partkey"), pa.int64()).to_pylist()
+    dim = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type"],
+        filters=pads.field("p_partkey").isin(keys),
+    )
+    dim = pa.table(
+        {
+            "partkey": pc.cast(dim.column("p_partkey"), pa.int64()),
+            "p_brand": pc.cast(dim.column("p_brand"), pa.string()),
+            "p_type": pc.cast(dim.column("p_type"), pa.string()),
+        }
+    )
+    out = pa.table(
+        {
+            "partkey": pc.cast(tt.column("partkey"), pa.int64()),
+            "qty_x100": pc.cast(tt.column("qty_x100"), pa.int64()),
+            "rev_cents": pc.cast(tt.column("rev_cents"), pa.int64()),
+        }
+    ).join(dim, keys=["partkey"], join_type="inner")
+    return out.select(["partkey", "p_brand", "p_type", "qty_x100",
+                       "rev_cents"])
+
+
+def acctbal_band_profile(sf_dir: str, band_cents: int = 100_000):
+    """Customer account-balance profile: per (market segment, balance
+    band) customer count and balance mass — the credit-exposure rollup.
+
+    Balances can be negative; the band uses an offset so integer division
+    is pure truncation on non-negatives in BOTH numpy and SQL (floor vs
+    trunc never diverges): band = (bal + 10*band) // band - 10.
+
+    Scale shape: single-table scan, per-batch combiner on the bounded
+    (segment x band) domain, repartition(1) final fold — no wide shuffle.
+
+    Output: (c_mktsegment, band, n_customers, sum_bal_cents).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    off = 10 * band_cents
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bal = _cents(batch.column("c_acctbal"))
+        band = (bal + off) // band_cents - 10
+        t = pa.table(
+            {
+                "c_mktsegment": pc.cast(batch.column("c_mktsegment"),
+                                        pa.string()),
+                "band": pa.array(band),
+                "n": pa.array(np.ones(len(bal), np.int64)),
+                "bal": pa.array(bal),
+            }
+        )
+        return t.group_by(["c_mktsegment", "band"]).aggregate(
+            [("n", "sum"), ("bal", "sum")]
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["c_mktsegment", "band"]).aggregate(
+            [("n_sum", "sum"), ("bal_sum", "sum")]
+        )
+        idx = pc.sort_indices(
+            g, sort_keys=[("c_mktsegment", "ascending"), ("band", "ascending")]
+        )
+        g = g.take(idx)
+        return pa.table(
+            {
+                "c_mktsegment": g.column("c_mktsegment"),
+                "band": pc.cast(g.column("band"), pa.int64()),
+                "n_customers": pc.cast(g.column("n_sum_sum"), pa.int64()),
+                "sum_bal_cents": pc.cast(g.column("bal_sum_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_mktsegment", "c_acctbal"])
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # O(|segments| x |bands|) rows per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def supplier_balance_leader(sf_dir: str):
+    """Per-nation supplier with the highest account balance (ties broken
+    by lowest suppkey) — the distributed ARGMAX-per-group pattern.
+
+    Scale shape: per-batch partials keep ONE candidate row per nation
+    (max balance, then min suppkey among that batch's maxima), so only
+    O(|nations| x blocks) rows reach the repartition(1) final fold; nation
+    names attach via the broadcast 25-row dimension probe.
+
+    Output: (n_name, nationkey, suppkey, bal_cents).
+    """
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def candidate(t: pa.Table) -> pa.Table:
+        nk = pc.cast(t.column("nationkey"), pa.int64()).to_numpy()
+        bal = pc.cast(t.column("bal"), pa.int64()).to_numpy()
+        sk = pc.cast(t.column("suppkey"), pa.int64()).to_numpy()
+        # lexsort: nation asc, bal desc, suppkey asc -> first row per nation
+        order = np.lexsort((sk, -bal, nk))
+        nk, bal, sk = nk[order], bal[order], sk[order]
+        first = np.r_[True, nk[1:] != nk[:-1]]
+        return pa.table(
+            {
+                "nationkey": pa.array(nk[first]),
+                "bal": pa.array(bal[first]),
+                "suppkey": pa.array(sk[first]),
+            }
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return candidate(
+            pa.table(
+                {
+                    "nationkey": pc.cast(batch.column("s_nationkey"),
+                                         pa.int64()),
+                    "bal": pa.array(_cents(batch.column("s_acctbal"))),
+                    "suppkey": pc.cast(batch.column("s_suppkey"), pa.int64()),
+                }
+            )
+        )
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nat = pa.table(
+        {
+            "nationkey": pc.cast(nat.column("n_nationkey"), pa.int64()),
+            "n_name": pc.cast(nat.column("n_name"), pa.string()),
+        }
+    )
+    nat_ref = ray.put(nat)
+
+    def finish(t: pa.Table) -> pa.Table:
+        w = candidate(t)
+        out = w.join(ray.get(nat_ref), keys=["nationkey"], join_type="inner")
+        out = out.select(["n_name", "nationkey", "suppkey", "bal"])
+        idx = pc.sort_indices(out, sort_keys=[("nationkey", "ascending")])
+        out = out.take(idx)
+        return pa.table(
+            {
+                "n_name": out.column("n_name"),
+                "nationkey": out.column("nationkey"),
+                "suppkey": out.column("suppkey"),
+                "bal_cents": out.column("bal"),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/supplier.parquet",
+                columns=["s_nationkey", "s_acctbal", "s_suppkey"],
+            )
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # O(|nations| x blocks) candidate rows
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -1378,3 +1378,95 @@ def pair_cosine_profile(sf_dir: str, num_buckets: int = 64,
         .repartition(1)  # O(201) rows per bucket by construction
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def dominant_dim_histogram(sf_dir: str):
+    """Histogram of each vector's dominant dimension (argmax component,
+    first index on exact-float ties) — a cheap encoder-collapse detector:
+    healthy embeddings spread dominance; a collapsed model piles onto a
+    few dimensions.
+
+    Scale shape: per-batch argmax + bincount combiner; the fold is a
+    bounded-|dims| repartition(1) reduce. The list column never leaves
+    the first stage.
+
+    Output: (dim, n_vectors).
+    """
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, e = _emb_matrix(batch)
+        dom = np.argmax(e, axis=1).astype(np.int64)
+        cnt = np.bincount(dom, minlength=e.shape[1]).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {"dim": pa.array(nz.astype(np.int64)), "n": pa.array(cnt[nz])}
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("dim").aggregate([("n", "sum")])
+        idx = pc.sort_indices(g, sort_keys=[("dim", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "dim": pc.cast(g.column("dim"), pa.int64()),
+                "n_vectors": pc.cast(g.column("n_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # O(dims) rows per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def dim_sign_profile(sf_dir: str):
+    """Per-dimension sign counts (negative / zero / positive components)
+    across all embeddings — the activation-polarity profile (a dimension
+    that never goes negative after a ReLU-style encoder is expected; one
+    that never varies is dead).
+
+    Scale shape: per-batch columnwise sign counts (three ints per dim per
+    block), bounded-|dims| repartition(1) fold. No shuffle of vectors.
+
+    Output: (dim, n_neg, n_zero, n_pos).
+    """
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, e = _emb_matrix(batch)
+        d = e.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64)),
+                "neg": pa.array((e < 0).sum(axis=0).astype(np.int64)),
+                "zero": pa.array((e == 0).sum(axis=0).astype(np.int64)),
+                "pos": pa.array((e > 0).sum(axis=0).astype(np.int64)),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("dim").aggregate(
+            [("neg", "sum"), ("zero", "sum"), ("pos", "sum")]
+        )
+        idx = pc.sort_indices(g, sort_keys=[("dim", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "dim": pc.cast(g.column("dim"), pa.int64()),
+                "n_neg": pc.cast(g.column("neg_sum"), pa.int64()),
+                "n_zero": pc.cast(g.column("zero_sum"), pa.int64()),
+                "n_pos": pc.cast(g.column("pos_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # O(dims) rows per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )

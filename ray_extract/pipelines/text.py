@@ -2705,3 +2705,236 @@ def core_vocabulary(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def word_length_histogram(sf_dir: str):
+    """Corpus-wide token-length histogram — the cheapest corpus shape
+    profile (tokenizer sanity check: a fat tail of 40-char "words" means
+    markup leaked through extraction).
+
+    Scale shape: per-batch split + length + groupby combiner; the global
+    fold is a bounded-domain (token lengths) repartition(1) reduce.
+
+    Output: (wlen, n_words).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(
+            pc.cast(batch.column("text").combine_chunks(), pa.string()), " "
+        )
+        lens = pc.utf8_length(pc.list_flatten(words))
+        t = pa.table(
+            {
+                "wlen": pc.cast(lens, pa.int64()),
+                "n": pa.array(np.ones(len(lens), np.int64)),
+            }
+        )
+        return t.group_by("wlen").aggregate([("n", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("wlen").aggregate([("n_sum", "sum")])
+        idx = pc.sort_indices(g, sort_keys=[("wlen", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "wlen": pc.cast(g.column("wlen"), pa.int64()),
+                "n_words": pc.cast(g.column("n_sum_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # O(|distinct lengths|) rows per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def allcaps_ratio(sf_dir: str):
+    """Per-source ALL-CAPS token rate (>=2 uppercase ASCII letters) —
+    the shouting/headline/boilerplate signal used in quality filtering.
+
+    Scale shape: vectorized regex over flattened tokens, per-batch
+    (source) combiner, bounded |sources| repartition(1) fold.
+
+    Output: (source, n_allcaps, n_tokens, allcaps_ppm).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        words = pc.split_pattern(text, " ")
+        counts = pc.list_value_length(words).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(words)
+        caps = pc.cast(
+            pc.match_substring_regex(flat, r"^[A-Z]{2,}$"), pa.int64()
+        )
+        t = pa.table(
+            {
+                "source": pa.array(
+                    np.repeat(
+                        batch.column("source").to_numpy(zero_copy_only=False),
+                        counts,
+                    )
+                ),
+                "caps": caps,
+                "n": pa.array(np.ones(len(flat), np.int64)),
+            }
+        )
+        return t.group_by("source").aggregate([("caps", "sum"), ("n", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate([("caps_sum", "sum"),
+                                            ("n_sum", "sum")])
+        idx = pc.sort_indices(g, sort_keys=[("source", "ascending")])
+        g = g.take(idx)
+        caps = pc.cast(g.column("caps_sum_sum"), pa.int64()).to_numpy()
+        n = pc.cast(g.column("n_sum_sum"), pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "n_allcaps": pa.array(caps),
+                "n_tokens": pa.array(n),
+                "allcaps_ppm": pa.array(caps * 1_000_000 // n),
+            }
+        )
+
+    import ray.data as rd
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # O(|sources|) rows per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def lexical_density(sf_dir: str):
+    """Per-source stopword density (lowercased exact match against the
+    en marker-word list) — high density reads as natural prose, low as
+    listings/markup; a standard quality-filter feature.
+
+    Scale shape: vectorized set-membership over flattened tokens,
+    per-batch combiner, bounded |sources| repartition(1) fold.
+
+    Output: (source, n_stopwords, n_tokens, stopword_ppm).
+    """
+    stop = pa.array(list(MARKER_WORDS[0][1]), pa.string())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        words = pc.split_pattern(text, " ")
+        counts = pc.list_value_length(words).to_numpy().astype(np.int64)
+        flat = pc.utf8_lower(pc.list_flatten(words))
+        hit = pc.cast(pc.is_in(flat, value_set=stop), pa.int64())
+        t = pa.table(
+            {
+                "source": pa.array(
+                    np.repeat(
+                        batch.column("source").to_numpy(zero_copy_only=False),
+                        counts,
+                    )
+                ),
+                "s": hit,
+                "n": pa.array(np.ones(len(flat), np.int64)),
+            }
+        )
+        return t.group_by("source").aggregate([("s", "sum"), ("n", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate([("s_sum", "sum"),
+                                            ("n_sum", "sum")])
+        idx = pc.sort_indices(g, sort_keys=[("source", "ascending")])
+        g = g.take(idx)
+        s = pc.cast(g.column("s_sum_sum"), pa.int64()).to_numpy()
+        n = pc.cast(g.column("n_sum_sum"), pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "n_stopwords": pa.array(s),
+                "n_tokens": pa.array(n),
+                "stopword_ppm": pa.array(s * 1_000_000 // n),
+            }
+        )
+
+    import ray.data as rd
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # O(|sources|) rows per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def vocab_growth(sf_dir: str, n_slices: int = 10):
+    """Vocabulary-growth (Heaps-law proxy): bucket every word's FIRST
+    appearance (min doc_id) into ``n_slices`` equal doc-id slices and
+    count new words per slice — how fast the corpus stops surprising you.
+
+    Scale shape: per-batch (word -> min doc_id) combiner before the ONE
+    word-key shuffle with a Min aggregate; the slice histogram folds on
+    the bounded ``n_slices`` domain; the doc-id upper bound comes from
+    parquet row-group STATISTICS (no data scan).
+
+    Output: (slice_idx, n_new_words).
+    """
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    # max doc_id from parquet metadata only — zero data read
+    meta = pq.ParquetFile(f"{sf_dir}/documents.parquet")
+    col = [f.name for f in meta.schema_arrow].index("doc_id")
+    mx = max(
+        meta.metadata.row_group(i).column(col).statistics.max
+        for i in range(meta.metadata.num_row_groups)
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        words = pc.split_pattern(text, " ")
+        counts = pc.list_value_length(words).to_numpy().astype(np.int64)
+        t = pa.table(
+            {
+                "word": pc.list_flatten(words),
+                "fd": pa.array(
+                    np.repeat(
+                        pc.cast(batch.column("doc_id"), pa.int64()).to_numpy(),
+                        counts,
+                    )
+                ),
+            }
+        )
+        return t.group_by("word").aggregate([("fd", "min")])
+
+    def slice_partial(t: pa.Table) -> pa.Table:
+        fd = pc.cast(t.column("fd_min"), pa.int64()).to_numpy()
+        s = fd * n_slices // (mx + 1)
+        g = pa.table(
+            {"slice_idx": pa.array(s),
+             "n": pa.array(np.ones(len(s), np.int64))}
+        )
+        return g.group_by("slice_idx").aggregate([("n", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("slice_idx").aggregate([("n_sum", "sum")])
+        idx = pc.sort_indices(g, sort_keys=[("slice_idx", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "slice_idx": pc.cast(g.column("slice_idx"), pa.int64()),
+                "n_new_words": pc.cast(g.column("n_sum_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Min("fd_min", alias_name="fd_min"))
+        .map_batches(slice_partial, batch_format="pyarrow")
+        .repartition(1)  # O(n_slices) rows per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )

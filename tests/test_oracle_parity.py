@@ -51,6 +51,20 @@ SUBSET = [
     "revenue_trend",
     "order_reconciliation",
     "core_vocabulary",
+    "order_width_histogram",
+    "revenue_concentration",
+    "top_parts_by_quantity",
+    "acctbal_band_profile",
+    "supplier_balance_leader",
+    "user_resurrections",
+    "gap_hour_histogram",
+    "value_autocorr_terms",
+    "word_length_histogram",
+    "allcaps_ratio",
+    "lexical_density",
+    "vocab_growth",
+    "dominant_dim_histogram",
+    "dim_sign_profile",
 ]
 
 
