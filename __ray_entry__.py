@@ -447,6 +447,42 @@ def _q_dim_sign_profile(sf_dir: str):
     return dim_sign_profile(sf_dir)
 
 
+def _q_ship_delay_profile(sf_dir: str):
+    from ray_extract.pipelines.relational import ship_delay_profile
+
+    return ship_delay_profile(sf_dir)
+
+
+def _q_regional_customer_value(sf_dir: str):
+    from ray_extract.pipelines.relational import regional_customer_value
+
+    return regional_customer_value(sf_dir)
+
+
+def _q_tax_discount_matrix(sf_dir: str):
+    from ray_extract.pipelines.relational import tax_discount_matrix
+
+    return tax_discount_matrix(sf_dir)
+
+
+def _q_supplier_part_coverage(sf_dir: str):
+    from ray_extract.pipelines.relational import supplier_part_coverage
+
+    return supplier_part_coverage(sf_dir)
+
+
+def _q_orders_per_weekday(sf_dir: str):
+    from ray_extract.pipelines.relational import orders_per_weekday
+
+    return orders_per_weekday(sf_dir)
+
+
+def _q_char_class_profile(sf_dir: str):
+    from ray_extract.pipelines.text import char_class_profile
+
+    return char_class_profile(sf_dir)
+
+
 def _q_rag_chunk(sf_dir: str):
     from ray_extract.pipelines.text import rag_chunk
 
@@ -1570,6 +1606,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": _q_vocab_growth,
         "dominant_dim_histogram": _q_dominant_dim_histogram,
         "dim_sign_profile": _q_dim_sign_profile,
+        "ship_delay_profile": _q_ship_delay_profile,
+        "regional_customer_value": _q_regional_customer_value,
+        "tax_discount_matrix": _q_tax_discount_matrix,
+        "supplier_part_coverage": _q_supplier_part_coverage,
+        "orders_per_weekday": _q_orders_per_weekday,
+        "char_class_profile": _q_char_class_profile,
         "rag_chunk": _q_rag_chunk,
         "word_dominance_filter": _q_word_dominance_filter,
         "time_weighted_value": _q_time_weighted_value,
@@ -2486,6 +2528,66 @@ SELECT CAST(i AS BIGINT) AS dim,
        CAST(count(*) FILTER (WHERE v = 0) AS BIGINT) AS n_zero,
        CAST(count(*) FILTER (WHERE v > 0) AS BIGINT) AS n_pos
 FROM s GROUP BY 1
+""",
+        "ship_delay_profile": """
+WITH j AS (SELECT date_diff('day', o_orderdate, l_shipdate) AS delay_days,
+  CAST(floor(l_extendedprice*100+0.5) AS BIGINT) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+SELECT CAST(delay_days AS BIGINT) AS delay_days,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(rev) AS BIGINT) AS rev_cents
+FROM j GROUP BY 1
+""",
+        "regional_customer_value": """
+WITH j AS (SELECT c.c_nationkey AS nk, c.c_mktsegment AS seg,
+  CAST(floor(o.o_totalprice*100+0.5) AS BIGINT) AS rev
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+SELECT r.r_name, j.seg AS c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(j.rev) AS BIGINT) AS rev_cents
+FROM j JOIN nation n ON n.n_nationkey = j.nk
+       JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY 1, 2
+""",
+        "tax_discount_matrix": """
+WITH l AS (SELECT CAST(floor(l_discount*100+0.5) AS BIGINT) AS disc_pct,
+  CAST(floor(l_tax*100+0.5) AS BIGINT) AS tax_pct,
+  CAST(floor(l_extendedprice*100+0.5) AS BIGINT) AS base
+  FROM lineitem)
+SELECT disc_pct, tax_pct, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(base) AS BIGINT) AS base_cents,
+       CAST(SUM(base * (100 - disc_pct)) AS BIGINT) AS disc_price_x10000
+FROM l GROUP BY 1, 2
+""",
+        "supplier_part_coverage": """
+WITH d AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+c AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_parts
+      FROM d GROUP BY 1)
+SELECT n_parts, CAST(count(*) AS BIGINT) AS n_suppliers
+FROM c GROUP BY 1
+""",
+        "orders_per_weekday": """
+SELECT CAST(dayofweek(o_orderdate) AS BIGINT) AS dow, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) AS BIGINT)
+         AS rev_cents
+FROM orders GROUP BY 1, 2
+""",
+        "char_class_profile": """
+WITH c AS (SELECT source,
+  CAST(length(text) AS BIGINT) AS t,
+  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS d,
+  CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT) AS u,
+  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS l,
+  CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS s
+  FROM documents)
+SELECT source, CAST(SUM(d) AS BIGINT) AS n_digits,
+       CAST(SUM(u) AS BIGINT) AS n_upper,
+       CAST(SUM(l) AS BIGINT) AS n_lower,
+       CAST(SUM(s) AS BIGINT) AS n_space,
+       CAST(SUM(t - d - u - l - s) AS BIGINT) AS n_other,
+       CAST(SUM(t) AS BIGINT) AS n_chars
+FROM c GROUP BY 1
 """,
         "rag_chunk": """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

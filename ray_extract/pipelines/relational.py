@@ -4427,3 +4427,432 @@ def supplier_balance_leader(sf_dir: str):
         .repartition(1)  # O(|nations| x blocks) candidate rows
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def ship_delay_profile(sf_dir: str, num_partitions: int | None = None):
+    """Order-to-ship latency histogram: calendar days between an order's
+    date and each lineitem's ship date, with the revenue carried at each
+    delay — the fulfillment-SLA profile.
+
+    Scale shape: lineitem combines per (orderkey, ship-day) inside
+    map_batches before the ONE native hash join with orders (both sides
+    pruned at the read); the delay histogram folds on a bounded day
+    domain via repartition(1).
+
+    Output: (delay_days, n_items, rev_cents).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    num_partitions, agg_args = _multi_join_args(_join_partitions(num_partitions))
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        day = (
+            batch.column("l_shipdate")
+            .to_numpy()
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        t = pa.table(
+            {
+                "k": pc.cast(batch.column("l_orderkey"), pa.int64()),
+                "ship_day": pa.array(day),
+                "n": pa.array(np.ones(len(day), np.int64)),
+                "rev": pa.array(_cents(batch.column("l_extendedprice"))),
+            }
+        )
+        return t.group_by(["k", "ship_day"]).aggregate(
+            [("n", "sum"), ("rev", "sum")]
+        )
+
+    li = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_shipdate", "l_extendedprice"],
+        )
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    orders = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_orderdate"])
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "o_day": pa.array(
+                    t.column("o_orderdate")
+                    .to_numpy()
+                    .astype("datetime64[D]")
+                    .astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("k",),
+        right_on=("o_orderkey",),
+        aggregator_ray_remote_args=agg_args,
+    )
+
+    def delay_partial(t: pa.Table) -> pa.Table:
+        delay = (
+            pc.cast(t.column("ship_day"), pa.int64()).to_numpy()
+            - pc.cast(t.column("o_day"), pa.int64()).to_numpy()
+        )
+        g = pa.table(
+            {
+                "delay_days": pa.array(delay),
+                "n": pc.cast(t.column("n_sum"), pa.int64()),
+                "rev": pc.cast(t.column("rev_sum"), pa.int64()),
+            }
+        )
+        return g.group_by("delay_days").aggregate([("n", "sum"),
+                                                   ("rev", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("delay_days").aggregate([("n_sum", "sum"),
+                                                ("rev_sum", "sum")])
+        idx = pc.sort_indices(g, sort_keys=[("delay_days", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "delay_days": pc.cast(g.column("delay_days"), pa.int64()),
+                "n_items": pc.cast(g.column("n_sum_sum"), pa.int64()),
+                "rev_cents": pc.cast(g.column("rev_sum_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(delay_partial, batch_format="pyarrow")
+        .repartition(1)  # O(|delay days|) rows per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def regional_customer_value(sf_dir: str, num_partitions: int | None = None):
+    """Order revenue by (region, market segment) — the star-schema rollup
+    (fact -> customer -> nation -> region) that every BI layer runs.
+
+    Scale shape: ONE native hash join (orders |><| customer on custkey);
+    nation->region is a broadcast 25-row dimension map applied inside the
+    bounded post-join fold. Neither dimension hop shuffles the fact.
+
+    Output: (r_name, c_mktsegment, n_orders, rev_cents).
+    """
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    num_partitions, agg_args = _multi_join_args(_join_partitions(num_partitions))
+
+    orders = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"])
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+                "rev": pa.array(_cents(t.column("o_totalprice"))),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    cust = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_nationkey", "c_mktsegment"],
+        )
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": pc.cast(t.column("c_custkey"), pa.int64()),
+                "nk": pc.cast(t.column("c_nationkey"), pa.int64()),
+                "seg": pc.cast(t.column("c_mktsegment"), pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+        aggregator_ray_remote_args=agg_args,
+    )
+
+    # nation -> region-name broadcast map (25 rows by construction)
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"])
+    dim = pa.table(
+        {
+            "nk": pc.cast(nat.column("n_nationkey"), pa.int64()),
+            "rk": pc.cast(nat.column("n_regionkey"), pa.int64()),
+        }
+    ).join(
+        pa.table(
+            {
+                "rk": pc.cast(reg.column("r_regionkey"), pa.int64()),
+                "r_name": pc.cast(reg.column("r_name"), pa.string()),
+            }
+        ),
+        keys=["rk"],
+        join_type="inner",
+    ).select(["nk", "r_name"])
+    dim_ref = ray.put(dim)
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "nk": pc.cast(t.column("nk"), pa.int64()),
+                "seg": t.column("seg"),
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+                "rev": pc.cast(t.column("rev"), pa.int64()),
+            }
+        ).group_by(["nk", "seg"]).aggregate([("n", "sum"), ("rev", "sum")])
+        g = g.join(ray.get(dim_ref), keys=["nk"], join_type="inner")
+        return g.group_by(["r_name", "seg"]).aggregate(
+            [("n_sum", "sum"), ("rev_sum", "sum")]
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["r_name", "seg"]).aggregate(
+            [("n_sum_sum", "sum"), ("rev_sum_sum", "sum")]
+        )
+        idx = pc.sort_indices(
+            g, sort_keys=[("r_name", "ascending"), ("seg", "ascending")]
+        )
+        g = g.take(idx)
+        return pa.table(
+            {
+                "r_name": g.column("r_name"),
+                "c_mktsegment": g.column("seg"),
+                "n_orders": pc.cast(g.column("n_sum_sum_sum"), pa.int64()),
+                "rev_cents": pc.cast(g.column("rev_sum_sum_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(fold, batch_format="pyarrow")
+        .repartition(1)  # O(|regions| x |segments|) rows per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def tax_discount_matrix(sf_dir: str):
+    """Joint (discount pct, tax pct) pricing matrix: item count, base
+    revenue, and discounted revenue at every observed combination — the
+    pricing-policy audit grid.
+
+    Scale shape: single-scan, per-batch combiner over a bounded
+    (|discounts| x |taxes|) domain, repartition(1) final fold.
+
+    Output: (disc_pct, tax_pct, n_items, base_cents, disc_price_x10000).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price = _cents(batch.column("l_extendedprice"))
+        disc = _cents(batch.column("l_discount"))
+        tax = _cents(batch.column("l_tax"))
+        t = pa.table(
+            {
+                "disc_pct": pa.array(disc),
+                "tax_pct": pa.array(tax),
+                "n": pa.array(np.ones(len(price), np.int64)),
+                "base": pa.array(price),
+                "dp": pa.array(price * (100 - disc)),
+            }
+        )
+        return t.group_by(["disc_pct", "tax_pct"]).aggregate(
+            [("n", "sum"), ("base", "sum"), ("dp", "sum")]
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["disc_pct", "tax_pct"]).aggregate(
+            [("n_sum", "sum"), ("base_sum", "sum"), ("dp_sum", "sum")]
+        )
+        idx = pc.sort_indices(
+            g, sort_keys=[("disc_pct", "ascending"), ("tax_pct", "ascending")]
+        )
+        g = g.take(idx)
+        return pa.table(
+            {
+                "disc_pct": pc.cast(g.column("disc_pct"), pa.int64()),
+                "tax_pct": pc.cast(g.column("tax_pct"), pa.int64()),
+                "n_items": pc.cast(g.column("n_sum_sum"), pa.int64()),
+                "base_cents": pc.cast(g.column("base_sum_sum"), pa.int64()),
+                "disc_price_x10000": pc.cast(g.column("dp_sum_sum"),
+                                             pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_extendedprice", "l_discount", "l_tax"],
+            )
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # O(|discounts| x |taxes|) rows per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def supplier_part_coverage(sf_dir: str):
+    """Supplier catalog-breadth histogram: distinct parts each supplier
+    ships, histogrammed over suppliers — the distributed COUNT(DISTINCT)
+    per key + distribution shape.
+
+    Scale shape: per-batch distinct (suppkey, partkey) pairs combine
+    before the pair-key shuffle (global dedup); per-supplier counts are a
+    second keyed reduce; the histogram folds on the bounded count domain.
+
+    Output: (n_parts, n_suppliers).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "s": pc.cast(batch.column("l_suppkey"), pa.int64()),
+                "p": pc.cast(batch.column("l_partkey"), pa.int64()),
+            }
+        )
+        g = t.group_by(["s", "p"]).aggregate([])
+        g = g.append_column("one", pa.array(np.ones(g.num_rows, np.int64)))
+        return g
+
+    pairs = (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_suppkey", "l_partkey"])
+        )
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["s", "p"])
+        .aggregate(Sum("one", alias_name="one"))
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "s": pc.cast(t.column("s"), pa.int64()),
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        return g.group_by("s").aggregate([("n", "sum")])
+
+    per_supp = (
+        pairs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("s")
+        .aggregate(Sum("n_sum", alias_name="n_parts"))
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "n_parts": pc.cast(t.column("n_parts"), pa.int64()),
+                "c": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        return g.group_by("n_parts").aggregate([("c", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("n_parts").aggregate([("c_sum", "sum")])
+        idx = pc.sort_indices(g, sort_keys=[("n_parts", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "n_parts": pc.cast(g.column("n_parts"), pa.int64()),
+                "n_suppliers": pc.cast(g.column("c_sum_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        per_supp.map_batches(hist_partial, batch_format="pyarrow")
+        .repartition(1)  # O(|distinct counts|) rows per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def orders_per_weekday(sf_dir: str):
+    """Order count and revenue by (weekday, status) — the calendar
+    seasonality rollup (Sunday=0 .. Saturday=6, matching SQL dayofweek).
+
+    Scale shape: single-scan bounded-domain (7 x |statuses|) combiner +
+    repartition(1) fold; weekday is integer epoch-day arithmetic
+    ((days + 4) % 7 — the epoch was a Thursday), no calendar library.
+
+    Output: (dow, o_orderstatus, n_orders, rev_cents).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        days = (
+            batch.column("o_orderdate")
+            .to_numpy()
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        dow = (days + 4) % 7
+        t = pa.table(
+            {
+                "dow": pa.array(dow),
+                "o_orderstatus": pc.cast(batch.column("o_orderstatus"),
+                                         pa.string()),
+                "n": pa.array(np.ones(len(dow), np.int64)),
+                "rev": pa.array(_cents(batch.column("o_totalprice"))),
+            }
+        )
+        return t.group_by(["dow", "o_orderstatus"]).aggregate(
+            [("n", "sum"), ("rev", "sum")]
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["dow", "o_orderstatus"]).aggregate(
+            [("n_sum", "sum"), ("rev_sum", "sum")]
+        )
+        idx = pc.sort_indices(
+            g, sort_keys=[("dow", "ascending"), ("o_orderstatus", "ascending")]
+        )
+        g = g.take(idx)
+        return pa.table(
+            {
+                "dow": pc.cast(g.column("dow"), pa.int64()),
+                "o_orderstatus": g.column("o_orderstatus"),
+                "n_orders": pc.cast(g.column("n_sum_sum"), pa.int64()),
+                "rev_cents": pc.cast(g.column("rev_sum_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/orders.parquet",
+                columns=["o_orderdate", "o_orderstatus", "o_totalprice"],
+            )
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # 7 x |statuses| rows per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -2938,3 +2938,67 @@ def vocab_growth(sf_dir: str, n_slices: int = 10):
         .repartition(1)  # O(n_slices) rows per partial
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def char_class_profile(sf_dir: str):
+    """Per-source character-class census (digits, uppercase, lowercase,
+    spaces, other) — the raw signal behind markup/code/prose
+    classification in extraction quality filters.
+
+    Scale shape: vectorized regex-count kernels per batch, per-source
+    combiner, bounded |sources| repartition(1) fold.
+
+    Output: (source, n_digits, n_upper, n_lower, n_space, n_other,
+    n_chars).
+    """
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        total = pc.utf8_length(text).to_numpy().astype(np.int64)
+        dig = pc.count_substring_regex(text, "[0-9]").to_numpy().astype(np.int64)
+        up = pc.count_substring_regex(text, "[A-Z]").to_numpy().astype(np.int64)
+        lo = pc.count_substring_regex(text, "[a-z]").to_numpy().astype(np.int64)
+        sp = pc.count_substring(text, " ").to_numpy().astype(np.int64)
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "d": pa.array(dig),
+                "u": pa.array(up),
+                "l": pa.array(lo),
+                "s": pa.array(sp),
+                "o": pa.array(total - dig - up - lo - sp),
+                "t": pa.array(total),
+            }
+        )
+        return t.group_by("source").aggregate(
+            [("d", "sum"), ("u", "sum"), ("l", "sum"), ("s", "sum"),
+             ("o", "sum"), ("t", "sum")]
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate(
+            [("d_sum", "sum"), ("u_sum", "sum"), ("l_sum", "sum"),
+             ("s_sum", "sum"), ("o_sum", "sum"), ("t_sum", "sum")]
+        )
+        idx = pc.sort_indices(g, sort_keys=[("source", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "n_digits": pc.cast(g.column("d_sum_sum"), pa.int64()),
+                "n_upper": pc.cast(g.column("u_sum_sum"), pa.int64()),
+                "n_lower": pc.cast(g.column("l_sum_sum"), pa.int64()),
+                "n_space": pc.cast(g.column("s_sum_sum"), pa.int64()),
+                "n_other": pc.cast(g.column("o_sum_sum"), pa.int64()),
+                "n_chars": pc.cast(g.column("t_sum_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # O(|sources|) rows per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -65,6 +65,12 @@ SUBSET = [
     "vocab_growth",
     "dominant_dim_histogram",
     "dim_sign_profile",
+    "ship_delay_profile",
+    "regional_customer_value",
+    "tax_discount_matrix",
+    "supplier_part_coverage",
+    "orders_per_weekday",
+    "char_class_profile",
 ]
 
 
