@@ -345,6 +345,132 @@ def _q_pdf_real_extract(sf_dir: str):
     return flat.map_batches(summarize, batch_format="pyarrow")
 
 
+def _q_extract_media_refs(sf_dir: str):
+    """Per-document media-span profile over the interleaved span table:
+    how many media spans each doc carries and where they sit in reading
+    order. Doc partials combine per batch; the cross-block fold is a
+    doc-keyed reduce of 1-row-per-(doc, block) partials."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    _, flat = _extract_flat(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("kind"), "media"))
+        g = pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+                "o": pc.cast(t.column("ord"), pa.int64()),
+            }
+        )
+        return g.group_by("doc_id").aggregate(
+            [("n", "sum"), ("o", "min"), ("o", "max")]
+        )
+
+    return (
+        flat.map_batches(partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_sum", alias_name="n_media"),
+            Min("o_min", alias_name="first_media_ord"),
+            Max("o_max", alias_name="last_media_ord"),
+        )
+        .map_batches(
+            lambda t: _i64(t, {"n_media", "first_media_ord",
+                               "last_media_ord"}),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def _q_extract_offset_audit(sf_dir: str):
+    """Span-offset integrity audit: per doc, span count, summed text
+    length, and the final character extent max(offset + length) — the
+    invariant the merge stage must preserve (extent = sum of non-media
+    (length+1) minus the trailing separator)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Sum
+
+    _, flat = _extract_flat(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+                "ln": pc.cast(t.column("length"), pa.int64()),
+                "ext": pc.cast(
+                    pc.add(t.column("offset"), t.column("length")), pa.int64()
+                ),
+            }
+        )
+        return g.group_by("doc_id").aggregate(
+            [("n", "sum"), ("ln", "sum"), ("ext", "max")]
+        )
+
+    return (
+        flat.map_batches(partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_sum", alias_name="n_spans"),
+            Sum("ln_sum", alias_name="sum_length"),
+            Max("ext_max", alias_name="final_extent"),
+        )
+        .map_batches(
+            lambda t: _i64(t, {"n_spans", "sum_length", "final_extent"}),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def _q_extract_page_density(sf_dir: str):
+    """Corpus-wide span density per page index: spans and text mass at
+    each page position — the layout-skew profile that sizes page-range
+    splits. Bounded page domain -> combiner + repartition(1) fold."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    _, flat = _extract_flat(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "page_number": pc.cast(t.column("page_number"), pa.int64()),
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+                "ln": pc.cast(t.column("length"), pa.int64()),
+            }
+        )
+        return g.group_by("page_number").aggregate(
+            [("n", "sum"), ("ln", "sum")]
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("page_number").aggregate(
+            [("n_sum", "sum"), ("ln_sum", "sum")]
+        )
+        idx = pc.sort_indices(g, sort_keys=[("page_number", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "page_number": pc.cast(g.column("page_number"), pa.int64()),
+                "n_spans": pc.cast(g.column("n_sum_sum"), pa.int64()),
+                "sum_text_len": pc.cast(g.column("ln_sum_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        flat.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # O(|page indices|) rows per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 def _q_revenue_trend(sf_dir: str):
     from ray_extract.pipelines.relational import revenue_trend
 
@@ -1589,6 +1715,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_table_cells": _q_extract_table_cells,
         "extract_join_meta": _q_extract_join_meta,
         "pdf_real_extract": _q_pdf_real_extract,
+        "extract_media_refs": _q_extract_media_refs,
+        "extract_offset_audit": _q_extract_offset_audit,
+        "extract_page_density": _q_extract_page_density,
         "revenue_trend": _q_revenue_trend,
         "order_reconciliation": _q_order_reconciliation,
         "core_vocabulary": _q_core_vocabulary,
@@ -2330,6 +2459,26 @@ p AS (SELECT a.source AS source_a, b.source AS source_b
       FROM d a JOIN d b ON a.h = b.h AND a.source < b.source)
 SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared_texts
 FROM p GROUP BY 1, 2
+""",
+        "extract_media_refs": _SPANS_CTE
+        + """
+SELECT did AS doc_id, CAST(count(*) AS BIGINT) AS n_media,
+       CAST(min(i) AS BIGINT) AS first_media_ord,
+       CAST(max(i) AS BIGINT) AS last_media_ord
+FROM spans WHERE kind = 'media' GROUP BY 1
+""",
+        "extract_offset_audit": _SPANS_CTE
+        + """
+SELECT did AS doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(SUM(length) AS BIGINT) AS sum_length,
+       CAST(max("offset" + length) AS BIGINT) AS final_extent
+FROM spans GROUP BY 1
+""",
+        "extract_page_density": _SPANS_CTE
+        + """
+SELECT page_number, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(SUM(length) AS BIGINT) AS sum_text_len
+FROM spans GROUP BY 1
 """,
         "revenue_trend": """
 WITH m AS (

@@ -71,6 +71,9 @@ SUBSET = [
     "supplier_part_coverage",
     "orders_per_weekday",
     "char_class_profile",
+    "extract_media_refs",
+    "extract_offset_audit",
+    "extract_page_density",
 ]
 
 
