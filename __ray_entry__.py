@@ -609,6 +609,30 @@ def _q_char_class_profile(sf_dir: str):
     return char_class_profile(sf_dir)
 
 
+def _q_customer_supplier_diversity(sf_dir: str):
+    from ray_extract.pipelines.relational import customer_supplier_diversity
+
+    return customer_supplier_diversity(sf_dir)
+
+
+def _q_monthly_active_customers(sf_dir: str):
+    from ray_extract.pipelines.relational import monthly_active_customers
+
+    return monthly_active_customers(sf_dir)
+
+
+def _q_part_name_token_revenue(sf_dir: str):
+    from ray_extract.pipelines.relational import part_name_token_revenue
+
+    return part_name_token_revenue(sf_dir)
+
+
+def _q_rfm_segments(sf_dir: str):
+    from ray_extract.pipelines.relational import rfm_segments
+
+    return rfm_segments(sf_dir)
+
+
 def _q_rag_chunk(sf_dir: str):
     from ray_extract.pipelines.text import rag_chunk
 
@@ -1741,6 +1765,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_part_coverage": _q_supplier_part_coverage,
         "orders_per_weekday": _q_orders_per_weekday,
         "char_class_profile": _q_char_class_profile,
+        "customer_supplier_diversity": _q_customer_supplier_diversity,
+        "monthly_active_customers": _q_monthly_active_customers,
+        "part_name_token_revenue": _q_part_name_token_revenue,
+        "rfm_segments": _q_rfm_segments,
         "rag_chunk": _q_rag_chunk,
         "word_dominance_filter": _q_word_dominance_filter,
         "time_weighted_value": _q_time_weighted_value,
@@ -2737,6 +2765,47 @@ SELECT source, CAST(SUM(d) AS BIGINT) AS n_digits,
        CAST(SUM(t - d - u - l - s) AS BIGINT) AS n_other,
        CAST(SUM(t) AS BIGINT) AS n_chars
 FROM c GROUP BY 1
+""",
+        "customer_supplier_diversity": """
+WITH d AS (SELECT DISTINCT o_custkey AS ck, s_nationkey AS nk
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON s_suppkey = l_suppkey),
+c AS (SELECT ck, CAST(count(*) AS BIGINT) AS n_nations FROM d GROUP BY 1)
+SELECT n_nations, CAST(count(*) AS BIGINT) AS n_customers
+FROM c GROUP BY 1
+""",
+        "monthly_active_customers": """
+WITH d AS (SELECT DISTINCT
+  CAST(date_diff('month', TIMESTAMP '1970-01-01', o_orderdate) AS BIGINT)
+    AS m,
+  o_custkey FROM orders)
+SELECT m AS epoch_month, CAST(count(*) AS BIGINT) AS n_active
+FROM d GROUP BY 1
+""",
+        "part_name_token_revenue": """
+WITH pr AS (SELECT l_partkey,
+  CAST(SUM(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem GROUP BY 1),
+j AS (SELECT p.p_name, pr.rev FROM pr
+      JOIN part p ON p.p_partkey = pr.l_partkey),
+t AS (SELECT unnest(string_split(p_name, ' ')) AS token, rev FROM j)
+SELECT token, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev) AS BIGINT) AS rev_cents
+FROM t GROUP BY 1
+""",
+        "rfm_segments": """
+WITH mx AS (SELECT max(o_orderdate) AS m FROM orders),
+c AS (SELECT o_custkey,
+  date_diff('day', max(o_orderdate), (SELECT m FROM mx)) AS rec,
+  CAST(count(*) AS BIGINT) AS f,
+  CAST(SUM(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) AS BIGINT) AS mon
+  FROM orders GROUP BY 1)
+SELECT CAST(rec // 30 AS BIGINT) AS r_band,
+       CAST(LEAST(f, 5) AS BIGINT) AS f_band,
+       CAST(mon // 10000000 AS BIGINT) AS m_band,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(SUM(mon) AS BIGINT) AS mon_cents
+FROM c GROUP BY 1, 2, 3
 """,
         "rag_chunk": """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -299,6 +299,19 @@ def run_bench() -> dict:
     timed("user_activity_quartiles",
           lambda: user_activity_quartiles(SF_DIR).count())
 
+    from ray_extract.pipelines.relational import (
+        order_reconciliation,
+        ship_delay_profile,
+        supplier_part_coverage,
+    )
+    from ray_extract.pipelines.text import core_vocabulary
+
+    timed("order_reconciliation", lambda: order_reconciliation(SF_DIR).count())
+    timed("ship_delay_profile", lambda: ship_delay_profile(SF_DIR).count())
+    timed("supplier_part_coverage",
+          lambda: supplier_part_coverage(SF_DIR).count())
+    timed("core_vocabulary", lambda: core_vocabulary(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),

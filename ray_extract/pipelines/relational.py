@@ -4856,3 +4856,398 @@ def orders_per_weekday(sf_dir: str):
         .repartition(1)  # 7 x |statuses| rows per partial
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def customer_supplier_diversity(sf_dir: str,
+                                num_partitions: int | None = None):
+    """Supplier-nation diversity per customer: how many distinct supplier
+    nations each customer has bought from, histogrammed — the multi-hop
+    DISTINCT-through-a-star shape (lineitem |><| orders, supplier-nation
+    broadcast, two pair-dedup shuffles, count-of-counts).
+
+    Scale shape: lineitem combines to distinct (orderkey, suppkey) pairs
+    per batch before the ONE native join with orders; suppkey->nationkey
+    is a broadcast of the supplier dimension (TPC-H's smallest — at true
+    web scale swap for a native join); (custkey, nation) pairs dedup via
+    a keyed groupby, per-customer counts via a second, and the histogram
+    folds on the bounded count domain.
+
+    Output: (n_nations, n_customers).
+    """
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    num_partitions, agg_args = _multi_join_args(_join_partitions(num_partitions))
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "k": pc.cast(batch.column("l_orderkey"), pa.int64()),
+                "sk": pc.cast(batch.column("l_suppkey"), pa.int64()),
+            }
+        )
+        return t.group_by(["k", "sk"]).aggregate([])
+
+    li = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_suppkey"])
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    orders = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"])
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "ck": pc.cast(t.column("o_custkey"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    sk = pc.cast(supp.column("s_suppkey"), pa.int64()).to_numpy()
+    nk = pc.cast(supp.column("s_nationkey"), pa.int64()).to_numpy()
+    lut = np.zeros(int(sk.max()) + 1, dtype=np.int64)
+    lut[sk] = nk
+    lut_ref = ray.put(lut)
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("k",),
+        right_on=("o_orderkey",),
+        aggregator_ray_remote_args=agg_args,
+    )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        nkv = ray.get(lut_ref)[pc.cast(t.column("sk"), pa.int64()).to_numpy()]
+        g = pa.table(
+            {
+                "ck": pc.cast(t.column("ck"), pa.int64()),
+                "nk": pa.array(nkv),
+            }
+        ).group_by(["ck", "nk"]).aggregate([])
+        return g.append_column("one", pa.array(np.ones(g.num_rows, np.int64)))
+
+    pairs = (
+        joined.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["ck", "nk"])
+        .aggregate(Sum("one", alias_name="one"))
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "ck": pc.cast(t.column("ck"), pa.int64()),
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        return g.group_by("ck").aggregate([("n", "sum")])
+
+    per_cust = (
+        pairs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("ck")
+        .aggregate(Sum("n_sum", alias_name="n_nations"))
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "n_nations": pc.cast(t.column("n_nations"), pa.int64()),
+                "c": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        return g.group_by("n_nations").aggregate([("c", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("n_nations").aggregate([("c_sum", "sum")])
+        idx = pc.sort_indices(g, sort_keys=[("n_nations", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "n_nations": pc.cast(g.column("n_nations"), pa.int64()),
+                "n_customers": pc.cast(g.column("c_sum_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        per_cust.map_batches(hist_partial, batch_format="pyarrow")
+        .repartition(1)  # O(|nations|) rows per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def monthly_active_customers(sf_dir: str):
+    """Distinct ordering customers per calendar month — the MAU shape
+    (distinct-count per period) on the orders fact.
+
+    Scale shape: per-batch distinct (month, custkey) pairs combine before
+    ONE pair-key dedup shuffle; per-month counts fold on the bounded
+    month domain via repartition(1). Months are integer months-since-
+    epoch — no calendar library, no string keys.
+
+    Output: (epoch_month, n_active).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = (
+            batch.column("o_orderdate")
+            .to_numpy()
+            .astype("datetime64[M]")
+            .astype(np.int64)
+        )
+        g = pa.table(
+            {
+                "m": pa.array(m),
+                "ck": pc.cast(batch.column("o_custkey"), pa.int64()),
+            }
+        ).group_by(["m", "ck"]).aggregate([])
+        return g.append_column("one", pa.array(np.ones(g.num_rows, np.int64)))
+
+    pairs = (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate", "o_custkey"])
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["m", "ck"])
+        .aggregate(Sum("one", alias_name="one"))
+    )
+
+    def month_partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "m": pc.cast(t.column("m"), pa.int64()),
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        return g.group_by("m").aggregate([("n", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("m").aggregate([("n_sum", "sum")])
+        idx = pc.sort_indices(g, sort_keys=[("m", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "epoch_month": pc.cast(g.column("m"), pa.int64()),
+                "n_active": pc.cast(g.column("n_sum_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        pairs.map_batches(month_partial, batch_format="pyarrow")
+        .repartition(1)  # O(|months|) rows per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def part_name_token_revenue(sf_dir: str, num_partitions: int | None = None):
+    """Revenue attribution to part-NAME tokens: every token of p_name
+    inherits its part's lineitem revenue — the fact-to-dimension-text
+    join (search-merchandising's "which words sell").
+
+    Scale shape: lineitem combines per partkey before the ONE native
+    hash join with part (both sides pruned at the read); token explosion
+    happens AFTER the join on already-aggregated rows; token totals fold
+    on the bounded name-vocabulary domain via repartition(1).
+
+    Output: (token, n_parts, rev_cents).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    num_partitions, agg_args = _multi_join_args(_join_partitions(num_partitions))
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "pk": pc.cast(batch.column("l_partkey"), pa.int64()),
+                "rev": pa.array(_cents(batch.column("l_extendedprice"))),
+            }
+        )
+        return t.group_by("pk").aggregate([("rev", "sum")])
+
+    from ray.data.aggregate import Sum
+
+    li = (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_extendedprice"])
+        )
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("pk")
+        .aggregate(Sum("rev_sum", alias_name="rev"))
+    )
+
+    parts = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/part.parquet",
+                        columns=["p_partkey", "p_name"])
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "p_partkey": pc.cast(t.column("p_partkey"), pa.int64()),
+                "p_name": pc.cast(t.column("p_name"), pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = li.join(
+        parts,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("pk",),
+        right_on=("p_partkey",),
+        aggregator_ray_remote_args=agg_args,
+    )
+
+    def token_partial(t: pa.Table) -> pa.Table:
+        names = pc.cast(t.column("p_name").combine_chunks(), pa.string())
+        toks = pc.split_pattern(names, " ")
+        counts = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        rev = pc.cast(t.column("rev"), pa.int64()).to_numpy()
+        g = pa.table(
+            {
+                "token": pc.list_flatten(toks),
+                "n": pa.array(np.ones(int(counts.sum()), np.int64)),
+                "rev": pa.array(np.repeat(rev, counts)),
+            }
+        )
+        return g.group_by("token").aggregate([("n", "sum"), ("rev", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("token").aggregate([("n_sum", "sum"),
+                                           ("rev_sum", "sum")])
+        idx = pc.sort_indices(g, sort_keys=[("token", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "token": g.column("token"),
+                "n_parts": pc.cast(g.column("n_sum_sum"), pa.int64()),
+                "rev_cents": pc.cast(g.column("rev_sum_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(token_partial, batch_format="pyarrow")
+        .repartition(1)  # O(|name vocabulary|) rows per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def rfm_segments(sf_dir: str, recency_band_days: int = 30,
+                 freq_cap: int = 5, monetary_band_cents: int = 10_000_000):
+    """RFM (recency / frequency / monetary) customer segmentation grid:
+    per-customer last-order recency (days vs the corpus max date, banded),
+    order count (capped), and lifetime spend (banded), counted per cell —
+    the classic marketing rollup as one keyed reduce + bounded grid fold.
+
+    Scale shape: per-batch per-customer partials (max day, count, cents)
+    combine before the ONE custkey shuffle; the reference date comes from
+    parquet row-group STATISTICS (no extra scan); the grid folds via
+    repartition(1) on a bounded (r, f, m) domain.
+
+    Output: (r_band, f_band, m_band, n_customers, mon_cents).
+    """
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    meta = pq.ParquetFile(f"{sf_dir}/orders.parquet")
+    col = [f.name for f in meta.schema_arrow].index("o_orderdate")
+    mx_ts = max(
+        meta.metadata.row_group(i).column(col).statistics.max
+        for i in range(meta.metadata.num_row_groups)
+    )
+    mx_day = int(np.datetime64(mx_ts, "D").astype(np.int64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        days = (
+            batch.column("o_orderdate")
+            .to_numpy()
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        t = pa.table(
+            {
+                "ck": pc.cast(batch.column("o_custkey"), pa.int64()),
+                "d": pa.array(days),
+                "f": pa.array(np.ones(len(days), np.int64)),
+                "mon": pa.array(_cents(batch.column("o_totalprice"))),
+            }
+        )
+        return t.group_by("ck").aggregate(
+            [("d", "max"), ("f", "sum"), ("mon", "sum")]
+        )
+
+    per_cust = (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/orders.parquet",
+                columns=["o_custkey", "o_orderdate", "o_totalprice"],
+            )
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("ck")
+        .aggregate(Max("d_max", alias_name="last_day"),
+                   Sum("f_sum", alias_name="f"),
+                   Sum("mon_sum", alias_name="mon"))
+    )
+
+    def band_partial(t: pa.Table) -> pa.Table:
+        rec = mx_day - pc.cast(t.column("last_day"), pa.int64()).to_numpy()
+        f = pc.cast(t.column("f"), pa.int64()).to_numpy()
+        mon = pc.cast(t.column("mon"), pa.int64()).to_numpy()
+        g = pa.table(
+            {
+                "r_band": pa.array(rec // recency_band_days),
+                "f_band": pa.array(np.minimum(f, freq_cap)),
+                "m_band": pa.array(mon // monetary_band_cents),
+                "n": pa.array(np.ones(len(f), np.int64)),
+                "mon": pa.array(mon),
+            }
+        )
+        return g.group_by(["r_band", "f_band", "m_band"]).aggregate(
+            [("n", "sum"), ("mon", "sum")]
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["r_band", "f_band", "m_band"]).aggregate(
+            [("n_sum", "sum"), ("mon_sum", "sum")]
+        )
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[("r_band", "ascending"), ("f_band", "ascending"),
+                       ("m_band", "ascending")],
+        )
+        g = g.take(idx)
+        return pa.table(
+            {
+                "r_band": pc.cast(g.column("r_band"), pa.int64()),
+                "f_band": pc.cast(g.column("f_band"), pa.int64()),
+                "m_band": pc.cast(g.column("m_band"), pa.int64()),
+                "n_customers": pc.cast(g.column("n_sum_sum"), pa.int64()),
+                "mon_cents": pc.cast(g.column("mon_sum_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        per_cust.map_batches(band_partial, batch_format="pyarrow")
+        .repartition(1)  # bounded (r, f, m) grid per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -74,6 +74,10 @@ SUBSET = [
     "extract_media_refs",
     "extract_offset_audit",
     "extract_page_density",
+    "customer_supplier_diversity",
+    "monthly_active_customers",
+    "part_name_token_revenue",
+    "rfm_segments",
 ]
 
 
