@@ -471,6 +471,70 @@ def _q_extract_page_density(sf_dir: str):
     )
 
 
+def _q_extract_kind_transitions(sf_dir: str):
+    """Reading-order span-kind transition matrix (Markov counts over the
+    interleaved span sequence) — layout-grammar profile of the corpus.
+    Docs are hash-bucketed (vectorized string hash) so each doc's span
+    sequence is contiguous in ONE bucket pass; the (kind, kind) matrix
+    folds on its bounded domain."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray_extract.functions.hashing import hash62_batch
+
+    _, flat = _extract_flat(sf_dir)
+    num_buckets = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = hash62_batch(t.column("doc_id").to_pylist())
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "ord": pc.cast(t.column("ord"), pa.int64()),
+                "kind": t.column("kind"),
+                "bucket": pa.array(np.abs(h) % np.int64(num_buckets)),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        did = g["doc_id"].to_numpy()
+        o = g["ord"].to_numpy()
+        kind = g["kind"].to_numpy()
+        order = np.lexsort((o, did))
+        did, kind = did[order], kind[order]
+        n = len(g)
+        same = np.zeros(n, dtype=bool)
+        same[1:] = did[1:] == did[:-1]
+        prev = np.roll(kind, 1)
+        out = pd.DataFrame({"kind_from": prev[same], "kind_to": kind[same]})
+        out["n"] = np.int64(1)
+        return out.groupby(["kind_from", "kind_to"], as_index=False)["n"].sum()
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["kind_from", "kind_to"]).aggregate([("n", "sum")])
+        idx = pc.sort_indices(
+            g, sort_keys=[("kind_from", "ascending"), ("kind_to", "ascending")]
+        )
+        g = g.take(idx)
+        return pa.table(
+            {
+                "kind_from": g.column("kind_from"),
+                "kind_to": g.column("kind_to"),
+                "n_transitions": pc.cast(g.column("n_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        flat.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # bounded |kinds|^2 rows per bucket
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 def _q_revenue_trend(sf_dir: str):
     from ray_extract.pipelines.relational import revenue_trend
 
@@ -631,6 +695,66 @@ def _q_rfm_segments(sf_dir: str):
     from ray_extract.pipelines.relational import rfm_segments
 
     return rfm_segments(sf_dir)
+
+
+def _q_event_type_affinity(sf_dir: str):
+    from ray_extract.pipelines.events import event_type_affinity
+
+    return event_type_affinity(sf_dir)
+
+
+def _q_basket_supplier_pairs(sf_dir: str):
+    from ray_extract.pipelines.relational import basket_supplier_pairs
+
+    return basket_supplier_pairs(sf_dir)
+
+
+def _q_price_discount_corr_terms(sf_dir: str):
+    from ray_extract.pipelines.relational import price_discount_corr_terms
+
+    return price_discount_corr_terms(sf_dir)
+
+
+def _q_order_gap_histogram(sf_dir: str):
+    from ray_extract.pipelines.relational import order_gap_histogram
+
+    return order_gap_histogram(sf_dir)
+
+
+def _q_shingle_containment(sf_dir: str):
+    from ray_extract.pipelines.dedup import shingle_containment_pairs
+
+    return shingle_containment_pairs(sf_dir)
+
+
+def _q_gap_hour_quantiles(sf_dir: str):
+    from ray_extract.pipelines.events import gap_hour_quantiles
+
+    return gap_hour_quantiles(sf_dir)
+
+
+def _q_nation_part_type_matrix(sf_dir: str):
+    from ray_extract.pipelines.relational import nation_part_type_matrix
+
+    return nation_part_type_matrix(sf_dir)
+
+
+def _q_seasonality_matrix(sf_dir: str):
+    from ray_extract.pipelines.events import seasonality_matrix
+
+    return seasonality_matrix(sf_dir)
+
+
+def _q_revenue_pareto_curve(sf_dir: str):
+    from ray_extract.pipelines.relational import revenue_pareto_curve
+
+    return revenue_pareto_curve(sf_dir)
+
+
+def _q_part_size_price_profile(sf_dir: str):
+    from ray_extract.pipelines.relational import part_size_price_profile
+
+    return part_size_price_profile(sf_dir)
 
 
 def _q_rag_chunk(sf_dir: str):
@@ -1742,6 +1866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_media_refs": _q_extract_media_refs,
         "extract_offset_audit": _q_extract_offset_audit,
         "extract_page_density": _q_extract_page_density,
+        "extract_kind_transitions": _q_extract_kind_transitions,
         "revenue_trend": _q_revenue_trend,
         "order_reconciliation": _q_order_reconciliation,
         "core_vocabulary": _q_core_vocabulary,
@@ -1769,6 +1894,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_active_customers": _q_monthly_active_customers,
         "part_name_token_revenue": _q_part_name_token_revenue,
         "rfm_segments": _q_rfm_segments,
+        "event_type_affinity": _q_event_type_affinity,
+        "basket_supplier_pairs": _q_basket_supplier_pairs,
+        "price_discount_corr_terms": _q_price_discount_corr_terms,
+        "order_gap_histogram": _q_order_gap_histogram,
+        "shingle_containment": _q_shingle_containment,
+        "gap_hour_quantiles": _q_gap_hour_quantiles,
+        "nation_part_type_matrix": _q_nation_part_type_matrix,
+        "seasonality_matrix": _q_seasonality_matrix,
+        "revenue_pareto_curve": _q_revenue_pareto_curve,
+        "part_size_price_profile": _q_part_size_price_profile,
         "rag_chunk": _q_rag_chunk,
         "word_dominance_filter": _q_word_dominance_filter,
         "time_weighted_value": _q_time_weighted_value,
@@ -2508,6 +2643,23 @@ SELECT page_number, CAST(count(*) AS BIGINT) AS n_spans,
        CAST(SUM(length) AS BIGINT) AS sum_text_len
 FROM spans GROUP BY 1
 """,
+        "extract_kind_transitions": _SPANS_CTE
+        + """
+, t AS (SELECT did, kind,
+          lag(kind) OVER (PARTITION BY did ORDER BY i) AS prev
+        FROM spans)
+SELECT prev AS kind_from, kind AS kind_to,
+       CAST(count(*) AS BIGINT) AS n_transitions
+FROM t WHERE prev IS NOT NULL GROUP BY 1, 2
+""",
+        "seasonality_matrix": """
+SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value*100+0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events GROUP BY 1, 2
+""",
         "revenue_trend": """
 WITH m AS (
   SELECT date_trunc('month', o_orderdate) AS mo,
@@ -2806,6 +2958,106 @@ SELECT CAST(rec // 30 AS BIGINT) AS r_band,
        CAST(count(*) AS BIGINT) AS n_customers,
        CAST(SUM(mon) AS BIGINT) AS mon_cents
 FROM c GROUP BY 1, 2, 3
+""",
+        "event_type_affinity": """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+""",
+        "basket_supplier_pairs": """
+WITH d AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+p AS (SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, count(*) AS c
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2)
+SELECT CAST(c AS BIGINT) AS n_orders_together,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM p GROUP BY 1
+""",
+        "price_discount_corr_terms": """
+WITH j AS (SELECT p.p_type,
+  CAST(floor(l_quantity*100+0.5) AS BIGINT) AS q,
+  CAST(floor(l_discount*100+0.5) AS BIGINT) AS d
+  FROM lineitem JOIN part p ON p.p_partkey = l_partkey)
+SELECT p_type, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(q) AS BIGINT) AS sum_q,
+       CAST(SUM(d) AS BIGINT) AS sum_d,
+       CAST(SUM(CAST(q AS HUGEINT) * d) AS BIGINT) AS sum_qd,
+       CAST(SUM(CAST(q AS HUGEINT) * q) AS BIGINT) AS sum_qq,
+       CAST(SUM(CAST(d AS HUGEINT) * d) AS BIGINT) AS sum_dd
+FROM j GROUP BY 1
+""",
+        "order_gap_histogram": """
+WITH g AS (SELECT o_custkey, o_orderdate,
+  lag(o_orderdate) OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS pd
+  FROM orders)
+SELECT CAST(date_diff('day', pd, o_orderdate) AS BIGINT) AS gap_days,
+       CAST(count(*) AS BIGINT) AS n_gaps
+FROM g WHERE pd IS NOT NULL GROUP BY 1
+""",
+        "shingle_containment": _NGRAM_CTE
+        + """
+, sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter, sa.n AS na, sb.n AS nb
+FROM p
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 10 * inter >= 9 * LEAST(sa.n, sb.n)
+""",
+        "gap_hour_quantiles": """
+WITH g AS (SELECT event_type,
+  date_diff('microsecond',
+            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+            ts) // 3600000000 AS gh
+  FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(quantile_disc(gh, 0.25) AS BIGINT) AS p25_hours,
+       CAST(quantile_disc(gh, 0.50) AS BIGINT) AS p50_hours,
+       CAST(quantile_disc(gh, 0.75) AS BIGINT) AS p75_hours
+FROM g WHERE gh IS NOT NULL GROUP BY 1
+""",
+        "nation_part_type_matrix": """
+WITH j AS (SELECT s.s_nationkey AS nk, p.p_type,
+  CAST(floor(l_extendedprice*100+0.5) AS BIGINT) AS rev
+  FROM lineitem
+  JOIN part p ON p.p_partkey = l_partkey
+  JOIN supplier s ON s.s_suppkey = l_suppkey)
+SELECT n.n_name, j.p_type, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(j.rev) AS BIGINT) AS rev_cents
+FROM j JOIN nation n ON n.n_nationkey = j.nk
+GROUP BY 1, 2
+""",
+        "revenue_pareto_curve": """
+WITH s AS (SELECT o_custkey,
+  CAST(SUM(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) AS BIGINT) AS spend
+  FROM orders GROUP BY 1),
+k AS (SELECT count(*) AS n, CAST(SUM(spend) AS BIGINT) AS total FROM s),
+r AS (SELECT spend,
+  (row_number() OVER (ORDER BY spend, o_custkey) - 1) AS rn FROM s)
+SELECT CAST(rn * 10 // k.n AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(SUM(spend) AS BIGINT) AS spend_cents,
+       CAST(CAST(SUM(spend) AS HUGEINT) * 1000000 // k.total AS BIGINT)
+         AS share_ppm
+FROM r, k GROUP BY 1, k.n, k.total
+""",
+        "part_size_price_profile": """
+WITH p AS (SELECT p_size,
+  CAST(floor(p_retailprice*100+0.5) AS BIGINT) AS price FROM part)
+SELECT CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(SUM(price) AS BIGINT) AS sum_price_cents,
+       CAST(min(price) AS BIGINT) AS min_price_cents,
+       CAST(max(price) AS BIGINT) AS max_price_cents
+FROM p GROUP BY 1
 """,
         "rag_chunk": """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

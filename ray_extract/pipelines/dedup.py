@@ -2330,3 +2330,64 @@ def minhash_estimate_audit(sf_dir: str, k: int = 3, num_perm: int = 16,
         )
 
     return joined.map_batches(score, batch_format="pyarrow")
+
+
+def shingle_containment_pairs(sf_dir: str, k: int = 3, num: int = 9,
+                              den: int = 10, num_buckets: int = 64,
+                              max_shingle_df: int | None = None):
+    """Asymmetric near-duplicate detection by shingle CONTAINMENT: pairs
+    where the smaller document's shingle set is >= num/den contained in
+    the larger's (inter >= num/den * min(|A|, |B|)) — catches quote-and-
+    extend and boilerplate-wrapping duplicates that symmetric Jaccard
+    misses (a small doc fully inside a big one has low Jaccard but 100%
+    containment).
+
+    Same scale shape as ngram_jaccard_pairs (dedup.py:195): inverted-
+    index candidates via ONE shingle-hash bucket shuffle, packed-key
+    np.unique pair aggregation in 64 pair buckets, integer threshold —
+    only the keep rule differs (min-side containment, not union Jaccard).
+
+    Output: (doc_a, doc_b, inter, na, nb).
+    """
+    sh = _docs(sf_dir).map_batches(_shingle_stage(k), batch_format="pyarrow")
+    sh = sh.map_batches(_add_bucket("shingle", num_buckets),
+                        batch_format="pandas")
+    pairs = sh.groupby("bucket").map_groups(
+        _bucket_pairs(["shingle"], ["n_sh"], max_key_df=max_shingle_df),
+        batch_format="pandas",
+    )
+
+    def pair_bucket(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy().astype(np.uint64)
+        b = batch.column("doc_b").to_numpy().astype(np.uint64)
+        h = ((a * np.uint64(2654435761) + b)
+             * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_buckets)
+        return batch.append_column("pbucket", pa.array(h.astype(np.int64)))
+
+    def agg_bucket(g):
+        import pandas as pd
+
+        a = g["doc_a"].to_numpy().astype(np.int64)
+        b = g["doc_b"].to_numpy().astype(np.int64)
+        key = a * (1 << 31) + b
+        _, first, inter = np.unique(key, return_index=True,
+                                    return_counts=True)
+        na = g["na"].to_numpy().astype(np.int64)[first]
+        nb = g["nb"].to_numpy().astype(np.int64)[first]
+        keep = den * inter >= num * np.minimum(na, nb)
+        return pd.DataFrame(
+            {
+                "doc_a": a[first][keep],
+                "doc_b": b[first][keep],
+                "inter": inter[keep].astype(np.int64),
+                "na": na[keep],
+                "nb": nb[keep],
+            }
+        )
+
+    return (
+        pairs.map_batches(pair_bucket, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("pbucket")
+        .map_groups(agg_bucket, batch_format="pandas")
+    )

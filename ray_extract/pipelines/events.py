@@ -3076,3 +3076,274 @@ def value_autocorr_terms(sf_dir: str, num_buckets: int = 64):
         .repartition(1)  # O(|types| x buckets) partial rows
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def event_type_affinity(sf_dir: str, num_buckets: int = 64):
+    """Type co-engagement: for every unordered event-type pair, how many
+    users did BOTH — the feature-affinity matrix behind cross-sell and
+    funnel design.
+
+    Scale shape: per-batch distinct (user, type) pairs combine before ONE
+    pair-dedup shuffle; pair generation is a per-user-bucket vectorized
+    triangular expansion (types per user are bounded by the type domain);
+    the (type, type) matrix folds on its bounded domain.
+
+    Output: (type_a, type_b, n_users) with type_a < type_b.
+    """
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+                "event_type": pc.cast(batch.column("event_type"),
+                                      pa.string()),
+            }
+        ).group_by(["user_id", "event_type"]).aggregate([])
+        return g.append_column("one", pa.array(np.ones(g.num_rows, np.int64)))
+
+    pairs = (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+        )
+        .map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("one", alias_name="one"))
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t.column("user_id"), pa.int64()).to_numpy()
+        bucket = np.abs((uid * np.int64(2654435761)) % np.int64(num_buckets))
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "event_type": t.column("event_type"),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        order = np.lexsort((et, uid))
+        uid, et = uid[order], et[order]
+        n = len(g)
+        first = np.r_[True, uid[1:] != uid[:-1]]
+        seg = np.flatnonzero(first)
+        sizes = np.diff(np.r_[seg, n])
+        # triangular expansion: for each user segment of size s, all (i<j)
+        reps = sizes * (sizes - 1) // 2
+        if reps.sum() == 0:
+            return pd.DataFrame(
+                {"type_a": pd.Series(dtype="object"),
+                 "type_b": pd.Series(dtype="object"),
+                 "n": pd.Series(dtype="int64")}
+            )
+        # vectorize by distinct segment size (bounded by |type domain|):
+        # one triu template per size, broadcast over all same-size users
+        ai, bi = [], []
+        for s in np.unique(sizes):
+            if s < 2:
+                continue
+            starts = seg[sizes == s]
+            iu, ju = np.triu_indices(int(s), k=1)
+            ai.append((starts[:, None] + iu[None, :]).ravel())
+            bi.append((starts[:, None] + ju[None, :]).ravel())
+        ai = np.concatenate(ai)
+        bi = np.concatenate(bi)
+        out = pd.DataFrame({"type_a": et[ai], "type_b": et[bi]})
+        out["n"] = np.int64(1)
+        return out.groupby(["type_a", "type_b"], as_index=False)["n"].sum()
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["type_a", "type_b"]).aggregate([("n", "sum")])
+        idx = pc.sort_indices(
+            g, sort_keys=[("type_a", "ascending"), ("type_b", "ascending")]
+        )
+        g = g.take(idx)
+        return pa.table(
+            {
+                "type_a": g.column("type_a"),
+                "type_b": g.column("type_b"),
+                "n_users": pc.cast(g.column("n_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        pairs.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # bounded |types|^2 rows per bucket
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def gap_hour_quantiles(sf_dir: str, num_buckets: int = 64):
+    """Exact discrete quartiles (p25/p50/p75, SQL quantile_disc rule:
+    element at rank floor((n-1)*q)) of hour-quantized inter-event gaps
+    per event type — distributed GROUP-WISE QUANTILES from a bounded
+    histogram instead of a global sort.
+
+    Scale shape: hash(user) bucket shuffle + one lexsort pass per bucket
+    produce (type, gap_hour) histogram partials; quartiles are read off
+    the cumulative histogram in the bounded final block.
+
+    Output: (event_type, n_gaps, p25_hours, p50_hours, p75_hours).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch.column("user_id"), pa.int64()).to_numpy()
+        bucket = np.abs((uid * np.int64(2654435761)) % np.int64(num_buckets))
+        return pa.table(
+            {
+                "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+                "user_id": pa.array(uid),
+                "ts": batch.column("ts"),
+                "event_type": pc.cast(batch.column("event_type"),
+                                      pa.string()),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, et = uid[order], ts[order], et[order]
+        n = len(g)
+        same = np.zeros(n, dtype=bool)
+        same[1:] = uid[1:] == uid[:-1]
+        delta = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            delta[1:] = (ts[1:] - ts[:-1]).astype("timedelta64[us]").astype(
+                np.int64
+            )
+        gh = delta[same] // 3_600_000_000
+        out = pd.DataFrame({"event_type": et[same], "gap_h": gh})
+        out["n"] = np.int64(1)
+        return out.groupby(["event_type", "gap_h"], as_index=False)["n"].sum()
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = (
+            t.group_by(["event_type", "gap_h"])
+            .aggregate([("n", "sum")])
+            .sort_by([("event_type", "ascending"), ("gap_h", "ascending")])
+        )
+        et = g.column("event_type").to_pylist()
+        gh = pc.cast(g.column("gap_h"), pa.int64()).to_numpy()
+        cnt = pc.cast(g.column("n_sum"), pa.int64()).to_numpy()
+        rows = {"event_type": [], "n_gaps": [], "p25_hours": [],
+                "p50_hours": [], "p75_hours": []}
+        i = 0
+        while i < len(et):
+            j = i
+            while j < len(et) and et[j] == et[i]:
+                j += 1
+            c = cnt[i:j]
+            v = gh[i:j]
+            total = int(c.sum())
+            csum = np.cumsum(c)
+            rows["event_type"].append(et[i])
+            rows["n_gaps"].append(total)
+            for q, col in ((1, "p25_hours"), (2, "p50_hours"),
+                           (3, "p75_hours")):
+                rank = (total - 1) * q // 4  # floor((n-1)*q) with q=k/4
+                rows[col].append(int(v[np.searchsorted(csum, rank,
+                                                       side="right")]))
+            i = j
+        return pa.table(
+            {
+                "event_type": pa.array(rows["event_type"], pa.string()),
+                "n_gaps": pa.array(rows["n_gaps"], pa.int64()),
+                "p25_hours": pa.array(rows["p25_hours"], pa.int64()),
+                "p50_hours": pa.array(rows["p50_hours"], pa.int64()),
+                "p75_hours": pa.array(rows["p75_hours"], pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["event_id", "user_id", "ts", "event_type"],
+            )
+        )
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # bounded (type x gap-hour) histogram
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def seasonality_matrix(sf_dir: str):
+    """Event seasonality matrix: counts and value mass per (weekday,
+    hour-of-day) cell — the 7x24 heatmap behind capacity planning.
+    Weekday is integer epoch-day arithmetic (Sunday=0, matching SQL
+    dayofweek; the epoch was a Thursday).
+
+    Scale shape: single-scan bounded-domain (168-cell) combiner +
+    repartition(1) fold; no shuffle of raw events.
+
+    Output: (dow, hour, n_events, sum_cents).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy()
+        days = ts.astype("datetime64[D]").astype(np.int64)
+        hours = ts.astype("datetime64[h]").astype(np.int64) % 24
+        cents = np.floor(
+            batch.column("value").to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "dow": pa.array((days + 4) % 7),
+                "hour": pa.array(hours),
+                "n": pa.array(np.ones(len(days), np.int64)),
+                "v": pa.array(cents),
+            }
+        )
+        return t.group_by(["dow", "hour"]).aggregate(
+            [("n", "sum"), ("v", "sum")]
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["dow", "hour"]).aggregate(
+            [("n_sum", "sum"), ("v_sum", "sum")]
+        )
+        idx = pc.sort_indices(
+            g, sort_keys=[("dow", "ascending"), ("hour", "ascending")]
+        )
+        g = g.take(idx)
+        return pa.table(
+            {
+                "dow": pc.cast(g.column("dow"), pa.int64()),
+                "hour": pc.cast(g.column("hour"), pa.int64()),
+                "n_events": pc.cast(g.column("n_sum_sum"), pa.int64()),
+                "sum_cents": pc.cast(g.column("v_sum_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["ts", "value"])
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # 7 x 24 rows per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -5251,3 +5251,587 @@ def rfm_segments(sf_dir: str, recency_band_days: int = 30,
         .repartition(1)  # bounded (r, f, m) grid per partial
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def basket_supplier_pairs(sf_dir: str, num_buckets: int = 64):
+    """Market-basket histogram over suppliers: for every unordered pair
+    of suppliers co-occurring in an order, count the orders, then
+    histogram pairs by co-occurrence count — the association-mining
+    co-occurrence shape with a bounded count-of-counts output.
+
+    Scale shape: per-batch distinct (orderkey, suppkey) pairs combine
+    before ONE pair-dedup shuffle; pair generation is a per-order-bucket
+    vectorized triangular expansion grouped by basket size (suppliers
+    per order are bounded by order width); pair counts reduce via ONE
+    (sa, sb) shuffle and the histogram folds on the bounded count domain.
+
+    Output: (n_orders_together, n_pairs).
+    """
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "k": pc.cast(batch.column("l_orderkey"), pa.int64()),
+                "s": pc.cast(batch.column("l_suppkey"), pa.int64()),
+            }
+        ).group_by(["k", "s"]).aggregate([])
+        return g.append_column("one", pa.array(np.ones(g.num_rows, np.int64)))
+
+    pairs = (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_suppkey"])
+        )
+        .map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby(["k", "s"])
+        .aggregate(Sum("one", alias_name="one"))
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = pc.cast(t.column("k"), pa.int64()).to_numpy()
+        bucket = np.abs((k * np.int64(2654435761)) % np.int64(num_buckets))
+        return pa.table(
+            {
+                "k": pa.array(k),
+                "s": pc.cast(t.column("s"), pa.int64()),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["k"].to_numpy()
+        s = g["s"].to_numpy()
+        order = np.lexsort((s, k))
+        k, s = k[order], s[order]
+        n = len(g)
+        first = np.r_[True, k[1:] != k[:-1]]
+        seg = np.flatnonzero(first)
+        sizes = np.diff(np.r_[seg, n])
+        ai, bi = [], []
+        for sz in np.unique(sizes):
+            if sz < 2:
+                continue
+            starts = seg[sizes == sz]
+            iu, ju = np.triu_indices(int(sz), k=1)
+            ai.append((starts[:, None] + iu[None, :]).ravel())
+            bi.append((starts[:, None] + ju[None, :]).ravel())
+        if not ai:
+            return pd.DataFrame(
+                {"sa": pd.Series(dtype="int64"),
+                 "sb": pd.Series(dtype="int64"),
+                 "c": pd.Series(dtype="int64")}
+            )
+        ai = np.concatenate(ai)
+        bi = np.concatenate(bi)
+        out = pd.DataFrame({"sa": s[ai], "sb": s[bi]})
+        out["c"] = np.int64(1)
+        return out.groupby(["sa", "sb"], as_index=False)["c"].sum()
+
+    pair_counts = (
+        pairs.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["sa", "sb"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "n_orders_together": pc.cast(t.column("c"), pa.int64()),
+                "p": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        return g.group_by("n_orders_together").aggregate([("p", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("n_orders_together").aggregate([("p_sum", "sum")])
+        idx = pc.sort_indices(g, sort_keys=[("n_orders_together",
+                                             "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "n_orders_together": pc.cast(g.column("n_orders_together"),
+                                             pa.int64()),
+                "n_pairs": pc.cast(g.column("p_sum_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        pair_counts.map_batches(hist_partial, batch_format="pyarrow")
+        .repartition(1)  # O(|distinct counts|) rows per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def price_discount_corr_terms(sf_dir: str,
+                              num_partitions: int | None = None):
+    """Quantity-vs-discount correlation sufficient statistics per part
+    type (exact integer Pearson terms: n, Sq, Sd, Sqd, Sqq, Sdd with
+    q = quantity x100, d = discount pct) — the price-elasticity probe
+    computed through a big-big join without a single float.
+
+    Scale shape: lineitem carries only (partkey, q, d) into ONE native
+    hash join with part's (partkey, p_type); the statistics fold on the
+    bounded |p_type| domain via repartition(1).
+
+    Output: (p_type, n_items, sum_q, sum_d, sum_qd, sum_qq, sum_dd).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    num_partitions, agg_args = _multi_join_args(_join_partitions(num_partitions))
+
+    li = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_discount"],
+        )
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "pk": pc.cast(t.column("l_partkey"), pa.int64()),
+                "q": pa.array(_cents(t.column("l_quantity"))),
+                "d": pa.array(_cents(t.column("l_discount"))),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    parts = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/part.parquet",
+                        columns=["p_partkey", "p_type"])
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "p_partkey": pc.cast(t.column("p_partkey"), pa.int64()),
+                "p_type": pc.cast(t.column("p_type"), pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = li.join(
+        parts,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("pk",),
+        right_on=("p_partkey",),
+        aggregator_ray_remote_args=agg_args,
+    )
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        q = pc.cast(t.column("q"), pa.int64()).to_numpy()
+        d = pc.cast(t.column("d"), pa.int64()).to_numpy()
+        g = pa.table(
+            {
+                "p_type": t.column("p_type"),
+                "n": pa.array(np.ones(len(q), np.int64)),
+                "sq": pa.array(q),
+                "sd": pa.array(d),
+                "sqd": pa.array(q * d),
+                "sqq": pa.array(q * q),
+                "sdd": pa.array(d * d),
+            }
+        )
+        return g.group_by("p_type").aggregate(
+            [("n", "sum"), ("sq", "sum"), ("sd", "sum"), ("sqd", "sum"),
+             ("sqq", "sum"), ("sdd", "sum")]
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("p_type").aggregate(
+            [("n_sum", "sum"), ("sq_sum", "sum"), ("sd_sum", "sum"),
+             ("sqd_sum", "sum"), ("sqq_sum", "sum"), ("sdd_sum", "sum")]
+        )
+        idx = pc.sort_indices(g, sort_keys=[("p_type", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "p_type": g.column("p_type"),
+                "n_items": pc.cast(g.column("n_sum_sum"), pa.int64()),
+                "sum_q": pc.cast(g.column("sq_sum_sum"), pa.int64()),
+                "sum_d": pc.cast(g.column("sd_sum_sum"), pa.int64()),
+                "sum_qd": pc.cast(g.column("sqd_sum_sum"), pa.int64()),
+                "sum_qq": pc.cast(g.column("sqq_sum_sum"), pa.int64()),
+                "sum_dd": pc.cast(g.column("sdd_sum_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(stats_partial, batch_format="pyarrow")
+        .repartition(1)  # O(|p_type|) rows per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def order_gap_histogram(sf_dir: str, num_buckets: int = 64):
+    """Histogram of days between a customer's consecutive orders
+    (ordered by date then orderkey) — the repurchase-cadence profile.
+
+    Scale shape: hash(custkey) bucket shuffle, ONE vectorized lexsort
+    pass per bucket (shifted-delta with customer-boundary mask), bounded
+    day-domain repartition(1) fold.
+
+    Output: (gap_days, n_gaps).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ck = pc.cast(batch.column("o_custkey"), pa.int64()).to_numpy()
+        bucket = np.abs((ck * np.int64(2654435761)) % np.int64(num_buckets))
+        day = (
+            batch.column("o_orderdate")
+            .to_numpy()
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "ck": pa.array(ck),
+                "day": pa.array(day),
+                "k": pc.cast(batch.column("o_orderkey"), pa.int64()),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ck = g["ck"].to_numpy()
+        day = g["day"].to_numpy()
+        k = g["k"].to_numpy()
+        order = np.lexsort((k, day, ck))
+        ck, day = ck[order], day[order]
+        n = len(g)
+        same = np.zeros(n, dtype=bool)
+        same[1:] = ck[1:] == ck[:-1]
+        gap = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            gap[1:] = day[1:] - day[:-1]
+        gaps = gap[same]
+        cnt = np.bincount(gaps) if len(gaps) else np.zeros(0, np.int64)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame(
+            {"gap_days": nz.astype(np.int64), "n": cnt[nz].astype(np.int64)}
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("gap_days").aggregate([("n", "sum")])
+        idx = pc.sort_indices(g, sort_keys=[("gap_days", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "gap_days": pc.cast(g.column("gap_days"), pa.int64()),
+                "n_gaps": pc.cast(g.column("n_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/orders.parquet",
+                columns=["o_custkey", "o_orderdate", "o_orderkey"],
+            )
+        )
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # O(|gap days|) rows per bucket
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def nation_part_type_matrix(sf_dir: str, num_partitions: int | None = None):
+    """Revenue matrix by (supplier nation, part type) — the two-dimension
+    fact enrichment: one big-big native join for the part attribute, one
+    broadcast LUT for the supplier attribute, bounded matrix fold.
+
+    Scale shape: lineitem carries (partkey, suppkey, rev) into ONE native
+    hash join with part's (partkey, p_type); suppkey->nationkey is a
+    dense broadcast array probe (supplier is TPC-H's smallest dimension —
+    at true web scale swap for a second native join); nation names attach
+    in the bounded (25 x |p_type|) final fold.
+
+    Output: (n_name, p_type, n_items, rev_cents).
+    """
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    num_partitions, agg_args = _multi_join_args(_join_partitions(num_partitions))
+
+    li = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+        )
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "pk": pc.cast(t.column("l_partkey"), pa.int64()),
+                "sk": pc.cast(t.column("l_suppkey"), pa.int64()),
+                "rev": pa.array(_cents(t.column("l_extendedprice"))),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    parts = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/part.parquet",
+                        columns=["p_partkey", "p_type"])
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "p_partkey": pc.cast(t.column("p_partkey"), pa.int64()),
+                "p_type": pc.cast(t.column("p_type"), pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    sk = pc.cast(supp.column("s_suppkey"), pa.int64()).to_numpy()
+    nk = pc.cast(supp.column("s_nationkey"), pa.int64()).to_numpy()
+    lut = np.zeros(int(sk.max()) + 1, dtype=np.int64)
+    lut[sk] = nk
+    lut_ref = ray.put(lut)
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nat = pa.table(
+        {
+            "nk": pc.cast(nat.column("n_nationkey"), pa.int64()),
+            "n_name": pc.cast(nat.column("n_name"), pa.string()),
+        }
+    )
+    nat_ref = ray.put(nat)
+
+    joined = li.join(
+        parts,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("pk",),
+        right_on=("p_partkey",),
+        aggregator_ray_remote_args=agg_args,
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        nkv = ray.get(lut_ref)[pc.cast(t.column("sk"), pa.int64()).to_numpy()]
+        g = pa.table(
+            {
+                "nk": pa.array(nkv),
+                "p_type": t.column("p_type"),
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+                "rev": pc.cast(t.column("rev"), pa.int64()),
+            }
+        )
+        return g.group_by(["nk", "p_type"]).aggregate(
+            [("n", "sum"), ("rev", "sum")]
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["nk", "p_type"]).aggregate(
+            [("n_sum", "sum"), ("rev_sum", "sum")]
+        )
+        g = g.join(ray.get(nat_ref), keys=["nk"], join_type="inner")
+        idx = pc.sort_indices(
+            g, sort_keys=[("n_name", "ascending"), ("p_type", "ascending")]
+        )
+        g = g.take(idx)
+        return pa.table(
+            {
+                "n_name": g.column("n_name"),
+                "p_type": g.column("p_type"),
+                "n_items": pc.cast(g.column("n_sum_sum"), pa.int64()),
+                "rev_cents": pc.cast(g.column("rev_sum_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(fold, batch_format="pyarrow")
+        .repartition(1)  # bounded (|nations| x |p_type|) rows per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def revenue_pareto_curve(sf_dir: str, deciles: int = 10,
+                         bucket_cents: int = 1 << 20):
+    """Customer-spend Pareto curve: customers ranked by lifetime spend
+    (asc, ties by custkey) and split into rank deciles (decile =
+    rank * 10 // n); per decile, customer count, spend mass, and share
+    ppm — decile 9 is the top spenders.
+
+    Scale shape: the global rank is the two-pass range-partition pattern
+    (customer_spend_ntile): per-customer spend (ONE shuffle) tagged with
+    coarse value buckets, bucket counts reduce to metadata scale, the
+    driver prefix-sums bucket offsets, and each bucket ranks only its own
+    rows — rank -> decile is then pure arithmetic, no boundary rescan.
+
+    Output: (decile, n_customers, spend_cents, share_ppm).
+    """
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def spend_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "custkey": pc.cast(batch.column("o_custkey"), pa.int64()),
+                "spend": pa.array(_cents(batch.column("o_totalprice"))),
+            }
+        )
+        return t.group_by("custkey").aggregate([("spend", "sum")])
+
+    spend = (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_totalprice"])
+        )
+        .map_batches(spend_partial, batch_format="pyarrow")
+        .groupby("custkey")
+        .aggregate(Sum("spend_sum", alias_name="spend_cents"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "custkey": pc.cast(t.column("custkey"), pa.int64()),
+                    "spend_cents": pc.cast(t.column("spend_cents"),
+                                           pa.int64()),
+                    "vbucket": pc.cast(
+                        pc.divide(pc.cast(t.column("spend_cents"),
+                                          pa.int64()),
+                                  bucket_cents),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # reused by the count pass and the rank pass
+    )
+
+    counts = (
+        spend.map_batches(
+            lambda t: t.select(["vbucket"]).group_by("vbucket").aggregate(
+                [("vbucket", "count")]
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("vbucket")
+        .aggregate(Sum("vbucket_count", alias_name="n"))
+        .to_pandas()  # metadata scale: one row per spend-value bucket
+        .sort_values("vbucket")
+    )
+    n_total = int(counts["n"].sum())
+    csum = counts["n"].to_numpy().cumsum()
+    offsets = dict(zip(counts["vbucket"].to_numpy().tolist(),
+                       np.r_[0, csum[:-1]].tolist()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sp = g["spend_cents"].to_numpy()
+        ck = g["custkey"].to_numpy()
+        order = np.lexsort((ck, sp))
+        sp = sp[order]
+        rank = int(offsets[int(g["vbucket"].iloc[0])]) + np.arange(
+            len(g), dtype=np.int64
+        )
+        dec = rank * deciles // n_total
+        out = pd.DataFrame({"decile": dec, "spend": sp})
+        out["n"] = np.int64(1)
+        return out.groupby("decile", as_index=False).agg(
+            n=("n", "sum"), spend=("spend", "sum")
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("decile").aggregate([("n", "sum"), ("spend", "sum")])
+        idx = pc.sort_indices(g, sort_keys=[("decile", "ascending")])
+        g = g.take(idx)
+        sp = pc.cast(g.column("spend_sum"), pa.int64()).to_numpy()
+        tot = int(sp.sum())
+        return pa.table(
+            {
+                "decile": pc.cast(g.column("decile"), pa.int64()),
+                "n_customers": pc.cast(g.column("n_sum"), pa.int64()),
+                "spend_cents": pa.array(sp),
+                "share_ppm": pa.array(sp * 1_000_000 // tot),
+            }
+        )
+
+    return (
+        spend.groupby("vbucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # O(deciles) rows per bucket
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def part_size_price_profile(sf_dir: str):
+    """Part-catalog price profile per size: count, total, min and max
+    retail price — the dimension-table health check (MIN/MAX distributed
+    aggregates alongside SUM).
+
+    Scale shape: single dimension scan, bounded |sizes| combiner with
+    min/max partials, repartition(1) fold.
+
+    Output: (p_size, n_parts, sum_price_cents, min_price_cents,
+    max_price_cents).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price = _cents(batch.column("p_retailprice"))
+        t = pa.table(
+            {
+                "p_size": pc.cast(batch.column("p_size"), pa.int64()),
+                "n": pa.array(np.ones(len(price), np.int64)),
+                "s": pa.array(price),
+                "mn": pa.array(price),
+                "mx": pa.array(price),
+            }
+        )
+        return t.group_by("p_size").aggregate(
+            [("n", "sum"), ("s", "sum"), ("mn", "min"), ("mx", "max")]
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("p_size").aggregate(
+            [("n_sum", "sum"), ("s_sum", "sum"), ("mn_min", "min"),
+             ("mx_max", "max")]
+        )
+        idx = pc.sort_indices(g, sort_keys=[("p_size", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "p_size": pc.cast(g.column("p_size"), pa.int64()),
+                "n_parts": pc.cast(g.column("n_sum_sum"), pa.int64()),
+                "sum_price_cents": pc.cast(g.column("s_sum_sum"), pa.int64()),
+                "min_price_cents": pc.cast(g.column("mn_min_min"),
+                                           pa.int64()),
+                "max_price_cents": pc.cast(g.column("mx_max_max"),
+                                           pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_size", "p_retailprice"])
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # O(|sizes|) rows per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )
