@@ -5259,56 +5259,41 @@ def basket_supplier_pairs(sf_dir: str, num_buckets: int = 64):
     histogram pairs by co-occurrence count — the association-mining
     co-occurrence shape with a bounded count-of-counts output.
 
-    Scale shape: per-batch distinct (orderkey, suppkey) pairs combine
-    before ONE pair-dedup shuffle; pair generation is a per-order-bucket
-    vectorized triangular expansion grouped by basket size (suppliers
-    per order are bounded by order width); pair counts reduce via ONE
-    (sa, sb) shuffle and the histogram folds on the bounded count domain.
+    Scale shape: TWO single-int64-key exchanges total. Batch-local
+    distinct (orderkey, suppkey) packs into one int64 and combines
+    before the order-hash bucket shuffle; inside each bucket (orders are
+    whole — bucket key is the orderkey hash) one np.unique finishes the
+    dedup, a triangular expansion grouped by basket size emits pairs,
+    and the same pass pre-counts packed (sa, sb) keys tagged with a
+    pair-hash bucket. The global pair reduce + histogram fold happen in
+    ONE vectorized pass per pair bucket (np.unique reduceat — Ray's
+    sort-aggregate would loop Python per group over |S|^2/2 pair keys),
+    then the bounded count domain folds via repartition(1).
 
     Output: (n_orders_together, n_pairs).
     """
     import pandas as pd
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
     from ..functions.tables import strip_schema_metadata
 
+    # suppkey < 2^20 holds through TPC-H sf~100 (suppkey = sf*10k); the
+    # packed key (orderkey << 20 | suppkey) keeps every exchange single-int64.
+    SHIFT = np.int64(1) << np.int64(20)
+
     def distinct_partial(batch: pa.Table) -> pa.Table:
-        g = pa.table(
-            {
-                "k": pc.cast(batch.column("l_orderkey"), pa.int64()),
-                "s": pc.cast(batch.column("l_suppkey"), pa.int64()),
-            }
-        ).group_by(["k", "s"]).aggregate([])
-        return g.append_column("one", pa.array(np.ones(g.num_rows, np.int64)))
-
-    pairs = (
-        strip_schema_metadata(
-            rd.read_parquet(f"{sf_dir}/lineitem.parquet",
-                            columns=["l_orderkey", "l_suppkey"])
-        )
-        .map_batches(distinct_partial, batch_format="pyarrow")
-        .groupby(["k", "s"])
-        .aggregate(Sum("one", alias_name="one"))
-    )
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        k = pc.cast(t.column("k"), pa.int64()).to_numpy()
-        bucket = np.abs((k * np.int64(2654435761)) % np.int64(num_buckets))
-        return pa.table(
-            {
-                "k": pa.array(k),
-                "s": pc.cast(t.column("s"), pa.int64()),
-                "bucket": pa.array(bucket),
-            }
-        )
+        k = pc.cast(batch.column("l_orderkey"), pa.int64()).to_numpy()
+        s = pc.cast(batch.column("l_suppkey"), pa.int64()).to_numpy()
+        ks = np.unique(k * SHIFT + s)
+        bucket = np.abs(((ks // SHIFT) * np.int64(2654435761))
+                        % np.int64(num_buckets))
+        return pa.table({"ks": pa.array(ks), "bucket": pa.array(bucket)})
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        k = g["k"].to_numpy()
-        s = g["s"].to_numpy()
-        order = np.lexsort((s, k))
-        k, s = k[order], s[order]
-        n = len(g)
+        ks = np.unique(g["ks"].to_numpy())  # finish the (k, s) dedup
+        k = ks // SHIFT
+        s = ks % SHIFT
+        n = len(ks)
         first = np.r_[True, k[1:] != k[:-1]]
         seg = np.flatnonzero(first)
         sizes = np.diff(np.r_[seg, n])
@@ -5321,36 +5306,32 @@ def basket_supplier_pairs(sf_dir: str, num_buckets: int = 64):
             ai.append((starts[:, None] + iu[None, :]).ravel())
             bi.append((starts[:, None] + ju[None, :]).ravel())
         if not ai:
-            return pd.DataFrame(
-                {"sa": pd.Series(dtype="int64"),
-                 "sb": pd.Series(dtype="int64"),
-                 "c": pd.Series(dtype="int64")}
-            )
+            return pd.DataFrame({"pair": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64"),
+                                 "pbucket": pd.Series(dtype="int64")})
         ai = np.concatenate(ai)
         bi = np.concatenate(bi)
-        out = pd.DataFrame({"sa": s[ai], "sb": s[bi]})
-        out["c"] = np.int64(1)
-        return out.groupby(["sa", "sb"], as_index=False)["c"].sum()
+        pair, c = np.unique(s[ai] * SHIFT + s[bi], return_counts=True)
+        pbucket = np.abs((pair * np.int64(-7046029254386353131))
+                         % np.int64(num_buckets))
+        return pd.DataFrame({"pair": pair, "c": c.astype(np.int64),
+                             "pbucket": pbucket})
 
-    pair_counts = (
-        pairs.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
-        .groupby(["sa", "sb"])
-        .aggregate(Sum("c", alias_name="c"))
-    )
-
-    def hist_partial(t: pa.Table) -> pa.Table:
-        g = pa.table(
-            {
-                "n_orders_together": pc.cast(t.column("c"), pa.int64()),
-                "p": pa.array(np.ones(t.num_rows, np.int64)),
-            }
-        )
-        return g.group_by("n_orders_together").aggregate([("p", "sum")])
+    def per_pair_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # every partial of a pair lands here: finish the per-pair sum
+        # (sorted reduceat), then fold this bucket's histogram partial.
+        pair = g["pair"].to_numpy()
+        c = g["c"].to_numpy()
+        order = np.argsort(pair, kind="stable")
+        pair, c = pair[order], c[order]
+        seg = np.flatnonzero(np.r_[True, pair[1:] != pair[:-1]])
+        totals = np.add.reduceat(c, seg)
+        cnt, n = np.unique(totals, return_counts=True)
+        return pd.DataFrame({"n_orders_together": cnt.astype(np.int64),
+                             "p": n.astype(np.int64)})
 
     def finish(t: pa.Table) -> pa.Table:
-        g = t.group_by("n_orders_together").aggregate([("p_sum", "sum")])
+        g = t.group_by("n_orders_together").aggregate([("p", "sum")])
         idx = pc.sort_indices(g, sort_keys=[("n_orders_together",
                                              "ascending")])
         g = g.take(idx)
@@ -5358,13 +5339,21 @@ def basket_supplier_pairs(sf_dir: str, num_buckets: int = 64):
             {
                 "n_orders_together": pc.cast(g.column("n_orders_together"),
                                              pa.int64()),
-                "n_pairs": pc.cast(g.column("p_sum_sum"), pa.int64()),
+                "n_pairs": pc.cast(g.column("p_sum"), pa.int64()),
             }
         )
 
     return (
-        pair_counts.map_batches(hist_partial, batch_format="pyarrow")
-        .repartition(1)  # O(|distinct counts|) rows per partial
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_suppkey"])
+        )
+        .map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(per_pair_bucket, batch_format="pandas")
+        .repartition(1)  # O(|distinct counts|) rows per bucket
         .map_batches(finish, batch_format="pyarrow")
     )
 
