@@ -721,6 +721,36 @@ def _q_order_gap_histogram(sf_dir: str):
     return order_gap_histogram(sf_dir)
 
 
+def _q_user_streaks(sf_dir: str):
+    from ray_extract.pipelines.events import user_streaks
+
+    return user_streaks(sf_dir)
+
+
+def _q_user_growth_curve(sf_dir: str):
+    from ray_extract.pipelines.events import user_growth_curve
+
+    return user_growth_curve(sf_dir)
+
+
+def _q_peak_concurrency(sf_dir: str):
+    from ray_extract.pipelines.events import peak_concurrency
+
+    return peak_concurrency(sf_dir)
+
+
+def _q_quantity_mode(sf_dir: str):
+    from ray_extract.pipelines.relational import quantity_mode
+
+    return quantity_mode(sf_dir)
+
+
+def _q_nation_rank_change(sf_dir: str):
+    from ray_extract.pipelines.relational import nation_rank_change
+
+    return nation_rank_change(sf_dir)
+
+
 def _q_shingle_containment(sf_dir: str):
     from ray_extract.pipelines.dedup import shingle_containment_pairs
 
@@ -1898,6 +1928,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_supplier_pairs": _q_basket_supplier_pairs,
         "price_discount_corr_terms": _q_price_discount_corr_terms,
         "order_gap_histogram": _q_order_gap_histogram,
+        "user_streaks": _q_user_streaks,
+        "user_growth_curve": _q_user_growth_curve,
+        "peak_concurrency": _q_peak_concurrency,
+        "quantity_mode": _q_quantity_mode,
+        "nation_rank_change": _q_nation_rank_change,
         "shingle_containment": _q_shingle_containment,
         "gap_hour_quantiles": _q_gap_hour_quantiles,
         "nation_part_type_matrix": _q_nation_part_type_matrix,
@@ -2997,6 +3032,83 @@ WITH g AS (SELECT o_custkey, o_orderdate,
 SELECT CAST(date_diff('day', pd, o_orderdate) AS BIGINT) AS gap_days,
        CAST(count(*) AS BIGINT) AS n_gaps
 FROM g WHERE pd IS NOT NULL GROUP BY 1
+""",
+        "user_streaks": """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // CAST(86400000000 AS BIGINT) AS day
+  FROM events
+),
+r AS (
+  SELECT user_id, day,
+         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS isl
+  FROM d
+),
+runs AS (SELECT user_id, count(*) AS len FROM r GROUP BY user_id, isl),
+mx AS (SELECT user_id, max(len) AS streak_days FROM runs GROUP BY user_id)
+SELECT CAST(streak_days AS BIGINT) AS streak_days,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM mx GROUP BY streak_days
+""",
+        "user_growth_curve": """
+WITH f AS (
+  SELECT user_id,
+         min(epoch_us(ts) // CAST(86400000000 AS BIGINT)) AS day
+  FROM events GROUP BY user_id
+),
+g AS (SELECT day, count(*) AS n FROM f GROUP BY day)
+SELECT CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n_new_users,
+       CAST(SUM(n) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM g
+""",
+        "peak_concurrency": """
+WITH b AS (
+  SELECT event_type, epoch_us(ts) AS t, 1 AS d FROM events
+  UNION ALL
+  SELECT event_type, epoch_us(ts) + 300000000 AS t, -1 AS d FROM events
+),
+rs AS (
+  SELECT event_type,
+         SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+                      ROWS UNBOUNDED PRECEDING) AS c
+  FROM b
+)
+SELECT event_type, CAST(max(c) AS BIGINT) AS peak_concurrent
+FROM rs GROUP BY event_type
+""",
+        "quantity_mode": """
+WITH c AS (
+  SELECT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS qty,
+         count(*) AS n
+  FROM lineitem GROUP BY ALL
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+                               ORDER BY n DESC, qty ASC) AS rn
+  FROM c
+)
+SELECT l_returnflag, l_linestatus, qty AS mode_qty, CAST(n AS BIGINT) AS n_items
+FROM r WHERE rn = 1
+""",
+        "nation_rank_change": """
+WITH rev AS (
+  SELECT n_name,
+         CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+              + EXTRACT(MONTH FROM o_orderdate) - 1 AS BIGINT) AS month,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r
+  FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT month, n_name, r,
+         ROW_NUMBER() OVER (PARTITION BY month
+                            ORDER BY r DESC, n_name ASC) AS rnk
+  FROM rev
+)
+SELECT month, n_name, CAST(rnk AS BIGINT) AS rnk,
+       CAST(COALESCE(lag(rnk) OVER (PARTITION BY n_name ORDER BY month), 0)
+            AS BIGINT) AS prev_rank
+FROM rk
 """,
         "shingle_containment": _NGRAM_CTE
         + """

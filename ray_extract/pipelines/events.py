@@ -3347,3 +3347,205 @@ def seasonality_matrix(sf_dir: str):
         .repartition(1)  # 7 x 24 rows per partial
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def user_streaks(sf_dir: str, num_buckets: int = 64):
+    """Longest consecutive-day activity streak per user, histogrammed —
+    the engagement-streak profile (gaps-and-islands over epoch days).
+
+    Scale shape: batch-local distinct (user, day) combines before ONE
+    hash(user) bucket shuffle; each bucket runs a single vectorized
+    pass (lexsort -> island starts -> run lengths via flat cumsum ->
+    per-user max via maximum.reduceat) and emits a bounded-domain
+    (streak length) histogram partial folded by repartition(1).
+
+    Output: (streak_days, n_users).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    day_us = np.int64(86_400_000_000)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch.column("user_id"), pa.int64()).to_numpy()
+        day = batch.column("ts").to_numpy().astype("datetime64[us]").astype(
+            np.int64
+        ) // day_us
+        # batch-local distinct via packed key (epoch day < 2^21)
+        packed = np.unique(uid * (np.int64(1) << np.int64(21)) + day)
+        u = packed >> np.int64(21)
+        bucket = np.abs((u * np.int64(2654435761)) % np.int64(num_buckets))
+        return pa.table(
+            {
+                "uid": pa.array(u),
+                "day": pa.array(packed & ((np.int64(1) << np.int64(21)) - 1)),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["uid"].to_numpy()
+        day = g["day"].to_numpy()
+        packed = np.unique(uid * (np.int64(1) << np.int64(21)) + day)
+        uid = packed >> np.int64(21)
+        day = packed & ((np.int64(1) << np.int64(21)) - 1)
+        n = len(packed)
+        if n == 0:
+            return pd.DataFrame({"streak_days": pd.Series(dtype="int64"),
+                                 "n_users": pd.Series(dtype="int64")})
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        new_run = new_user | np.r_[False, (day[1:] - day[:-1]) != 1]
+        run_start = np.flatnonzero(new_run)
+        run_len = np.diff(np.r_[run_start, n])
+        user_seg = np.flatnonzero(new_user[run_start])
+        best = np.maximum.reduceat(run_len, user_seg)
+        cnt = np.bincount(best)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"streak_days": nz.astype(np.int64),
+                             "n_users": cnt[nz].astype(np.int64)})
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("streak_days").aggregate([("n_users", "sum")])
+        idx = pc.sort_indices(g, sort_keys=[("streak_days", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "streak_days": pc.cast(g.column("streak_days"), pa.int64()),
+                "n_users": pc.cast(g.column("n_users_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+        )
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # O(|streak lengths|) rows per bucket
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def user_growth_curve(sf_dir: str, num_buckets: int = 64):
+    """Daily new-user onsets and the cumulative user-base curve: each
+    user's first-event day, counted per day, with a running total.
+
+    Scale shape: batch-local per-user min-day partials combine before
+    ONE hash(user) bucket shuffle; buckets finish the min and emit
+    bounded (day, n_new) partials; the cumulative sum folds on the
+    bounded day domain via repartition(1).
+
+    Output: (day, n_new_users, cum_users) — day is the epoch-day index.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    day_us = np.int64(86_400_000_000)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch.column("user_id"), pa.int64()).to_numpy()
+        day = batch.column("ts").to_numpy().astype("datetime64[us]").astype(
+            np.int64
+        ) // day_us
+        g = pa.table({"uid": pa.array(uid), "day": pa.array(day)}).group_by(
+            "uid"
+        ).aggregate([("day", "min")])
+        u = pc.cast(g.column("uid"), pa.int64()).to_numpy()
+        bucket = np.abs((u * np.int64(2654435761)) % np.int64(num_buckets))
+        return g.append_column("bucket", pa.array(bucket))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("uid", sort=False)["day_min"].min().to_numpy()
+        day, n = np.unique(first, return_counts=True)
+        return pd.DataFrame({"day": day.astype(np.int64),
+                             "n": n.astype(np.int64)})
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("day").aggregate([("n", "sum")])
+        idx = pc.sort_indices(g, sort_keys=[("day", "ascending")])
+        g = g.take(idx)
+        n = pc.cast(g.column("n_sum"), pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "day": pc.cast(g.column("day"), pa.int64()),
+                "n_new_users": pa.array(n),
+                "cum_users": pa.array(np.cumsum(n).astype(np.int64)),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # O(|days|) rows per bucket
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def peak_concurrency(sf_dir: str, ttl_seconds: int = 300):
+    """Peak concurrent activity per event type, treating each event as
+    a half-open activity interval [ts, ts + ttl) — the classic interval
+    sweep (+1 at start, -1 at end, ends before starts at equal instants)
+    reduced to its running-sum maximum.
+
+    Scale shape: the sweep needs each type's boundaries in time order,
+    so the partition key IS the event type (bounded domain); each group
+    is one vectorized boundary sort + cumsum. At web scale a hot type's
+    sweep is inherently sequential — the engine bounds it by the type
+    domain, mirroring the sessionize partitioning assumption.
+
+    Output: (event_type, peak_concurrent).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    ttl_us = np.int64(ttl_seconds) * np.int64(1_000_000)
+
+    def to_bounds(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy().astype("datetime64[us]").astype(
+            np.int64
+        )
+        et = batch.column("event_type")
+        n = len(ts)
+        return pa.table(
+            {
+                "event_type": pa.concat_arrays(
+                    [et.combine_chunks(), et.combine_chunks()]
+                ),
+                "t": pa.array(np.r_[ts, ts + ttl_us]),
+                "d": pa.array(np.r_[np.ones(n, np.int64),
+                                    -np.ones(n, np.int64)]),
+            }
+        )
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["t"].to_numpy()
+        d = g["d"].to_numpy()
+        order = np.lexsort((d, t))  # -1 before +1 at equal t: half-open
+        peak = int(np.cumsum(d[order]).max()) if len(d) else 0
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]],
+             "peak_concurrent": np.array([peak], np.int64)}
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts"])
+        )
+        .map_batches(to_bounds, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(per_type, batch_format="pandas")
+    )

@@ -5824,3 +5824,174 @@ def part_size_price_profile(sf_dir: str):
         .repartition(1)  # O(|sizes|) rows per partial
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def quantity_mode(sf_dir: str):
+    """Modal order quantity per (returnflag, linestatus) — exact mode
+    with deterministic ties (smallest quantity wins).
+
+    Scale shape: the count matrix is bounded (|flags| x |status| x
+    |quantities| ~ 300 cells), so per-batch Arrow count partials
+    combine before a repartition(1) fold that finishes the argmax —
+    no row ever crosses the wire unaggregated.
+
+    Output: (l_returnflag, l_linestatus, mode_qty, n_items).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = batch.column("l_quantity").to_numpy().astype(np.int64)
+        g = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty": pa.array(qty),
+                "n": pa.array(np.ones(len(qty), np.int64)),
+            }
+        )
+        return g.group_by(["l_returnflag", "l_linestatus", "qty"]).aggregate(
+            [("n", "sum")]
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_returnflag", "l_linestatus", "qty"],
+                       as_index=False)["n_sum"].sum()
+        g = g.sort_values(
+            ["l_returnflag", "l_linestatus", "n_sum", "qty"],
+            ascending=[True, True, False, True],
+            kind="mergesort",
+        )
+        top = g.groupby(["l_returnflag", "l_linestatus"],
+                        as_index=False).first()
+        return pd.DataFrame(
+            {
+                "l_returnflag": top["l_returnflag"],
+                "l_linestatus": top["l_linestatus"],
+                "mode_qty": top["qty"].astype(np.int64),
+                "n_items": top["n_sum"].astype(np.int64),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_returnflag", "l_linestatus", "l_quantity"],
+            )
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # bounded count-matrix per partial
+        .map_batches(finish, batch_format="pandas")
+    )
+
+
+def nation_rank_change(sf_dir: str, num_partitions: int | None = None):
+    """Month-over-month movement in each customer nation's revenue
+    rank: rank nations by order revenue inside every month, then track
+    each nation's rank against its previous appearing month (rank-delta
+    leaderboard; first month reports prev_rank = 0).
+
+    Scale shape: orders fold to per-custkey (month, revenue) partials
+    before the single big-big hash join with customer; the nation hop
+    is a ray.put broadcast; the final rank/lag window runs on the
+    bounded |nations| x |months| grid after a repartition(1) fold.
+
+    Output: (month, n_name, rnk, prev_rank).
+    """
+    import pyarrow.parquet as pq
+
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    num_partitions = _join_partitions(num_partitions)
+
+    def ord_partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate").to_numpy().astype("datetime64[M]")
+        month = (d.astype(np.int64) + np.int64(1970 * 12))
+        t = pa.table(
+            {
+                "o_custkey": pc.cast(batch.column("o_custkey"), pa.int64()),
+                "month": pa.array(month),
+                "rev": pa.array(_cents(batch.column("o_totalprice"))),
+            }
+        )
+        return t.group_by(["o_custkey", "month"]).aggregate([("rev", "sum")])
+
+    orders = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        )
+    ).map_batches(ord_partial, batch_format="pyarrow")
+
+    cust = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"])
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": pc.cast(t.column("c_custkey"), pa.int64()),
+                "c_nationkey": pc.cast(t.column("c_nationkey"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nat = pa.table(
+        {
+            "c_nationkey": pc.cast(nat.column("n_nationkey"), pa.int64()),
+            "n_name": pc.cast(nat.column("n_name"), pa.string()),
+        }
+    )
+    nat_ref = ray.put(nat.replace_schema_metadata(None))
+
+    def nation_partial(batch: pa.Table) -> pa.Table:
+        dim = ray.get(nat_ref)
+        t = pa.table(
+            {
+                "c_nationkey": batch.column("c_nationkey"),
+                "month": pc.cast(batch.column("month"), pa.int64()),
+                "rev": pc.cast(batch.column("rev_sum"), pa.int64()),
+            }
+        ).join(dim, keys="c_nationkey", join_type="inner")
+        return t.group_by(["n_name", "month"]).aggregate([("rev", "sum")])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["n_name", "month"], as_index=False)["rev_sum"].sum()
+        g = g.sort_values(["month", "rev_sum", "n_name"],
+                          ascending=[True, False, True], kind="mergesort")
+        g["rnk"] = g.groupby("month").cumcount() + 1
+        g = g.sort_values(["n_name", "month"], kind="mergesort")
+        prev = g.groupby("n_name")["rnk"].shift(1)
+        g["prev_rank"] = prev.fillna(0).astype(np.int64)
+        out = g.sort_values(["month", "rnk"], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "month": out["month"].astype(np.int64),
+                "n_name": out["n_name"],
+                "rnk": out["rnk"].astype(np.int64),
+                "prev_rank": out["prev_rank"],
+            }
+        )
+
+    return (
+        joined.map_batches(nation_partial, batch_format="pyarrow")
+        .repartition(1)  # bounded |nations| x |months| grid per partial
+        .map_batches(finish, batch_format="pandas")
+    )
