@@ -535,6 +535,142 @@ def _q_extract_kind_transitions(sf_dir: str):
     )
 
 
+def _q_extract_media_position(sf_dir: str):
+    """Where media sits in reading order: decile position (ord*10 //
+    doc_span_count) of every media span, histogrammed — the text/media
+    interleaving profile of the corpus. Doc-hash bucket shuffle keeps
+    each doc whole for the per-doc total; the decile histogram folds on
+    its bounded domain."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray_extract.functions.hashing import hash62_batch
+
+    _, flat = _extract_flat(sf_dir)
+    num_buckets = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = hash62_batch(t.column("doc_id").to_pylist())
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "ord": pc.cast(t.column("ord"), pa.int64()),
+                "is_media": pc.equal(t.column("kind"), "media"),
+                "bucket": pa.array(np.abs(h) % np.int64(num_buckets)),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        did = g["doc_id"].to_numpy()
+        o = g["ord"].to_numpy()
+        m = g["is_media"].to_numpy()
+        order = np.argsort(did, kind="stable")
+        did, o, m = did[order], o[order], m[order]
+        n = len(g)
+        seg = np.flatnonzero(np.r_[True, did[1:] != did[:-1]])
+        tot = np.diff(np.r_[seg, n])
+        tot_per_row = np.repeat(tot, tot)
+        dec = (o[m] * 10) // tot_per_row[m]
+        cnt = np.bincount(dec, minlength=10)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"decile": nz.astype(np.int64),
+                             "n_media": cnt[nz].astype(np.int64)})
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("decile").aggregate([("n_media", "sum")])
+        idx = pc.sort_indices(g, sort_keys=[("decile", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "decile": pc.cast(g.column("decile"), pa.int64()),
+                "n_media": pc.cast(g.column("n_media_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        flat.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # 10 rows per bucket
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+_KIND_BITS = {
+    "title": 1,
+    "sectionHeading": 2,
+    "media": 4,
+    "TableCell": 8,
+    "pageHeader": 16,
+    "pageFooter": 32,
+    "Text": 64,
+}
+
+
+def _q_extract_kind_sets(sf_dir: str):
+    """Layout-vocabulary combinations: the set of span kinds each doc
+    contains, encoded as a fixed bitmask, histogrammed across the
+    corpus — which layout grammars actually occur. Batch-local distinct
+    (doc, kind-bit) partials OR-combine per doc inside one doc-hash
+    bucket pass; the mask histogram folds on its bounded (2^7) domain."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray_extract.functions.hashing import hash62_batch
+
+    _, flat = _extract_flat(sf_dir)
+    num_buckets = 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        bits = pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "bit": pa.array(
+                    np.array([_KIND_BITS[k] for k in
+                              t.column("kind").to_pylist()], np.int64)
+                ),
+            }
+        ).group_by(["doc_id", "bit"]).aggregate([])
+        h = hash62_batch(bits.column("doc_id").to_pylist())
+        return bits.append_column(
+            "bucket", pa.array(np.abs(h) % np.int64(num_buckets))
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        did = g["doc_id"].to_numpy()
+        bit = g["bit"].to_numpy()
+        order = np.argsort(did, kind="stable")
+        did, bit = did[order], bit[order]
+        seg = np.flatnonzero(np.r_[True, did[1:] != did[:-1]])
+        mask = np.bitwise_or.reduceat(bit, seg)
+        m, n = np.unique(mask, return_counts=True)
+        return pd.DataFrame({"kind_mask": m.astype(np.int64),
+                             "n_docs": n.astype(np.int64)})
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("kind_mask").aggregate([("n_docs", "sum")])
+        idx = pc.sort_indices(g, sort_keys=[("kind_mask", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "kind_mask": pc.cast(g.column("kind_mask"), pa.int64()),
+                "n_docs": pc.cast(g.column("n_docs_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        flat.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # <= 2^7 rows per bucket
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 def _q_revenue_trend(sf_dir: str):
     from ray_extract.pipelines.relational import revenue_trend
 
@@ -1897,6 +2033,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_offset_audit": _q_extract_offset_audit,
         "extract_page_density": _q_extract_page_density,
         "extract_kind_transitions": _q_extract_kind_transitions,
+        "extract_media_position": _q_extract_media_position,
+        "extract_kind_sets": _q_extract_kind_sets,
         "revenue_trend": _q_revenue_trend,
         "order_reconciliation": _q_order_reconciliation,
         "core_vocabulary": _q_core_vocabulary,
@@ -2686,6 +2824,28 @@ FROM spans GROUP BY 1
 SELECT prev AS kind_from, kind AS kind_to,
        CAST(count(*) AS BIGINT) AS n_transitions
 FROM t WHERE prev IS NOT NULL GROUP BY 1, 2
+""",
+        "extract_media_position": _SPANS_CTE
+        + """
+, tot AS (SELECT did, count(*) AS n FROM spans GROUP BY did)
+SELECT CAST((s.i * 10) // t.n AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_media
+FROM spans s JOIN tot t USING (did)
+WHERE s.kind = 'media' GROUP BY 1
+""",
+        "extract_kind_sets": _SPANS_CTE
+        + """
+, m AS (
+  SELECT did,
+         bit_or(CASE kind WHEN 'title' THEN 1 WHEN 'sectionHeading' THEN 2
+                WHEN 'media' THEN 4 WHEN 'TableCell' THEN 8
+                WHEN 'pageHeader' THEN 16 WHEN 'pageFooter' THEN 32
+                ELSE 64 END) AS kind_mask
+  FROM spans GROUP BY did
+)
+SELECT CAST(kind_mask AS BIGINT) AS kind_mask,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM m GROUP BY 1
 """,
         "seasonality_matrix": """
 SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
