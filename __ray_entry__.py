@@ -887,6 +887,30 @@ def _q_nation_rank_change(sf_dir: str):
     return nation_rank_change(sf_dir)
 
 
+def _q_readability_terms(sf_dir: str):
+    from ray_extract.pipelines.text import readability_terms
+
+    return readability_terms(sf_dir)
+
+
+def _q_repeated_substring_topk(sf_dir: str):
+    from ray_extract.pipelines.text import repeated_substring_topk
+
+    return repeated_substring_topk(sf_dir)
+
+
+def _q_embedding_covariance_terms(sf_dir: str):
+    from ray_extract.pipelines.similarity import embedding_covariance_terms
+
+    return embedding_covariance_terms(sf_dir)
+
+
+def _q_benford_profile(sf_dir: str):
+    from ray_extract.pipelines.relational import benford_profile
+
+    return benford_profile(sf_dir)
+
+
 def _q_shingle_containment(sf_dir: str):
     from ray_extract.pipelines.dedup import shingle_containment_pairs
 
@@ -2071,6 +2095,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_concurrency": _q_peak_concurrency,
         "quantity_mode": _q_quantity_mode,
         "nation_rank_change": _q_nation_rank_change,
+        "readability_terms": _q_readability_terms,
+        "repeated_substring_topk": _q_repeated_substring_topk,
+        "embedding_covariance_terms": _q_embedding_covariance_terms,
+        "benford_profile": _q_benford_profile,
         "shingle_containment": _q_shingle_containment,
         "gap_hour_quantiles": _q_gap_hour_quantiles,
         "nation_part_type_matrix": _q_nation_part_type_matrix,
@@ -3269,6 +3297,56 @@ SELECT month, n_name, CAST(rnk AS BIGINT) AS rnk,
        CAST(COALESCE(lag(rnk) OVER (PARTITION BY n_name ORDER BY month), 0)
             AS BIGINT) AS prev_rank
 FROM rk
+""",
+        "readability_terms": """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+       CAST(SUM(len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
+         AS n_sentence_marks,
+       CAST(SUM(len(regexp_extract_all(text, '[aeiouAEIOU]+'))) AS BIGINT)
+         AS n_vowel_groups
+FROM documents GROUP BY source
+""",
+        "repeated_substring_topk": """
+WITH s AS (
+  SELECT substr(text, CAST(u.i AS INT), 16) AS s16
+  FROM documents, unnest(range(1, length(text) - 14)) AS u(i)
+),
+c AS (SELECT s16, count(*) AS n FROM s GROUP BY s16 HAVING count(*) > 1)
+SELECT s16, CAST(n AS BIGINT) AS n_occurrences
+FROM c ORDER BY n DESC, s16 ASC LIMIT 20
+""",
+        "embedding_covariance_terms": """
+WITH qe AS (
+  SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1048576) AS BIGINT) AS q0,
+         CAST(floor(CAST(embedding[2] AS DOUBLE) * 1048576) AS BIGINT) AS q1,
+         CAST(floor(CAST(embedding[3] AS DOUBLE) * 1048576) AS BIGINT) AS q2,
+         CAST(floor(CAST(embedding[4] AS DOUBLE) * 1048576) AS BIGINT) AS q3
+  FROM embeddings
+),
+pairs AS (
+  SELECT 0 AS i, 0 AS j, SUM(q0) AS si, SUM(q0) AS sj, SUM(q0*q0) AS sij, count(*) AS n FROM qe
+  UNION ALL SELECT 0, 1, SUM(q0), SUM(q1), SUM(q0*q1), count(*) FROM qe
+  UNION ALL SELECT 0, 2, SUM(q0), SUM(q2), SUM(q0*q2), count(*) FROM qe
+  UNION ALL SELECT 0, 3, SUM(q0), SUM(q3), SUM(q0*q3), count(*) FROM qe
+  UNION ALL SELECT 1, 1, SUM(q1), SUM(q1), SUM(q1*q1), count(*) FROM qe
+  UNION ALL SELECT 1, 2, SUM(q1), SUM(q2), SUM(q1*q2), count(*) FROM qe
+  UNION ALL SELECT 1, 3, SUM(q1), SUM(q3), SUM(q1*q3), count(*) FROM qe
+  UNION ALL SELECT 2, 2, SUM(q2), SUM(q2), SUM(q2*q2), count(*) FROM qe
+  UNION ALL SELECT 2, 3, SUM(q2), SUM(q3), SUM(q2*q3), count(*) FROM qe
+  UNION ALL SELECT 3, 3, SUM(q3), SUM(q3), SUM(q3*q3), count(*) FROM qe
+)
+SELECT CAST(i AS BIGINT) AS dim_i, CAST(j AS BIGINT) AS dim_j,
+       CAST(n AS BIGINT) AS n_vecs, CAST(si AS BIGINT) AS sum_qi,
+       CAST(sj AS BIGINT) AS sum_qj, CAST(sij AS BIGINT) AS sum_qiqj
+FROM pairs
+""",
+        "benford_profile": """
+SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+            1, 1) AS BIGINT) AS leading_digit,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY 1
 """,
         "shingle_containment": _NGRAM_CTE
         + """

@@ -5995,3 +5995,59 @@ def nation_rank_change(sf_dir: str, num_partitions: int | None = None):
         .repartition(1)  # bounded |nations| x |months| grid per partial
         .map_batches(finish, batch_format="pandas")
     )
+
+
+def benford_profile(sf_dir: str):
+    """Leading-digit distribution of order totals (Benford's-law fraud
+    probe) — the count of orders whose total, in cents, starts with
+    each digit 1-9.
+
+    Scale shape: the leading digit falls out of a vectorized
+    divide-until-single-digit loop (<= 13 whole-array passes — no
+    string or float round trip), the 9-cell histogram combines per
+    batch and folds via repartition(1).
+
+    Output: (leading_digit, n_orders).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _cents(batch.column("o_totalprice"))
+        x = np.abs(x)
+        while True:
+            big = x >= 10
+            if not big.any():
+                break
+            x = np.where(big, x // 10, x)
+        cnt = np.bincount(x, minlength=10)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "leading_digit": pa.array(nz.astype(np.int64)),
+                "n": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("leading_digit").aggregate([("n", "sum")])
+        idx = pc.sort_indices(g, sort_keys=[("leading_digit", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "leading_digit": pc.cast(g.column("leading_digit"),
+                                         pa.int64()),
+                "n_orders": pc.cast(g.column("n_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_totalprice"])
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # 9 rows per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -1470,3 +1470,70 @@ def dim_sign_profile(sf_dir: str):
         .repartition(1)  # O(dims) rows per partial
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def embedding_covariance_terms(sf_dir: str, n_dims: int = 4,
+                               scale_bits: int = 20):
+    """Exact integer covariance sufficient statistics for the leading
+    ``n_dims`` embedding dimensions: every (i <= j) pair's count,
+    per-dim sums, and cross-product sum over quantized coordinates
+    q = floor(x * 2^scale_bits) — the input to a drift/whitening monitor
+    computed without a single float crossing the wire.
+
+    Scale shape: one vectorized per-batch pass emits the bounded
+    n_dims*(n_dims+1)/2-row partial (outer-product fold via einsum);
+    the global fold is a repartition(1) reduce on that bounded grid.
+
+    Output: (dim_i, dim_j, n_vecs, sum_qi, sum_qj, sum_qiqj).
+    """
+    import ray.data as rd
+
+    scale = np.float64(1 << scale_bits)
+    iu, ju = np.triu_indices(n_dims)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        la = batch.column("embedding").combine_chunks()
+        dim = len(la[0])
+        flat = la.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.floor(flat.reshape(-1, dim)[:, :n_dims] * scale).astype(
+            np.int64
+        )
+        s = q.sum(axis=0)
+        xp = q.T @ q  # n_dims x n_dims int64 cross-product matrix
+        return pa.table(
+            {
+                "dim_i": pa.array(iu.astype(np.int64)),
+                "dim_j": pa.array(ju.astype(np.int64)),
+                "n": pa.array(np.full(len(iu), len(q), np.int64)),
+                "si": pa.array(s[iu]),
+                "sj": pa.array(s[ju]),
+                "sij": pa.array(xp[iu, ju]),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["dim_i", "dim_j"]).aggregate(
+            [("n", "sum"), ("si", "sum"), ("sj", "sum"), ("sij", "sum")]
+        )
+        idx = pc.sort_indices(
+            g, sort_keys=[("dim_i", "ascending"), ("dim_j", "ascending")]
+        )
+        g = g.take(idx)
+        return pa.table(
+            {
+                "dim_i": pc.cast(g.column("dim_i"), pa.int64()),
+                "dim_j": pc.cast(g.column("dim_j"), pa.int64()),
+                "n_vecs": pc.cast(g.column("n_sum"), pa.int64()),
+                "sum_qi": pc.cast(g.column("si_sum"), pa.int64()),
+                "sum_qj": pc.cast(g.column("sj_sum"), pa.int64()),
+                "sum_qiqj": pc.cast(g.column("sij_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # bounded pair grid per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )

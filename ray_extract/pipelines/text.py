@@ -3002,3 +3002,156 @@ def char_class_profile(sf_dir: str):
         .repartition(1)  # O(|sources|) rows per partial
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def readability_terms(sf_dir: str):
+    """Per-source readability sufficient statistics (Flesch-style, all
+    integer): doc count, word count, sentence-mark count, and
+    vowel-group count (the deterministic syllable proxy) — downstream
+    consumers derive words/sentence and syllables/word without the
+    engine ever emitting a float.
+
+    Scale shape: vectorized RE2 count kernels per batch, per-source
+    combiner, bounded |sources| repartition(1) fold.
+
+    Output: (source, n_docs, n_words, n_sentence_marks, n_vowel_groups).
+    """
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        words = pc.add(pc.count_substring(text, " "), 1).to_numpy().astype(
+            np.int64
+        )
+        sents = pc.count_substring_regex(text, "[.!?]+").to_numpy().astype(
+            np.int64
+        )
+        vg = pc.count_substring_regex(text, "[aeiouAEIOU]+").to_numpy().astype(
+            np.int64
+        )
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+                "w": pa.array(words),
+                "s": pa.array(sents),
+                "v": pa.array(vg),
+            }
+        )
+        return t.group_by("source").aggregate(
+            [("n", "sum"), ("w", "sum"), ("s", "sum"), ("v", "sum")]
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate(
+            [("n_sum", "sum"), ("w_sum", "sum"), ("s_sum", "sum"),
+             ("v_sum", "sum")]
+        )
+        idx = pc.sort_indices(g, sort_keys=[("source", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "n_docs": pc.cast(g.column("n_sum_sum"), pa.int64()),
+                "n_words": pc.cast(g.column("w_sum_sum"), pa.int64()),
+                "n_sentence_marks": pc.cast(g.column("s_sum_sum"), pa.int64()),
+                "n_vowel_groups": pc.cast(g.column("v_sum_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # O(|sources|) rows per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def repeated_substring_topk(sf_dir: str, width: int = 16, k: int = 20,
+                            num_buckets: int = 64):
+    """Corpus-wide repeated-substring fingerprint: the top-k most
+    frequent fixed-width character windows (every overlapping position,
+    multiplicity counted) — the boilerplate/plagiarism detector core.
+
+    Scale shape: per-batch sliding byte windows (stride-tricks view ->
+    one np.unique) pre-count before the single key-hash bucket shuffle;
+    buckets finish counts and keep only their local top-k (a window's
+    total lands in exactly one bucket, so pruning is lossless); the
+    global top-k folds k*num_buckets rows on the driver-side
+    repartition(1). Ties break by substring ascending. ASCII corpus
+    assumed (byte windows == char windows); non-ASCII would need a
+    codepoint decode first.
+
+    Output: (s16, n_occurrences) — k rows, count > 1 only.
+    """
+    import pandas as pd
+    import ray.data as rd
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        views = []
+        for s in texts:
+            b = np.frombuffer(s.encode("ascii"), np.uint8)
+            if len(b) >= width:
+                views.append(
+                    sliding_window_view(b, width).copy().view(f"V{width}")
+                    .ravel()
+                )
+        if not views:
+            return pa.table({"key": pa.array([], pa.binary(width)),
+                             "n": pa.array([], pa.int64())})
+        keys, counts = np.unique(np.concatenate(views), return_counts=True)
+        raw = keys.tobytes()
+        ka = pa.Array.from_buffers(
+            pa.binary(width), len(keys),
+            [None, pa.py_buffer(raw)],
+        )
+        h = np.bitwise_xor.reduce(
+            np.frombuffer(raw, np.int64).reshape(-1, width // 8), axis=1
+        )
+        return pa.table(
+            {
+                "key": ka,
+                "n": pa.array(counts.astype(np.int64)),
+                "bucket": pa.array(np.abs(h) % np.int64(num_buckets)),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["key"].to_numpy()
+        n = g["n"].to_numpy().astype(np.int64)
+        order = np.argsort(key, kind="stable")  # bytes sort ascending
+        key, n = key[order], n[order]
+        seg = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        tot = np.add.reduceat(n, seg)
+        uk = key[seg]
+        keep = tot > 1
+        uk, tot = uk[keep], tot[keep]
+        # local top-k: count desc, key asc (lossless — totals are final here)
+        return (
+            pd.DataFrame({"key": uk, "n": tot})
+            .sort_values(["n", "key"], ascending=[False, True],
+                         kind="mergesort")
+            .head(k)
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n", "key"], ascending=[False, True],
+                            kind="mergesort").head(k)
+        return pd.DataFrame(
+            {
+                "s16": [bytes(b).decode("ascii") for b in df["key"]],
+                "n_occurrences": df["n"].astype(np.int64).to_numpy(),
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # k rows per bucket
+        .map_batches(finish, batch_format="pandas")
+    )
