@@ -78,6 +78,22 @@ SUBSET = [
     "monthly_active_customers",
     "part_name_token_revenue",
     "rfm_segments",
+    "basket_supplier_pairs",
+    "extract_kind_transitions",
+    "extract_media_position",
+    "extract_kind_sets",
+    "user_streaks",
+    "user_growth_curve",
+    "peak_concurrency",
+    "quantity_mode",
+    "nation_rank_change",
+    "readability_terms",
+    "repeated_substring_topk",
+    "embedding_covariance_terms",
+    "benford_profile",
+    "seasonality_matrix",
+    "revenue_pareto_curve",
+    "gap_hour_quantiles",
 ]
 
 
