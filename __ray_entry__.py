@@ -671,6 +671,54 @@ def _q_extract_kind_sets(sf_dir: str):
     )
 
 
+def _q_extract_length_quartiles(sf_dir: str):
+    """Exact span-length quartiles per kind (smallest length whose
+    cumulative count reaches ceil(q*n)) — the layout-geometry profile
+    that sizes text-block truncation. Lengths live on a bounded domain,
+    so per-(kind, length) count partials combine per batch and the
+    quartile pick is a driver-side fold over the bounded histogram."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    _, flat = _extract_flat(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "kind": t.column("kind"),
+                "length": pc.cast(t.column("length"), pa.int64()),
+                "c": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        return g.group_by(["kind", "length"]).aggregate([("c", "sum")])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["kind", "length"], as_index=False)["c_sum"].sum()
+        g = g.sort_values(["kind", "length"], kind="mergesort")
+        rows = []
+        for kind, sub in g.groupby("kind", sort=True):
+            c = sub["c_sum"].to_numpy()
+            ln = sub["length"].to_numpy()
+            n = int(c.sum())
+            cc = np.cumsum(c)
+            qs = [(n + 3) // 4, (n + 1) // 2, (3 * n + 3) // 4]
+            picks = [int(ln[np.searchsorted(cc, t_)]) for t_ in qs]
+            rows.append((kind, n, *picks))
+        return pd.DataFrame(
+            rows,
+            columns=["kind", "n_spans", "q1_len", "median_len", "q3_len"],
+        ).astype({"n_spans": np.int64, "q1_len": np.int64,
+                  "median_len": np.int64, "q3_len": np.int64})
+
+    return (
+        flat.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # bounded (kind, length) histogram per partial
+        .map_batches(finish, batch_format="pandas")
+    )
+
+
 def _q_revenue_trend(sf_dir: str):
     from ray_extract.pipelines.relational import revenue_trend
 
@@ -885,6 +933,36 @@ def _q_nation_rank_change(sf_dir: str):
     from ray_extract.pipelines.relational import nation_rank_change
 
     return nation_rank_change(sf_dir)
+
+
+def _q_burstiness_terms(sf_dir: str):
+    from ray_extract.pipelines.events import burstiness_terms
+
+    return burstiness_terms(sf_dir)
+
+
+def _q_price_ending_histogram(sf_dir: str):
+    from ray_extract.pipelines.relational import price_ending_histogram
+
+    return price_ending_histogram(sf_dir)
+
+
+def _q_acctbal_gini_terms(sf_dir: str):
+    from ray_extract.pipelines.relational import acctbal_gini_terms
+
+    return acctbal_gini_terms(sf_dir)
+
+
+def _q_name_key_audit(sf_dir: str):
+    from ray_extract.pipelines.relational import name_key_audit
+
+    return name_key_audit(sf_dir)
+
+
+def _q_status_consistency_matrix(sf_dir: str):
+    from ray_extract.pipelines.relational import status_consistency_matrix
+
+    return status_consistency_matrix(sf_dir)
 
 
 def _q_readability_terms(sf_dir: str):
@@ -2099,6 +2177,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeated_substring_topk": _q_repeated_substring_topk,
         "embedding_covariance_terms": _q_embedding_covariance_terms,
         "benford_profile": _q_benford_profile,
+        "extract_length_quartiles": _q_extract_length_quartiles,
+        "acctbal_gini_terms": _q_acctbal_gini_terms,
+        "name_key_audit": _q_name_key_audit,
+        "status_consistency_matrix": _q_status_consistency_matrix,
+        "burstiness_terms": _q_burstiness_terms,
+        "price_ending_histogram": _q_price_ending_histogram,
         "shingle_containment": _q_shingle_containment,
         "gap_hour_quantiles": _q_gap_hour_quantiles,
         "nation_part_type_matrix": _q_nation_part_type_matrix,
@@ -3345,6 +3429,70 @@ FROM pairs
         "benford_profile": """
 SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
             1, 1) AS BIGINT) AS leading_digit,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY 1
+""",
+        "extract_length_quartiles": _SPANS_CTE
+        + """
+, h AS (SELECT kind, length, count(*) AS c FROM spans GROUP BY 1, 2),
+tot AS (SELECT kind, SUM(c) AS n FROM h GROUP BY kind),
+cum AS (SELECT kind, length,
+               SUM(c) OVER (PARTITION BY kind ORDER BY length) AS cc
+        FROM h)
+SELECT cum.kind, CAST(tot.n AS BIGINT) AS n_spans,
+       CAST(MIN(length) FILTER (WHERE cc >= (tot.n + 3) // 4) AS BIGINT)
+         AS q1_len,
+       CAST(MIN(length) FILTER (WHERE cc >= (tot.n + 1) // 2) AS BIGINT)
+         AS median_len,
+       CAST(MIN(length) FILTER (WHERE cc >= (3 * tot.n + 3) // 4) AS BIGINT)
+         AS q3_len
+FROM cum JOIN tot ON cum.kind = tot.kind
+GROUP BY cum.kind, tot.n
+""",
+        "acctbal_gini_terms": """
+WITH r AS (
+  SELECT c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY round(c_acctbal * 100)) AS i,
+         COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM customer
+)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(ANY_VALUE(n) AS BIGINT) AS n_customers,
+       CAST(SUM(bal) AS BIGINT) AS sum_cents,
+       CAST(SUM((2 * i - n - 1) * bal) AS BIGINT) AS gini_numerator
+FROM r GROUP BY c_nationkey
+""",
+        "name_key_audit": """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(count(*) FILTER (
+         WHERE TRY_CAST(regexp_extract(c_name, '#([0-9]+)$', 1) AS BIGINT)
+               = c_custkey) AS BIGINT) AS n_consistent
+FROM customer GROUP BY c_mktsegment
+""",
+        "status_consistency_matrix": """
+SELECT o_orderstatus, l_linestatus, CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+""",
+        "burstiness_terms": """
+WITH g AS (
+  SELECT event_type,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts, event_id)) // CAST(60000000 AS BIGINT) AS gap
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap) AS BIGINT) AS sum_gap_min,
+       CAST(SUM(gap * gap) AS BIGINT) AS sum_gap2_min
+FROM g WHERE gap IS NOT NULL GROUP BY event_type
+""",
+        "price_ending_histogram": """
+SELECT CAST(CAST(round(o_totalprice * 100) AS BIGINT) % 100 AS BIGINT)
+         AS cents_ending,
        CAST(count(*) AS BIGINT) AS n_orders
 FROM orders GROUP BY 1
 """,

@@ -3549,3 +3549,90 @@ def peak_concurrency(sf_dir: str, ttl_seconds: int = 300):
         .groupby("event_type")
         .map_groups(per_type, batch_format="pandas")
     )
+
+
+def burstiness_terms(sf_dir: str, num_buckets: int = 64):
+    """Inter-arrival burstiness sufficient statistics per event type:
+    count, sum, and sum-of-squares of consecutive same-(user, type)
+    gaps in whole minutes — the integer inputs to a CV^2 dispersion
+    monitor (regular vs bursty traffic) with no float on the wire.
+
+    Scale shape: ONE hash(user) bucket shuffle keeps every user's
+    per-type timeline whole; each bucket is a single lexsort +
+    shifted-delta pass; the statistics fold on the bounded |types|
+    domain via repartition(1). Minutes (not microseconds) keep the
+    squared sums inside int64 at petabyte scale.
+
+    Output: (event_type, n_gaps, sum_gap_min, sum_gap2_min).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    minute_us = np.int64(60_000_000)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch.column("user_id"), pa.int64()).to_numpy()
+        bucket = np.abs((uid * np.int64(2654435761)) % np.int64(num_buckets))
+        return pa.table(
+            {
+                "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+                "user_id": pa.array(uid),
+                "event_type": batch.column("event_type"),
+                "ts": batch.column("ts"),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        # bucket-local type codes (stable within this one array) keep the
+        # lexsort integer-only; output still carries the real strings
+        et_all = g["event_type"].to_numpy()
+        _, codes = np.unique(et_all, return_inverse=True)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, codes, uid))
+        uid, et, ts = uid[order], et_all[order], ts[order]
+        codes = codes[order]
+        n = len(g)
+        same = np.zeros(n, dtype=bool)
+        same[1:] = (uid[1:] == uid[:-1]) & (codes[1:] == codes[:-1])
+        gap = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            gap[1:] = (ts[1:] - ts[:-1]) // minute_us
+        out = pd.DataFrame({"event_type": et[same], "g": gap[same]})
+        out["n"] = np.int64(1)
+        out["g2"] = out["g"] * out["g"]
+        return out.groupby("event_type", as_index=False).agg(
+            n_gaps=("n", "sum"), s=("g", "sum"), s2=("g2", "sum")
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate(
+            [("n_gaps", "sum"), ("s", "sum"), ("s2", "sum")]
+        )
+        idx = pc.sort_indices(g, sort_keys=[("event_type", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "n_gaps": pc.cast(g.column("n_gaps_sum"), pa.int64()),
+                "sum_gap_min": pc.cast(g.column("s_sum"), pa.int64()),
+                "sum_gap2_min": pc.cast(g.column("s2_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "event_type",
+                                     "ts"])
+        )
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # bounded |types| rows per bucket
+        .map_batches(finish, batch_format="pyarrow")
+    )

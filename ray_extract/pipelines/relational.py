@@ -6051,3 +6051,264 @@ def benford_profile(sf_dir: str):
         .repartition(1)  # 9 rows per partial
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def acctbal_gini_terms(sf_dir: str, num_buckets: int = 8):
+    """Integer Gini sufficient statistics of customer account balances
+    per nation: the sorted-rank weighted sum G_num = sum((2i - n - 1) *
+    x_(i)) plus n and sum(x) — inequality-of-wealth per market without
+    floats (balances in cents, shifted non-negative downstream).
+
+    Scale shape: ONE hash(nation) bucket shuffle (nations are bounded,
+    several nations share a bucket); each bucket lexsorts (nation,
+    balance) once and computes every nation's rank-weighted sum in one
+    vectorized pass; output is the bounded |nations| grid.
+
+    Output: (c_nationkey, n_customers, sum_cents, gini_numerator).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        nk = pc.cast(batch.column("c_nationkey"), pa.int64()).to_numpy()
+        bucket = np.abs((nk * np.int64(2654435761)) % np.int64(num_buckets))
+        return pa.table(
+            {
+                "nk": pa.array(nk),
+                "bal": pa.array(_cents(batch.column("c_acctbal"))),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        nk = g["nk"].to_numpy()
+        bal = g["bal"].to_numpy()
+        order = np.lexsort((bal, nk))
+        nk, bal = nk[order], bal[order]
+        n = len(g)
+        seg = np.flatnonzero(np.r_[True, nk[1:] != nk[:-1]])
+        sizes = np.diff(np.r_[seg, n])
+        # within-nation rank i (1-based): position - segment start + 1
+        pos = np.arange(n, dtype=np.int64)
+        i = pos - np.repeat(seg, sizes) + 1
+        w = 2 * i - np.repeat(sizes, sizes) - 1
+        csum = np.r_[0, np.cumsum(w * bal)]
+        bsum = np.r_[0, np.cumsum(bal)]
+        ends = np.r_[seg[1:], n]
+        return pd.DataFrame(
+            {
+                "c_nationkey": nk[seg],
+                "n_customers": sizes.astype(np.int64),
+                "sum_cents": (bsum[ends] - bsum[seg]).astype(np.int64),
+                "gini_numerator": (csum[ends] - csum[seg]).astype(np.int64),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_nationkey", "c_acctbal"])
+        )
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def name_key_audit(sf_dir: str):
+    """String-parse referential audit: extract the numeric id embedded
+    in c_name ("Customer#000000042") with one vectorized RE2 pass and
+    check it against c_custkey, per market segment — the
+    parse-and-validate shape of ingestion-time data contracts.
+
+    Scale shape: pure vectorized map, bounded |segments| combiner +
+    repartition(1) fold; nothing unaggregated crosses the wire.
+
+    Output: (c_mktsegment, n_customers, n_consistent).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        name = pc.cast(batch.column("c_name").combine_chunks(), pa.string())
+        ex = pc.extract_regex(name, r"#(?P<id>[0-9]+)$")
+        ids = pc.struct_field(ex, "id")
+        parsed = pc.cast(ids, pa.int64())
+        ck = pc.cast(batch.column("c_custkey"), pa.int64())
+        ok = pc.fill_null(pc.equal(parsed, ck), False)
+        t = pa.table(
+            {
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+                "c": pc.cast(ok, pa.int64()),
+            }
+        )
+        return t.group_by("c_mktsegment").aggregate([("n", "sum"),
+                                                     ("c", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("c_mktsegment").aggregate(
+            [("n_sum", "sum"), ("c_sum", "sum")]
+        )
+        idx = pc.sort_indices(g, sort_keys=[("c_mktsegment", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "c_mktsegment": g.column("c_mktsegment"),
+                "n_customers": pc.cast(g.column("n_sum_sum"), pa.int64()),
+                "n_consistent": pc.cast(g.column("c_sum_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_name", "c_custkey", "c_mktsegment"])
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # bounded |segments| rows per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def status_consistency_matrix(sf_dir: str, num_partitions: int | None = None):
+    """Order-status vs line-status contingency matrix across the
+    orders |><| lineitem join — the cross-table lifecycle-consistency
+    audit (every F-order should carry F lines, O-orders O lines).
+
+    Scale shape: lineitem pre-folds to per-orderkey linestatus counts
+    (bounded |statuses| columns) before the single big-big hash join
+    with the (orderkey, orderstatus) projection; the bounded matrix
+    folds via repartition(1).
+
+    Output: (o_orderstatus, l_linestatus, n_lineitems).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    num_partitions = _join_partitions(num_partitions)
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_orderkey": pc.cast(batch.column("l_orderkey"), pa.int64()),
+                "l_linestatus": batch.column("l_linestatus"),
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        return t.group_by(["l_orderkey", "l_linestatus"]).aggregate(
+            [("n", "sum")]
+        )
+
+    li = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_linestatus"])
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    orders = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_orderstatus"])
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "o_orderstatus": t.column("o_orderstatus"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def matrix_partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "o_orderstatus": t.column("o_orderstatus"),
+                "l_linestatus": t.column("l_linestatus"),
+                "n": pc.cast(t.column("n_sum"), pa.int64()),
+            }
+        )
+        return g.group_by(["o_orderstatus", "l_linestatus"]).aggregate(
+            [("n", "sum")]
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_orderstatus", "l_linestatus"]).aggregate(
+            [("n_sum", "sum")]
+        )
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[("o_orderstatus", "ascending"),
+                       ("l_linestatus", "ascending")],
+        )
+        g = g.take(idx)
+        return pa.table(
+            {
+                "o_orderstatus": g.column("o_orderstatus"),
+                "l_linestatus": g.column("l_linestatus"),
+                "n_lineitems": pc.cast(g.column("n_sum_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(matrix_partial, batch_format="pyarrow")
+        .repartition(1)  # bounded status matrix per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def price_ending_histogram(sf_dir: str):
+    """Cents-ending distribution of order totals (the .00/.99
+    psychological-pricing audit): order counts per final-two-digit
+    cents value.
+
+    Scale shape: a 100-cell histogram combines per batch (one modulo +
+    bincount) and folds via repartition(1).
+
+    Output: (cents_ending, n_orders).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _cents(batch.column("o_totalprice")) % 100
+        cnt = np.bincount(x, minlength=100)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "cents_ending": pa.array(nz.astype(np.int64)),
+                "n": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("cents_ending").aggregate([("n", "sum")])
+        idx = pc.sort_indices(g, sort_keys=[("cents_ending", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "cents_ending": pc.cast(g.column("cents_ending"), pa.int64()),
+                "n_orders": pc.cast(g.column("n_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_totalprice"])
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # <= 100 rows per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )
