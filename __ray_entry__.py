@@ -719,6 +719,62 @@ def _q_extract_length_quartiles(sf_dir: str):
     )
 
 
+def _q_extract_ref_integrity(sf_dir: str):
+    """URI-parse referential audit over the interleaved span table:
+    every media_ref embeds its own doc and ordinal
+    ("media://<did>/<i>") — parse each ref with one vectorized RE2
+    pass and count round-trip-consistent refs per source prefix of the
+    doc id. Pure map + bounded combiner; nothing unaggregated moves."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    _, flat = _extract_flat(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("kind"), "media"))
+        ref = pc.cast(t.column("media_ref").combine_chunks(), pa.string())
+        ex = pc.extract_regex(ref, r"^media://(?P<d>.+)/(?P<i>[0-9]+)$")
+        d = pc.struct_field(ex, "d")
+        i = pc.cast(pc.struct_field(ex, "i"), pa.int64())
+        ok = pc.and_(
+            pc.fill_null(pc.equal(d, t.column("doc_id")), False),
+            pc.fill_null(pc.equal(i, pc.cast(t.column("ord"), pa.int64())),
+                         False),
+        )
+        src = pc.replace_substring_regex(
+            pc.cast(t.column("doc_id"), pa.string()), r"\..*$", ""
+        )
+        g = pa.table(
+            {
+                "source": src,
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+                "c": pc.cast(ok, pa.int64()),
+            }
+        )
+        return g.group_by("source").aggregate([("n", "sum"), ("c", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate(
+            [("n_sum", "sum"), ("c_sum", "sum")]
+        )
+        idx = pc.sort_indices(g, sort_keys=[("source", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "n_media_refs": pc.cast(g.column("n_sum_sum"), pa.int64()),
+                "n_consistent": pc.cast(g.column("c_sum_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        flat.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # bounded |sources| rows per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 def _q_revenue_trend(sf_dir: str):
     from ray_extract.pipelines.relational import revenue_trend
 
@@ -933,6 +989,18 @@ def _q_nation_rank_change(sf_dir: str):
     from ray_extract.pipelines.relational import nation_rank_change
 
     return nation_rank_change(sf_dir)
+
+
+def _q_char_class_transitions(sf_dir: str):
+    from ray_extract.pipelines.text import char_class_transitions
+
+    return char_class_transitions(sf_dir)
+
+
+def _q_price_qty_heatmap(sf_dir: str):
+    from ray_extract.pipelines.relational import price_qty_heatmap
+
+    return price_qty_heatmap(sf_dir)
 
 
 def _q_burstiness_terms(sf_dir: str):
@@ -2183,6 +2251,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "status_consistency_matrix": _q_status_consistency_matrix,
         "burstiness_terms": _q_burstiness_terms,
         "price_ending_histogram": _q_price_ending_histogram,
+        "char_class_transitions": _q_char_class_transitions,
+        "price_qty_heatmap": _q_price_qty_heatmap,
+        "extract_ref_integrity": _q_extract_ref_integrity,
         "shingle_containment": _q_shingle_containment,
         "gap_hour_quantiles": _q_gap_hour_quantiles,
         "nation_part_type_matrix": _q_nation_part_type_matrix,
@@ -3431,6 +3502,44 @@ SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
             1, 1) AS BIGINT) AS leading_digit,
        CAST(count(*) AS BIGINT) AS n_orders
 FROM orders GROUP BY 1
+""",
+        "char_class_transitions": """
+WITH p AS (
+  SELECT source, substr(text, CAST(u.i AS INT), 2) AS pr
+  FROM documents, unnest(range(1, length(text))) AS u(i)
+),
+c AS (
+  SELECT source,
+    CASE WHEN pr[1:1] BETWEEN '0' AND '9' THEN 0
+         WHEN pr[1:1] BETWEEN 'A' AND 'Z' THEN 1
+         WHEN pr[1:1] BETWEEN 'a' AND 'z' THEN 2
+         WHEN pr[1:1] = ' ' THEN 3 ELSE 4 END AS class_from,
+    CASE WHEN pr[2:2] BETWEEN '0' AND '9' THEN 0
+         WHEN pr[2:2] BETWEEN 'A' AND 'Z' THEN 1
+         WHEN pr[2:2] BETWEEN 'a' AND 'z' THEN 2
+         WHEN pr[2:2] = ' ' THEN 3 ELSE 4 END AS class_to
+  FROM p
+)
+SELECT source, CAST(class_from AS BIGINT) AS class_from,
+       CAST(class_to AS BIGINT) AS class_to,
+       CAST(count(*) AS BIGINT) AS n_transitions
+FROM c GROUP BY 1, 2, 3
+""",
+        "price_qty_heatmap": """
+SELECT CAST(l_quantity AS BIGINT) AS l_quantity,
+       CAST(CAST(round(l_extendedprice * 100) AS BIGINT) // 500000 AS BIGINT)
+         AS price_band,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem GROUP BY 1, 2
+""",
+        "extract_ref_integrity": _SPANS_CTE
+        + """
+SELECT regexp_replace(did, '\\..*$', '') AS source,
+       CAST(count(*) AS BIGINT) AS n_media_refs,
+       CAST(count(*) FILTER (
+         WHERE media_ref = 'media://' || did || '/' || CAST(i AS VARCHAR))
+         AS BIGINT) AS n_consistent
+FROM spans WHERE kind = 'media' GROUP BY 1
 """,
         "extract_length_quartiles": _SPANS_CTE
         + """

@@ -6312,3 +6312,56 @@ def price_ending_histogram(sf_dir: str):
         .repartition(1)  # <= 100 rows per partial
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def price_qty_heatmap(sf_dir: str, band_cents: int = 500_000):
+    """2-D (quantity x price-band) order-line heat matrix — the hexbin
+    feed for pricing visualizations, exact and integer.
+
+    Scale shape: one vectorized 2-D bincount per batch on the packed
+    (qty, band) key, bounded-grid repartition(1) fold; quantities and
+    bands are both bounded domains.
+
+    Output: (l_quantity, price_band, n_items).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = batch.column("l_quantity").to_numpy().astype(np.int64)
+        band = _cents(batch.column("l_extendedprice")) // np.int64(band_cents)
+        packed = qty * np.int64(1 << 20) + band
+        keys, counts = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "l_quantity": pa.array(keys >> np.int64(20)),
+                "price_band": pa.array(keys & np.int64((1 << 20) - 1)),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_quantity", "price_band"]).aggregate([("n", "sum")])
+        idx = pc.sort_indices(
+            g, sort_keys=[("l_quantity", "ascending"),
+                          ("price_band", "ascending")]
+        )
+        g = g.take(idx)
+        return pa.table(
+            {
+                "l_quantity": pc.cast(g.column("l_quantity"), pa.int64()),
+                "price_band": pc.cast(g.column("price_band"), pa.int64()),
+                "n_items": pc.cast(g.column("n_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_quantity", "l_extendedprice"])
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # bounded qty x band grid per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )

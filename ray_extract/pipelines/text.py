@@ -3155,3 +3155,82 @@ def repeated_substring_topk(sf_dir: str, width: int = 16, k: int = 20,
         .repartition(1)  # k rows per bucket
         .map_batches(finish, batch_format="pandas")
     )
+
+
+def char_class_transitions(sf_dir: str):
+    """Character-class transition matrix per source (digit/upper/lower/
+    space/other adjacency counts) — the byte-level structure signal
+    behind markup-vs-prose and table-vs-text classifiers.
+
+    Scale shape: zero-loop byte kernel (lookup-table classify on the
+    raw concatenated UTF-8 buffer, one 25-cell bincount per doc batch
+    via packed class pairs), per-source combiner, bounded
+    |sources| x 25 repartition(1) fold. ASCII corpus assumed.
+
+    Output: (source, class_from, class_to, n_transitions) with classes
+    0=digit 1=upper 2=lower 3=space 4=other.
+    """
+    import ray.data as rd
+
+    lut = np.full(256, 4, np.int64)
+    lut[np.arange(48, 58)] = 0
+    lut[np.arange(65, 91)] = 1
+    lut[np.arange(97, 123)] = 2
+    lut[32] = 3
+
+    def partial(batch: pa.Table) -> pa.Table:
+        srcs, codes, counts = [], [], []
+        sv = pc.cast(batch.column("source").combine_chunks(), pa.string())
+        texts = batch.column("text").to_pylist()
+        # group docs by source within the batch, then one buffer per group
+        import collections
+
+        groups = collections.defaultdict(list)
+        for s, t in zip(sv.to_pylist(), texts):
+            groups[s].append(t)
+        for s, ts in groups.items():
+            cls = [lut[np.frombuffer(t.encode("ascii"), np.uint8)]
+                   for t in ts if len(t) >= 2]
+            if not cls:
+                continue
+            pair = np.concatenate([c[:-1] * 5 + c[1:] for c in cls])
+            cnt = np.bincount(pair, minlength=25)
+            nz = np.flatnonzero(cnt)
+            srcs.append(np.repeat(np.array([s], object), len(nz)))
+            codes.append(nz.astype(np.int64))
+            counts.append(cnt[nz].astype(np.int64))
+        if not srcs:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "code": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "source": pa.array(np.concatenate(srcs)),
+                "code": pa.array(np.concatenate(codes)),
+                "n": pa.array(np.concatenate(counts)),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source", "code"]).aggregate([("n", "sum")])
+        idx = pc.sort_indices(
+            g, sort_keys=[("source", "ascending"), ("code", "ascending")]
+        )
+        g = g.take(idx)
+        code = pc.cast(g.column("code"), pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "class_from": pa.array(code // 5),
+                "class_to": pa.array(code % 5),
+                "n_transitions": pc.cast(g.column("n_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # bounded |sources| x 25 rows per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )
