@@ -3894,9 +3894,10 @@ def order_reconciliation(sf_dir: str, tol_pct: int = 25,
     test: |sum*100 - total*100| * 100 <= total*100 * tol_pct.
 
     Scale shape: per-orderkey lineitem combiner feeds ONE native hash
-    join with orders; per-batch partials fold AFTER the join (groupby on
-    the join key — status/total are functionally dependent) so no global
-    pre-join shuffle is needed; the verdict is a bounded per-status reduce.
+    join with orders; after the join a single hash(orderkey) bucket pass
+    finishes each order's sum (reduceat), applies the verdict, and emits
+    bounded per-status partials — status/total ride along as
+    functionally dependent columns; the final fold is repartition(1).
 
     Output: (o_orderstatus, n_orders, n_within_tol, within_ppm).
     """
@@ -3952,41 +3953,55 @@ def order_reconciliation(sf_dir: str, tol_pct: int = 25,
         aggregator_ray_remote_args=agg_args,
     )
 
-    from ray.data.aggregate import Sum
+    import pandas as pd
 
-    # fold the per-batch lineitem partials: one row per order. status and
-    # total are functionally dependent on the key, so they ride as keys.
-    per_order = joined.map_batches(
-        lambda t: pa.table(
+    # fold the per-batch lineitem partials: one hash(orderkey) bucket
+    # shuffle, then each bucket finishes the per-order sum (reduceat —
+    # Ray's sort-aggregate would loop Python over |orders| groups),
+    # applies the tolerance verdict, and emits a bounded per-status
+    # partial in the same vectorized pass. status/total are functionally
+    # dependent on the key and ride along.
+    num_vbuckets = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = pc.cast(t.column("l_orderkey"), pa.int64()).to_numpy()
+        bucket = np.abs((k * np.int64(2654435761)) % np.int64(num_vbuckets))
+        return pa.table(
             {
-                "k": t.column("l_orderkey"),
+                "k": pa.array(k),
                 "o_orderstatus": t.column("o_orderstatus"),
                 "total": t.column("total"),
                 "rev": pc.cast(t.column("rev_sum"), pa.int64()),
+                "bucket": pa.array(bucket),
             }
-        ),
-        batch_format="pyarrow",
-    ).groupby(["k", "o_orderstatus", "total"]).aggregate(
-        Sum("rev", alias_name="rev_sum")
-    )
-
-    def verdict_partial(t: pa.Table) -> pa.Table:
-        rev = pc.cast(t.column("rev_sum"), pa.int64()).to_numpy()
-        total = pc.cast(t.column("total"), pa.int64()).to_numpy()
-        # rev is x10000 (cents x discount-percent); totals are cents
-        diff = np.abs(rev - total * 100)
-        ok = (diff * 100 <= total * 100 * tol_pct).astype(np.int64)
-        return (
-            pa.table(
-                {
-                    "o_orderstatus": t.column("o_orderstatus"),
-                    "n": pa.array(np.ones(len(ok), np.int64)),
-                    "w": pa.array(ok),
-                }
-            )
-            .group_by("o_orderstatus")
-            .aggregate([("n", "sum"), ("w", "sum")])
         )
+
+    def verdict_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["k"].to_numpy()
+        order = np.argsort(k, kind="stable")
+        k = k[order]
+        rev = g["rev"].to_numpy()[order]
+        total = g["total"].to_numpy()[order]
+        status = g["o_orderstatus"].to_numpy()[order]
+        seg = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        rsum = np.add.reduceat(rev, seg)
+        tot = total[seg]
+        st = status[seg]
+        # rev is x10000 (cents x discount-percent); totals are cents
+        diff = np.abs(rsum - tot * 100)
+        ok = (diff * 100 <= tot * 100 * tol_pct).astype(np.int64)
+        out = pd.DataFrame({"o_orderstatus": st, "w": ok})
+        out["n"] = np.int64(1)
+        agg = out.groupby("o_orderstatus", as_index=False).agg(
+            n_sum=("n", "sum"), w_sum=("w", "sum")
+        )
+        return agg
+
+    per_status = (
+        joined.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(verdict_bucket, batch_format="pandas")
+    )
 
     def finish(t: pa.Table) -> pa.Table:
         g = t.group_by("o_orderstatus").aggregate(
@@ -4008,8 +4023,8 @@ def order_reconciliation(sf_dir: str, tol_pct: int = 25,
         )
 
     return (
-        per_order.map_batches(verdict_partial, batch_format="pyarrow")
-        .repartition(1)  # O(|statuses|) rows per partial by construction
+        per_status
+        .repartition(1)  # O(|statuses|) rows per bucket by construction
         .map_batches(finish, batch_format="pyarrow")
     )
 
@@ -4719,61 +4734,50 @@ def supplier_part_coverage(sf_dir: str):
     ships, histogrammed over suppliers — the distributed COUNT(DISTINCT)
     per key + distribution shape.
 
-    Scale shape: per-batch distinct (suppkey, partkey) pairs combine
-    before the pair-key shuffle (global dedup); per-supplier counts are a
-    second keyed reduce; the histogram folds on the bounded count domain.
+    Scale shape: per-batch distinct (suppkey, partkey) pairs pack into
+    one int64 and combine before ONE hash(supplier) bucket shuffle —
+    a supplier's pairs land whole, so the bucket finishes the dedup
+    (np.unique), the per-supplier distinct count (reduceat), AND the
+    histogram partial in one vectorized pass (Ray's per-group
+    sort-aggregate would loop Python over |pairs| groups); the count
+    histogram folds on its bounded domain.
 
     Output: (n_parts, n_suppliers).
     """
+    import pandas as pd
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
     from ..functions.tables import strip_schema_metadata
 
-    def pair_partial(batch: pa.Table) -> pa.Table:
-        t = pa.table(
-            {
-                "s": pc.cast(batch.column("l_suppkey"), pa.int64()),
-                "p": pc.cast(batch.column("l_partkey"), pa.int64()),
-            }
-        )
-        g = t.group_by(["s", "p"]).aggregate([])
-        g = g.append_column("one", pa.array(np.ones(g.num_rows, np.int64)))
-        return g
+    SHIFT = np.int64(1) << np.int64(31)  # partkey < 2^31 through sf~10^4
+    num_buckets = 64
 
-    pairs = (
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch.column("l_suppkey"), pa.int64()).to_numpy()
+        p = pc.cast(batch.column("l_partkey"), pa.int64()).to_numpy()
+        sp = np.unique(s * SHIFT + p)
+        bucket = np.abs(((sp // SHIFT) * np.int64(2654435761))
+                        % np.int64(num_buckets))
+        return pa.table({"sp": pa.array(sp), "bucket": pa.array(bucket)})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sp = np.unique(g["sp"].to_numpy())  # finish the pair dedup
+        s = sp // SHIFT
+        seg = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        n_parts = np.diff(np.r_[seg, len(sp)])
+        cnt, n = np.unique(n_parts, return_counts=True)
+        return pd.DataFrame({"n_parts": cnt.astype(np.int64),
+                             "c_sum": n.astype(np.int64)})
+
+    per_supp_hist = (
         strip_schema_metadata(
             rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                             columns=["l_suppkey", "l_partkey"])
         )
         .map_batches(pair_partial, batch_format="pyarrow")
-        .groupby(["s", "p"])
-        .aggregate(Sum("one", alias_name="one"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
     )
-
-    def count_partial(t: pa.Table) -> pa.Table:
-        g = pa.table(
-            {
-                "s": pc.cast(t.column("s"), pa.int64()),
-                "n": pa.array(np.ones(t.num_rows, np.int64)),
-            }
-        )
-        return g.group_by("s").aggregate([("n", "sum")])
-
-    per_supp = (
-        pairs.map_batches(count_partial, batch_format="pyarrow")
-        .groupby("s")
-        .aggregate(Sum("n_sum", alias_name="n_parts"))
-    )
-
-    def hist_partial(t: pa.Table) -> pa.Table:
-        g = pa.table(
-            {
-                "n_parts": pc.cast(t.column("n_parts"), pa.int64()),
-                "c": pa.array(np.ones(t.num_rows, np.int64)),
-            }
-        )
-        return g.group_by("n_parts").aggregate([("c", "sum")])
 
     def finish(t: pa.Table) -> pa.Table:
         g = t.group_by("n_parts").aggregate([("c_sum", "sum")])
@@ -4787,8 +4791,8 @@ def supplier_part_coverage(sf_dir: str):
         )
 
     return (
-        per_supp.map_batches(hist_partial, batch_format="pyarrow")
-        .repartition(1)  # O(|distinct counts|) rows per partial
+        per_supp_hist
+        .repartition(1)  # O(|distinct counts|) rows per bucket
         .map_batches(finish, batch_format="pyarrow")
     )
 

@@ -3234,3 +3234,92 @@ def char_class_transitions(sf_dir: str):
         .repartition(1)  # bounded |sources| x 25 rows per partial
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def dominant_bigram_per_source(sf_dir: str, num_buckets: int = 64):
+    """Most frequent bigram per source (argmax over an UNBOUNDED key
+    domain): unlike the bounded-grid folds, the candidate space here is
+    |vocab|^2, so totals are finished inside composite-key hash buckets
+    and only one champion row per (source, bucket) survives to the
+    final fold.
+
+    Scale shape: all-Arrow per-batch bigram partial counts (shared
+    kernel shape with bigram_counts) -> ONE (source, bigram)-hash
+    bucket shuffle -> per-bucket total + per-source champion (count
+    desc, bigram asc — a valid argmax partial because every key's
+    total completes inside its bucket) -> |sources| x num_buckets rows
+    fold. Ties break deterministically by bigram ascending.
+
+    Output: (source, top_bigram, n_occurrences).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        words = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(words)
+        n = len(flat)
+        if n < 2:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64())})
+        offsets = words.offsets.to_numpy()
+        doc_starts = offsets[1:-1]
+        mask = np.ones(n - 1, dtype=bool)
+        mask[doc_starts - 1] = False
+        mask_arr = pa.array(mask)
+        left = flat.slice(0, n - 1).filter(mask_arr)
+        right = flat.slice(1, n - 1).filter(mask_arr)
+        bigram = pc.binary_join_element_wise(left, right, " ")
+        # source of each bigram = source of its doc
+        lens = np.diff(offsets)
+        src_per_word = np.repeat(
+            batch.column("source").to_numpy(zero_copy_only=False), lens
+        )
+        src = pa.array(src_per_word[:-1][mask])
+        t = pa.table({"source": src, "bigram": bigram})
+        part = t.group_by(["source", "bigram"]).aggregate(
+            [("bigram", "count")]
+        )
+        key = pc.binary_join_element_wise(
+            part.column("source"), part.column("bigram"), "\x1f"
+        )
+        h = np.array([hash_str62(s) for s in key.to_pylist()], np.int64)
+        return pa.table(
+            {
+                "source": part.column("source"),
+                "bigram": part.column("bigram"),
+                "n": pc.cast(part.column("bigram_count"), pa.int64()),
+                "bucket": pa.array(np.abs(h) % np.int64(num_buckets)),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby(["source", "bigram"], as_index=False)["n"].sum()
+        tot = tot.sort_values(["source", "n", "bigram"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        return tot.groupby("source", as_index=False).first()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "n", "bigram"],
+                            ascending=[True, False, True], kind="mergesort")
+        top = df.groupby("source", as_index=False).first()
+        return pd.DataFrame(
+            {
+                "source": top["source"],
+                "top_bigram": top["bigram"],
+                "n_occurrences": top["n"].astype(np.int64),
+            }
+        )
+
+    return (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # |sources| rows per bucket
+        .map_batches(finish, batch_format="pandas")
+    )
