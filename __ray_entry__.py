@@ -991,6 +991,18 @@ def _q_nation_rank_change(sf_dir: str):
     return nation_rank_change(sf_dir)
 
 
+def _q_dominant_bigram_per_source(sf_dir: str):
+    from ray_extract.pipelines.text import dominant_bigram_per_source
+
+    return dominant_bigram_per_source(sf_dir)
+
+
+def _q_discount_curve(sf_dir: str):
+    from ray_extract.pipelines.relational import discount_curve
+
+    return discount_curve(sf_dir)
+
+
 def _q_char_class_transitions(sf_dir: str):
     from ray_extract.pipelines.text import char_class_transitions
 
@@ -2254,6 +2266,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_class_transitions": _q_char_class_transitions,
         "price_qty_heatmap": _q_price_qty_heatmap,
         "extract_ref_integrity": _q_extract_ref_integrity,
+        "dominant_bigram_per_source": _q_dominant_bigram_per_source,
+        "discount_curve": _q_discount_curve,
         "shingle_containment": _q_shingle_containment,
         "gap_hour_quantiles": _q_gap_hour_quantiles,
         "nation_part_type_matrix": _q_nation_part_type_matrix,
@@ -3502,6 +3516,31 @@ SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
             1, 1) AS BIGINT) AS leading_digit,
        CAST(count(*) AS BIGINT) AS n_orders
 FROM orders GROUP BY 1
+""",
+        "dominant_bigram_per_source": """
+WITH docs AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+b AS (
+  SELECT source,
+         ws[CAST(u.i AS INT)] || ' ' || ws[CAST(u.i + 1 AS INT)] AS bigram
+  FROM docs, unnest(range(1, len(ws))) AS u(i)
+),
+c AS (SELECT source, bigram, count(*) AS n FROM b GROUP BY 1, 2),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY n DESC, bigram ASC) AS rn
+  FROM c
+)
+SELECT source, bigram AS top_bigram, CAST(n AS BIGINT) AS n_occurrences
+FROM r WHERE rn = 1
+""",
+        "discount_curve": """
+SELECT CAST(round(l_discount * 100) AS BIGINT) AS discount_pct,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)) // 100)
+            AS BIGINT) AS revenue_cents
+FROM lineitem GROUP BY 1
 """,
         "char_class_transitions": """
 WITH p AS (

@@ -6369,3 +6369,60 @@ def price_qty_heatmap(sf_dir: str, band_cents: int = 500_000):
         .repartition(1)  # bounded qty x band grid per partial
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def discount_curve(sf_dir: str):
+    """Revenue and volume per discount level — the discount
+    effectiveness curve (does a deeper cut actually move more units?).
+
+    Scale shape: the discount domain is bounded (0-10 percent), so
+    per-batch 3-sum partials combine on it and fold via repartition(1).
+
+    Output: (discount_pct, n_items, sum_qty, revenue_cents).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc = _cents(batch.column("l_discount"))  # pct: 0.05 -> 5
+        price = _cents(batch.column("l_extendedprice"))
+        qty = batch.column("l_quantity").to_numpy().astype(np.int64)
+        rev = price * (100 - disc) // 100
+        g = pa.table(
+            {
+                "discount_pct": pa.array(disc),
+                "n": pa.array(np.ones(len(disc), np.int64)),
+                "q": pa.array(qty),
+                "r": pa.array(rev),
+            }
+        )
+        return g.group_by("discount_pct").aggregate(
+            [("n", "sum"), ("q", "sum"), ("r", "sum")]
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("discount_pct").aggregate(
+            [("n_sum", "sum"), ("q_sum", "sum"), ("r_sum", "sum")]
+        )
+        idx = pc.sort_indices(g, sort_keys=[("discount_pct", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "discount_pct": pc.cast(g.column("discount_pct"), pa.int64()),
+                "n_items": pc.cast(g.column("n_sum_sum"), pa.int64()),
+                "sum_qty": pc.cast(g.column("q_sum_sum"), pa.int64()),
+                "revenue_cents": pc.cast(g.column("r_sum_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_discount", "l_extendedprice",
+                                     "l_quantity"])
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # bounded |discount levels| per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )

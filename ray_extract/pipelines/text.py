@@ -3286,7 +3286,7 @@ def dominant_bigram_per_source(sf_dir: str, num_buckets: int = 64):
         key = pc.binary_join_element_wise(
             part.column("source"), part.column("bigram"), "\x1f"
         )
-        h = np.array([hash_str62(s) for s in key.to_pylist()], np.int64)
+        h = hash62_batch(key.to_pylist())
         return pa.table(
             {
                 "source": part.column("source"),
@@ -3315,8 +3315,11 @@ def dominant_bigram_per_source(sf_dir: str, num_buckets: int = 64):
             }
         )
 
+    import ray.data as rd
+
     return (
-        _docs(sf_dir)
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["source", "text"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
