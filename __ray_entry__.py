@@ -991,6 +991,18 @@ def _q_nation_rank_change(sf_dir: str):
     return nation_rank_change(sf_dir)
 
 
+def _q_part_region_division(sf_dir: str):
+    from ray_extract.pipelines.relational import part_region_division
+
+    return part_region_division(sf_dir)
+
+
+def _q_orphan_audit(sf_dir: str):
+    from ray_extract.pipelines.relational import orphan_audit
+
+    return orphan_audit(sf_dir)
+
+
 def _q_dominant_bigram_per_source(sf_dir: str):
     from ray_extract.pipelines.text import dominant_bigram_per_source
 
@@ -2268,6 +2280,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_ref_integrity": _q_extract_ref_integrity,
         "dominant_bigram_per_source": _q_dominant_bigram_per_source,
         "discount_curve": _q_discount_curve,
+        "part_region_division": _q_part_region_division,
+        "orphan_audit": _q_orphan_audit,
         "shingle_containment": _q_shingle_containment,
         "gap_hour_quantiles": _q_gap_hour_quantiles,
         "nation_part_type_matrix": _q_nation_part_type_matrix,
@@ -3516,6 +3530,33 @@ SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
             1, 1) AS BIGINT) AS leading_digit,
        CAST(count(*) AS BIGINT) AS n_orders
 FROM orders GROUP BY 1
+""",
+        "part_region_division": """
+WITH prs AS (
+  SELECT DISTINCT l_partkey AS pk, n_regionkey AS rk
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+),
+c AS (SELECT pk, count(*) AS nr FROM prs GROUP BY pk)
+SELECT CAST(nr AS BIGINT) AS n_regions, CAST(count(*) AS BIGINT) AS n_parts
+FROM c GROUP BY nr
+""",
+        "orphan_audit": """
+SELECT 'orders_without_lineitems' AS side,
+       CAST((SELECT count(DISTINCT o_orderkey) FROM orders) AS BIGINT)
+         AS n_keys,
+       CAST((SELECT count(*) FROM (
+          SELECT DISTINCT o_orderkey FROM orders
+          WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)))
+         AS BIGINT) AS n_orphans
+UNION ALL
+SELECT 'lineitems_without_orders',
+       CAST((SELECT count(DISTINCT l_orderkey) FROM lineitem) AS BIGINT),
+       CAST((SELECT count(*) FROM (
+          SELECT DISTINCT l_orderkey FROM lineitem
+          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)))
+         AS BIGINT)
 """,
         "dominant_bigram_per_source": """
 WITH docs AS (SELECT source, string_split(text, ' ') AS ws FROM documents),

@@ -6426,3 +6426,228 @@ def discount_curve(sf_dir: str):
         .repartition(1)  # bounded |discount levels| per partial
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def part_region_division(sf_dir: str, num_partitions: int | None = None):
+    """Relational DIVISION: how many parts reach customers in exactly
+    k of the regions (k = 1..5) — "parts sold everywhere" is the
+    n_regions = |regions| row.
+
+    Scale shape: lineitem pre-distincts (orderkey, partkey) per batch
+    before the orderkey |><| orders join; customer resolves by a second
+    native hash join; the 25-row nation->region map rides as a ray.put
+    broadcast inside the probe. Distinct (part, region) packs into one
+    int64 and finishes inside a part-hash bucket pass that also folds
+    the bounded (n_regions) histogram.
+
+    Output: (n_regions, n_parts).
+    """
+    import pyarrow.parquet as pq
+
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    num_partitions, agg_args = _multi_join_args(_join_partitions(num_partitions))
+    num_buckets = 64
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])
+    nat = pa.table(
+        {
+            "c_nationkey": pc.cast(nat.column("n_nationkey"), pa.int64()),
+            "regionkey": pc.cast(nat.column("n_regionkey"), pa.int64()),
+        }
+    ).replace_schema_metadata(None)
+    nat_ref = ray.put(nat)
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        k = pc.cast(batch.column("l_orderkey"), pa.int64()).to_numpy()
+        p = pc.cast(batch.column("l_partkey"), pa.int64()).to_numpy()
+        kp = np.unique(k * (np.int64(1) << np.int64(31)) + p)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(kp >> np.int64(31)),
+                "l_partkey": pa.array(kp & np.int64((1 << 31) - 1)),
+            }
+        )
+
+    li = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_partkey"])
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    orders = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"])
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    cust = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"])
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": pc.cast(t.column("c_custkey"), pa.int64()),
+                "c_nationkey": pc.cast(t.column("c_nationkey"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    j1 = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        aggregator_ray_remote_args=agg_args,
+    )
+    j2 = j1.join(
+        cust,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+        aggregator_ray_remote_args=agg_args,
+    )
+
+    def pr_partial(t: pa.Table) -> pa.Table:
+        dim = ray.get(nat_ref)
+        t = pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "c_nationkey": t.column("c_nationkey"),
+            }
+        ).join(dim, keys="c_nationkey", join_type="inner")
+        p = pc.cast(t.column("l_partkey"), pa.int64()).to_numpy()
+        r = pc.cast(t.column("regionkey"), pa.int64()).to_numpy()
+        pr = np.unique(p * np.int64(8) + r)
+        bucket = np.abs(((pr // np.int64(8)) * np.int64(2654435761))
+                        % np.int64(num_buckets))
+        return pa.table({"pr": pa.array(pr), "bucket": pa.array(bucket)})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        pr = np.unique(g["pr"].to_numpy())
+        p = pr // 8
+        seg = np.flatnonzero(np.r_[True, p[1:] != p[:-1]])
+        nreg = np.diff(np.r_[seg, len(pr)])
+        cnt, n = np.unique(nreg, return_counts=True)
+        return pd.DataFrame({"n_regions": cnt.astype(np.int64),
+                             "n_parts": n.astype(np.int64)})
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("n_regions").aggregate([("n_parts", "sum")])
+        idx = pc.sort_indices(g, sort_keys=[("n_regions", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "n_regions": pc.cast(g.column("n_regions"), pa.int64()),
+                "n_parts": pc.cast(g.column("n_parts_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        j2.map_batches(pr_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # <= |regions| rows per bucket
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def orphan_audit(sf_dir: str, num_partitions: int | None = None):
+    """Bidirectional referential-orphan audit between orders and
+    lineitem: keys on each side with no partner on the other (the
+    both-ways FK check a warehouse runs after ingest).
+
+    Scale shape: both sides pre-distinct their keys per batch, then two
+    native left_anti hash joins count survivors; the 2-row verdict
+    folds at metadata scale.
+
+    Output: (side, n_keys, n_orphans).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    num_partitions, agg_args = _multi_join_args(_join_partitions(num_partitions))
+
+    def distinct_keys(path: str, col: str, out: str):
+        def partial(batch: pa.Table) -> pa.Table:
+            k = np.unique(pc.cast(batch.column(col), pa.int64()).to_numpy())
+            return pa.table({out: pa.array(k)})
+
+        return strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/{path}.parquet", columns=[col])
+        ).map_batches(partial, batch_format="pyarrow")
+
+    ok = distinct_keys("orders", "o_orderkey", "ok")
+    lk = distinct_keys("lineitem", "l_orderkey", "lk")
+
+    # batch-level distinct still leaves cross-batch dups; anti-join is
+    # set-semantics so dups only change counts. Exact distinct counts
+    # finish inside key-hash buckets (a key's copies land together),
+    # then metadata-scale partial counts sum.
+    def count_distinct(ds, col):
+        import pandas as pd
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            k = np.unique(pc.cast(t.column(col), pa.int64()).to_numpy())
+            bucket = np.abs((k * np.int64(2654435761)) % np.int64(64))
+            return pa.table({"k": pa.array(k), "bucket": pa.array(bucket)})
+
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"c": np.array([len(np.unique(g["k"].to_numpy()))],
+                               np.int64)}
+            )
+
+        return int(
+            ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(per_bucket, batch_format="pandas")
+            .sum("c")
+            or 0
+        )
+
+    o_orphans = ok.join(
+        lk,
+        join_type="left_anti",
+        num_partitions=num_partitions,
+        on=("ok",),
+        right_on=("lk",),
+        aggregator_ray_remote_args=agg_args,
+    )
+    l_orphans = lk.join(
+        ok,
+        join_type="left_anti",
+        num_partitions=num_partitions,
+        on=("lk",),
+        right_on=("ok",),
+        aggregator_ray_remote_args=agg_args,
+    )
+
+    rows = [
+        ("orders_without_lineitems", count_distinct(ok, "ok"),
+         count_distinct(o_orphans, "ok")),
+        ("lineitems_without_orders", count_distinct(lk, "lk"),
+         count_distinct(l_orphans, "lk")),
+    ]
+    return pa.table(
+        {
+            "side": pa.array([r[0] for r in rows], pa.string()),
+            "n_keys": pa.array([r[1] for r in rows], pa.int64()),
+            "n_orphans": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
