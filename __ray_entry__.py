@@ -991,6 +991,24 @@ def _q_nation_rank_change(sf_dir: str):
     return nation_rank_change(sf_dir)
 
 
+def _q_customer_trend_signs(sf_dir: str):
+    from ray_extract.pipelines.relational import customer_trend_signs
+
+    return customer_trend_signs(sf_dir)
+
+
+def _q_sentence_length_histogram(sf_dir: str):
+    from ray_extract.pipelines.text import sentence_length_histogram
+
+    return sentence_length_histogram(sf_dir)
+
+
+def _q_daily_mix_divergence(sf_dir: str):
+    from ray_extract.pipelines.events import daily_mix_divergence
+
+    return daily_mix_divergence(sf_dir)
+
+
 def _q_part_region_division(sf_dir: str):
     from ray_extract.pipelines.relational import part_region_division
 
@@ -2282,6 +2300,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discount_curve": _q_discount_curve,
         "part_region_division": _q_part_region_division,
         "orphan_audit": _q_orphan_audit,
+        "customer_trend_signs": _q_customer_trend_signs,
+        "sentence_length_histogram": _q_sentence_length_histogram,
+        "daily_mix_divergence": _q_daily_mix_divergence,
         "shingle_containment": _q_shingle_containment,
         "gap_hour_quantiles": _q_gap_hour_quantiles,
         "nation_part_type_matrix": _q_nation_part_type_matrix,
@@ -3530,6 +3551,55 @@ SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
             1, 1) AS BIGINT) AS leading_digit,
        CAST(count(*) AS BIGINT) AS n_orders
 FROM orders GROUP BY 1
+""",
+        "customer_trend_signs": """
+WITH s AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(datediff('day', DATE '1970-01-01', o_orderdate))
+              AS BIGINT) AS sx,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sy,
+         CAST(SUM(CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+                       AS BIGINT)
+                  * CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sxy
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_mktsegment, CAST(sign(n * sxy - sx * sy) AS BIGINT) AS trend,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM s JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+""",
+        "sentence_length_histogram": """
+WITH s AS (
+  SELECT trim(u.s) AS sent
+  FROM documents, unnest(string_split_regex(text, '[.!?]+')) AS u(s)
+),
+k AS (SELECT len(string_split(sent, ' ')) AS n_words
+      FROM s WHERE sent <> '')
+SELECT CAST(n_words AS BIGINT) AS n_words,
+       CAST(count(*) AS BIGINT) AS n_sentences
+FROM k GROUP BY 1
+""",
+        "daily_mix_divergence": """
+WITH c AS (
+  SELECT epoch_us(ts) // CAST(86400000000 AS BIGINT) AS day, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+d AS (SELECT day, CAST(SUM(n) AS BIGINT) AS nd FROM c GROUP BY day),
+t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS nt
+      FROM c GROUP BY event_type),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS grand FROM c),
+cell AS (
+  SELECT d.day, t.event_type, COALESCE(c.n, 0) AS n, d.nd, t.nt, tot.grand
+  FROM d CROSS JOIN t CROSS JOIN tot
+  LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
+)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(ANY_VALUE(nd) AS BIGINT) AS n_events,
+       CAST(SUM(ABS(n * grand - nd * nt)) AS BIGINT) AS l1_divergence
+FROM cell GROUP BY day
 """,
         "part_region_division": """
 WITH prs AS (

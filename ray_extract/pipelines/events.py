@@ -3636,3 +3636,68 @@ def burstiness_terms(sf_dir: str, num_buckets: int = 64):
         .repartition(1)  # bounded |types| rows per bucket
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def daily_mix_divergence(sf_dir: str):
+    """Per-day L1 divergence of the event-type mix from the corpus-wide
+    mix, in exact integer cross-multiplied form: D(day) = sum over
+    types |obs(day,type) * N_total - n(day) * N_type| — the drift
+    monitor that flags days whose traffic composition shifted, with no
+    ratio ever computed.
+
+    Scale shape: both grids are bounded (|days| x |types|), so
+    per-batch count partials combine and the divergence is a two-stage
+    repartition(1) fold (global type totals derived from the same
+    bounded grid — one pass, no second scan).
+
+    Output: (day, n_events, l1_divergence).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    day_us = np.int64(86_400_000_000)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = batch.column("ts").to_numpy().astype("datetime64[us]").astype(
+            np.int64
+        ) // day_us
+        g = pa.table(
+            {
+                "day": pa.array(day),
+                "event_type": batch.column("event_type"),
+                "n": pa.array(np.ones(len(day), np.int64)),
+            }
+        )
+        return g.group_by(["day", "event_type"]).aggregate([("n", "sum")])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["day", "event_type"], as_index=False)["n_sum"].sum()
+        piv = g.pivot_table(index="day", columns="event_type",
+                            values="n_sum", aggfunc="sum",
+                            fill_value=0).sort_index()
+        m = piv.to_numpy().astype(np.int64)
+        n_day = m.sum(axis=1)
+        n_type = m.sum(axis=0)
+        total = int(m.sum())
+        div = np.abs(m * total - n_day[:, None] * n_type[None, :]).sum(
+            axis=1
+        )
+        return pd.DataFrame(
+            {
+                "day": piv.index.to_numpy().astype(np.int64),
+                "n_events": n_day.astype(np.int64),
+                "l1_divergence": div.astype(np.int64),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type"])
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # bounded |days| x |types| grid per partial
+        .map_batches(finish, batch_format="pandas")
+    )

@@ -6651,3 +6651,133 @@ def orphan_audit(sf_dir: str, num_partitions: int | None = None):
             "n_orphans": pa.array([r[2] for r in rows], pa.int64()),
         }
     )
+
+
+def customer_trend_signs(sf_dir: str, num_partitions: int | None = None,
+                         num_buckets: int = 64):
+    """Per-customer spend-trend direction, folded per market segment:
+    each customer's integer least-squares slope sign over (epoch-day,
+    order-cents) points — the per-entity regression fold (numerator
+    n*Sxy - Sx*Sy needs no division, so the verdict is exact).
+
+    Scale shape: orders pre-fold per (custkey) sufficient statistics
+    (n, Sx, Sy, Sxy) inside each batch via arrow groupby, ONE native
+    hash join attaches the segment, and a customer-hash bucket pass
+    finishes the sums and signs; the |segments| x 3 grid folds via
+    repartition(1).
+
+    Output: (c_mktsegment, trend, n_customers) with trend in
+    (-1, 0, 1); single-order customers count as 0 (flat).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    num_partitions, agg_args = _multi_join_args(_join_partitions(num_partitions))
+
+    def ord_partial(batch: pa.Table) -> pa.Table:
+        ck = pc.cast(batch.column("o_custkey"), pa.int64()).to_numpy()
+        x = (batch.column("o_orderdate").to_numpy()
+             .astype("datetime64[D]").astype(np.int64))
+        y = _cents(batch.column("o_totalprice"))
+        t = pa.table(
+            {
+                "o_custkey": pa.array(ck),
+                "n": pa.array(np.ones(len(ck), np.int64)),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxy": pa.array(x * y),
+            }
+        )
+        return t.group_by("o_custkey").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"), ("sxy", "sum")]
+        )
+
+    orders = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    ).map_batches(ord_partial, batch_format="pyarrow")
+
+    cust = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_mktsegment"])
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": pc.cast(t.column("c_custkey"), pa.int64()),
+                "c_mktsegment": t.column("c_mktsegment"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+        aggregator_ray_remote_args=agg_args,
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ck = pc.cast(t.column("o_custkey"), pa.int64()).to_numpy()
+        bucket = np.abs((ck * np.int64(2654435761)) % np.int64(num_buckets))
+        return pa.table(
+            {
+                "ck": pa.array(ck),
+                "c_mktsegment": t.column("c_mktsegment"),
+                "n": pc.cast(t.column("n_sum"), pa.int64()),
+                "sx": pc.cast(t.column("sx_sum"), pa.int64()),
+                "sy": pc.cast(t.column("sy_sum"), pa.int64()),
+                "sxy": pc.cast(t.column("sxy_sum"), pa.int64()),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ck = g["ck"].to_numpy()
+        order = np.argsort(ck, kind="stable")
+        ck = ck[order]
+        seg = np.flatnonzero(np.r_[True, ck[1:] != ck[:-1]])
+        n = np.add.reduceat(g["n"].to_numpy()[order], seg)
+        sx = np.add.reduceat(g["sx"].to_numpy()[order], seg)
+        sy = np.add.reduceat(g["sy"].to_numpy()[order], seg)
+        sxy = np.add.reduceat(g["sxy"].to_numpy()[order], seg)
+        # days are ~2e4, cents ~5e7: n*Sxy <= 40 * 2e4*5e7*40 ~ 1.6e15 — int64 safe
+        num = n * sxy - sx * sy
+        trend = np.sign(num).astype(np.int64)
+        out = pd.DataFrame(
+            {"c_mktsegment": g["c_mktsegment"].to_numpy()[order][seg],
+             "trend": trend}
+        )
+        out["n_customers"] = np.int64(1)
+        return out.groupby(["c_mktsegment", "trend"], as_index=False)[
+            "n_customers"].sum()
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["c_mktsegment", "trend"]).aggregate(
+            [("n_customers", "sum")]
+        )
+        idx = pc.sort_indices(
+            g, sort_keys=[("c_mktsegment", "ascending"),
+                          ("trend", "ascending")]
+        )
+        g = g.take(idx)
+        return pa.table(
+            {
+                "c_mktsegment": g.column("c_mktsegment"),
+                "trend": pc.cast(g.column("trend"), pa.int64()),
+                "n_customers": pc.cast(g.column("n_customers_sum"),
+                                       pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # bounded |segments| x 3 grid per bucket
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -3326,3 +3326,55 @@ def dominant_bigram_per_source(sf_dir: str, num_buckets: int = 64):
         .repartition(1)  # |sources| rows per bucket
         .map_batches(finish, batch_format="pandas")
     )
+
+
+def sentence_length_histogram(sf_dir: str):
+    """Corpus sentence-length distribution: word counts of non-empty
+    sentences (split on runs of .!?), histogrammed — the readability
+    companion that catches run-on extraction artifacts.
+
+    Scale shape: one vectorized RE2 split per batch (list offsets give
+    per-sentence word counts with no Python per sentence), bounded
+    length-domain partials, repartition(1) fold.
+
+    Output: (n_words, n_sentences).
+    """
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        sents = pc.split_pattern_regex(text, "[.!?]+")
+        flat = pc.list_flatten(sents)
+        trimmed = pc.utf8_trim_whitespace(flat)
+        nonempty = pc.not_equal(trimmed, "")
+        kept = trimmed.filter(nonempty)
+        # words per sentence: spaces + 1 on the trimmed sentence
+        n_words = pc.add(pc.count_substring(kept, " "), 1).to_numpy().astype(
+            np.int64
+        )
+        cnt = np.bincount(n_words)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "n_words": pa.array(nz.astype(np.int64)),
+                "c": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("n_words").aggregate([("c", "sum")])
+        idx = pc.sort_indices(g, sort_keys=[("n_words", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "n_words": pc.cast(g.column("n_words"), pa.int64()),
+                "n_sentences": pc.cast(g.column("c_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # bounded |lengths| rows per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )
