@@ -991,6 +991,81 @@ def _q_nation_rank_change(sf_dir: str):
     return nation_rank_change(sf_dir)
 
 
+def _q_extract_kind_divergence(sf_dir: str):
+    """Per-source layout-mix drift over the interleaved span table:
+    L1 divergence of each source's span-kind mix from the corpus-wide
+    mix, exact integer cross-multiplied (same no-ratio form as
+    daily_mix_divergence) — flags sources whose extraction grammar
+    shifted. Both grids bounded (|sources| x |kinds|): per-batch count
+    partials, one repartition(1) fold."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    _, flat = _extract_flat(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = pc.replace_substring_regex(
+            pc.cast(t.column("doc_id"), pa.string()), r"\..*$", ""
+        )
+        g = pa.table(
+            {
+                "source": src,
+                "kind": t.column("kind"),
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        return g.group_by(["source", "kind"]).aggregate([("n", "sum")])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "kind"], as_index=False)["n_sum"].sum()
+        piv = g.pivot_table(index="source", columns="kind", values="n_sum",
+                            aggfunc="sum", fill_value=0).sort_index()
+        m = piv.to_numpy().astype(np.int64)
+        n_src = m.sum(axis=1)
+        n_kind = m.sum(axis=0)
+        total = int(m.sum())
+        div = np.abs(m * total - n_src[:, None] * n_kind[None, :]).sum(axis=1)
+        return pd.DataFrame(
+            {
+                "source": piv.index.to_numpy(),
+                "n_spans": n_src.astype(np.int64),
+                "l1_divergence": div.astype(np.int64),
+            }
+        )
+
+    return (
+        flat.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # bounded |sources| x |kinds| grid per partial
+        .map_batches(finish, batch_format="pandas")
+    )
+
+
+def _q_snapshot_diff(sf_dir: str):
+    from ray_extract.pipelines.text import snapshot_diff
+
+    return snapshot_diff(sf_dir)
+
+
+def _q_props_value_corr_terms(sf_dir: str):
+    from ray_extract.pipelines.events import props_value_corr_terms
+
+    return props_value_corr_terms(sf_dir)
+
+
+def _q_region_trade_imbalance(sf_dir: str):
+    from ray_extract.pipelines.relational import region_trade_imbalance
+
+    return region_trade_imbalance(sf_dir)
+
+
+def _q_repeat_revenue_share(sf_dir: str):
+    from ray_extract.pipelines.relational import repeat_revenue_share
+
+    return repeat_revenue_share(sf_dir)
+
+
 def _q_customer_trend_signs(sf_dir: str):
     from ray_extract.pipelines.relational import customer_trend_signs
 
@@ -2303,6 +2378,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_trend_signs": _q_customer_trend_signs,
         "sentence_length_histogram": _q_sentence_length_histogram,
         "daily_mix_divergence": _q_daily_mix_divergence,
+        "snapshot_diff": _q_snapshot_diff,
+        "props_value_corr_terms": _q_props_value_corr_terms,
+        "extract_kind_divergence": _q_extract_kind_divergence,
+        "region_trade_imbalance": _q_region_trade_imbalance,
+        "repeat_revenue_share": _q_repeat_revenue_share,
         "shingle_containment": _q_shingle_containment,
         "gap_hour_quantiles": _q_gap_hour_quantiles,
         "nation_part_type_matrix": _q_nation_part_type_matrix,
@@ -3551,6 +3631,104 @@ SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
             1, 1) AS BIGINT) AS leading_digit,
        CAST(count(*) AS BIGINT) AS n_orders
 FROM orders GROUP BY 1
+""",
+        "region_trade_imbalance": """
+WITH f AS (
+  SELECT cn.n_regionkey AS cust_region, sn.n_regionkey AS supp_region,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)) // 100)
+              AS BIGINT) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  GROUP BY 1, 2
+),
+regs AS (
+  SELECT cust_region AS rk FROM f UNION SELECT supp_region FROM f
+),
+pairs AS (
+  SELECT a.rk AS region_a, b.rk AS region_b
+  FROM regs a JOIN regs b ON a.rk <= b.rk
+)
+SELECT CAST(region_a AS BIGINT) AS region_a,
+       CAST(region_b AS BIGINT) AS region_b,
+       CAST(COALESCE(fab.rev, 0) AS BIGINT) AS flow_ab_cents,
+       CAST(COALESCE(fba.rev, 0) AS BIGINT) AS flow_ba_cents,
+       CAST(COALESCE(fab.rev, 0) - COALESCE(fba.rev, 0) AS BIGINT)
+         AS net_cents
+FROM pairs
+LEFT JOIN f fab ON fab.cust_region = region_a AND fab.supp_region = region_b
+LEFT JOIN f fba ON fba.cust_region = region_b AND fba.supp_region = region_a
+""",
+        "repeat_revenue_share": """
+WITH r AS (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+              + EXTRACT(MONTH FROM o_orderdate) - 1 AS BIGINT) AS month,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS rev,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+)
+SELECT month, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS repeat_orders,
+       CAST(SUM(rev) AS BIGINT) AS revenue_cents,
+       CAST(COALESCE(SUM(rev) FILTER (WHERE rn > 1), 0) AS BIGINT)
+         AS repeat_revenue_cents
+FROM r GROUP BY month
+""",
+        "props_value_corr_terms": """
+WITH e AS (
+  SELECT event_type,
+         TRY_CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT) AS k,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS sum_k, CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(SUM(k * v) AS BIGINT) AS sum_kv,
+       CAST(SUM(k * k) AS BIGINT) AS sum_kk,
+       CAST(SUM(v * v) AS BIGINT) AS sum_vv
+FROM e WHERE k IS NOT NULL GROUP BY event_type
+""",
+        "extract_kind_divergence": _SPANS_CTE
+        + """
+, c AS (
+  SELECT regexp_replace(did, '\\..*$', '') AS source, kind,
+         CAST(count(*) AS BIGINT) AS n
+  FROM spans GROUP BY 1, 2
+),
+s AS (SELECT source, CAST(SUM(n) AS BIGINT) AS ns FROM c GROUP BY source),
+k AS (SELECT kind, CAST(SUM(n) AS BIGINT) AS nk FROM c GROUP BY kind),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS grand FROM c),
+cell AS (
+  SELECT s.source, k.kind, COALESCE(c.n, 0) AS n, s.ns, k.nk, tot.grand
+  FROM s CROSS JOIN k CROSS JOIN tot
+  LEFT JOIN c ON c.source = s.source AND c.kind = k.kind
+)
+SELECT source, CAST(ANY_VALUE(ns) AS BIGINT) AS n_spans,
+       CAST(SUM(ABS(n * grand - ns * nk)) AS BIGINT) AS l1_divergence
+FROM cell GROUP BY source
+""",
+        "snapshot_diff": """
+WITH v1 AS (SELECT doc_id AS k, text FROM documents WHERE doc_id % 10 < 6),
+v2 AS (
+  SELECT doc_id AS k,
+         CASE WHEN doc_id % 10 = 5 THEN upper(text) ELSE text END AS text
+  FROM documents WHERE doc_id % 10 >= 4
+),
+j AS (
+  SELECT v1.text AS t1, v2.text AS t2
+  FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+)
+SELECT change_type, CAST(count(*) AS BIGINT) AS n_docs FROM (
+  SELECT CASE WHEN t1 IS NULL THEN 'added'
+              WHEN t2 IS NULL THEN 'removed'
+              WHEN t1 <> t2 THEN 'changed'
+              ELSE 'unchanged' END AS change_type
+  FROM j) GROUP BY 1
 """,
         "customer_trend_signs": """
 WITH s AS (

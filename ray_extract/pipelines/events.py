@@ -3701,3 +3701,76 @@ def daily_mix_divergence(sf_dir: str):
         .repartition(1)  # bounded |days| x |types| grid per partial
         .map_batches(finish, batch_format="pandas")
     )
+
+
+def props_value_corr_terms(sf_dir: str):
+    """Cross-column correlation between the semi-structured props.k
+    field and the event value, per type: exact integer Pearson terms
+    (n, Sk, Sv, Skv, Skk, Svv with v = value cents) over rows where k
+    extracts — the does-the-metadata-predict-the-metric probe.
+
+    Scale shape: one vectorized RE2 extract + one bounded |types|
+    combiner per batch; repartition(1) fold.
+
+    Output: (event_type, n, sum_k, sum_v, sum_kv, sum_kk, sum_vv).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(batch.column("props"), r'"k": (?P<k>-?\d+)')
+        karr = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        ok = pc.is_valid(karr).to_numpy(zero_copy_only=False)
+        k = pc.fill_null(karr, 0).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        v = np.floor(
+            batch.column("value").to_numpy() * 100 + 0.5
+        ).astype(np.int64)
+        k, v = k[ok], v[ok]
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)[ok]
+        t = pa.table(
+            {
+                "event_type": pa.array(et),
+                "n": pa.array(np.ones(len(k), np.int64)),
+                "sk": pa.array(k),
+                "sv": pa.array(v),
+                "skv": pa.array(k * v),
+                "skk": pa.array(k * k),
+                "svv": pa.array(v * v),
+            }
+        )
+        return t.group_by("event_type").aggregate(
+            [("n", "sum"), ("sk", "sum"), ("sv", "sum"), ("skv", "sum"),
+             ("skk", "sum"), ("svv", "sum")]
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate(
+            [("n_sum", "sum"), ("sk_sum", "sum"), ("sv_sum", "sum"),
+             ("skv_sum", "sum"), ("skk_sum", "sum"), ("svv_sum", "sum")]
+        )
+        idx = pc.sort_indices(g, sort_keys=[("event_type", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "n": pc.cast(g.column("n_sum_sum"), pa.int64()),
+                "sum_k": pc.cast(g.column("sk_sum_sum"), pa.int64()),
+                "sum_v": pc.cast(g.column("sv_sum_sum"), pa.int64()),
+                "sum_kv": pc.cast(g.column("skv_sum_sum"), pa.int64()),
+                "sum_kk": pc.cast(g.column("skk_sum_sum"), pa.int64()),
+                "sum_vv": pc.cast(g.column("svv_sum_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "props", "value"])
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # bounded |types| rows per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )

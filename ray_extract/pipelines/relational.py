@@ -6781,3 +6781,255 @@ def customer_trend_signs(sf_dir: str, num_partitions: int | None = None,
         .repartition(1)  # bounded |segments| x 3 grid per bucket
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def region_trade_imbalance(sf_dir: str, num_partitions: int | None = None):
+    """Directional trade-flow matrix between customer regions and
+    supplier regions with the net imbalance per unordered pair — the
+    who-ships-to-whom rollup (TPC-H Q7's shape lifted to regions, plus
+    the antisymmetric net).
+
+    Scale shape: lineitem folds (orderkey, suppkey)-> revenue partials
+    per batch, ONE native orderkey join attaches custkey, customer
+    resolves by a second native join; both nation->region maps ride as
+    ray.put broadcasts. The flow matrix is bounded (|regions|^2), so it
+    folds via repartition(1); the net is derived in the final block.
+
+    Output: (region_a, region_b, flow_ab_cents, flow_ba_cents,
+    net_cents) for region_a < region_b, plus (r, r) rows with net 0.
+    """
+    import pyarrow.parquet as pq
+
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    num_partitions, agg_args = _multi_join_args(_join_partitions(num_partitions))
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])
+    n2r = pa.table(
+        {
+            "nationkey": pc.cast(nat.column("n_nationkey"), pa.int64()),
+            "regionkey": pc.cast(nat.column("n_regionkey"), pa.int64()),
+        }
+    ).replace_schema_metadata(None)
+    n2r_ref = ray.put(n2r)
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    s2n = pa.table(
+        {
+            "l_suppkey": pc.cast(sup.column("s_suppkey"), pa.int64()),
+            "nationkey": pc.cast(sup.column("s_nationkey"), pa.int64()),
+        }
+    ).replace_schema_metadata(None)
+    s2n_ref = ray.put(s2n)
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        price = _cents(batch.column("l_extendedprice"))
+        disc = _cents(batch.column("l_discount"))
+        t = pa.table(
+            {
+                "l_orderkey": pc.cast(batch.column("l_orderkey"), pa.int64()),
+                "l_suppkey": pc.cast(batch.column("l_suppkey"), pa.int64()),
+                "rev": pa.array(price * (100 - disc) // 100),
+            }
+        ).join(ray.get(s2n_ref), keys="l_suppkey", join_type="inner")
+        t = t.join(
+            ray.get(n2r_ref).rename_columns(["nationkey", "supp_region"]),
+            keys="nationkey", join_type="inner",
+        )
+        g = pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "supp_region": t.column("supp_region"),
+                "rev": t.column("rev"),
+            }
+        )
+        return g.group_by(["l_orderkey", "supp_region"]).aggregate(
+            [("rev", "sum")]
+        )
+
+    li = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_suppkey",
+                                 "l_extendedprice", "l_discount"])
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    orders = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"])
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    cust = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"])
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": pc.cast(t.column("c_custkey"), pa.int64()),
+                "c_nationkey": pc.cast(t.column("c_nationkey"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    j1 = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        aggregator_ray_remote_args=agg_args,
+    )
+    j2 = j1.join(
+        cust,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+        aggregator_ray_remote_args=agg_args,
+    )
+
+    def flow_partial(t: pa.Table) -> pa.Table:
+        dim = ray.get(n2r_ref).rename_columns(["c_nationkey", "cust_region"])
+        t = pa.table(
+            {
+                "c_nationkey": t.column("c_nationkey"),
+                "supp_region": t.column("supp_region"),
+                "rev": pc.cast(t.column("rev_sum"), pa.int64()),
+            }
+        ).join(dim, keys="c_nationkey", join_type="inner")
+        g = pa.table(
+            {
+                "cust_region": t.column("cust_region"),
+                "supp_region": t.column("supp_region"),
+                "rev": t.column("rev"),
+            }
+        )
+        return g.group_by(["cust_region", "supp_region"]).aggregate(
+            [("rev", "sum")]
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["cust_region", "supp_region"],
+                       as_index=False)["rev_sum"].sum()
+        flow = {(int(r.cust_region), int(r.supp_region)): int(r.rev_sum)
+                for r in g.itertuples()}
+        regions = sorted({k for pair in flow for k in pair})
+        rows = []
+        for i, a in enumerate(regions):
+            for b in regions[i:]:
+                ab = flow.get((a, b), 0)
+                ba = flow.get((b, a), 0)
+                rows.append((a, b, ab, ba, ab - ba))
+        return pd.DataFrame(
+            rows,
+            columns=["region_a", "region_b", "flow_ab_cents",
+                     "flow_ba_cents", "net_cents"],
+        ).astype(np.int64)
+
+    return (
+        j2.map_batches(flow_partial, batch_format="pyarrow")
+        .repartition(1)  # bounded |regions|^2 grid per partial
+        .map_batches(finish, batch_format="pandas")
+    )
+
+
+def repeat_revenue_share(sf_dir: str, num_partitions: int | None = None,
+                         num_buckets: int = 64):
+    """Monthly revenue split between first-time and repeat customers —
+    the retention-economics rollup. An order is "repeat" if its
+    customer has an earlier order (strictly earlier date, or same date
+    with a smaller orderkey).
+
+    Scale shape: all of a customer's orders land in ONE hash(custkey)
+    bucket (orders carry (custkey, date, orderkey, cents) only); the
+    bucket lexsorts once, marks the per-customer first order by
+    boundary mask, and emits bounded (month, flag) partials folded via
+    repartition(1). No join — the "dimension" (first order) is derived
+    in the same pass that consumes it.
+
+    Output: (month, n_orders, repeat_orders, revenue_cents,
+    repeat_revenue_cents).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ck = pc.cast(batch.column("o_custkey"), pa.int64()).to_numpy()
+        d = batch.column("o_orderdate").to_numpy().astype("datetime64[D]")
+        day = d.astype(np.int64)
+        month = d.astype("datetime64[M]").astype(np.int64) + 1970 * 12
+        bucket = np.abs((ck * np.int64(2654435761)) % np.int64(num_buckets))
+        return pa.table(
+            {
+                "ck": pa.array(ck),
+                "day": pa.array(day),
+                "month": pa.array(month),
+                "k": pc.cast(batch.column("o_orderkey"), pa.int64()),
+                "rev": pa.array(_cents(batch.column("o_totalprice"))),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ck = g["ck"].to_numpy()
+        day = g["day"].to_numpy()
+        k = g["k"].to_numpy()
+        order = np.lexsort((k, day, ck))
+        ck = ck[order]
+        month = g["month"].to_numpy()[order]
+        rev = g["rev"].to_numpy()[order]
+        first = np.r_[True, ck[1:] != ck[:-1]]
+        repeat = (~first).astype(np.int64)
+        out = pd.DataFrame({"month": month, "repeat": repeat, "rev": rev})
+        out["n"] = np.int64(1)
+        out["rrev"] = out["rev"] * out["repeat"]
+        return out.groupby("month", as_index=False).agg(
+            n=("n", "sum"), r=("repeat", "sum"),
+            rev=("rev", "sum"), rrev=("rrev", "sum")
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("month").aggregate(
+            [("n", "sum"), ("r", "sum"), ("rev", "sum"), ("rrev", "sum")]
+        )
+        idx = pc.sort_indices(g, sort_keys=[("month", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "month": pc.cast(g.column("month"), pa.int64()),
+                "n_orders": pc.cast(g.column("n_sum"), pa.int64()),
+                "repeat_orders": pc.cast(g.column("r_sum"), pa.int64()),
+                "revenue_cents": pc.cast(g.column("rev_sum"), pa.int64()),
+                "repeat_revenue_cents": pc.cast(g.column("rrev_sum"),
+                                                pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderdate",
+                                     "o_orderkey", "o_totalprice"])
+        )
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # bounded |months| rows per bucket
+        .map_batches(finish, batch_format="pyarrow")
+    )

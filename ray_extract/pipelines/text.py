@@ -3378,3 +3378,101 @@ def sentence_length_histogram(sf_dir: str):
         .repartition(1)  # bounded |lengths| rows per partial
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def snapshot_diff(sf_dir: str, num_partitions: int | None = None):
+    """CDC-style snapshot diff: derive two deterministic "versions" of
+    the corpus (v1 = doc_id%10 < 6; v2 = doc_id%10 >= 4 with the %10==5
+    slice rewritten to uppercase — so removals, adds, changes, and
+    unchanged rows all occur), hash-diff them with ONE native FULL
+    OUTER join, and report per-category counts — the
+    change-data-capture audit between ingest snapshots.
+
+    Scale shape: each side reduces to (key, content-hash) per batch
+    before the single full_outer hash exchange; the 4-row verdict folds
+    from per-batch bounded partials.
+
+    Output: (change_type, n_docs) — zero-count categories omitted.
+    """
+    import ray.data as rd
+
+    from ..functions.hashing import hash62_batch
+    from ..functions.tables import strip_schema_metadata
+    from ..pipelines.relational import _join_partitions, _multi_join_args
+
+    num_partitions, agg_args = _multi_join_args(_join_partitions(num_partitions))
+
+    def side(v2: bool, key: str, h: str):
+        def prep(batch: pa.Table) -> pa.Table:
+            did = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+            m = did % 10
+            keep = (m >= 4) if v2 else (m < 6)
+            text = batch.column("text")
+            if v2:
+                text = pc.if_else(pa.array(m == 5),
+                                  pc.utf8_upper(text), text)
+            hv = hash62_batch(text.to_pylist())
+            return pa.table(
+                {
+                    key: pa.array(did[keep]),
+                    h: pa.array(np.asarray(hv)[keep]),
+                }
+            )
+
+        return strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+        ).map_batches(prep, batch_format="pyarrow")
+
+    v1 = side(False, "k1", "h1")
+    v2 = side(True, "k2", "h2")
+
+    joined = v1.join(
+        v2,
+        join_type="full_outer",
+        num_partitions=num_partitions,
+        on=("k1",),
+        right_on=("k2",),
+        aggregator_ray_remote_args=agg_args,
+    )
+
+    def verdict(t: pa.Table) -> pa.Table:
+        # int64 hashes exceed float53 — compare in Arrow, never via a
+        # NaN-padded numpy float cast
+        only1 = pc.is_null(t.column("h2")).to_numpy(zero_copy_only=False)
+        only2 = pc.is_null(t.column("h1")).to_numpy(zero_copy_only=False)
+        both = ~(only1 | only2)
+        eq = pc.fill_null(
+            pc.equal(t.column("h1"), t.column("h2")), False
+        ).to_numpy(zero_copy_only=False)
+        changed = both & ~eq
+        unchanged = both & eq
+        return pa.table(
+            {
+                "change_type": pa.array(
+                    ["added", "removed", "changed", "unchanged"]
+                ),
+                "n": pa.array(
+                    np.array([only2.sum(), only1.sum(), changed.sum(),
+                              unchanged.sum()], np.int64)
+                ),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("change_type").aggregate([("n", "sum")])
+        g = g.filter(pc.greater(g.column("n_sum"), 0))
+        idx = pc.sort_indices(g, sort_keys=[("change_type", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "change_type": g.column("change_type"),
+                "n_docs": pc.cast(g.column("n_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(verdict, batch_format="pyarrow")
+        .repartition(1)  # 4 rows per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )

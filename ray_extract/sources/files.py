@@ -141,3 +141,52 @@ def read_documents_csv(path: str, **read_csv_kwargs):
     return strip_schema_metadata(
         ds.map_batches(_normalize_documents, batch_format="pyarrow")
     )
+
+
+def read_documents_arrow_ipc(path: str):
+    """Arrow IPC (Feather v2) document source — same normalization
+    contract as read_documents_jsonl: any .arrow/.feather file (or a
+    directory of them) with at least (doc_id, text) columns becomes a
+    Dataset with the parquet ``documents`` schema.
+
+    Feature stores and exchange pipelines hand off Arrow IPC files
+    zero-copy; Ray has no built-in IPC reader, so this source lists the
+    shards and maps pyarrow.ipc over them via read_binary_files-free
+    from_items fan-out (one task per shard — shards are the parallelism
+    unit, matching how IPC files are produced)."""
+    import os
+
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    if os.path.isdir(path):
+        shards = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith((".arrow", ".feather", ".ipc"))
+        )
+    else:
+        shards = [path]
+    if not shards:
+        raise FileNotFoundError(f"no arrow-ipc shards under {path}")
+
+    def load(batch: pa.Table) -> pa.Table:
+        import pyarrow.ipc as ipc
+
+        tables = []
+        for p in batch.column("shard").to_pylist():
+            with pa.memory_map(p) as mm:
+                try:
+                    t = ipc.open_file(mm).read_all()
+                except pa.ArrowInvalid:
+                    with pa.memory_map(p) as mm2:
+                        t = ipc.open_stream(mm2).read_all()
+            tables.append(t)
+        merged = pa.concat_tables(tables, promote_options="default")
+        return _normalize_documents(merged)
+
+    shard_ds = rd.from_items([{"shard": s} for s in shards])
+    return strip_schema_metadata(
+        shard_ds.map_batches(load, batch_format="pyarrow", batch_size=1)
+    )

@@ -195,3 +195,47 @@ def test_read_documents_csv_matches_parquet_schema(ray_session, tmp_path):
     df2 = read_documents_csv(str(p2)).to_pandas()
     assert df2.iloc[0]["n_chars"] == 11
     assert df2.iloc[0]["lang"] == ""
+
+
+def test_read_documents_arrow_ipc_matches_parquet_schema(ray_session,
+                                                         tmp_path):
+    """An Arrow IPC (Feather v2) shard dir round-trips into the documents
+    schema — both file-format and stream-format shards load."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+    import pyarrow.parquet as pq
+
+    from ray_extract.sources.files import read_documents_arrow_ipc
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/documents.parquet")
+    d = tmp_path / "shards"
+    d.mkdir()
+    # shard 0: file format
+    with ipc.new_file(str(d / "s0.arrow"), t.slice(0, 20).schema) as w:
+        w.write_table(t.slice(0, 20))
+    # shard 1: stream format (the fallback path)
+    with pa.OSFile(str(d / "s1.arrow"), "wb") as sink:
+        with ipc.new_stream(sink, t.slice(20, 20).schema) as w:
+            w.write_table(t.slice(20, 20))
+    df = (
+        read_documents_arrow_ipc(str(d))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = t.slice(0, 40).to_pandas().sort_values("doc_id").reset_index(
+        drop=True
+    )
+    assert list(df.columns) == ["doc_id", "text", "lang", "source", "n_chars"]
+    assert len(df) == 40
+    assert (df["text"] == want["text"]).all()
+
+    # minimal schema defaults instead of failing
+    mini = pa.table({"doc_id": pa.array([1], pa.int64()),
+                     "text": pa.array(["hello world"])})
+    with ipc.new_file(str(tmp_path / "min.arrow"), mini.schema) as w:
+        w.write_table(mini)
+    df2 = read_documents_arrow_ipc(str(tmp_path / "min.arrow")).to_pandas()
+    assert df2.iloc[0]["n_chars"] == 11
+    assert df2.iloc[0]["lang"] == ""
