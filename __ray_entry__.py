@@ -1054,6 +1054,18 @@ def _q_props_value_corr_terms(sf_dir: str):
     return props_value_corr_terms(sf_dir)
 
 
+def _q_keyword_spotting(sf_dir: str):
+    from ray_extract.pipelines.text import keyword_spotting
+
+    return keyword_spotting(sf_dir)
+
+
+def _q_supplier_margin_per_nation(sf_dir: str):
+    from ray_extract.pipelines.relational import supplier_margin_per_nation
+
+    return supplier_margin_per_nation(sf_dir)
+
+
 def _q_region_trade_imbalance(sf_dir: str):
     from ray_extract.pipelines.relational import region_trade_imbalance
 
@@ -2383,6 +2395,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_kind_divergence": _q_extract_kind_divergence,
         "region_trade_imbalance": _q_region_trade_imbalance,
         "repeat_revenue_share": _q_repeat_revenue_share,
+        "keyword_spotting": _q_keyword_spotting,
+        "supplier_margin_per_nation": _q_supplier_margin_per_nation,
         "shingle_containment": _q_shingle_containment,
         "gap_hour_quantiles": _q_gap_hour_quantiles,
         "nation_part_type_matrix": _q_nation_part_type_matrix,
@@ -3631,6 +3645,39 @@ SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
             1, 1) AS BIGINT) AS leading_digit,
        CAST(count(*) AS BIGINT) AS n_orders
 FROM orders GROUP BY 1
+""",
+        "keyword_spotting": """
+WITH kw AS (
+  SELECT unnest(['batch', 'data', 'hash', 'join', 'merge', 'query',
+                 'scan', 'stream', 'vector', 'window']) AS keyword
+),
+hits AS (
+  SELECT kw.keyword,
+         len(regexp_extract_all(d.text, '\\b' || kw.keyword || '\\b')) AS c
+  FROM kw CROSS JOIN documents d
+)
+SELECT keyword,
+       CAST(count(*) FILTER (WHERE c > 0) AS BIGINT) AS n_docs_matched,
+       CAST(SUM(c) AS BIGINT) AS n_occurrences
+FROM hits GROUP BY keyword
+""",
+        "supplier_margin_per_nation": """
+WITH r AS (
+  SELECT s_nationkey, s_suppkey,
+         CAST(round(s_acctbal * 100) AS BIGINT) AS bal,
+         ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                            ORDER BY round(s_acctbal * 100) DESC,
+                                     s_suppkey ASC) AS rn
+  FROM supplier
+)
+SELECT CAST(a.s_nationkey AS BIGINT) AS s_nationkey,
+       CAST(a.s_suppkey AS BIGINT) AS top_suppkey,
+       CAST(a.bal AS BIGINT) AS top_cents,
+       CAST(COALESCE(b.s_suppkey, -1) AS BIGINT) AS runner_suppkey,
+       CAST(COALESCE(b.bal, 0) AS BIGINT) AS runner_cents,
+       CAST(a.bal - COALESCE(b.bal, 0) AS BIGINT) AS margin_cents
+FROM r a LEFT JOIN r b ON a.s_nationkey = b.s_nationkey AND b.rn = 2
+WHERE a.rn = 1
 """,
         "region_trade_imbalance": """
 WITH f AS (

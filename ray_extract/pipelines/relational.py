@@ -7033,3 +7033,69 @@ def repeat_revenue_share(sf_dir: str, num_partitions: int | None = None,
         .repartition(1)  # bounded |months| rows per bucket
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def supplier_margin_per_nation(sf_dir: str):
+    """Winner's margin per nation: the account-balance gap between each
+    nation's top two suppliers (ties broken by smaller suppkey winning
+    the higher slot) — the top-2 ARGMAX fold, strictly harder than
+    argmax because partials must carry TWO candidates.
+
+    Scale shape: each batch keeps only its per-nation top-2 (a valid
+    partial: the global top-2 is within the union of block top-2s);
+    the bounded |nations| x 2 candidate set folds via repartition(1).
+
+    Output: (s_nationkey, top_suppkey, top_cents, runner_suppkey,
+    runner_cents, margin_cents) — nations with one supplier report the
+    runner as -1/0 and margin = top_cents.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def top2(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["nk", "bal", "sk"],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.groupby("nk", as_index=False).head(2)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "nk": pc.cast(batch.column("s_nationkey"),
+                              pa.int64()).to_numpy(),
+                "sk": pc.cast(batch.column("s_suppkey"),
+                              pa.int64()).to_numpy(),
+                "bal": _cents(batch.column("s_acctbal")),
+            }
+        )
+        return pa.Table.from_pandas(top2(df), preserve_index=False)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        t = top2(df)
+        rows = []
+        for nk, sub in t.groupby("nk", sort=True):
+            s = sub.reset_index(drop=True)
+            top_sk, top_b = int(s.loc[0, "sk"]), int(s.loc[0, "bal"])
+            if len(s) > 1:
+                run_sk, run_b = int(s.loc[1, "sk"]), int(s.loc[1, "bal"])
+            else:
+                run_sk, run_b = -1, 0
+            rows.append((int(nk), top_sk, top_b, run_sk, run_b,
+                         top_b - run_b))
+        return pd.DataFrame(
+            rows,
+            columns=["s_nationkey", "top_suppkey", "top_cents",
+                     "runner_suppkey", "runner_cents", "margin_cents"],
+        ).astype(np.int64)
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                            columns=["s_nationkey", "s_suppkey",
+                                     "s_acctbal"])
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # <= |nations| x 2 rows per partial
+        .map_batches(finish, batch_format="pandas")
+    )

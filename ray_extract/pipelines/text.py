@@ -3476,3 +3476,71 @@ def snapshot_diff(sf_dir: str, num_partitions: int | None = None):
         .repartition(1)  # 4 rows per partial
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+KEYWORD_SET = ("data", "query", "stream", "merge", "vector",
+               "window", "hash", "batch", "join", "scan")
+
+
+class _KeywordSpotter:
+    """Warm actor-pool keyword spotter: the compiled pattern set is
+    actor state built ONCE in __init__ (the stateful-stage contract:
+    setup per actor, work per batch), mirroring how a real lexicon or
+    automaton (Aho-Corasick, FlashText) would be held warm."""
+
+    def __init__(self, keywords: tuple[str, ...] = KEYWORD_SET):
+        self.keywords = keywords
+        self.patterns = [rf"\b{k}\b" for k in keywords]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        ks, docs, occ = [], [], []
+        for k, pat in zip(self.keywords, self.patterns):
+            c = pc.count_substring_regex(text, pat).to_numpy().astype(
+                np.int64
+            )
+            ks.append(k)
+            docs.append(int((c > 0).sum()))
+            occ.append(int(c.sum()))
+        return pa.table(
+            {
+                "keyword": pa.array(ks, pa.string()),
+                "d": pa.array(np.array(docs, np.int64)),
+                "o": pa.array(np.array(occ, np.int64)),
+            }
+        )
+
+
+def keyword_spotting(sf_dir: str, concurrency: int = 2):
+    """Corpus keyword-spotting through a WARM ACTOR POOL: per keyword,
+    how many documents match and how many occurrences exist (word
+    boundaries) — the lexicon-scan stage of a filtering pipeline, with
+    the pattern set compiled once per actor, not once per batch.
+
+    Scale shape: bounded |keywords| partials per batch, repartition(1)
+    fold; the pool is the point — at 100 TB the lexicon is large and
+    actor reuse amortizes its build.
+
+    Output: (keyword, n_docs_matched, n_occurrences).
+    """
+    import ray.data as rd
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("keyword").aggregate([("d", "sum"), ("o", "sum")])
+        idx = pc.sort_indices(g, sort_keys=[("keyword", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "keyword": g.column("keyword"),
+                "n_docs_matched": pc.cast(g.column("d_sum"), pa.int64()),
+                "n_occurrences": pc.cast(g.column("o_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(_KeywordSpotter, concurrency=concurrency,
+                     num_cpus=0.5, batch_format="pyarrow")
+        .repartition(1)  # bounded |keywords| rows per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )
