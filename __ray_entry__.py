@@ -1042,6 +1042,132 @@ def _q_extract_kind_divergence(sf_dir: str):
     )
 
 
+def _q_extract_section_histogram(sf_dir: str):
+    """Sections per document (title + sectionHeading spans),
+    histogrammed — the document-structure complexity profile. Per-doc
+    partial counts combine per batch; a doc-hash bucket pass finishes
+    the per-doc sum and folds the bounded histogram."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray_extract.functions.hashing import hash62_batch
+
+    _, flat = _extract_flat(sf_dir)
+    num_buckets = 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        is_sec = pc.is_in(
+            t.column("kind"),
+            value_set=pa.array(["title", "sectionHeading"]),
+        )
+        g = pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "s": pc.cast(is_sec, pa.int64()),
+            }
+        ).group_by("doc_id").aggregate([("s", "sum")])
+        h = hash62_batch(g.column("doc_id").to_pylist())
+        return g.append_column(
+            "bucket", pa.array(np.abs(h) % np.int64(num_buckets))
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("doc_id", sort=False)["s_sum"].sum().to_numpy()
+        cnt = np.bincount(tot.astype(np.int64))
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"n_sections": nz.astype(np.int64),
+                             "n_docs": cnt[nz].astype(np.int64)})
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("n_sections").aggregate([("n_docs", "sum")])
+        idx = pc.sort_indices(g, sort_keys=[("n_sections", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "n_sections": pc.cast(g.column("n_sections"), pa.int64()),
+                "n_docs": pc.cast(g.column("n_docs_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        flat.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # bounded |section counts| rows per bucket
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def _q_extract_text_run_histogram(sf_dir: str):
+    """Interleaving granularity: lengths of maximal runs of non-media
+    spans (reading order, per doc), histogrammed — how much contiguous
+    text sits between media anchors. Gaps-and-islands over the span
+    table: one doc-hash bucket shuffle, one lexsort + boundary-mask
+    pass per bucket, bounded run-length histogram fold."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray_extract.functions.hashing import hash62_batch
+
+    _, flat = _extract_flat(sf_dir)
+    num_buckets = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = hash62_batch(t.column("doc_id").to_pylist())
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "ord": pc.cast(t.column("ord"), pa.int64()),
+                "is_media": pc.equal(t.column("kind"), "media"),
+                "bucket": pa.array(np.abs(h) % np.int64(num_buckets)),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        did = g["doc_id"].to_numpy()
+        o = g["ord"].to_numpy()
+        m = g["is_media"].to_numpy()
+        order = np.lexsort((o, did))
+        did, m = did[order], m[order]
+        n = len(g)
+        text = ~m
+        new_doc = np.r_[True, did[1:] != did[:-1]]
+        # a text run starts at a text span that begins a doc or follows
+        # a media span (or a doc boundary)
+        prev_text = np.r_[False, text[:-1]]
+        run_start = text & (new_doc | ~prev_text)
+        run_id = np.cumsum(run_start)
+        run_id[~text] = 0
+        lens = np.bincount(run_id[text])[1:]
+        cnt = np.bincount(lens) if len(lens) else np.zeros(0, np.int64)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"run_len": nz.astype(np.int64),
+                             "n_runs": cnt[nz].astype(np.int64)})
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("run_len").aggregate([("n_runs", "sum")])
+        idx = pc.sort_indices(g, sort_keys=[("run_len", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "run_len": pc.cast(g.column("run_len"), pa.int64()),
+                "n_runs": pc.cast(g.column("n_runs_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        flat.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # bounded |run lengths| rows per bucket
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 def _q_snapshot_diff(sf_dir: str):
     from ray_extract.pipelines.text import snapshot_diff
 
@@ -2391,6 +2517,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_length_histogram": _q_sentence_length_histogram,
         "daily_mix_divergence": _q_daily_mix_divergence,
         "snapshot_diff": _q_snapshot_diff,
+        "extract_section_histogram": _q_extract_section_histogram,
+        "extract_text_run_histogram": _q_extract_text_run_histogram,
         "props_value_corr_terms": _q_props_value_corr_terms,
         "extract_kind_divergence": _q_extract_kind_divergence,
         "region_trade_imbalance": _q_region_trade_imbalance,
@@ -3645,6 +3773,28 @@ SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
             1, 1) AS BIGINT) AS leading_digit,
        CAST(count(*) AS BIGINT) AS n_orders
 FROM orders GROUP BY 1
+""",
+        "extract_section_histogram": _SPANS_CTE
+        + """
+, s AS (
+  SELECT did,
+         count(*) FILTER (WHERE kind IN ('title', 'sectionHeading')) AS ns
+  FROM spans GROUP BY did
+)
+SELECT CAST(ns AS BIGINT) AS n_sections, CAST(count(*) AS BIGINT) AS n_docs
+FROM s GROUP BY ns
+""",
+        "extract_text_run_histogram": _SPANS_CTE
+        + """
+, t AS (
+  SELECT did, i,
+         i - ROW_NUMBER() OVER (PARTITION BY did ORDER BY i) AS grp
+  FROM spans WHERE kind <> 'media'
+),
+runs AS (SELECT count(*) AS run_len FROM t GROUP BY did, grp)
+SELECT CAST(run_len AS BIGINT) AS run_len,
+       CAST(count(*) AS BIGINT) AS n_runs
+FROM runs GROUP BY 1
 """,
         "keyword_spotting": """
 WITH kw AS (
