@@ -535,6 +535,27 @@ def _q_extract_kind_transitions(sf_dir: str):
     )
 
 
+def _span_doc_bucket(t, num_buckets: int = 64):
+    """Shared doc-hash bucketing projection for span-table queries that
+    need each doc's reading order whole: (doc_id, ord, is_media,
+    bucket)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray_extract.functions.hashing import hash62_batch
+
+    h = hash62_batch(t.column("doc_id").to_pylist())
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "ord": pc.cast(t.column("ord"), pa.int64()),
+            "is_media": pc.equal(t.column("kind"), "media"),
+            "bucket": pa.array(np.abs(h) % np.int64(num_buckets)),
+        }
+    )
+
+
 def _q_extract_media_position(sf_dir: str):
     """Where media sits in reading order: decile position (ord*10 //
     doc_span_count) of every media span, histogrammed — the text/media
@@ -546,21 +567,8 @@ def _q_extract_media_position(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from ray_extract.functions.hashing import hash62_batch
-
     _, flat = _extract_flat(sf_dir)
-    num_buckets = 64
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        h = hash62_batch(t.column("doc_id").to_pylist())
-        return pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "ord": pc.cast(t.column("ord"), pa.int64()),
-                "is_media": pc.equal(t.column("kind"), "media"),
-                "bucket": pa.array(np.abs(h) % np.int64(num_buckets)),
-            }
-        )
+    add_bucket = _span_doc_bucket
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         did = g["doc_id"].to_numpy()
@@ -626,13 +634,18 @@ def _q_extract_kind_sets(sf_dir: str):
     num_buckets = 64
 
     def partial(t: pa.Table) -> pa.Table:
+        # vectorized kind->bit: unknown kinds fall into the Text bucket
+        # (64), matching the oracle's ELSE arm
+        kinds = list(_KIND_BITS)
+        vals = np.array([_KIND_BITS[k] for k in kinds] + [64], np.int64)
+        idx = pc.fill_null(
+            pc.index_in(t.column("kind"), value_set=pa.array(kinds)),
+            len(kinds),
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
         bits = pa.table(
             {
                 "doc_id": t.column("doc_id"),
-                "bit": pa.array(
-                    np.array([_KIND_BITS[k] for k in
-                              t.column("kind").to_pylist()], np.int64)
-                ),
+                "bit": pa.array(vals[idx]),
             }
         ).group_by(["doc_id", "bit"]).aggregate([])
         h = hash62_batch(bits.column("doc_id").to_pylist())
@@ -1111,21 +1124,8 @@ def _q_extract_text_run_histogram(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from ray_extract.functions.hashing import hash62_batch
-
     _, flat = _extract_flat(sf_dir)
-    num_buckets = 64
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        h = hash62_batch(t.column("doc_id").to_pylist())
-        return pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "ord": pc.cast(t.column("ord"), pa.int64()),
-                "is_media": pc.equal(t.column("kind"), "media"),
-                "bucket": pa.array(np.abs(h) % np.int64(num_buckets)),
-            }
-        )
+    add_bucket = _span_doc_bucket
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         did = g["doc_id"].to_numpy()

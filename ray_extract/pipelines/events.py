@@ -3643,7 +3643,9 @@ def daily_mix_divergence(sf_dir: str):
     mix, in exact integer cross-multiplied form: D(day) = sum over
     types |obs(day,type) * N_total - n(day) * N_type| — the drift
     monitor that flags days whose traffic composition shifted, with no
-    ratio ever computed.
+    ratio ever computed. Exact while cell*total < 2^63 (holds through
+    ~3e9 events with 1e9-event cells); beyond that, pre-scale the grid
+    (e.g. counts // 1024) before cross-multiplying.
 
     Scale shape: both grids are bounded (|days| x |types|), so
     per-batch count partials combine and the divergence is a two-stage

@@ -4729,7 +4729,7 @@ def tax_discount_matrix(sf_dir: str):
     )
 
 
-def supplier_part_coverage(sf_dir: str):
+def supplier_part_coverage(sf_dir: str, num_buckets: int = 64):
     """Supplier catalog-breadth histogram: distinct parts each supplier
     ships, histogrammed over suppliers — the distributed COUNT(DISTINCT)
     per key + distribution shape.
@@ -4750,7 +4750,6 @@ def supplier_part_coverage(sf_dir: str):
     from ..functions.tables import strip_schema_metadata
 
     SHIFT = np.int64(1) << np.int64(31)  # partkey < 2^31 through sf~10^4
-    num_buckets = 64
 
     def pair_partial(batch: pa.Table) -> pa.Table:
         s = pc.cast(batch.column("l_suppkey"), pa.int64()).to_numpy()
@@ -6592,8 +6591,10 @@ def orphan_audit(sf_dir: str, num_partitions: int | None = None):
             rd.read_parquet(f"{sf_dir}/{path}.parquet", columns=[col])
         ).map_batches(partial, batch_format="pyarrow")
 
-    ok = distinct_keys("orders", "o_orderkey", "ok")
-    lk = distinct_keys("lineitem", "l_orderkey", "lk")
+    # each side feeds an anti-join AND a distinct count — materialize so
+    # the parquet scan + batch dedup runs once, not three times
+    ok = distinct_keys("orders", "o_orderkey", "ok").materialize()
+    lk = distinct_keys("lineitem", "l_orderkey", "lk").materialize()
 
     # batch-level distinct still leaves cross-batch dups; anti-join is
     # set-semantics so dups only change counts. Exact distinct counts

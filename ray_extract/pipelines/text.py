@@ -3089,6 +3089,11 @@ def repeated_substring_topk(sf_dir: str, width: int = 16, k: int = 20,
     import ray.data as rd
     from numpy.lib.stride_tricks import sliding_window_view
 
+    if width % 8 != 0:
+        raise ValueError(
+            f"width must be a multiple of 8 (int64 bucket hash), got {width}"
+        )
+
     def partial(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
         views = []
@@ -3315,8 +3320,6 @@ def dominant_bigram_per_source(sf_dir: str, num_buckets: int = 64):
             }
         )
 
-    import ray.data as rd
-
     return (
         rd.read_parquet(f"{sf_dir}/documents.parquet",
                         columns=["source", "text"])
@@ -3345,7 +3348,8 @@ def sentence_length_histogram(sf_dir: str):
         text = pc.cast(batch.column("text").combine_chunks(), pa.string())
         sents = pc.split_pattern_regex(text, "[.!?]+")
         flat = pc.list_flatten(sents)
-        trimmed = pc.utf8_trim_whitespace(flat)
+        # space-only trim — matches DuckDB trim()'s default charset
+        trimmed = pc.utf8_trim(flat, characters=" ")
         nonempty = pc.not_equal(trimmed, "")
         kept = trimmed.filter(nonempty)
         # words per sentence: spaces + 1 on the trimmed sentence
@@ -3407,15 +3411,18 @@ def snapshot_diff(sf_dir: str, num_partitions: int | None = None):
             did = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
             m = did % 10
             keep = (m >= 4) if v2 else (m < 6)
+            # filter FIRST — hashing is the dominant per-batch cost and
+            # each side drops ~half the corpus
+            batch = batch.filter(pa.array(keep))
             text = batch.column("text")
             if v2:
-                text = pc.if_else(pa.array(m == 5),
+                text = pc.if_else(pa.array(m[keep] == 5),
                                   pc.utf8_upper(text), text)
             hv = hash62_batch(text.to_pylist())
             return pa.table(
                 {
                     key: pa.array(did[keep]),
-                    h: pa.array(np.asarray(hv)[keep]),
+                    h: pa.array(np.asarray(hv)),
                 }
             )
 

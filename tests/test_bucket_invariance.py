@@ -35,14 +35,10 @@ def test_basket_supplier_pairs_bucket_invariant(ray_session):
     _assert_bucket_invariant(basket_supplier_pairs)
 
 
-def test_supplier_part_coverage_matches_any_layout(ray_session):
-    # rewritten kernel has a fixed bucket count; pin it against a
-    # single-block run through repartition-before
+def test_supplier_part_coverage_bucket_invariant(ray_session):
     from ray_extract.pipelines.relational import supplier_part_coverage
 
-    a = _norm(supplier_part_coverage(SF).to_pandas())
-    b = _norm(supplier_part_coverage(SF).to_pandas())
-    pd.testing.assert_frame_equal(a, b)
+    _assert_bucket_invariant(supplier_part_coverage)
 
 
 def test_repeated_substring_topk_bucket_invariant(ray_session):
