@@ -1180,6 +1180,18 @@ def _q_props_value_corr_terms(sf_dir: str):
     return props_value_corr_terms(sf_dir)
 
 
+def _q_linenumber_density_audit(sf_dir: str):
+    from ray_extract.pipelines.relational import linenumber_density_audit
+
+    return linenumber_density_audit(sf_dir)
+
+
+def _q_value_ascent_streaks(sf_dir: str):
+    from ray_extract.pipelines.events import value_ascent_streaks
+
+    return value_ascent_streaks(sf_dir)
+
+
 def _q_keyword_spotting(sf_dir: str):
     from ray_extract.pipelines.text import keyword_spotting
 
@@ -2525,6 +2537,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeat_revenue_share": _q_repeat_revenue_share,
         "keyword_spotting": _q_keyword_spotting,
         "supplier_margin_per_nation": _q_supplier_margin_per_nation,
+        "linenumber_density_audit": _q_linenumber_density_audit,
+        "value_ascent_streaks": _q_value_ascent_streaks,
         "shingle_containment": _q_shingle_containment,
         "gap_hour_quantiles": _q_gap_hour_quantiles,
         "nation_part_type_matrix": _q_nation_part_type_matrix,
@@ -3810,6 +3824,37 @@ SELECT keyword,
        CAST(count(*) FILTER (WHERE c > 0) AS BIGINT) AS n_docs_matched,
        CAST(SUM(c) AS BIGINT) AS n_occurrences
 FROM hits GROUP BY keyword
+""",
+        "linenumber_density_audit": """
+WITH o AS (
+  SELECT l_orderkey, count(*) AS n,
+         CAST(max(l_linenumber) AS BIGINT) AS mx,
+         CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS s
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT CAST(n AS BIGINT) AS n_lines, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(*) FILTER (WHERE n = mx AND 2 * s = mx * (mx + 1))
+            AS BIGINT) AS n_dense
+FROM o GROUP BY n
+""",
+        "value_ascent_streaks": """
+WITH e AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER w AS rn,
+         CASE WHEN value > lag(value) OVER w THEN 0 ELSE 1 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+r AS (
+  SELECT user_id,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY rn
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM e
+),
+runs AS (SELECT user_id, count(*) AS len FROM r GROUP BY user_id, run_id),
+mx AS (SELECT user_id, max(len) AS streak_len FROM runs GROUP BY user_id)
+SELECT CAST(streak_len AS BIGINT) AS streak_len,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM mx GROUP BY 1
 """,
         "supplier_margin_per_nation": """
 WITH r AS (

@@ -3776,3 +3776,80 @@ def props_value_corr_terms(sf_dir: str):
         .repartition(1)  # bounded |types| rows per partial
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def value_ascent_streaks(sf_dir: str, num_buckets: int = 64):
+    """Longest strictly-increasing value run per user (events in (ts,
+    event_id) order), histogrammed — the monotone-trend variant of
+    gaps-and-islands (momentum detection).
+
+    Scale shape: ONE hash(user) bucket shuffle; each bucket is a single
+    lexsort + shifted-compare pass (runs break on user change or
+    non-increase), per-user max via maximum.reduceat; the bounded
+    streak-length histogram folds via repartition(1).
+
+    Output: (streak_len, n_users).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch.column("user_id"), pa.int64()).to_numpy()
+        bucket = np.abs((uid * np.int64(2654435761)) % np.int64(num_buckets))
+        return pa.table(
+            {
+                "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+                "user_id": pa.array(uid),
+                "ts": batch.column("ts"),
+                "value": batch.column("value"),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        val = g["value"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, val = uid[order], val[order]
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({"streak_len": pd.Series(dtype="int64"),
+                                 "n_users": pd.Series(dtype="int64")})
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        ascent = np.r_[False, val[1:] > val[:-1]]
+        new_run = new_user | ~ascent
+        run_start = np.flatnonzero(new_run)
+        run_len = np.diff(np.r_[run_start, n])
+        user_seg = np.flatnonzero(new_user[run_start])
+        best = np.maximum.reduceat(run_len, user_seg)
+        cnt = np.bincount(best)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"streak_len": nz.astype(np.int64),
+                             "n_users": cnt[nz].astype(np.int64)})
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("streak_len").aggregate([("n_users", "sum")])
+        idx = pc.sort_indices(g, sort_keys=[("streak_len", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "streak_len": pc.cast(g.column("streak_len"), pa.int64()),
+                "n_users": pc.cast(g.column("n_users_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts", "value"])
+        )
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # bounded |streak lengths| rows per bucket
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -7100,3 +7100,80 @@ def supplier_margin_per_nation(sf_dir: str):
         .repartition(1)  # <= |nations| x 2 rows per partial
         .map_batches(finish, batch_format="pandas")
     )
+
+
+def linenumber_density_audit(sf_dir: str, num_buckets: int = 64):
+    """Line-number contract audit: per order width, how many orders
+    carry a dense 1..n l_linenumber sequence (max == count == width,
+    no gaps) — the ingestion invariant that detects dropped or
+    duplicated lines.
+
+    Scale shape: per-batch (orderkey -> count, max, sum) partials
+    combine before ONE hash(orderkey) bucket pass that finishes the
+    per-order fold and tests density arithmetically (count == max AND
+    sum == max*(max+1)/2 — no sort needed); the bounded width
+    histogram folds via repartition(1).
+
+    Output: (n_lines, n_orders, n_dense).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "k": pc.cast(batch.column("l_orderkey"), pa.int64()),
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+                "ln": pc.cast(batch.column("l_linenumber"), pa.int64()),
+                "s": pc.cast(batch.column("l_linenumber"), pa.int64()),
+            }
+        )
+        g = t.group_by("k").aggregate(
+            [("n", "sum"), ("ln", "max"), ("s", "sum")]
+        )
+        k = pc.cast(g.column("k"), pa.int64()).to_numpy()
+        bucket = np.abs((k * np.int64(2654435761)) % np.int64(num_buckets))
+        return g.append_column("bucket", pa.array(bucket))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["k"].to_numpy()
+        order = np.argsort(k, kind="stable")
+        k = k[order]
+        seg = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        n = np.add.reduceat(g["n_sum"].to_numpy()[order], seg)
+        mx = np.maximum.reduceat(g["ln_max"].to_numpy()[order], seg)
+        s = np.add.reduceat(g["s_sum"].to_numpy()[order], seg)
+        dense = ((n == mx) & (2 * s == mx * (mx + 1))).astype(np.int64)
+        out = pd.DataFrame({"n_lines": n.astype(np.int64), "dense": dense})
+        out["n_orders"] = np.int64(1)
+        return out.groupby("n_lines", as_index=False).agg(
+            n_orders=("n_orders", "sum"), n_dense=("dense", "sum")
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("n_lines").aggregate(
+            [("n_orders", "sum"), ("n_dense", "sum")]
+        )
+        idx = pc.sort_indices(g, sort_keys=[("n_lines", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "n_lines": pc.cast(g.column("n_lines"), pa.int64()),
+                "n_orders": pc.cast(g.column("n_orders_sum"), pa.int64()),
+                "n_dense": pc.cast(g.column("n_dense_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_linenumber"])
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # bounded |widths| rows per bucket
+        .map_batches(finish, batch_format="pyarrow")
+    )

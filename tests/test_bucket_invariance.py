@@ -63,3 +63,15 @@ def test_burstiness_terms_bucket_invariant(ray_session):
     from ray_extract.pipelines.events import burstiness_terms
 
     _assert_bucket_invariant(burstiness_terms)
+
+
+def test_value_ascent_streaks_bucket_invariant(ray_session):
+    from ray_extract.pipelines.events import value_ascent_streaks
+
+    _assert_bucket_invariant(value_ascent_streaks)
+
+
+def test_linenumber_density_audit_bucket_invariant(ray_session):
+    from ray_extract.pipelines.relational import linenumber_density_audit
+
+    _assert_bucket_invariant(linenumber_density_audit)
