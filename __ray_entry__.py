@@ -1180,6 +1180,12 @@ def _q_props_value_corr_terms(sf_dir: str):
     return props_value_corr_terms(sf_dir)
 
 
+def _q_purchase_click_window(sf_dir: str):
+    from ray_extract.pipelines.events import purchase_click_window
+
+    return purchase_click_window(sf_dir)
+
+
 def _q_linenumber_density_audit(sf_dir: str):
     from ray_extract.pipelines.relational import linenumber_density_audit
 
@@ -2539,6 +2545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_margin_per_nation": _q_supplier_margin_per_nation,
         "linenumber_density_audit": _q_linenumber_density_audit,
         "value_ascent_streaks": _q_value_ascent_streaks,
+        "purchase_click_window": _q_purchase_click_window,
         "shingle_containment": _q_shingle_containment,
         "gap_hour_quantiles": _q_gap_hour_quantiles,
         "nation_part_type_matrix": _q_nation_part_type_matrix,
@@ -3824,6 +3831,25 @@ SELECT keyword,
        CAST(count(*) FILTER (WHERE c > 0) AS BIGINT) AS n_docs_matched,
        CAST(SUM(c) AS BIGINT) AS n_occurrences
 FROM hits GROUP BY keyword
+""",
+        "purchase_click_window": """
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS t
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS t
+  FROM events WHERE event_type = 'click'
+),
+j AS (
+  SELECT p.event_id, count(c.t) AS k
+  FROM p LEFT JOIN c
+    ON c.user_id = p.user_id AND c.t >= p.t - 86400 AND c.t < p.t
+  GROUP BY p.event_id
+)
+SELECT CAST(k AS BIGINT) AS n_preceding_clicks,
+       CAST(count(*) AS BIGINT) AS n_purchases
+FROM j GROUP BY k
 """,
         "linenumber_density_audit": """
 WITH o AS (

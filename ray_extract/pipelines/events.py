@@ -3853,3 +3853,88 @@ def value_ascent_streaks(sf_dir: str, num_buckets: int = 64):
         .repartition(1)  # bounded |streak lengths| rows per bucket
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def purchase_click_window(sf_dir: str, window_seconds: int = 86400,
+                          num_buckets: int = 64):
+    """Stream-stream WINDOW JOIN: for every purchase, the number of
+    same-user clicks in the preceding ``window_seconds`` (default 24 h,
+    second granularity, strictly before the purchase), histogrammed —
+    the conversion-attribution window count.
+
+    Scale shape: ONE hash(user) bucket shuffle co-locates both streams;
+    inside a bucket the join is two np.searchsorted calls on a packed
+    (uid << 31 | epoch_sec) axis — user blocks sit 2^31 apart so the
+    window can never bleed across users — with no pairwise
+    expansion ever materialized; the bounded count histogram folds via
+    repartition(1).
+
+    Output: (n_preceding_clicks, n_purchases) — zero-click purchases
+    included.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    SHIFT = np.int64(1) << np.int64(31)
+    win = np.int64(window_seconds)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        keep = (et == "purchase") | (et == "click")
+        uid = pc.cast(batch.column("user_id"), pa.int64()).to_numpy()[keep]
+        sec = (batch.column("ts").to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // np.int64(1_000_000))[keep]
+        bucket = np.abs((uid * np.int64(2654435761)) % np.int64(num_buckets))
+        return pa.table(
+            {
+                "key": pa.array(uid * SHIFT + sec),
+                "is_purchase": pa.array(et[keep] == "purchase"),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["key"].to_numpy()
+        isp = g["is_purchase"].to_numpy()
+        ck = np.sort(key[~isp])
+        pk = key[isp]
+        if len(pk) == 0:
+            return pd.DataFrame(
+                {"n_preceding_clicks": pd.Series(dtype="int64"),
+                 "n_purchases": pd.Series(dtype="int64")})
+        hi = np.searchsorted(ck, pk, side="left")
+        lo = np.searchsorted(ck, pk - win, side="left")
+        cnt = np.bincount(hi - lo)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"n_preceding_clicks": nz.astype(np.int64),
+                             "n_purchases": cnt[nz].astype(np.int64)})
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("n_preceding_clicks").aggregate([("n_purchases",
+                                                         "sum")])
+        idx = pc.sort_indices(
+            g, sort_keys=[("n_preceding_clicks", "ascending")]
+        )
+        g = g.take(idx)
+        return pa.table(
+            {
+                "n_preceding_clicks": pc.cast(
+                    g.column("n_preceding_clicks"), pa.int64()),
+                "n_purchases": pc.cast(g.column("n_purchases_sum"),
+                                       pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+        )
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # bounded |click counts| rows per bucket
+        .map_batches(finish, batch_format="pyarrow")
+    )
