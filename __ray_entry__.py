@@ -1180,6 +1180,18 @@ def _q_props_value_corr_terms(sf_dir: str):
     return props_value_corr_terms(sf_dir)
 
 
+def _q_order_value_band_transition(sf_dir: str):
+    from ray_extract.pipelines.relational import order_value_band_transition
+
+    return order_value_band_transition(sf_dir)
+
+
+def _q_source_sentence_dup_rate(sf_dir: str):
+    from ray_extract.pipelines.text import source_sentence_dup_rate
+
+    return source_sentence_dup_rate(sf_dir)
+
+
 def _q_purchase_click_window(sf_dir: str):
     from ray_extract.pipelines.events import purchase_click_window
 
@@ -2546,6 +2558,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linenumber_density_audit": _q_linenumber_density_audit,
         "value_ascent_streaks": _q_value_ascent_streaks,
         "purchase_click_window": _q_purchase_click_window,
+        "order_value_band_transition": _q_order_value_band_transition,
+        "source_sentence_dup_rate": _q_source_sentence_dup_rate,
         "shingle_containment": _q_shingle_containment,
         "gap_hour_quantiles": _q_gap_hour_quantiles,
         "nation_part_type_matrix": _q_nation_part_type_matrix,
@@ -3831,6 +3845,30 @@ SELECT keyword,
        CAST(count(*) FILTER (WHERE c > 0) AS BIGINT) AS n_docs_matched,
        CAST(SUM(c) AS BIGINT) AS n_occurrences
 FROM hits GROUP BY keyword
+""",
+        "order_value_band_transition": """
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 10000000 AS band,
+         lag(CAST(round(o_totalprice * 100) AS BIGINT) // 10000000)
+           OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM orders
+)
+SELECT CAST(prev AS BIGINT) AS band_from, CAST(band AS BIGINT) AS band_to,
+       CAST(count(*) AS BIGINT) AS n_transitions
+FROM o WHERE prev IS NOT NULL GROUP BY 1, 2
+""",
+        "source_sentence_dup_rate": """
+WITH s AS (
+  SELECT source, trim(u.s) AS sent
+  FROM documents, unnest(string_split_regex(text, '[.!?]+')) AS u(s)
+),
+c AS (SELECT source, sent, count(*) AS n FROM s WHERE sent <> ''
+      GROUP BY 1, 2)
+SELECT source, CAST(SUM(n) AS BIGINT) AS n_sentences,
+       CAST(COALESCE(SUM(n) FILTER (WHERE n > 1), 0) AS BIGINT)
+         AS n_dup_occurrences
+FROM c GROUP BY source
 """,
         "purchase_click_window": """
 WITH p AS (

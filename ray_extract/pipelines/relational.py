@@ -7177,3 +7177,86 @@ def linenumber_density_audit(sf_dir: str, num_buckets: int = 64):
         .repartition(1)  # bounded |widths| rows per bucket
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def order_value_band_transition(sf_dir: str, band_cents: int = 10_000_000,
+                                num_buckets: int = 64):
+    """Markov transition counts between consecutive order-value bands
+    per customer (orders in (date, orderkey) order, totals bucketed to
+    ``band_cents``) — does a big order follow a big order?
+
+    Scale shape: ONE hash(custkey) bucket shuffle keeps each customer's
+    order history whole; one lexsort + shifted-pair pass per bucket;
+    the bounded |bands|^2 matrix folds via repartition(1).
+
+    Output: (band_from, band_to, n_transitions).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ck = pc.cast(batch.column("o_custkey"), pa.int64()).to_numpy()
+        day = (batch.column("o_orderdate").to_numpy()
+               .astype("datetime64[D]").astype(np.int64))
+        band = _cents(batch.column("o_totalprice")) // np.int64(band_cents)
+        bucket = np.abs((ck * np.int64(2654435761)) % np.int64(num_buckets))
+        return pa.table(
+            {
+                "ck": pa.array(ck),
+                "day": pa.array(day),
+                "k": pc.cast(batch.column("o_orderkey"), pa.int64()),
+                "band": pa.array(band),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ck = g["ck"].to_numpy()
+        day = g["day"].to_numpy()
+        k = g["k"].to_numpy()
+        band = g["band"].to_numpy()
+        order = np.lexsort((k, day, ck))
+        ck, band = ck[order], band[order]
+        n = len(g)
+        same = np.zeros(n, dtype=bool)
+        same[1:] = ck[1:] == ck[:-1]
+        prev = np.roll(band, 1)
+        pair = prev[same] * np.int64(1 << 20) + band[same]
+        keys, cnt = np.unique(pair, return_counts=True)
+        return pd.DataFrame(
+            {
+                "band_from": (keys >> np.int64(20)).astype(np.int64),
+                "band_to": (keys & np.int64((1 << 20) - 1)).astype(np.int64),
+                "n": cnt.astype(np.int64),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["band_from", "band_to"]).aggregate([("n", "sum")])
+        idx = pc.sort_indices(
+            g, sort_keys=[("band_from", "ascending"), ("band_to",
+                                                       "ascending")]
+        )
+        g = g.take(idx)
+        return pa.table(
+            {
+                "band_from": pc.cast(g.column("band_from"), pa.int64()),
+                "band_to": pc.cast(g.column("band_to"), pa.int64()),
+                "n_transitions": pc.cast(g.column("n_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderdate",
+                                     "o_orderkey", "o_totalprice"])
+        )
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # bounded |bands|^2 rows per bucket
+        .map_batches(finish, batch_format="pyarrow")
+    )

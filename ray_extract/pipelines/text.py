@@ -3551,3 +3551,85 @@ def keyword_spotting(sf_dir: str, concurrency: int = 2):
         .repartition(1)  # bounded |keywords| rows per partial
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def source_sentence_dup_rate(sf_dir: str, num_buckets: int = 64):
+    """Within-source sentence duplication: per source, total sentences
+    and occurrences of sentences seen more than once in that source —
+    the boilerplate-contamination rate behind C4-style sentence dedup.
+
+    Scale shape: per-batch (source, sentence) counts combine (all-Arrow
+    split + group_by) before ONE composite-hash bucket shuffle; buckets
+    finish each sentence's per-source total and fold (total, dup)
+    partials per source; the bounded |sources| grid reduces via
+    repartition(1). Sentence = space-trimmed non-empty [.!?]+ segment.
+
+    Output: (source, n_sentences, n_dup_occurrences).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        sents = pc.split_pattern_regex(text, "[.!?]+")
+        flat = pc.list_flatten(sents)
+        trimmed = pc.utf8_trim(flat, characters=" ")
+        lens = np.diff(sents.offsets.to_numpy())
+        src = np.repeat(
+            batch.column("source").to_numpy(zero_copy_only=False), lens
+        )
+        keep = pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {"source": pa.array(src[keep]),
+             "sent": trimmed.filter(pa.array(keep))}
+        )
+        part = t.group_by(["source", "sent"]).aggregate([("sent", "count")])
+        key = pc.binary_join_element_wise(
+            part.column("source"), part.column("sent"), "\x1f"
+        )
+        h = hash62_batch(key.to_pylist())
+        return pa.table(
+            {
+                "source": part.column("source"),
+                "n": pc.cast(part.column("sent_count"), pa.int64()),
+                "bucket": pa.array(np.abs(h) % np.int64(num_buckets)),
+                "key": key,
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["key"].to_numpy()
+        n = g["n"].to_numpy().astype(np.int64)
+        order = np.argsort(key, kind="stable")
+        key, n = key[order], n[order]
+        src = g["source"].to_numpy()[order]
+        seg = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        tot = np.add.reduceat(n, seg)
+        s = src[seg]
+        dup = np.where(tot > 1, tot, 0)
+        out = pd.DataFrame({"source": s, "t": tot, "d": dup})
+        return out.groupby("source", as_index=False).agg(
+            t=("t", "sum"), d=("d", "sum")
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate([("t", "sum"), ("d", "sum")])
+        idx = pc.sort_indices(g, sort_keys=[("source", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "n_sentences": pc.cast(g.column("t_sum"), pa.int64()),
+                "n_dup_occurrences": pc.cast(g.column("d_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # bounded |sources| rows per bucket
+        .map_batches(finish, batch_format="pyarrow")
+    )
