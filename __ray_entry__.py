@@ -1833,7 +1833,7 @@ def _q_dedup_minhash_lsh(sf_dir: str):
 
 
 def _q_dedup_simhash(sf_dir: str):
-    from ray_extract.pipelines.dedup import simhash_pairs
+    from ray_extract.pipelines.dedup import simhash_pairs_cached as simhash_pairs
 
     return simhash_pairs(sf_dir)
 

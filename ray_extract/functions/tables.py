@@ -32,3 +32,33 @@ def concat_nonempty(tables, empty_schema: "dict[str, object] | None" = None):
     if empty_schema is None:
         raise ValueError("all blocks empty and no empty_schema given")
     return pa.table({k: pa.array([], type=v) for k, v in empty_schema.items()})
+
+
+def try_cast_int64(sarr):
+    """TRY_CAST(s AS BIGINT) semantics for a string array: values that do
+    not fit int64 become NULL instead of raising (``pc.cast`` throws on
+    overflow, so a single >19-digit match would crash the whole job where
+    the DuckDB oracle's TRY_CAST skips the row).
+
+    Hot path stays vectorized: any string of <= 18 digits (plus optional
+    sign) always fits int64, so the slow per-row range check only runs on
+    batches that actually contain a longer match — vanishingly rare."""
+    import pyarrow.compute as pc
+
+    lengths = pc.utf8_length(pc.fill_null(sarr, ""))
+    if not pc.any(
+        pc.and_(pc.is_valid(sarr), pc.greater(lengths, 18))
+    ).as_py():
+        return pc.cast(sarr, pa.int64())
+    out = []
+    for v in sarr.to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        try:
+            iv = int(v)
+        except ValueError:
+            out.append(None)
+            continue
+        out.append(iv if -(1 << 63) <= iv < (1 << 63) else None)
+    return pa.array(out, type=pa.int64())

@@ -1148,11 +1148,11 @@ def props_value_stats(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Max, Sum
 
-    from ..functions.tables import strip_schema_metadata
+    from ..functions.tables import strip_schema_metadata, try_cast_int64
 
     def partial(batch: pa.Table) -> pa.Table:
         ex = pc.extract_regex(batch.column("props"), r'"k": (?P<k>-?\d+)')
-        karr = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        karr = try_cast_int64(pc.struct_field(ex, "k"))
         ok = pc.is_valid(karr).to_numpy(zero_copy_only=False)
         kk = pc.fill_null(karr, 0).to_numpy(zero_copy_only=False).astype(np.int64)
         t = pa.table(
@@ -3718,11 +3718,11 @@ def props_value_corr_terms(sf_dir: str):
     """
     import ray.data as rd
 
-    from ..functions.tables import strip_schema_metadata
+    from ..functions.tables import strip_schema_metadata, try_cast_int64
 
     def partial(batch: pa.Table) -> pa.Table:
         ex = pc.extract_regex(batch.column("props"), r'"k": (?P<k>-?\d+)')
-        karr = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        karr = try_cast_int64(pc.struct_field(ex, "k"))
         ok = pc.is_valid(karr).to_numpy(zero_copy_only=False)
         k = pc.fill_null(karr, 0).to_numpy(zero_copy_only=False).astype(
             np.int64
@@ -3877,7 +3877,12 @@ def purchase_click_window(sf_dir: str, window_seconds: int = 86400,
 
     from ..functions.tables import strip_schema_metadata
 
-    SHIFT = np.int64(1) << np.int64(31)
+    # 40-bit seconds field: epoch seconds stay below 2^40 until year ~36812
+    # (a 31-bit field would wrap on 2038-01-19 and bleed clicks across user
+    # blocks); uid must then fit 23 bits (< 8.4M) for the packed int64 —
+    # both bounds asserted per batch below. Pre-1970 (negative) seconds are
+    # rejected by the same assert.
+    SHIFT = np.int64(1) << np.int64(40)
     win = np.int64(window_seconds)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -3886,6 +3891,11 @@ def purchase_click_window(sf_dir: str, window_seconds: int = 86400,
         uid = pc.cast(batch.column("user_id"), pa.int64()).to_numpy()[keep]
         sec = (batch.column("ts").to_numpy().astype("datetime64[us]")
                .astype(np.int64) // np.int64(1_000_000))[keep]
+        if len(sec):
+            assert 0 <= sec.min() and sec.max() < int(SHIFT) - window_seconds, \
+                "epoch seconds outside packed 40-bit window field"
+            assert 0 <= uid.min() and uid.max() < (1 << 23), \
+                "user_id outside packed 23-bit field"
         bucket = np.abs((uid * np.int64(2654435761)) % np.int64(num_buckets))
         return pa.table(
             {

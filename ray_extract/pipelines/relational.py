@@ -5752,12 +5752,16 @@ def revenue_pareto_curve(sf_dir: str, deciles: int = 10,
         g = g.take(idx)
         sp = pc.cast(g.column("spend_sum"), pa.int64()).to_numpy()
         tot = int(sp.sum())
+        # per-decile share in Python ints: spend * 1e6 wraps int64 once total
+        # corpus spend exceeds ~9.2e12 cents (TPC-H sf ~4+); the oracle casts
+        # to HUGEINT for the same expression. O(deciles) rows, loop is free.
+        share = [int(s) * 1_000_000 // tot for s in sp]
         return pa.table(
             {
                 "decile": pc.cast(g.column("decile"), pa.int64()),
                 "n_customers": pc.cast(g.column("n_sum"), pa.int64()),
                 "spend_cents": pa.array(sp),
-                "share_ppm": pa.array(sp * 1_000_000 // tot),
+                "share_ppm": pa.array(share, type=pa.int64()),
             }
         )
 
@@ -6133,13 +6137,13 @@ def name_key_audit(sf_dir: str):
     """
     import ray.data as rd
 
-    from ..functions.tables import strip_schema_metadata
+    from ..functions.tables import strip_schema_metadata, try_cast_int64
 
     def partial(batch: pa.Table) -> pa.Table:
         name = pc.cast(batch.column("c_name").combine_chunks(), pa.string())
         ex = pc.extract_regex(name, r"#(?P<id>[0-9]+)$")
         ids = pc.struct_field(ex, "id")
-        parsed = pc.cast(ids, pa.int64())
+        parsed = try_cast_int64(ids)
         ck = pc.cast(batch.column("c_custkey"), pa.int64())
         ok = pc.fill_null(pc.equal(parsed, ck), False)
         t = pa.table(

@@ -3396,6 +3396,15 @@ def snapshot_diff(sf_dir: str, num_partitions: int | None = None):
     before the single full_outer hash exchange; the 4-row verdict folds
     from per-batch bounded partials.
 
+    Guarantee note: changed/unchanged is decided by comparing 62-bit
+    non-cryptographic rolling hashes of the two texts, not the full
+    text — a hash collision between old and new content misreports a
+    changed doc as unchanged with probability ~2^-62 per compared pair.
+    That is the standard CDC-audit trade (shipping full text through
+    the join defeats the reduction); where collision margin matters
+    more than the hash throughput, swap ``hash62_batch`` for
+    ``functions.hashing.md5_bytes`` (128-bit, per-row stdlib).
+
     Output: (change_type, n_docs) — zero-count categories omitted.
     """
     import ray.data as rd

@@ -36,6 +36,21 @@ def test_pagerank_join_backend_matches_broadcast():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_pairs_memo_matches_fresh():
+    from ray_extract.pipelines import dedup
+
+    fresh = _norm(dedup.simhash_pairs(SF).to_pandas())
+    memo1 = _norm(dedup.simhash_pairs_cached(SF).to_pandas())
+    pd.testing.assert_frame_equal(fresh, memo1)
+    # second call must return the SAME materialized dataset (no rebuild)
+    assert dedup.simhash_pairs_cached(SF) is dedup.simhash_pairs_cached(SF)
+    # params participate in the key
+    assert dedup.simhash_pairs_cached(SF) is not dedup.simhash_pairs_cached(
+        SF, max_hamming=2
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_triangle_count_join_backend_matches_broadcast():
     from ray_extract.pipelines.dedup import triangle_count
 
