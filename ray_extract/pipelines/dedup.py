@@ -35,6 +35,7 @@ from ..functions.hashing import (
     simhash32_batch,
     word_shingles_batch,
 )
+from ..profile import resolve
 
 
 def _docs(sf_dir: str):
@@ -194,7 +195,8 @@ def _bucket_pairs(join_cols: list[str], carry: list[str], max_key_df: int | None
 
 
 def ngram_jaccard_pairs(sf_dir: str, k: int = 3, num: int = 1, den: int = 2,
-                        num_buckets: int = 64, max_shingle_df: int | None = None):
+                        num_buckets: int = 64,
+                        max_shingle_df="profile"):
     """Pairs with Jaccard(shingles_a, shingles_b) >= num/den (default 1/2),
     verified exactly with integer arithmetic (no float thresholds).
 
@@ -203,7 +205,9 @@ def ngram_jaccard_pairs(sf_dir: str, k: int = 3, num: int = 1, den: int = 2,
     Complete for any threshold > 0 (a pair with J > 0 shares a shingle).
     ``max_shingle_df`` caps shingle document frequency before pairing (the
     hot-shingle skew guard for stopword-heavy corpora — makes the result
-    approximate); default None keeps the SQL oracle exhaustive."""
+    approximate); the default resolves from the active scale profile
+    (exact: None/uncapped; web: capped — see ``ray_extract.profile``)."""
+    max_shingle_df = resolve(max_shingle_df, "max_shingle_df")
     sh = _docs(sf_dir).map_batches(_shingle_stage(k), batch_format="pyarrow")
     sh = sh.map_batches(_add_bucket("shingle", num_buckets), batch_format="pandas")
     pairs = sh.groupby("bucket").map_groups(
@@ -772,7 +776,7 @@ def _clusters_label_join(edges, max_iters: int):
 
 
 def duplicate_clusters(sf_dir: str, max_iters: int = 64,
-                       label_backend: str = "auto",
+                       label_backend: str = "profile",
                        broadcast_node_limit: int = 50_000_000):
     """Connected components over the simhash near-duplicate pair graph —
     the cluster-resolution step a real dedup pipeline runs AFTER pair
@@ -819,6 +823,7 @@ def duplicate_clusters(sf_dir: str, max_iters: int = 64,
         .materialize()  # pair-scale, reused every round
     )
 
+    label_backend = resolve(label_backend, "graph_backend")
     if label_backend == "auto":
         label_backend = (
             "broadcast" if edges.count() <= broadcast_node_limit else "join"
@@ -1059,7 +1064,7 @@ def _triangle_join(pairs, n_edges: int, num_buckets: int):
 
 
 def triangle_count(sf_dir: str, num_buckets: int = 64,
-                   closure_backend: str = "auto",
+                   closure_backend: str = "profile",
                    broadcast_edge_limit: int = 20_000_000):
     """Triangle count over the near-duplicate pair graph — the graph-shaped
     aggregate (clustering-coefficient numerator) that complements
@@ -1089,6 +1094,7 @@ def triangle_count(sf_dir: str, num_buckets: int = 64,
         lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"
     ).materialize()  # reused: closure set/join + wedge enumeration
 
+    closure_backend = resolve(closure_backend, "graph_backend")
     if closure_backend == "auto":
         closure_backend = (
             "broadcast" if pairs.count() <= broadcast_edge_limit else "join"
@@ -1195,7 +1201,7 @@ def triangle_count(sf_dir: str, num_buckets: int = 64,
 
 def blocked_linkage(sf_dir: str, prefix_chars: int = 8, max_len_diff: int = 2,
                     num: int = 1, den: int = 2, num_buckets: int = 64,
-                    max_block_df: int | None = None):
+                    max_block_df="profile"):
     """Blocked record linkage — the classic entity-resolution join: only
     documents sharing a BLOCKING KEY (text prefix) are compared, candidates
     within the block must also pass a cheap length filter
@@ -1220,6 +1226,8 @@ def blocked_linkage(sf_dir: str, prefix_chars: int = 8, max_len_diff: int = 2,
     """
     import pandas as pd
     import ray.data as rd
+
+    max_block_df = resolve(max_block_df, "max_block_df")
 
     def explode(batch: pa.Table) -> pa.Table:
         text = pc.cast(batch.column("text").combine_chunks(), pa.string())
@@ -1416,7 +1424,7 @@ def _pagerank_join(pairs, n_iter: int):
 
 
 def pagerank_dup_graph(sf_dir: str, n_iter: int = 3,
-                       edge_backend: str = "auto",
+                       edge_backend: str = "profile",
                        broadcast_edge_limit: int = 20_000_000):
     """PageRank over the (undirected) near-dup pair graph — the ITERATIVE
     distributed algorithm the engine otherwise lacks: each of ``n_iter``
@@ -1442,6 +1450,7 @@ def pagerank_dup_graph(sf_dir: str, n_iter: int = 3,
     pairs = simhash_pairs_cached(sf_dir).map_batches(
         lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"
     )
+    edge_backend = resolve(edge_backend, "graph_backend")
     if edge_backend != "broadcast":
         pairs = pairs.materialize()
         if edge_backend == "auto":
@@ -2366,7 +2375,7 @@ def minhash_estimate_audit(sf_dir: str, k: int = 3, num_perm: int = 16,
 
 def shingle_containment_pairs(sf_dir: str, k: int = 3, num: int = 9,
                               den: int = 10, num_buckets: int = 64,
-                              max_shingle_df: int | None = None):
+                              max_shingle_df="profile"):
     """Asymmetric near-duplicate detection by shingle CONTAINMENT: pairs
     where the smaller document's shingle set is >= num/den contained in
     the larger's (inter >= num/den * min(|A|, |B|)) — catches quote-and-
@@ -2381,6 +2390,7 @@ def shingle_containment_pairs(sf_dir: str, k: int = 3, num: int = 9,
 
     Output: (doc_a, doc_b, inter, na, nb).
     """
+    max_shingle_df = resolve(max_shingle_df, "max_shingle_df")
     sh = _docs(sf_dir).map_batches(_shingle_stage(k), batch_format="pyarrow")
     sh = sh.map_batches(_add_bucket("shingle", num_buckets),
                         batch_format="pandas")

@@ -13,6 +13,7 @@ import pyarrow.compute as pc
 
 from ..functions.hashing import hash62_batch, md5_str
 from ..functions.language import MARKER_WORDS, detect_languages_arrow, marker_pattern
+from ..profile import resolve
 
 STOPWORD_PATTERN = marker_pattern(MARKER_WORDS[0][1])  # en markers as stopwords
 
@@ -444,7 +445,7 @@ def approx_distinct_hll(sf_dir: str, p: int = 6):
     )
 
 
-def tfidf_top_terms(sf_dir: str, k: int = 5, vocab_backend: str = "auto",
+def tfidf_top_terms(sf_dir: str, k: int = 5, vocab_backend: str = "profile",
                     broadcast_vocab_limit: int = 20_000_000):
     """Top-k TF-IDF-scored terms per source — the vocabulary-building /
     keyword-extraction operator of a training-data pipeline.
@@ -540,6 +541,7 @@ def tfidf_top_terms(sf_dir: str, k: int = 5, vocab_backend: str = "auto",
         g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g[["source", "term", "tf", "df", "score_ppm", "rnk"]]
 
+    vocab_backend = resolve(vocab_backend, "graph_backend")
     if vocab_backend == "auto":
         vocab_backend = (
             "broadcast" if agg.count() <= broadcast_vocab_limit else "join"

@@ -64,3 +64,34 @@ def test_tfidf_join_backend_matches_broadcast():
     j = norm(tfidf_top_terms("/root/testdata/sf0.001", vocab_backend="join"))
     assert len(b) > 0
     pd.testing.assert_frame_equal(b, j)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_web_scale_profile_one_switch(hot_prefix_corpus):
+    """The single profile switch must flip BOTH the skew caps and the
+    graph backends without any per-call keyword."""
+    from ray_extract import profile
+    from ray_extract.pipelines.dedup import blocked_linkage, duplicate_clusters
+
+    sf = "/root/testdata/sf0.001"
+    exact_clusters = duplicate_clusters(sf).to_pandas()
+    try:
+        profile.set_profile("web")
+        assert profile.active_profile().name == "web"
+        # caps ON by default: the 30-doc boilerplate block (df=30 < the web
+        # default 1000) still pairs, but an explicit low-cap profile drops it
+        profile.set_profile(profile.ScaleProfile(
+            "web-tight", max_shingle_df=10, max_block_df=10,
+            graph_backend="join"))
+        capped = blocked_linkage(hot_prefix_corpus).to_pandas()
+        assert (capped["doc_a"] >= 100).all() and len(capped) == 3
+        # backends forced to join: same cluster labels, no broadcast state
+        web_clusters = duplicate_clusters(sf).to_pandas()
+    finally:
+        profile.set_profile(None)
+    assert profile.active_profile().name == "exact"
+
+    def norm(df):
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(norm(exact_clusters), norm(web_clusters))
