@@ -1814,6 +1814,17 @@ def _q_media_decode(sf_dir: str):
     return media_features(sf_dir)
 
 
+def _q_media_decode_png(sf_dir: str):
+    """REAL PNG decode end-to-end: deterministic grayscale PNGs synthesized
+    per sampled doc, then actually decoded (zlib inflate, chunk CRC verify,
+    all five scanline filters) by an actor pool; the oracle recomputes the
+    pixel statistics from the generative formula, so any codec defect
+    breaks value equality."""
+    from ray_extract.pipelines.media import media_decode_png
+
+    return media_decode_png(sf_dir)
+
+
 def _q_dedup_exact(sf_dir: str):
     from ray_extract.pipelines.dedup import exact_dedup
 
@@ -2708,6 +2719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_selection": _q_canonical_selection,
         "session_assignment": _q_session_assignment,
         "media_frame_sample": _q_media_frame_sample,
+        "media_decode_png": _q_media_decode_png,
         "winsorized_stats": _q_winsorized_stats,
         "jaccard_prefix_join": _q_jaccard_prefix_join,
         "cohort_matrix": _q_cohort_matrix,
@@ -2826,6 +2838,18 @@ SELECT did AS doc_id, ord, media_ref,
        media_ref || '#f' || CAST(u.f AS VARCHAR) AS frame_ref,
        CAST(u.f * 40 AS BIGINT) AS pts_ms
 FROM m, unnest(range(0, nf, 2)) AS u(f)
+""",
+        "media_decode_png": """
+SELECT d.doc_id,
+       CAST(16 + d.doc_id % 16 AS BIGINT) AS width,
+       CAST(8 + d.doc_id % 8 AS BIGINT) AS height,
+       CAST(SUM((3 * d.doc_id + x.x + 7 * y.y) % 251) AS BIGINT) AS pixel_sum,
+       CAST(MIN((3 * d.doc_id + x.x + 7 * y.y) % 251) AS BIGINT) AS pixel_min,
+       CAST(MAX((3 * d.doc_id + x.x + 7 * y.y) % 251) AS BIGINT) AS pixel_max
+FROM documents d, generate_series(0, 30) x(x), generate_series(0, 14) y(y)
+WHERE d.doc_id % 17 = 0
+  AND x.x < 16 + d.doc_id % 16 AND y.y < 8 + d.doc_id % 8
+GROUP BY d.doc_id
 """,
         "dedup_exact": """
 SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups

@@ -3,9 +3,12 @@
 Media spans are interleaved with text in the input documents (kind="media",
 ``media_ref`` set, empty text). This module runs the extraction pipeline,
 selects the media spans, and feeds them through a stateful actor-pool decode
-stage. The actual byte decoding (image/audio libraries are not available in
-this container) is STUBBED behind a deterministic fake, but the Ray-side
-plumbing — schema, batch shape, actor signature, output layout — is real:
+stage. PNG bytes decode FOR REAL via the from-scratch stdlib codec
+(``functions/png.py`` — zlib inflate + scanline unfilter; see
+``PngFeatureExtractor`` / ``media_decode_png``); formats that genuinely need
+external libraries (JPEG, audio, video) stay STUBBED behind a deterministic
+fake, with the Ray-side plumbing — schema, batch shape, actor signature,
+output layout — real throughout:
 
     MediaDecoder.__init__   loads the (stub) codec once per actor
     MediaDecoder.__call__   batch of media refs -> features
@@ -31,12 +34,31 @@ class MediaDecoder:
 
     def __init__(self):
         # A real deployment would load image/audio codecs or a feature model
-        # here, once per actor. Not available in this container:
+        # here, once per actor. PNG is carried by the from-scratch stdlib
+        # codec (functions/png.py); JPEG/audio/video genuinely need external
+        # libs that are not in this container:
         self.real_codec = None  # import cv2/PIL/torchaudio -> NotImplementedError
 
-    def decode_bytes(self, payload: bytes):
-        """Real byte decode path — stubbed in this environment."""
-        raise NotImplementedError("media byte decoding requires image/audio libs")
+    def decode_bytes(self, payload: bytes) -> dict:
+        """Real byte decode: PNG decodes fully (width/height/pixel stats
+        from actual scanlines); other formats are stubbed in this
+        environment."""
+        from ..functions.png import is_png, png_decode
+
+        if is_png(payload):
+            d = png_decode(payload)
+            px = d["pixels"]
+            return {
+                "width": d["width"],
+                "height": d["height"],
+                "channels": d["channels"],
+                "pixel_sum": int(px.astype(np.int64).sum()),
+                "pixel_min": int(px.min()),
+                "pixel_max": int(px.max()),
+            }
+        raise NotImplementedError(
+            "non-PNG media byte decoding requires image/audio libs"
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # md5 is per-element by nature; feed it zero-copy slices of the
@@ -159,4 +181,84 @@ def media_frame_sample(sf_dir: str, stride: int = 2,
             pc.cast(t.column("ord"), pa.int64()),
         ),
         batch_format="pyarrow",
+    )
+
+class PngFeatureExtractor:
+    """Actor-pool REAL image decode stage: PNG bytes in, pixel statistics
+    out, via the from-scratch stdlib codec (functions/png.py). This is the
+    non-stub counterpart of MediaDecoder.decode_bytes — the plumbing a real
+    image-featurization stage uses, with a codec that actually runs in this
+    sandbox."""
+
+    def __init__(self):
+        from ..functions import png  # codec "loaded" once per actor
+
+        self._decode = png.png_decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        payloads = batch.column("png").combine_chunks()
+        w = np.empty(len(ids), np.int64)
+        h = np.empty(len(ids), np.int64)
+        s = np.empty(len(ids), np.int64)
+        mn = np.empty(len(ids), np.int64)
+        mx = np.empty(len(ids), np.int64)
+        for i in range(len(ids)):  # per-image: decode is inherently per-blob
+            d = self._decode(payloads[i].as_py())
+            px = d["pixels"].astype(np.int64)
+            w[i], h[i] = d["width"], d["height"]
+            s[i], mn[i], mx[i] = px.sum(), px.min(), px.max()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "width": pa.array(w),
+                "height": pa.array(h),
+                "pixel_sum": pa.array(s),
+                "pixel_min": pa.array(mn),
+                "pixel_max": pa.array(mx),
+            }
+        )
+
+
+def media_decode_png(sf_dir: str, sample_mod: int = 17):
+    """REAL raster decode end-to-end: deterministic grayscale PNGs are
+    synthesized per sampled document (one per ``doc_id % sample_mod == 0``,
+    width 16 + id%16, height 8 + id%8, pixel(y, x) = (3*id + x + 7*y) % 251,
+    scanline filters cycling through all five PNG filter types), then a
+    stateful actor pool DECODES THE BYTES — zlib inflate, chunk CRC checks,
+    scanline unfilter — and emits pixel statistics. The DuckDB oracle
+    recomputes the statistics from the generative formula, so any codec
+    error (filter math, chunk framing, dimension parse) breaks equality.
+
+    Scale shape: synth and decode are both pure map stages (no shuffle);
+    decode is a fixed-size actor pool exactly like a real image-feature
+    stage; payload bytes never leave the stage that consumes them.
+
+    Output: (doc_id, width, height, pixel_sum, pixel_min, pixel_max).
+    """
+    import ray.data as rd
+
+    from ..functions.png import png_encode_gray
+    from ..functions.tables import strip_schema_metadata
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        ids = ids[ids % sample_mod == 0]
+        blobs = []
+        for did in ids:  # encode is per-blob by nature (zlib stream each)
+            w = 16 + int(did) % 16
+            h = 8 + int(did) % 8
+            yy, xx = np.mgrid[0:h, 0:w]
+            px = ((3 * int(did) + xx + 7 * yy) % 251).astype(np.uint8)
+            blobs.append(png_encode_gray(px))
+        return pa.table(
+            {"doc_id": pa.array(ids), "png": pa.array(blobs, type=pa.binary())}
+        )
+
+    ds = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    )
+    return ds.map_batches(synth, batch_format="pyarrow").map_batches(
+        PngFeatureExtractor, batch_format="pyarrow", batch_size=2048,
+        concurrency=2,
     )
