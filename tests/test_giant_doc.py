@@ -43,3 +43,65 @@ def test_giant_document_roundtrip(ray_session):
     assert [b["text_block_id"] for b in oracle_out["text_blocks"][:5]] == [
         b["text_block_id"] for b in row.text_blocks[:5]
     ]
+
+
+def test_giant_doc_object_store_budget(ray_session):
+    """SURVEY §7's wide-nested-row hazard, pinned as a resource budget: a
+    heavy-tail document (4000 pages -> 250 page-range shards -> one merged
+    wide row) must flow split -> shuffle -> merge -> convert without the
+    object store ever holding more than a small multiple of the document
+    itself. A quadratic shard blow-up or a stage that materializes every
+    shard copy trips the bound long before it ooms a worker.
+
+    Threshold: 192 MiB peak object-store DELTA for a ~0.7 MB payload
+    (~24k spans). Measured peak on this host is ~15-40 MB across Ray 2.49
+    runs (shard payloads + parsed flat columns + the merged wide row, plus
+    executor metadata); 192 MiB is ~5x headroom while still 100x under any
+    whole-corpus materialization."""
+    import threading
+    import time
+
+    import ray
+    import ray.data as rd
+
+    words = " ".join(f"w{i}" for i in range(96000))  # 24k spans, 4000 pages
+    pl = derive_payload("budget", words)
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(["budget"]),
+                "payload": pa.array([pl], type=pa.large_binary()),
+            }
+        )
+    )
+    cfg = ExtractConfig(
+        split_threshold_pages=8, split_batch_pages=16, parse_concurrency=(1, 3)
+    )
+
+    min_avail = [ray.available_resources().get("object_store_memory", 0.0)]
+    baseline = min_avail[0]
+    stop = threading.Event()
+
+    def sample():
+        while not stop.is_set():
+            a = ray.available_resources().get("object_store_memory")
+            if a is not None and a < min_avail[0]:
+                min_avail[0] = a
+            time.sleep(0.02)
+
+    t = threading.Thread(target=sample, daemon=True)
+    t.start()
+    try:
+        out = extract_from_payloads(ds, cfg).to_pandas()
+    finally:
+        stop.set()
+        t.join(timeout=2)
+    assert len(out) == 1 and out.iloc[0].n_pages == 4000
+    peak_delta = baseline - min_avail[0]
+    print(f"\npeak object-store delta: {peak_delta / 1e6:.1f} MB")
+    assert peak_delta < 192 * 1024 * 1024, (
+        f"object store peak delta {peak_delta/1e6:.1f} MB exceeds the "
+        "192 MiB heavy-tail budget — a split/merge stage is materializing "
+        "more than shard-scale data"
+    )
