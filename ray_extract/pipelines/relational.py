@@ -39,17 +39,21 @@ def _join_partitions(num_partitions: int | None) -> int:
 
     The aggregator pool is a FIXED per-join cost (actor spawn + schema
     dissemination) that grows with num_partitions: measured at sf0.1/32
-    cpus, one join at 16 partitions costs 4.4 s vs 2.9 s at 4. Partition
-    count should track cluster size (cpus // 4, floor 2), not be a
-    constant — at 4096 cluster CPUs that is 1024 partitions, at a 32-cpu
-    dev box 8. Callers can always pin it explicitly.
+    cpus, one join at 16 partitions costs 4.4 s vs 2.9 s at 4; a later
+    interleaved A/B (round 5, 3 rounds each) put revenue_by_priority at
+    3.69 / 3.09 / 2.84 s and top_revenue_orders at 5.12 / 4.92 / 4.34 s
+    median for 8 / 4 / 2 partitions. Partition count should track cluster
+    size (cpus // 8, floor 2), not be a constant — at 4096 cluster CPUs
+    that is 512 partitions, at a 32-cpu dev box 4. The divisor trades the
+    fixed spawn cost against per-aggregator shuffle volume; callers with
+    known-large shuffles pin it explicitly.
     """
     if num_partitions is not None:
         return num_partitions
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return max(2, cpus // 4)
+    return max(2, cpus // 8)
 
 
 def revenue_by_priority(sf_dir: str, num_partitions: int | None = None):
