@@ -2479,6 +2479,24 @@ def _q_centroid_spread(sf_dir: str):
     return centroid_spread(sf_dir)
 
 
+def _q_supplier_wait_ranking(sf_dir: str):
+    from ray_extract.pipelines.relational import supplier_wait_ranking
+
+    return supplier_wait_ranking(sf_dir)
+
+
+def _q_idle_capital_by_nation(sf_dir: str):
+    from ray_extract.pipelines.relational import idle_capital_by_nation
+
+    return idle_capital_by_nation(sf_dir)
+
+
+def _q_min_cost_supplier_per_part(sf_dir: str):
+    from ray_extract.pipelines.relational import min_cost_supplier_per_part
+
+    return min_cost_supplier_per_part(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -2501,6 +2519,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_kind_transitions": _q_extract_kind_transitions,
         "extract_media_position": _q_extract_media_position,
         "extract_kind_sets": _q_extract_kind_sets,
+        "supplier_wait_ranking": _q_supplier_wait_ranking,
+        "idle_capital_by_nation": _q_idle_capital_by_nation,
+        "min_cost_supplier_per_part": _q_min_cost_supplier_per_part,
         "revenue_trend": _q_revenue_trend,
         "order_reconciliation": _q_order_reconciliation,
         "core_vocabulary": _q_core_vocabulary,
@@ -2736,6 +2757,71 @@ def oracle_sql() -> dict[str, str]:
     roll_w = _ROLL.format(col="w")
     roll_id = _ROLL.format(col="CAST(doc_id AS VARCHAR)")
     d = {
+        "supplier_wait_ranking": """
+WITH f AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od
+  FROM orders WHERE o_orderstatus = 'F'
+),
+ls AS (
+  SELECT l_orderkey AS k, l_suppkey AS sk,
+         max(CAST(l_shipdate AS DATE)) AS ms
+  FROM lineitem GROUP BY 1, 2
+),
+j AS (
+  SELECT ls.k, ls.sk, (ms > od + INTERVAL 90 DAY) AS slow
+  FROM ls JOIN f ON ls.k = f.o_orderkey
+),
+g AS (
+  SELECT k, count(*) AS n_supp,
+         sum(CASE WHEN slow THEN 1 ELSE 0 END) AS n_slow
+  FROM j GROUP BY k
+),
+w AS (
+  SELECT j.sk FROM j JOIN g USING (k)
+  WHERE j.slow AND g.n_supp >= 2 AND g.n_slow = 1
+)
+SELECT CAST(sk AS BIGINT) AS s_suppkey, s_name,
+       CAST(count(*) AS BIGINT) AS numwait
+FROM w JOIN supplier ON sk = s_suppkey
+GROUP BY sk, s_name
+ORDER BY numwait DESC, s_suppkey ASC LIMIT 25
+""",
+        "idle_capital_by_nation": """
+WITH t AS (
+  SELECT SUM(CASE WHEN bal > 0 THEN bal ELSE 0 END) AS s,
+         SUM(CASE WHEN bal > 0 THEN 1 ELSE 0 END) AS n
+  FROM (SELECT CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal
+        FROM customer)
+),
+idle AS (
+  SELECT c_nationkey AS nk,
+         CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal
+  FROM customer, t
+  WHERE CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) * t.n > t.s
+    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+)
+SELECT CAST(nk AS BIGINT) AS n_nationkey, n_name,
+       CAST(count(*) AS BIGINT) AS n_idle_customers,
+       CAST(SUM(bal) AS BIGINT) AS idle_capital_cents
+FROM idle JOIN nation ON nk = n_nationkey
+GROUP BY nk, n_name
+""",
+        "min_cost_supplier_per_part": """
+WITH m AS (
+  SELECT l_partkey AS pk,
+         min(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * 4294967296
+             + l_suppkey) AS packed
+  FROM lineitem GROUP BY 1
+),
+w AS (SELECT packed % 4294967296 AS sk, count(*) AS parts FROM m GROUP BY 1)
+SELECT n_name, CAST(SUM(parts) AS BIGINT) AS parts_won,
+       CAST(count(*) AS BIGINT) AS winner_suppliers
+FROM w
+JOIN supplier ON sk = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""",
         "extract_spans": _SPANS_CTE
         + """
 SELECT s.did AS doc_id, s.i AS ord, CAST(s.i AS VARCHAR) AS block_id, s.kind,

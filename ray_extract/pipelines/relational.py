@@ -7268,3 +7268,442 @@ def order_value_band_transition(sf_dir: str, band_cents: int = 10_000_000,
         .repartition(1)  # bounded |bands|^2 rows per bucket
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def supplier_wait_ranking(
+    sf_dir: str,
+    slow_days: int = 90,
+    num_buckets: int = 256,
+    topk: int = 25,
+):
+    """Suppliers who were the SOLE slow shipper on a multi-supplier order
+    (TPC-H Q21 adapted to this schema: "slow" = the supplier's latest
+    lineitem shipped more than ``slow_days`` after the order date, on
+    'F'-status orders) — the EXISTS / NOT-EXISTS double-correlated shape.
+
+    Scale shape: both fact scans reduce BEFORE the exchange — orders are
+    pruned at the read (status filter pushed down) to (orderkey, day),
+    lineitem combines per (orderkey, suppkey) -> max ship-day inside
+    map_batches — then ONE tagged-union hash-bucket groupby on orderkey
+    co-locates each order's rows; the per-bucket kernel is all-numpy
+    (searchsorted date probe, lexsort + maximum.reduceat pair reduction,
+    add.reduceat per-order counts). Final ranking folds |suppliers| rows
+    (dimension-scale) through repartition(1).
+
+    Output: (s_suppkey, s_name, numwait) — top ``topk`` by numwait desc,
+    suppkey asc.
+    """
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def ord_partial(batch: pa.Table) -> pa.Table:
+        k = pc.cast(batch.column("o_orderkey"), pa.int64()).to_numpy()
+        day = (
+            batch.column("o_orderdate")
+            .to_numpy()
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "k": pa.array(k),
+                "sk": pa.array(np.full(len(k), -1, np.int64)),
+                "day": pa.array(day),
+                "bucket": pa.array(
+                    np.abs((k * np.int64(2654435761)) % np.int64(num_buckets))
+                ),
+            }
+        )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "k": pc.cast(batch.column("l_orderkey"), pa.int64()),
+                "sk": pc.cast(batch.column("l_suppkey"), pa.int64()),
+                "day": pa.array(
+                    batch.column("l_shipdate")
+                    .to_numpy()
+                    .astype("datetime64[D]")
+                    .astype(np.int64)
+                ),
+            }
+        )
+        g = t.group_by(["k", "sk"]).aggregate([("day", "max")])
+        k = g.column("k").to_numpy()
+        return pa.table(
+            {
+                "k": pa.array(k),
+                "sk": g.column("sk"),
+                "day": pc.cast(g.column("day_max"), pa.int64()),
+                "bucket": pa.array(
+                    np.abs((k * np.int64(2654435761)) % np.int64(num_buckets))
+                ),
+            }
+        )
+
+    orders = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate"],
+            filter=pads.field("o_orderstatus") == "F",
+        )
+    ).map_batches(ord_partial, batch_format="pyarrow")
+
+    li = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+        )
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    import pandas as pd
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sk = g["sk"].to_numpy()
+        is_ord = sk == -1
+        ok = np.sort(g["k"].to_numpy()[is_ord])
+        od = g["day"].to_numpy()[is_ord][np.argsort(g["k"].to_numpy()[is_ord],
+                                                    kind="stable")]
+        lk = g["k"].to_numpy()[~is_ord]
+        ls = sk[~is_ord]
+        ld = g["day"].to_numpy()[~is_ord]
+        if len(lk) == 0 or len(ok) == 0:
+            return pd.DataFrame({"sk": pd.Series([], dtype=np.int64),
+                                 "waits": pd.Series([], dtype=np.int64)})
+        # global per-(orderkey, suppkey) max over the block partials
+        order = np.lexsort((ls, lk))
+        lk, ls, ld = lk[order], ls[order], ld[order]
+        new = np.empty(len(lk), bool)
+        new[0] = True
+        np.not_equal(lk[1:], lk[:-1], out=new[1:])
+        np.logical_or(new[1:], ls[1:] != ls[:-1], out=new[1:])
+        starts = np.flatnonzero(new)
+        pk = lk[starts]
+        ps = ls[starts]
+        pmax = np.maximum.reduceat(ld, starts)
+        # inner probe against the F-order dates
+        pos = np.searchsorted(ok, pk)
+        pos_c = np.minimum(pos, len(ok) - 1)
+        hit = ok[pos_c] == pk
+        pk, ps, pmax, pos_c = pk[hit], ps[hit], pmax[hit], pos_c[hit]
+        if len(pk) == 0:
+            return pd.DataFrame({"sk": pd.Series([], dtype=np.int64),
+                                 "waits": pd.Series([], dtype=np.int64)})
+        slow = pmax > od[pos_c] + np.int64(slow_days)
+        # per-order supplier count and slow count (pk already sorted)
+        ostarts = np.flatnonzero(
+            np.concatenate(([True], pk[1:] != pk[:-1]))
+        )
+        n_supp = np.diff(np.append(ostarts, len(pk)))
+        n_slow = np.add.reduceat(slow.astype(np.int64), ostarts)
+        grp = np.repeat(np.arange(len(ostarts)), n_supp)
+        keep = slow & (n_supp[grp] >= 2) & (n_slow[grp] == 1)
+        win = ps[keep]
+        if len(win) == 0:
+            return pd.DataFrame({"sk": pd.Series([], dtype=np.int64),
+                                 "waits": pd.Series([], dtype=np.int64)})
+        u, c = np.unique(win, return_counts=True)
+        return pd.DataFrame({"sk": u, "waits": c.astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        orders.union(li)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("sk")
+        .aggregate(Sum("waits", alias_name="numwait"))
+    )
+
+    import pyarrow.parquet as pq
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"])
+    supp = pa.table(
+        {
+            "s_suppkey": pc.cast(supp.column("s_suppkey"), pa.int64()),
+            "s_name": pc.cast(supp.column("s_name"), pa.string()),
+        }
+    )
+    supp_ref = ray.put(supp)
+
+    def finish(t: pa.Table) -> pa.Table:
+        dim = ray.get(supp_ref)
+        out = pa.table(
+            {
+                "s_suppkey": pc.cast(t.column("sk"), pa.int64()),
+                "numwait": pc.cast(t.column("numwait"), pa.int64()),
+            }
+        ).join(dim, keys=["s_suppkey"], join_type="inner")
+        idx = pc.sort_indices(
+            out,
+            sort_keys=[("numwait", "descending"), ("s_suppkey", "ascending")],
+        )
+        out = out.take(idx[:topk])
+        return out.select(["s_suppkey", "s_name", "numwait"])
+
+    # one row per supplier survives the groupby — dimension-scale fold
+    return counts.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def idle_capital_by_nation(sf_dir: str, priority: str = "1-URGENT",
+                           num_partitions: int | None = None):
+    """Nations ranked by "idle capital": account balances of customers who
+    are richer than the positive-balance average yet placed no order of the
+    given priority (TPC-H Q22 adapted: nationkey stands in for the phone
+    country code; the priority filter keeps the anti-join non-trivial in a
+    corpus where every customer has SOME order).
+
+    Scale shape: the threshold is a 2-int global aggregate (sum + count of
+    positive balances — metadata-scale, computed by Ray's own aggregate and
+    broadcast into the probe closure); the no-orders test is the native
+    hash-shuffle LEFT-ANTI join against per-block-distinct custkeys; the
+    nation rollup is a bounded 25-row groupby. The average comparison is
+    exact-integer both sides: bal_cents * n_pos > sum_pos_cents.
+
+    Output: (n_nationkey, n_name, n_idle_customers, idle_capital_cents).
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    num_partitions = _join_partitions(num_partitions)
+
+    def pos_partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch.column("c_acctbal"))
+        pos = cents[cents > 0]
+        return pa.table(
+            {
+                "one": pa.array(np.zeros(1, np.int64)),
+                "s": pa.array(np.array([pos.sum()], np.int64)),
+                "n": pa.array(np.array([len(pos)], np.int64)),
+            }
+        )
+
+    cust_raw = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_nationkey", "c_acctbal"],
+        )
+    )
+
+    thr = (
+        cust_raw.map_batches(pos_partial, batch_format="pyarrow")
+        .groupby("one")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .take_all()
+    )  # exactly one metadata-scale row
+    sum_pos = int(thr[0]["s"])
+    n_pos = int(thr[0]["n"])
+
+    def cust_prep(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch.column("c_acctbal"))
+        keep = cents * n_pos > sum_pos  # bal > avg(positive), exact-integer
+        t = pa.table(
+            {
+                "c_custkey": pc.cast(batch.column("c_custkey"), pa.int64()),
+                "nk": pc.cast(batch.column("c_nationkey"), pa.int64()),
+                "bal_cents": pa.array(cents),
+            }
+        )
+        return t.filter(pa.array(keep))
+
+    def orders_keys(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"o_custkey": pc.cast(batch.column("o_custkey"), pa.int64())}
+        )
+        return t.group_by("o_custkey").aggregate([])
+
+    import pyarrow.dataset as pads
+
+    cust = cust_raw.map_batches(cust_prep, batch_format="pyarrow")
+    orders = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey"],
+            filter=pads.field("o_orderpriority") == priority,
+        )
+    ).map_batches(orders_keys, batch_format="pyarrow")
+
+    idle = cust.join(
+        orders,
+        join_type="left_anti",
+        num_partitions=num_partitions,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def nation_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "nk": batch.column("nk"),
+                "n1": pa.array(np.ones(len(batch), np.int64)),
+                "bal": batch.column("bal_cents"),
+            }
+        )
+        return t.group_by("nk").aggregate([("n1", "sum"), ("bal", "sum")])
+
+    agg = (
+        idle.map_batches(nation_partial, batch_format="pyarrow")
+        .groupby("nk")
+        .aggregate(Sum("n1_sum", alias_name="n_idle_customers"),
+                   Sum("bal_sum", alias_name="idle_capital_cents"))
+    )
+
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nat = pa.table(
+        {
+            "n_nationkey": pc.cast(nat.column("n_nationkey"), pa.int64()),
+            "n_name": pc.cast(nat.column("n_name"), pa.string()),
+        }
+    )
+    nat_ref = ray.put(nat)
+
+    def attach(t: pa.Table) -> pa.Table:
+        dim = ray.get(nat_ref)
+        out = pa.table(
+            {
+                "n_nationkey": pc.cast(t.column("nk"), pa.int64()),
+                "n_idle_customers": pc.cast(t.column("n_idle_customers"),
+                                            pa.int64()),
+                "idle_capital_cents": pc.cast(t.column("idle_capital_cents"),
+                                              pa.int64()),
+            }
+        ).join(dim, keys=["n_nationkey"], join_type="inner")
+        return out.select(["n_nationkey", "n_name", "n_idle_customers",
+                           "idle_capital_cents"])
+
+    return agg.map_batches(attach, batch_format="pyarrow")
+
+
+# price fits 24 bits of cents (< $167k), suppkey fits 32: packed argmin is a
+# single combiner-friendly Min aggregate instead of a sort or window.
+_PACK_SHIFT = np.int64(1) << np.int64(32)
+
+
+def min_cost_supplier_per_part(sf_dir: str):
+    """Which nation's suppliers win the "cheapest offer per part" contest
+    (TPC-H Q2 adapted: lineitem extendedprice stands in for partsupp
+    supplycost) — the ARGMIN-PER-KEY shape done as a pure Min aggregate.
+
+    Scale shape: argmin-with-deterministic-tiebreak is packed into one
+    int64 (price_cents * 2^32 + suppkey; min == lowest price, then lowest
+    suppkey) so the per-part reduction is a combiner-friendly
+    ``groupby.Min`` — no sort, no window, no map_groups. Winner counts per
+    supplier fold through a second small groupby and the 25-row nation
+    dimension attaches by broadcast.
+
+    Output: (n_name, parts_won, winner_suppliers).
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        price = _cents(batch.column("l_extendedprice"))
+        sk = pc.cast(batch.column("l_suppkey"), pa.int64()).to_numpy()
+        assert price.max(initial=0) < (1 << 24) and sk.max(initial=0) < (
+            1 << 32
+        ), "packed argmin key out of range"
+        t = pa.table(
+            {
+                "pk": pc.cast(batch.column("l_partkey"), pa.int64()),
+                "packed": pa.array(price * _PACK_SHIFT + sk),
+            }
+        )
+        return t.group_by("pk").aggregate([("packed", "min")])
+
+    li = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+        )
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    wins = li.groupby("pk").aggregate(Min("packed_min", alias_name="packed"))
+
+    def unpack_partial(batch: pa.Table) -> pa.Table:
+        packed = pc.cast(batch.column("packed"), pa.int64()).to_numpy()
+        t = pa.table(
+            {
+                "sk": pa.array(packed % _PACK_SHIFT),
+                "parts": pa.array(np.ones(len(packed), np.int64)),
+            }
+        )
+        return t.group_by("sk").aggregate([("parts", "sum")])
+
+    per_supp = (
+        wins.map_batches(unpack_partial, batch_format="pyarrow")
+        .groupby("sk")
+        .aggregate(Sum("parts_sum", alias_name="parts"))
+    )
+
+    import pyarrow.parquet as pq
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    dim = pa.table(
+        {
+            "sk": pc.cast(supp.column("s_suppkey"), pa.int64()),
+            "nk": pc.cast(supp.column("s_nationkey"), pa.int64()),
+        }
+    ).join(
+        pa.table(
+            {
+                "nk": pc.cast(nat.column("n_nationkey"), pa.int64()),
+                "n_name": pc.cast(nat.column("n_name"), pa.string()),
+            }
+        ),
+        keys=["nk"],
+        join_type="inner",
+    ).select(["sk", "n_name"])
+    dim_ref = ray.put(dim)
+
+    def attach_partial(t: pa.Table) -> pa.Table:
+        d = ray.get(dim_ref)
+        out = pa.table(
+            {
+                "sk": pc.cast(t.column("sk"), pa.int64()),
+                "parts": pc.cast(t.column("parts"), pa.int64()),
+            }
+        ).join(d, keys=["sk"], join_type="inner")
+        g = pa.table(
+            {
+                "n_name": out.column("n_name"),
+                "parts": out.column("parts"),
+                "w1": pa.array(np.ones(out.num_rows, np.int64)),
+            }
+        )
+        return g.group_by("n_name").aggregate([("parts", "sum"),
+                                               ("w1", "sum")])
+
+    agg = (
+        per_supp.map_batches(attach_partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("parts_sum", alias_name="parts_won"),
+                   Sum("w1_sum", alias_name="winner_suppliers"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": t.column("n_name"),
+                "parts_won": pc.cast(t.column("parts_won"), pa.int64()),
+                "winner_suppliers": pc.cast(t.column("winner_suppliers"),
+                                            pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

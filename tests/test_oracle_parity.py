@@ -56,6 +56,9 @@ SUBSET = [
     "top_parts_by_quantity",
     "acctbal_band_profile",
     "supplier_balance_leader",
+    "supplier_wait_ranking",
+    "idle_capital_by_nation",
+    "min_cost_supplier_per_part",
     "user_resurrections",
     "gap_hour_histogram",
     "value_autocorr_terms",
