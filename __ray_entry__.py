@@ -2497,6 +2497,18 @@ def _q_min_cost_supplier_per_part(sf_dir: str):
     return min_cost_supplier_per_part(sf_dir)
 
 
+def _q_gopher_rules_profile(sf_dir: str):
+    from ray_extract.pipelines.text import gopher_rules_profile
+
+    return gopher_rules_profile(sf_dir)
+
+
+def _q_duplicate_ngram_coverage(sf_dir: str):
+    from ray_extract.pipelines.text import duplicate_ngram_coverage
+
+    return duplicate_ngram_coverage(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -2522,6 +2534,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_wait_ranking": _q_supplier_wait_ranking,
         "idle_capital_by_nation": _q_idle_capital_by_nation,
         "min_cost_supplier_per_part": _q_min_cost_supplier_per_part,
+        "gopher_rules_profile": _q_gopher_rules_profile,
+        "duplicate_ngram_coverage": _q_duplicate_ngram_coverage,
         "revenue_trend": _q_revenue_trend,
         "order_reconciliation": _q_order_reconciliation,
         "core_vocabulary": _q_core_vocabulary,
@@ -2821,6 +2835,46 @@ FROM w
 JOIN supplier ON sk = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name
+""",
+        "gopher_rules_profile": """
+WITH d AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS nw,
+         length(text) - (len(string_split(text, ' ')) - 1) AS sl,
+         len(list_distinct(list_intersect(string_split(text, ' '),
+             ['the','a','of','and','to','data','order','line']))) AS swt,
+         len(list_filter(string_split(text, ' '),
+             x -> regexp_matches(x, '[a-zA-Z]'))) AS na
+  FROM documents
+),
+r AS (
+  SELECT source,
+         CASE WHEN nw < 15 OR nw > 800 THEN 1 ELSE 0 END AS fwc,
+         CASE WHEN sl < 3*nw OR sl > 10*nw THEN 1 ELSE 0 END AS fml,
+         CASE WHEN swt < 2 THEN 1 ELSE 0 END AS fsw,
+         CASE WHEN 5*na < 4*nw THEN 1 ELSE 0 END AS fal
+  FROM d
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(fwc) AS BIGINT) AS fail_wordcount,
+       CAST(SUM(fml) AS BIGINT) AS fail_meanlen,
+       CAST(SUM(fsw) AS BIGINT) AS fail_stopword,
+       CAST(SUM(fal) AS BIGINT) AS fail_alpha,
+       CAST(SUM(CASE WHEN fwc + fml + fsw + fal > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS fail_any
+FROM r GROUP BY source
+""",
+        "duplicate_ngram_coverage": """
+WITH docs AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT source, array_to_string(ws[u.i:u.i+4], ' ') AS g5
+  FROM docs, unnest(range(1, len(ws) - 3)) AS u(i)
+),
+c AS (SELECT g5, count(*) AS n FROM g GROUP BY g5)
+SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_grams
+FROM g JOIN c USING (g5) GROUP BY source
 """,
         "extract_spans": _SPANS_CTE
         + """

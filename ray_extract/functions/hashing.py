@@ -240,3 +240,42 @@ def lsh_bands(sig: list[str], band_rows: int = 4) -> list[str]:
         md5_str("|".join(sig[b : b + band_rows]))
         for b in range(0, len(sig), band_rows)
     ]
+
+
+def word_shingle_positions_batch(texts, k: int = 3):
+    """ALL k-word shingle positions for a batch (multiplicity preserved —
+    the coverage-metric counterpart of ``word_shingles_batch``'s distinct
+    sets). Same all-Arrow kernel, minus the dedup pass.
+
+    Returns ``(doc_idx, shingles)``: one row per shingle START position.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) else pa.array(
+        texts, type=pa.string()
+    )
+    arr = pc.cast(arr, pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n_docs = len(arr)
+    if n_docs == 0:
+        return np.array([], dtype=np.int64), pa.array([], type=pa.string())
+    words = pc.split_pattern(arr, " ")
+    offsets = words.offsets.to_numpy()
+    flat = words.values
+    cnt = np.diff(offsets)
+    m = np.maximum(cnt - k + 1, 0)
+    total = int(m.sum())
+    if total == 0:
+        return np.array([], dtype=np.int64), pa.array([], type=pa.string())
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), m)
+    block_start = np.r_[0, np.cumsum(m)[:-1]]
+    pos = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(block_start, m)
+        + np.repeat(offsets[:-1].astype(np.int64), m)
+    )
+    parts = [pc.take(flat, pa.array(pos + j)) for j in range(k)]
+    sh = parts[0] if k == 1 else pc.binary_join_element_wise(*parts, " ")
+    return doc_idx, sh

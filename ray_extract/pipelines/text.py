@@ -3644,3 +3644,235 @@ def source_sentence_dup_rate(sf_dir: str, num_buckets: int = 64):
         .repartition(1)  # bounded |sources| rows per bucket
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+# English function words plus the corpus's own high-frequency connectives —
+# the synthetic vocabulary carries few true English stopwords, so the rule
+# would otherwise be constant-fail and the oracle check vacuous.
+GOPHER_STOPWORDS = ("the", "a", "of", "and", "to", "data", "order", "line")
+
+
+def gopher_rules_profile(
+    sf_dir: str,
+    min_words: int = 15,
+    max_words: int = 800,
+    min_mean_len: int = 3,
+    max_mean_len: int = 10,
+    min_stopword_types: int = 2,
+):
+    """Per-source Gopher-style quality-rule failure counts — the four
+    document-level repetition-free rules of the Gopher/MassiveText cleaning
+    recipe (word-count bounds, mean-word-length bounds, stopword presence,
+    alpha-word ratio), each exact-integer so the oracle is bit-identical:
+    mean-length bounds compare ``sum_len`` against ``bound * n_words`` and
+    the 80%-alpha rule compares ``5 * n_alpha < 4 * n_words``.
+
+    Scale shape: one pruned scan, all-Arrow per-batch kernel (regex count
+    kernels + one split for the per-word alpha/stopword masks folded with
+    add.reduceat over the list offsets), per-source combiner, bounded
+    |sources| fold.
+
+    Output: (source, n_docs, fail_wordcount, fail_meanlen, fail_stopword,
+    fail_alpha, fail_any).
+    """
+    import ray.data as rd
+
+    sw_set = set(GOPHER_STOPWORDS)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        n_words = pc.add(pc.count_substring(text, " "), 1).to_numpy().astype(
+            np.int64
+        )
+        sum_len = (
+            pc.utf8_length(text).to_numpy().astype(np.int64) - (n_words - 1)
+        )
+        words = pc.split_pattern(text, " ")
+        offs = words.offsets.to_numpy()
+        flat = words.values
+        alpha = pc.match_substring_regex(flat, "[a-zA-Z]").to_numpy(
+            zero_copy_only=False
+        )
+        n_alpha = np.add.reduceat(
+            np.r_[alpha.astype(np.int64), 0], offs[:-1]
+        ) * (np.diff(offs) > 0)
+        # distinct stopword TYPES present: one boolean per (doc, stopword)
+        enc = pc.dictionary_encode(flat)
+        vocab = enc.dictionary.to_pylist()
+        sw_codes = np.array(
+            [i for i, w in enumerate(vocab) if w in sw_set], dtype=np.int64
+        )
+        codes = enc.indices.to_numpy().astype(np.int64)
+        is_sw = np.isin(codes, sw_codes)
+        doc_of = np.repeat(np.arange(len(text), dtype=np.int64),
+                           np.diff(offs))
+        if is_sw.any():
+            pairs = np.unique(
+                doc_of[is_sw] * np.int64(len(vocab)) + codes[is_sw]
+            )
+            sw_types = np.bincount(
+                (pairs // np.int64(len(vocab))).astype(np.int64),
+                minlength=len(text),
+            ).astype(np.int64)
+        else:
+            sw_types = np.zeros(len(text), np.int64)
+
+        f_wc = (n_words < min_words) | (n_words > max_words)
+        f_ml = (sum_len < min_mean_len * n_words) | (
+            sum_len > max_mean_len * n_words
+        )
+        f_sw = sw_types < min_stopword_types
+        f_al = 5 * n_alpha < 4 * n_words
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "n": pa.array(np.ones(len(text), np.int64)),
+                "wc": pa.array(f_wc.astype(np.int64)),
+                "ml": pa.array(f_ml.astype(np.int64)),
+                "sw": pa.array(f_sw.astype(np.int64)),
+                "al": pa.array(f_al.astype(np.int64)),
+                "anyf": pa.array(
+                    (f_wc | f_ml | f_sw | f_al).astype(np.int64)
+                ),
+            }
+        )
+        return t.group_by("source").aggregate(
+            [("n", "sum"), ("wc", "sum"), ("ml", "sum"), ("sw", "sum"),
+             ("al", "sum"), ("anyf", "sum")]
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate(
+            [("n_sum", "sum"), ("wc_sum", "sum"), ("ml_sum", "sum"),
+             ("sw_sum", "sum"), ("al_sum", "sum"), ("anyf_sum", "sum")]
+        )
+        idx = pc.sort_indices(g, sort_keys=[("source", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "n_docs": pc.cast(g.column("n_sum_sum"), pa.int64()),
+                "fail_wordcount": pc.cast(g.column("wc_sum_sum"), pa.int64()),
+                "fail_meanlen": pc.cast(g.column("ml_sum_sum"), pa.int64()),
+                "fail_stopword": pc.cast(g.column("sw_sum_sum"), pa.int64()),
+                "fail_alpha": pc.cast(g.column("al_sum_sum"), pa.int64()),
+                "fail_any": pc.cast(g.column("anyf_sum_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # O(|sources|) rows per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def duplicate_ngram_coverage(sf_dir: str, k: int = 5,
+                             num_partitions: int | None = None):
+    """Per-source duplicated-k-gram coverage — the RefinedWeb / Gopher
+    "fraction of n-gram positions whose n-gram occurs >= 2 times in the
+    corpus" dedup signal, with multiplicity preserved (a doc repeating its
+    own boilerplate counts, unlike the distinct-shingle dedup ops).
+
+    Scale shape: positions explode once and materialize (scanned twice);
+    the duplicated-gram set comes from ONE groupby count (pre-combined
+    per batch), and the coverage test is a native hash-shuffle semi-join
+    on the gram — the dup-gram side is corpus-derived and never assumed
+    driver-small. Totals fold per source from the same materialized scan.
+
+    Output: (source, n_grams, n_dup_grams).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import word_shingle_positions_batch
+    from .relational import _join_partitions, _multi_join_args
+
+    nparts, agg_args = _multi_join_args(_join_partitions(num_partitions))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc_idx, sh = word_shingle_positions_batch(batch.column("text"), k)
+        src = batch.column("source").combine_chunks()
+        return pa.table(
+            {"source": pc.take(src, pa.array(doc_idx)), "gram": sh}
+        )
+
+    pos = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["source", "text"])
+        .map_batches(lambda t: t.replace_schema_metadata(None),
+                     batch_format="pyarrow")
+        .map_batches(explode, batch_format="pyarrow")
+        .materialize()  # scanned twice (count side + probe side)
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "gram": t.column("gram"),
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        return g.group_by("gram").aggregate([("n", "sum")])
+
+    dup = (
+        pos.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Sum("n_sum", alias_name="n"))
+        .filter(expr="n >= 2")
+        .map_batches(
+            lambda t: pa.table(
+                {"dgram": pc.cast(t.column("gram"), pa.string())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def src_partial(tag_col: str):
+        def f(t: pa.Table) -> pa.Table:
+            g = pa.table(
+                {
+                    "source": t.column("source"),
+                    "ng": pa.array(
+                        np.full(t.num_rows, 1 - ("d" == tag_col), np.int64)
+                    ),
+                    "nd": pa.array(
+                        np.full(t.num_rows, 1 * ("d" == tag_col), np.int64)
+                    ),
+                }
+            )
+            return g.group_by("source").aggregate([("ng", "sum"),
+                                                   ("nd", "sum")])
+
+        return f
+
+    totals = pos.map_batches(src_partial("t"), batch_format="pyarrow")
+    hits = pos.join(
+        dup,
+        join_type="inner",
+        num_partitions=nparts,
+        on=("gram",),
+        right_on=("dgram",),
+        aggregator_ray_remote_args=agg_args,
+    ).map_batches(src_partial("d"), batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate([("ng_sum", "sum"),
+                                            ("nd_sum", "sum")])
+        idx = pc.sort_indices(g, sort_keys=[("source", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "n_grams": pc.cast(g.column("ng_sum_sum"), pa.int64()),
+                "n_dup_grams": pc.cast(g.column("nd_sum_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        totals.union(hits)
+        .repartition(1)  # O(|sources|) rows per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -59,6 +59,8 @@ SUBSET = [
     "supplier_wait_ranking",
     "idle_capital_by_nation",
     "min_cost_supplier_per_part",
+    "gopher_rules_profile",
+    "duplicate_ngram_coverage",
     "user_resurrections",
     "gap_hour_histogram",
     "value_autocorr_terms",
