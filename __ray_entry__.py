@@ -606,6 +606,120 @@ def _q_extract_media_position(sf_dir: str):
     )
 
 
+def _q_extract_media_context(sf_dir: str):
+    """Layout context of media: the (previous kind, next kind) pair around
+    every media span in reading order — the media-placement grammar
+    (BOS/EOS mark document boundaries). Doc-hash bucket shuffle keeps each
+    doc's sequence whole; the pair matrix folds on its bounded
+    (|kinds|+1)^2 domain."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray_extract.functions.hashing import hash62_batch
+
+    _, flat = _extract_flat(sf_dir)
+    num_buckets = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = hash62_batch(t.column("doc_id").to_pylist())
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "ord": pc.cast(t.column("ord"), pa.int64()),
+                "kind": t.column("kind"),
+                "bucket": pa.array(np.abs(h) % np.int64(num_buckets)),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        did = g["doc_id"].to_numpy()
+        o = g["ord"].to_numpy()
+        kind = g["kind"].to_numpy()
+        order = np.lexsort((o, did))
+        did, kind = did[order], kind[order]
+        n = len(g)
+        first = np.r_[True, did[1:] != did[:-1]]
+        last = np.r_[did[1:] != did[:-1], True]
+        prev = np.roll(kind, 1).astype(object)
+        nxt = np.roll(kind, -1).astype(object)
+        prev[first] = "BOS"
+        nxt[last] = "EOS"
+        m = kind == "media"
+        out = pd.DataFrame({"prev_kind": prev[m], "next_kind": nxt[m]})
+        out["n"] = np.int64(1)
+        return out.groupby(["prev_kind", "next_kind"], as_index=False)[
+            "n"
+        ].sum()
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["prev_kind", "next_kind"]).aggregate([("n", "sum")])
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[("prev_kind", "ascending"), ("next_kind", "ascending")],
+        )
+        g = g.take(idx)
+        return pa.table(
+            {
+                "prev_kind": g.column("prev_kind"),
+                "next_kind": g.column("next_kind"),
+                "n_media": pc.cast(g.column("n_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        flat.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # bounded (|kinds|+1)^2 rows per bucket
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def _q_extract_page_kind_mix(sf_dir: str):
+    """Layout mix by page position: span-kind counts per within-doc page
+    index — how the title/header/table/media composition shifts from a
+    document's first page to its tail. Purely vectorized (no doc
+    contiguity needed): per-batch (page, kind) combiner, bounded-domain
+    fold."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    _, flat = _extract_flat(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "page_number": pc.cast(t.column("page_number"), pa.int64()),
+                "kind": t.column("kind"),
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        return g.group_by(["page_number", "kind"]).aggregate([("n", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["page_number", "kind"]).aggregate([("n_sum", "sum")])
+        idx = pc.sort_indices(
+            g, sort_keys=[("page_number", "ascending"), ("kind", "ascending")]
+        )
+        g = g.take(idx)
+        return pa.table(
+            {
+                "page_number": pc.cast(g.column("page_number"), pa.int64()),
+                "kind": g.column("kind"),
+                "n_spans": pc.cast(g.column("n_sum_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        flat.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # bounded |pages| x |kinds| rows per partial
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 _KIND_BITS = {
     "title": 1,
     "sectionHeading": 2,
@@ -2497,6 +2611,12 @@ def _q_min_cost_supplier_per_part(sf_dir: str):
     return min_cost_supplier_per_part(sf_dir)
 
 
+def _q_simhash_distance_histogram(sf_dir: str):
+    from ray_extract.pipelines.dedup import simhash_distance_histogram
+
+    return simhash_distance_histogram(sf_dir)
+
+
 def _q_gopher_rules_profile(sf_dir: str):
     from ray_extract.pipelines.text import gopher_rules_profile
 
@@ -2531,11 +2651,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_kind_transitions": _q_extract_kind_transitions,
         "extract_media_position": _q_extract_media_position,
         "extract_kind_sets": _q_extract_kind_sets,
+        "extract_media_context": _q_extract_media_context,
+        "extract_page_kind_mix": _q_extract_page_kind_mix,
         "supplier_wait_ranking": _q_supplier_wait_ranking,
         "idle_capital_by_nation": _q_idle_capital_by_nation,
         "min_cost_supplier_per_part": _q_min_cost_supplier_per_part,
         "gopher_rules_profile": _q_gopher_rules_profile,
         "duplicate_ngram_coverage": _q_duplicate_ngram_coverage,
+        "simhash_distance_histogram": _q_simhash_distance_histogram,
         "revenue_trend": _q_revenue_trend,
         "order_reconciliation": _q_order_reconciliation,
         "core_vocabulary": _q_core_vocabulary,
@@ -2835,6 +2958,27 @@ FROM w
 JOIN supplier ON sk = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name
+""",
+        "extract_media_context": _SPANS_CTE
+        + """
+, ctx AS (
+  SELECT did, i, kind,
+         COALESCE(lag(kind) OVER (PARTITION BY did ORDER BY i), 'BOS')
+           AS prev_kind,
+         COALESCE(lead(kind) OVER (PARTITION BY did ORDER BY i), 'EOS')
+           AS next_kind
+  FROM spans
+)
+SELECT prev_kind, next_kind, CAST(count(*) AS BIGINT) AS n_media
+FROM ctx WHERE kind = 'media'
+GROUP BY prev_kind, next_kind
+ORDER BY prev_kind, next_kind
+""",
+        "extract_page_kind_mix": _SPANS_CTE
+        + """
+SELECT page_number, kind, CAST(count(*) AS BIGINT) AS n_spans
+FROM spans GROUP BY page_number, kind
+ORDER BY page_number, kind
 """,
         "gopher_rules_profile": """
 WITH d AS (
@@ -6006,6 +6150,11 @@ r{_i} AS (
   GROUP BY e.dst
 )"""
         _prev = f"r{_i}"
+    d["simhash_distance_histogram"] = f"""
+SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
+FROM ({d["dedup_simhash"]}) t
+GROUP BY hamming ORDER BY hamming
+"""
     d["pagerank_dup_graph"] = f"""
 WITH pairs AS (SELECT doc_a, doc_b FROM ({d["dedup_simhash"]}) t),
 edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs

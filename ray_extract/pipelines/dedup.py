@@ -2433,3 +2433,42 @@ def shingle_containment_pairs(sf_dir: str, k: int = 3, num: int = 9,
         .groupby("pbucket")
         .map_groups(agg_bucket, batch_format="pandas")
     )
+
+
+def simhash_distance_histogram(sf_dir: str, max_hamming: int = 3):
+    """Hamming-distance histogram of the near-duplicate candidate graph —
+    the tuning signal for the simhash threshold (how sharply pair volume
+    grows with each admitted bit of distance).
+
+    Scale shape: rides the per-session memoized pair Dataset
+    (``simhash_pairs_cached`` — built once across the dup-graph query
+    family), then a bounded-domain (<= max_hamming + 1 rows) count fold.
+
+    Output: (hamming, n_pairs).
+    """
+    from ray.data.aggregate import Sum
+
+    pairs = simhash_pairs_cached(sf_dir, max_hamming=max_hamming)
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = pc.cast(t.column("hamming"), pa.int64()).to_numpy()
+        vals, counts = np.unique(h, return_counts=True)
+        return pa.table({"hamming": vals, "n": counts.astype(np.int64)})
+
+    agg = (
+        pairs.map_batches(partial, batch_format="pyarrow")
+        .groupby("hamming")
+        .aggregate(Sum("n", alias_name="n_pairs"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("hamming", "ascending")])
+        t = t.take(idx)
+        return pa.table(
+            {
+                "hamming": pc.cast(t.column("hamming"), pa.int64()),
+                "n_pairs": pc.cast(t.column("n_pairs"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

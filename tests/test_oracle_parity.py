@@ -61,6 +61,9 @@ SUBSET = [
     "min_cost_supplier_per_part",
     "gopher_rules_profile",
     "duplicate_ngram_coverage",
+    "extract_media_context",
+    "extract_page_kind_mix",
+    "simhash_distance_histogram",
     "user_resurrections",
     "gap_hour_histogram",
     "value_autocorr_terms",
