@@ -2611,6 +2611,12 @@ def _q_min_cost_supplier_per_part(sf_dir: str):
     return min_cost_supplier_per_part(sf_dir)
 
 
+def _q_typo_neighbor_pairs(sf_dir: str):
+    from ray_extract.pipelines.dedup import typo_neighbor_pairs
+
+    return typo_neighbor_pairs(sf_dir)
+
+
 def _q_simhash_distance_histogram(sf_dir: str):
     from ray_extract.pipelines.dedup import simhash_distance_histogram
 
@@ -2659,6 +2665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules_profile": _q_gopher_rules_profile,
         "duplicate_ngram_coverage": _q_duplicate_ngram_coverage,
         "simhash_distance_histogram": _q_simhash_distance_histogram,
+        "typo_neighbor_pairs": _q_typo_neighbor_pairs,
         "revenue_trend": _q_revenue_trend,
         "order_reconciliation": _q_order_reconciliation,
         "core_vocabulary": _q_core_vocabulary,
@@ -2979,6 +2986,18 @@ ORDER BY prev_kind, next_kind
 SELECT page_number, kind, CAST(count(*) AS BIGINT) AS n_spans
 FROM spans GROUP BY page_number, kind
 ORDER BY page_number, kind
+""",
+        "typo_neighbor_pairs": """
+WITH n AS (
+  SELECT DISTINCT c_name AS name FROM customer
+  UNION SELECT DISTINCT p_name FROM part
+  UNION SELECT DISTINCT w FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+)
+SELECT a.name AS name_a, b.name AS name_b
+FROM n a JOIN n b
+  ON a.name < b.name AND levenshtein(a.name, b.name) <= 1
+ORDER BY name_a, name_b
 """,
         "gopher_rules_profile": """
 WITH d AS (

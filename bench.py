@@ -312,6 +312,27 @@ def run_bench() -> dict:
           lambda: supplier_part_coverage(SF_DIR).count())
     timed("core_vocabulary", lambda: core_vocabulary(SF_DIR).count())
 
+    from ray_extract.pipelines.dedup import typo_neighbor_pairs
+    from ray_extract.pipelines.relational import (
+        min_cost_supplier_per_part,
+        supplier_wait_ranking,
+    )
+    from ray_extract.pipelines.text import (
+        duplicate_ngram_coverage,
+        gopher_rules_profile,
+    )
+
+    timed("supplier_wait_ranking",
+          lambda: supplier_wait_ranking(SF_DIR).count())
+    timed("min_cost_supplier_per_part",
+          lambda: min_cost_supplier_per_part(SF_DIR).count())
+    timed("gopher_rules_profile",
+          lambda: gopher_rules_profile(SF_DIR).count())
+    timed("duplicate_ngram_coverage",
+          lambda: duplicate_ngram_coverage(SF_DIR).count())
+    timed("typo_neighbor_pairs",
+          lambda: typo_neighbor_pairs(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),

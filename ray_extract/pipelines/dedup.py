@@ -2472,3 +2472,190 @@ def simhash_distance_histogram(sf_dir: str, max_hamming: int = 3):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def typo_neighbor_pairs(sf_dir: str, num_buckets: int = 256,
+                        max_name_len: int = 64):
+    """Edit-distance-1 name linkage — the SymSpell deletion-neighborhood
+    join: all pairs of distinct names (customer names + part names +
+    document vocabulary) within Levenshtein distance 1, WITHOUT the n^2
+    compare of a naive fuzzy join.
+
+    Scale shape: each name explodes into its <= len deletion variants plus
+    itself (a bounded ~W-fold blowup, Arrow slice kernels per position);
+    candidates meet in ONE hash-bucket groupby on the variant string
+    (pigeonhole: any lev-1 pair shares a variant — the substitution pair
+    shares the deletion at its mismatch position, the insert/delete pair
+    shares the shorter name itself); the in-bucket verify is all-numpy on
+    padded byte matrices (hamming for equal length, prefix+suffix
+    cumprod for length +/- 1); cross-bucket duplicate pairs collapse in a
+    final distinct groupby. Result scale is |lev-1 pairs|.
+
+    Output: (name_a, name_b), name_a < name_b.
+    """
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..functions.hashing import hash62_batch
+
+    def distinct_names(col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            t = pa.table(
+                {"name": pc.cast(batch.column(col).combine_chunks(),
+                                 pa.string())}
+            )
+            return t.group_by("name").aggregate([])
+
+        return f
+
+    def doc_words(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(
+            pc.cast(batch.column("text").combine_chunks(), pa.string()), " "
+        )
+        t = pa.table({"name": words.values})
+        return t.group_by("name").aggregate([])
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_name"]
+    ).map_batches(distinct_names("c_name"), batch_format="pyarrow")
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_name"]
+    ).map_batches(distinct_names("p_name"), batch_format="pyarrow")
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    ).map_batches(doc_words, batch_format="pyarrow")
+
+    names = (
+        cust.union(part)
+        .union(docs)
+        .map_batches(lambda t: t.replace_schema_metadata(None),
+                     batch_format="pyarrow")
+        .groupby("name")
+        .aggregate(Count(alias_name="nc_"))
+        .select_columns(["name"])
+    )
+
+    def explode_variants(batch: pa.Table) -> pa.Table:
+        nm = pc.cast(batch.column("name").combine_chunks(), pa.string())
+        ln = pc.utf8_length(nm).to_numpy().astype(np.int64)
+        w = int(ln.max(initial=0))
+        out_var, out_name = [nm], [nm]  # identity variant
+        for p in range(min(w, max_name_len)):
+            valid = pa.array(ln > p)
+            sub = nm.filter(valid)
+            pre = pc.utf8_slice_codeunits(sub, 0, p)
+            suf = pc.utf8_slice_codeunits(sub, p + 1, 1 << 30)
+            out_var.append(pc.binary_join_element_wise(pre, suf, ""))
+            out_name.append(sub)
+        var = pa.concat_arrays(
+            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+             for a in out_var]
+        )
+        name = pa.concat_arrays(
+            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+             for a in out_name]
+        )
+        h = hash62_batch(var.to_pylist())
+        t = pa.table(
+            {
+                "variant": var,
+                "name": name,
+                "bucket": pa.array(np.abs(h) % np.int64(num_buckets)),
+            }
+        )
+        # same name can yield the same variant from several positions
+        return t.group_by(["variant", "name", "bucket"]).aggregate([])
+
+    variants = names.map_batches(explode_variants, batch_format="pyarrow")
+
+    def _byte_mats(uniq: np.ndarray):
+        w = max(len(s) for s in uniq)
+        m = np.frombuffer(
+            np.array([s.encode() for s in uniq], dtype=f"S{w}").tobytes(),
+            dtype=np.uint8,
+        ).reshape(len(uniq), w)
+        ln = np.array([len(s) for s in uniq], dtype=np.int64)
+        col = ln[:, None] - 1 - np.arange(w)[None, :]
+        rmat = np.where(
+            col >= 0, m[np.arange(len(uniq))[:, None], np.maximum(col, 0)], 0
+        ).astype(np.uint8)
+        return m, rmat, ln
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"name_a": pd.Series([], dtype=object),
+                              "name_b": pd.Series([], dtype=object)})
+        v = g["variant"].to_numpy()
+        nm = g["name"].to_numpy()
+        order = np.lexsort((nm, v))
+        v, nm = v[order], nm[order]
+        n = len(v)
+        if n < 2:
+            return empty
+        new_seg = np.r_[True, v[1:] != v[:-1]]
+        starts = np.flatnonzero(new_seg)
+        seg_of = np.cumsum(new_seg) - 1
+        cnt = np.diff(np.r_[starts, n])
+        local = np.arange(n) - starts[seg_of]
+        reps = cnt[seg_of] - 1 - local
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(n), reps)
+        block_start = np.r_[0, np.cumsum(reps)[:-1]]
+        b_idx = np.arange(total) - np.repeat(block_start, reps) + a_idx + 1
+        # map candidate names to a per-bucket byte matrix
+        uniq, inv = np.unique(nm, return_inverse=True)
+        m, rmat, ln = _byte_mats(uniq)
+        ia, ib = inv[a_idx], inv[b_idx]
+        keep = ia != ib
+        ia, ib = ia[keep], ib[keep]
+        if len(ia) == 0:
+            return empty
+        # dedupe candidate pairs within the bucket before verifying
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        packed = np.unique(lo * np.int64(len(uniq)) + hi)
+        lo, hi = packed // len(uniq), packed % len(uniq)
+        la, lb = ln[lo], ln[hi]
+        diff = np.abs(la - lb)
+        ok = np.zeros(len(lo), bool)
+        eq = diff == 0
+        if eq.any():
+            ok[eq] = (m[lo[eq]] != m[hi[eq]]).sum(axis=1) <= 1
+        d1 = diff == 1
+        if d1.any():
+            big = np.where(la[d1] > lb[d1], lo[d1], hi[d1])
+            sml = np.where(la[d1] > lb[d1], hi[d1], lo[d1])
+            pref = (m[big] == m[sml]).cumprod(axis=1).sum(axis=1)
+            suf = (rmat[big] == rmat[sml]).cumprod(axis=1).sum(axis=1)
+            ok[d1] = pref + suf >= ln[sml]
+        lo, hi = lo[ok], hi[ok]
+        if len(lo) == 0:
+            return empty
+        na, nb = uniq[lo], uniq[hi]
+        swap = na > nb
+        na2 = np.where(swap, nb, na)
+        nb2 = np.where(swap, na, nb)
+        return pd.DataFrame({"name_a": na2, "name_b": nb2})
+
+    pairs = (
+        variants.groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["name_a", "name_b"])  # cross-bucket duplicates collapse
+        .aggregate(Count(alias_name="nc_"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("name_a", "ascending"), ("name_b", "ascending")]
+        )
+        t = t.take(idx)
+        return pa.table(
+            {
+                "name_a": pc.cast(t.column("name_a"), pa.string()),
+                "name_b": pc.cast(t.column("name_b"), pa.string()),
+            }
+        )
+
+    # result scale = |lev-1 pairs| (linkage output, not corpus scale)
+    return pairs.repartition(1).map_batches(finish, batch_format="pyarrow")

@@ -64,6 +64,7 @@ SUBSET = [
     "extract_media_context",
     "extract_page_kind_mix",
     "simhash_distance_histogram",
+    "typo_neighbor_pairs",
     "user_resurrections",
     "gap_hour_histogram",
     "value_autocorr_terms",

@@ -464,3 +464,88 @@ def test_word_dominance_brute_force(ray_session):
         c = Counter(d["text"].split(" "))
         assert int(df.loc[d["doc_id"], "top_count"]) == max(c.values())
         assert int(df.loc[d["doc_id"], "n_words"]) == sum(c.values())
+
+
+def test_word_shingle_positions_multiplicity():
+    import pyarrow as pa
+
+    from ray_extract.functions.hashing import word_shingle_positions_batch
+
+    texts = pa.array(["a b a b a", "x y", "", "a b c"])
+    doc_idx, sh = word_shingle_positions_batch(texts, k=2)
+    got = list(zip(doc_idx.tolist(), sh.to_pylist()))
+    # doc 0: 4 positions incl the repeated "a b"/"b a"; doc 1: 1; doc 2: ""
+    # splits to [""] (1 word, no 2-gram); doc 3: 2
+    assert got == [
+        (0, "a b"), (0, "b a"), (0, "a b"), (0, "b a"),
+        (1, "x y"),
+        (3, "a b"), (3, "b c"),
+    ]
+
+
+def test_gopher_rules_brute_force(ray_session):
+    import pandas as pd
+
+    from ray_extract.pipelines.text import GOPHER_STOPWORDS, gopher_rules_profile
+
+    sf = "/root/testdata/sf0.001"
+    got = gopher_rules_profile(sf).to_pandas().set_index("source")
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["source", "text"])
+    sw = set(GOPHER_STOPWORDS)
+    rows = {}
+    for _, d in docs.iterrows():
+        ws = d["text"].split(" ")
+        nw = len(ws)
+        sl = sum(len(w) for w in ws)
+        f_wc = nw < 15 or nw > 800
+        f_ml = sl < 3 * nw or sl > 10 * nw
+        f_sw = len(sw & set(ws)) < 2
+        f_al = 5 * sum(1 for w in ws if any(c.isalpha() for c in w)) < 4 * nw
+        r = rows.setdefault(d["source"], [0, 0, 0, 0, 0, 0])
+        r[0] += 1
+        r[1] += f_wc
+        r[2] += f_ml
+        r[3] += f_sw
+        r[4] += f_al
+        r[5] += f_wc or f_ml or f_sw or f_al
+    for src, r in rows.items():
+        g = got.loc[src]
+        assert [int(g.n_docs), int(g.fail_wordcount), int(g.fail_meanlen),
+                int(g.fail_stopword), int(g.fail_alpha), int(g.fail_any)] == r
+
+
+def test_typo_pairs_brute_force(ray_session):
+    """SymSpell candidate join == brute-force lev<=1 over the name domain."""
+    import pandas as pd
+
+    from ray_extract.pipelines.dedup import typo_neighbor_pairs
+
+    def lev1(a: str, b: str) -> bool:
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) <= 1
+        if la < lb:
+            a, b, la, lb = b, a, lb, la
+        i = 0
+        while i < lb and a[i] == b[i]:
+            i += 1
+        return a[i + 1:] == b[i:]
+
+    sf = "/root/testdata/sf0.001"
+    got = typo_neighbor_pairs(sf).to_pandas()
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+    cust = pd.read_parquet(f"{sf}/customer.parquet", columns=["c_name"])
+    part = pd.read_parquet(f"{sf}/part.parquet", columns=["p_name"])
+    names = sorted(
+        set(cust["c_name"]) | set(part["p_name"])
+        | {w for t in docs["text"] for w in t.split(" ")}
+    )
+    want = sorted(
+        (a, b)
+        for i, a in enumerate(names)
+        for b in names[i + 1:]
+        if lev1(a, b)
+    )
+    assert list(map(tuple, got[["name_a", "name_b"]].to_numpy())) == want
