@@ -2495,7 +2495,6 @@ def typo_neighbor_pairs(sf_dir: str, num_buckets: int = 256,
     """
     import pandas as pd
     import ray.data as rd
-    from ray.data.aggregate import Count
 
     from ..functions.hashing import hash62_batch
 
@@ -2526,14 +2525,12 @@ def typo_neighbor_pairs(sf_dir: str, num_buckets: int = 256,
         f"{sf_dir}/documents.parquet", columns=["text"]
     ).map_batches(doc_words, batch_format="pyarrow")
 
-    names = (
-        cust.union(part)
-        .union(docs)
-        .map_batches(lambda t: t.replace_schema_metadata(None),
-                     batch_format="pyarrow")
-        .groupby("name")
-        .aggregate(Count(alias_name="nc_"))
-        .select_columns(["name"])
+    # no global name-distinct barrier: each scan dedupes per batch, the few
+    # cross-block duplicate names survive into the variant explode and
+    # collapse in the in-bucket pair dedupe (pairs (X, X) drop at ia != ib,
+    # duplicated (X, Y) at the packed np.unique) — one less all-to-all
+    names = cust.union(part).union(docs).map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
     )
 
     def explode_variants(batch: pa.Table) -> pa.Table:
@@ -2584,7 +2581,8 @@ def typo_neighbor_pairs(sf_dir: str, num_buckets: int = 256,
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"name_a": pd.Series([], dtype=object),
-                              "name_b": pd.Series([], dtype=object)})
+                              "name_b": pd.Series([], dtype=object),
+                              "pb": pd.Series([], dtype=np.int64)})
         v = g["variant"].to_numpy()
         nm = g["name"].to_numpy()
         order = np.lexsort((nm, v))
@@ -2636,13 +2634,29 @@ def typo_neighbor_pairs(sf_dir: str, num_buckets: int = 256,
         swap = na > nb
         na2 = np.where(swap, nb, na)
         nb2 = np.where(swap, na, nb)
-        return pd.DataFrame({"name_a": na2, "name_b": nb2})
+        joined = np.char.add(np.char.add(na2.astype(str), "|"),
+                             nb2.astype(str))
+        pb = np.abs(hash62_batch(joined.tolist())) % np.int64(64)
+        return pd.DataFrame({"name_a": na2, "name_b": nb2, "pb": pb})
+
+    def pair_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        # a lev-1 pair shares exactly one variant STRING (the deletion at
+        # the mismatch position, or the shorter name itself), so duplicates
+        # can only arise within one bucket — this pass enforces it anyway,
+        # cheaply, on the int-bucketed pair stream (a string-pair groupby
+        # here measured ~10x the cost of the whole candidate join)
+        a = g["name_a"].to_numpy()
+        b = g["name_b"].to_numpy()
+        joined = np.char.add(np.char.add(a.astype(str), "|"), b.astype(str))
+        _, first = np.unique(joined, return_index=True)
+        first.sort()
+        return pd.DataFrame({"name_a": a[first], "name_b": b[first]})
 
     pairs = (
         variants.groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
-        .groupby(["name_a", "name_b"])  # cross-bucket duplicates collapse
-        .aggregate(Count(alias_name="nc_"))
+        .groupby("pb")  # cross-bucket duplicates collapse (int-key shuffle)
+        .map_groups(pair_distinct, batch_format="pandas")
     )
 
     def finish(t: pa.Table) -> pa.Table:
