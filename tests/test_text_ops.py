@@ -549,3 +549,46 @@ def test_typo_pairs_brute_force(ray_session):
         if lev1(a, b)
     )
     assert list(map(tuple, got[["name_a", "name_b"]].to_numpy())) == want
+
+
+def test_gopher_and_dupgram_edge_corpus(ray_session, tmp_path):
+    """Degenerate docs: empty text, single word, all-digit words, a doc
+    that is one repeated 5-gram — pins the guards in both kernels."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ray_extract.pipelines.text import (
+        duplicate_ngram_coverage,
+        gopher_rules_profile,
+    )
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "",
+                    "word",
+                    "1 22 333 4444 55555",
+                    "a b c d e a b c d e a b c d e",
+                ]
+            ),
+            "source": pa.array(["s0", "s0", "s1", "s1"]),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    g = gopher_rules_profile(str(tmp_path)).to_pandas().set_index("source")
+    # all four docs fail the word-count rule (< 15 words... doc 3 has 15)
+    assert int(g.loc["s0", "fail_wordcount"]) == 2
+    assert int(g.loc["s1", "fail_wordcount"]) == 1
+    # digits-only doc fails the alpha rule; empty text has 1 "word" of len 0
+    assert int(g.loc["s1", "fail_alpha"]) == 1
+    assert int(g.loc["s0", "fail_meanlen"]) == 1  # "" -> sum_len 0 < 3*1
+    d = duplicate_ngram_coverage(str(tmp_path)).to_pandas().set_index("source")
+    # docs 0-2 have < 5 words -> no grams from s0; s1: digits doc has 1
+    # unique 5-gram; the repeated doc has 11 positions over a 5-gram cycle
+    # where every gram text occurs >= 2 times -> all 11 are dup positions
+    assert "s0" not in d.index
+    assert int(d.loc["s1", "n_grams"]) == 12
+    assert int(d.loc["s1", "n_dup_grams"]) == 11
