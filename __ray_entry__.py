@@ -1282,6 +1282,259 @@ def _q_extract_text_run_histogram(sf_dir: str):
     )
 
 
+def _q_extract_section_sizes(sf_dir: str):
+    """Section segmentation: spans per section (a section = a heading
+    span plus everything until the next heading, per doc, in reading
+    order), histogrammed — the section-granularity profile of the
+    corpus. Doc-hash bucket shuffle keeps each doc whole; one lexsort +
+    cumsum segment pass per bucket; bounded size histogram fold."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray_extract.functions.hashing import hash62_batch
+
+    _, flat = _extract_flat(sf_dir)
+    num_buckets = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = hash62_batch(t.column("doc_id").to_pylist())
+        is_heading = pc.is_in(
+            t.column("kind"),
+            value_set=pa.array(["title", "sectionHeading"]),
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "ord": pc.cast(t.column("ord"), pa.int64()),
+                "is_heading": is_heading,
+                "bucket": pa.array(np.abs(h) % np.int64(num_buckets)),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        did = g["doc_id"].to_numpy()
+        o = g["ord"].to_numpy()
+        h = g["is_heading"].to_numpy()
+        order = np.lexsort((o, did))
+        did, h = did[order], h[order]
+        # a segment starts at a doc boundary or at a heading span (the
+        # heading belongs to ITS section, matching the SQL running-sum
+        # partitioned by did)
+        start = np.r_[True, did[1:] != did[:-1]] | h
+        seg_id = np.cumsum(start)
+        sizes = np.bincount(seg_id)[1:]
+        cnt = np.bincount(sizes)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"section_len": nz.astype(np.int64),
+                             "n_sections": cnt[nz].astype(np.int64)})
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("section_len").aggregate([("n_sections", "sum")])
+        idx = pc.sort_indices(g, sort_keys=[("section_len", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "section_len": pc.cast(g.column("section_len"), pa.int64()),
+                "n_sections": pc.cast(g.column("n_sections_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        flat.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # bounded |section sizes| rows per bucket
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def _q_extract_caption_length_profile(sf_dir: str):
+    """Caption-candidate lengths: for every media span, the text length
+    of the span immediately AFTER it in reading order (the caption
+    heuristic figure-parsers use), bucketed by length//8 — a windowed
+    lead() over the interleaved span table. Doc-hash bucket shuffle
+    keeps each doc whole; media at end-of-doc has no successor and is
+    dropped (SQL lead() NULL semantics)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray_extract.functions.hashing import hash62_batch
+
+    _, flat = _extract_flat(sf_dir)
+    num_buckets = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = hash62_batch(t.column("doc_id").to_pylist())
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "ord": pc.cast(t.column("ord"), pa.int64()),
+                "is_media": pc.equal(t.column("kind"), "media"),
+                "length": pc.cast(t.column("length"), pa.int64()),
+                "bucket": pa.array(np.abs(h) % np.int64(num_buckets)),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        did = g["doc_id"].to_numpy()
+        o = g["ord"].to_numpy()
+        m = g["is_media"].to_numpy()
+        ln = g["length"].to_numpy()
+        order = np.lexsort((o, did))
+        did, m, ln = did[order], m[order], ln[order]
+        last = np.r_[did[1:] != did[:-1], True]
+        next_len = np.roll(ln, -1)
+        sel = m & ~last
+        cnt = np.bincount(next_len[sel] // 8) if sel.any() else np.zeros(0, np.int64)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"len_bucket": nz.astype(np.int64),
+                             "n_media": cnt[nz].astype(np.int64)})
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("len_bucket").aggregate([("n_media", "sum")])
+        idx = pc.sort_indices(g, sort_keys=[("len_bucket", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "len_bucket": pc.cast(g.column("len_bucket"), pa.int64()),
+                "n_media": pc.cast(g.column("n_media_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        flat.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # bounded |length buckets| rows per bucket
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def _q_extract_boilerplate_texts(sf_dir: str):
+    """Corpus-level boilerplate detection by document frequency: header/
+    footer span texts that repeat across >= 3 DISTINCT documents — the
+    classic common-line boilerplate-strip signal, expressed as one
+    text-hash bucket shuffle. Bucketing on hash(text) co-locates every
+    occurrence of a text, so the per-bucket pass dedups (text, doc)
+    pairs AND finishes the exact distinct-doc count locally — no second
+    shuffle. Skew note: a boilerplate text shared by billions of docs
+    concentrates its pairs in one bucket; at scale, pre-dedup (text,
+    doc) inside map_batches first (same pattern as dedup.py's
+    max_block_df cap)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray_extract.functions.hashing import hash62_batch
+
+    _, flat = _extract_flat(sf_dir)
+    num_buckets = 256
+    min_docs = 2
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_in(
+                t.column("kind"),
+                value_set=pa.array(["pageHeader", "pageFooter"]),
+            ),
+            pc.not_equal(t.column("text"), ""),
+        )
+        t = t.filter(keep)
+        # per-batch (text, doc) dedup before the shuffle (combiner)
+        g = pa.table(
+            {"text": t.column("text"), "doc_id": t.column("doc_id")}
+        ).group_by(["text", "doc_id"]).aggregate([])
+        h = hash62_batch(g.column("text").to_pylist())
+        return g.append_column(
+            "bucket", pa.array(np.abs(h) % np.int64(num_buckets))
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["text", "doc_id"])
+        c = d.groupby("text", sort=False).size()
+        c = c[c >= min_docs]
+        return pd.DataFrame(
+            {"text": c.index.to_numpy(),
+             "n_docs": c.to_numpy().astype(np.int64)}
+        )
+
+    return (
+        flat.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def _q_extract_main_content_ratio(sf_dir: str):
+    """Main-content share per document: text length in body 'Text' spans
+    over total text length (titles/headings/headers/footers/cells are
+    chrome), in ppm, histogrammed into 50k-ppm bands — the
+    boilerplate-vs-content profile the HTML main-content strip tunes
+    against. Per-batch per-doc partial sums combine before the one
+    doc-hash bucket shuffle; bounded band histogram fold. int64
+    headroom: ppm product needs doc text length < 9.2e12 chars."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray_extract.functions.hashing import hash62_batch
+
+    _, flat = _extract_flat(sf_dir)
+    num_buckets = 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        ln = pc.cast(t.column("length"), pa.int64())
+        is_text = pc.cast(pc.equal(t.column("kind"), "Text"), pa.int64())
+        g = pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "tl": pc.multiply(ln, is_text),
+                "tot": ln,
+            }
+        ).group_by("doc_id").aggregate([("tl", "sum"), ("tot", "sum")])
+        h = hash62_batch(g.column("doc_id").to_pylist())
+        return g.append_column(
+            "bucket", pa.array(np.abs(h) % np.int64(num_buckets))
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("doc_id", sort=False).agg(
+            tl=("tl_sum", "sum"), tot=("tot_sum", "sum")
+        )
+        tl, tot = s["tl"].to_numpy(), s["tot"].to_numpy()
+        nzdoc = tot > 0
+        band = (tl[nzdoc] * 1_000_000 // tot[nzdoc]) // 50_000
+        cnt = np.bincount(band) if len(band) else np.zeros(0, np.int64)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"ratio_band": nz.astype(np.int64),
+                             "n_docs": cnt[nz].astype(np.int64)})
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("ratio_band").aggregate([("n_docs", "sum")])
+        idx = pc.sort_indices(g, sort_keys=[("ratio_band", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "ratio_band": pc.cast(g.column("ratio_band"), pa.int64()),
+                "n_docs": pc.cast(g.column("n_docs_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        flat.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # <= 21 band rows per bucket
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 def _q_snapshot_diff(sf_dir: str):
     from ray_extract.pipelines.text import snapshot_diff
 
@@ -2659,6 +2912,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_kind_sets": _q_extract_kind_sets,
         "extract_media_context": _q_extract_media_context,
         "extract_page_kind_mix": _q_extract_page_kind_mix,
+        "extract_section_sizes": _q_extract_section_sizes,
+        "extract_caption_length_profile": _q_extract_caption_length_profile,
+        "extract_boilerplate_texts": _q_extract_boilerplate_texts,
+        "extract_main_content_ratio": _q_extract_main_content_ratio,
         "supplier_wait_ranking": _q_supplier_wait_ranking,
         "idle_capital_by_nation": _q_idle_capital_by_nation,
         "min_cost_supplier_per_part": _q_min_cost_supplier_per_part,
@@ -4157,6 +4414,51 @@ runs AS (SELECT count(*) AS run_len FROM t GROUP BY did, grp)
 SELECT CAST(run_len AS BIGINT) AS run_len,
        CAST(count(*) AS BIGINT) AS n_runs
 FROM runs GROUP BY 1
+""",
+        "extract_section_sizes": _SPANS_CTE
+        + """
+, sec AS (
+  SELECT did, i,
+         SUM(CASE WHEN kind IN ('title', 'sectionHeading') THEN 1 ELSE 0 END)
+           OVER (PARTITION BY did ORDER BY i) AS sec_id
+  FROM spans
+),
+sizes AS (SELECT count(*) AS section_len FROM sec GROUP BY did, sec_id)
+SELECT CAST(section_len AS BIGINT) AS section_len,
+       CAST(count(*) AS BIGINT) AS n_sections
+FROM sizes GROUP BY 1
+""",
+        "extract_caption_length_profile": _SPANS_CTE
+        + """
+, nx AS (
+  SELECT did, kind,
+         lead(length) OVER (PARTITION BY did ORDER BY i) AS next_len
+  FROM spans
+)
+SELECT CAST(next_len // 8 AS BIGINT) AS len_bucket,
+       CAST(count(*) AS BIGINT) AS n_media
+FROM nx WHERE kind = 'media' AND next_len IS NOT NULL GROUP BY 1
+""",
+        "extract_boilerplate_texts": _SPANS_CTE
+        + """
+, hf AS (
+  SELECT DISTINCT did, text FROM spans
+  WHERE kind IN ('pageHeader', 'pageFooter') AND text <> ''
+),
+c AS (SELECT text, count(*) AS n_docs FROM hf GROUP BY text)
+SELECT text, CAST(n_docs AS BIGINT) AS n_docs FROM c WHERE n_docs >= 2
+""",
+        "extract_main_content_ratio": _SPANS_CTE
+        + """
+, r AS (
+  SELECT did,
+         SUM(CASE WHEN kind = 'Text' THEN length ELSE 0 END) AS tl,
+         SUM(length) AS tot
+  FROM spans GROUP BY did
+)
+SELECT CAST((tl * 1000000 // tot) // 50000 AS BIGINT) AS ratio_band,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM r WHERE tot > 0 GROUP BY 1
 """,
         "keyword_spotting": """
 WITH kw AS (
