@@ -1535,6 +1535,30 @@ def _q_extract_main_content_ratio(sf_dir: str):
     )
 
 
+def _q_supplier_attr_counts(sf_dir: str):
+    from ray_extract.pipelines.relational import supplier_attr_counts
+
+    return supplier_attr_counts(sf_dir)
+
+
+def _q_promo_part_suppliers(sf_dir: str):
+    from ray_extract.pipelines.relational import promo_part_suppliers
+
+    return promo_part_suppliers(sf_dir)
+
+
+def _q_shipmode_priority_matrix(sf_dir: str):
+    from ray_extract.pipelines.relational import shipmode_priority_matrix
+
+    return shipmode_priority_matrix(sf_dir)
+
+
+def _q_part_value_share(sf_dir: str):
+    from ray_extract.pipelines.relational import part_value_share
+
+    return part_value_share(sf_dir)
+
+
 def _q_snapshot_diff(sf_dir: str):
     from ray_extract.pipelines.text import snapshot_diff
 
@@ -2916,6 +2940,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_caption_length_profile": _q_extract_caption_length_profile,
         "extract_boilerplate_texts": _q_extract_boilerplate_texts,
         "extract_main_content_ratio": _q_extract_main_content_ratio,
+        "supplier_attr_counts": _q_supplier_attr_counts,
+        "promo_part_suppliers": _q_promo_part_suppliers,
+        "shipmode_priority_matrix": _q_shipmode_priority_matrix,
+        "part_value_share": _q_part_value_share,
         "supplier_wait_ranking": _q_supplier_wait_ranking,
         "idle_capital_by_nation": _q_idle_capital_by_nation,
         "min_cost_supplier_per_part": _q_min_cost_supplier_per_part,
@@ -4459,6 +4487,53 @@ SELECT text, CAST(n_docs AS BIGINT) AS n_docs FROM c WHERE n_docs >= 2
 SELECT CAST((tl * 1000000 // tot) // 50000 AS BIGINT) AS ratio_band,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM r WHERE tot > 0 GROUP BY 1
+""",
+        "supplier_attr_counts": """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey % 7 <> 0
+GROUP BY 1, 2, 3
+""",
+        "promo_part_suppliers": """
+WITH tp AS (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'),
+sq AS (
+  SELECT l_suppkey, SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS qty
+  FROM lineitem JOIN tp ON l_partkey = p_partkey GROUP BY 1
+),
+tot AS (SELECT SUM(qty) AS t, count(*) AS n FROM sq)
+SELECT s.s_name, CAST(sq.qty AS BIGINT) AS qty_sum
+FROM sq, tot, supplier s
+WHERE sq.l_suppkey = s.s_suppkey AND 2 * sq.qty * tot.n > tot.t
+""",
+        "shipmode_priority_matrix": """
+WITH li AS (
+  SELECT l_orderkey, CAST(l_linenumber % 3 AS BIGINT) AS mode,
+         CAST(l_shipdate AS DATE) AS sd
+  FROM lineitem
+)
+SELECT CASE mode WHEN 0 THEN 'REG AIR' WHEN 1 THEN 'RAIL' ELSE 'TRUCK' END
+         AS ship_mode,
+       CAST(count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+         AS BIGINT) AS high_line_count,
+       CAST(count(*) FILTER (WHERE o_orderpriority NOT IN
+         ('1-URGENT', '2-HIGH')) AS BIGINT) AS low_line_count
+FROM li JOIN orders ON l_orderkey = o_orderkey
+WHERE date_diff('day', CAST(o_orderdate AS DATE), sd) > 45
+GROUP BY mode
+""",
+        "part_value_share": """
+WITH v AS (
+  SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+         SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+           AS value_cents
+  FROM lineitem GROUP BY 1
+),
+t AS (SELECT SUM(value_cents) AS tot, count(*) AS n FROM v)
+SELECT l_partkey, CAST(value_cents AS BIGINT) AS value_cents
+FROM v, t WHERE 2 * value_cents * n > 3 * tot
 """,
         "keyword_spotting": """
 WITH kw AS (

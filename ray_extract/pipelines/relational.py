@@ -7707,3 +7707,409 @@ def min_cost_supplier_per_part(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def supplier_attr_counts(sf_dir: str, excl_brand: str = "Brand#13",
+                         sizes: tuple = (1, 4, 9, 16, 25, 36, 49)):
+    """Distinct suppliers per part-attribute group (TPC-H Q16 shape): for
+    parts outside one brand and within a size list, how many DISTINCT
+    suppliers shipped them — with a denylist anti-join (suppkey % 7 == 0
+    standing in for Q16's complaint-comment filter; this schema has no
+    comment column).
+
+    Scale shape: lineitem reduces to per-batch DISTINCT (partkey, suppkey)
+    pairs inside map_batches (combiner), the filtered part sliver
+    broadcasts once (``ray.put`` + Arrow C++ hash join per batch), and the
+    global supplier-distinct is ONE hash-bucket shuffle on
+    (attrs, suppkey) — each pair lands in exactly one bucket, so the
+    per-bucket dedup + per-attr partial count is exact and the final fold
+    runs on the bounded (brand x type x size) domain.
+
+    Reference behavior source: TPC-H Q16 (supplier relationship query)
+    re-expressed over lineitem as the part-supplier bridge.
+
+    Output: (p_brand, p_type, p_size, supplier_cnt).
+    """
+    import pandas as pd
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ..functions.hashing import hash62_batch
+    from ..functions.tables import strip_schema_metadata
+
+    num_buckets = 64
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+        filters=(pads.field("p_brand") != excl_brand)
+        & pads.field("p_size").isin(list(sizes)),
+    )
+    part = pa.table(
+        {
+            "p_partkey": pc.cast(part.column("p_partkey"), pa.int64()),
+            "p_brand": part.column("p_brand"),
+            "p_type": part.column("p_type"),
+            "p_size": pc.cast(part.column("p_size"), pa.int64()),
+        }
+    )
+    part_ref = ray.put(part)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        sk = batch.column("l_suppkey").to_numpy().astype(np.int64)
+        t = pa.table(
+            {
+                "l_partkey": pc.cast(batch.column("l_partkey"), pa.int64()),
+                "l_suppkey": pa.array(sk),
+            }
+        )
+        # denylist anti-join (tiny predicate, vectorized; numpy mod —
+        # pyarrow.compute has no modulo kernel)
+        t = t.filter(pa.array(sk % 7 != 0))
+        # per-batch DISTINCT combiner before the broadcast probe
+        t = t.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+        t = t.join(ray.get(part_ref), keys=["l_partkey"],
+                   right_keys=["p_partkey"], join_type="inner")
+        key = [
+            f"{b}\x1f{ty}\x1f{s}\x1f{k}"
+            for b, ty, s, k in zip(
+                t.column("p_brand").to_pylist(),
+                t.column("p_type").to_pylist(),
+                t.column("p_size").to_pylist(),
+                t.column("l_suppkey").to_pylist(),
+            )
+        ]
+        h = hash62_batch(key)
+        return pa.table(
+            {
+                "p_brand": t.column("p_brand"),
+                "p_type": t.column("p_type"),
+                "p_size": t.column("p_size"),
+                "l_suppkey": t.column("l_suppkey"),
+                "bucket": pa.array(np.abs(h) % np.int64(num_buckets)),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["p_brand", "p_type", "p_size", "l_suppkey"])
+        c = (
+            d.groupby(["p_brand", "p_type", "p_size"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return c
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["p_brand", "p_type", "p_size"]).aggregate(
+            [("n", "sum")]
+        )
+        return pa.table(
+            {
+                "p_brand": g.column("p_brand"),
+                "p_type": g.column("p_type"),
+                "p_size": pc.cast(g.column("p_size"), pa.int64()),
+                "supplier_cnt": pc.cast(g.column("n_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_partkey", "l_suppkey"],
+            )
+        )
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # bounded |brand x type x size| rows per bucket
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def promo_part_suppliers(sf_dir: str, token: str = "widget"):
+    """Above-average suppliers of one part family (TPC-H Q20 shape): per
+    supplier, total shipped quantity of parts whose name contains a token;
+    keep suppliers above HALF the mean per-supplier total (integer-exact:
+    2 * qty * n_suppliers > total). The availqty>half-of-shipped predicate
+    of Q20 becomes a share-of-mean predicate — this schema has no partsupp.
+
+    Scale shape: the token-filtered part sliver broadcasts once; lineitem
+    combines per-suppkey quantity partials inside map_batches; the
+    per-supplier fold is bounded by the supplier domain (|suppliers| <<
+    |lineitem|, the same bound supplier_hhi documents); mean + filter run
+    in the single-partition finish; the supplier-name hop is a second tiny
+    broadcast probe.
+
+    Output: (s_name, qty_sum).
+    """
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"])
+    keep = pc.match_substring(part.column("p_name"), token)
+    pk = pa.table(
+        {"p_partkey": pc.cast(part.column("p_partkey"), pa.int64())}
+    ).filter(keep)
+    pk_ref = ray.put(pk)
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"])
+    sup = pa.table(
+        {
+            "s_suppkey": pc.cast(sup.column("s_suppkey"), pa.int64()),
+            "s_name": sup.column("s_name"),
+        }
+    )
+    sup_ref = ray.put(sup)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = np.floor(batch.column("l_quantity").to_numpy() + 0.5).astype(
+            np.int64
+        )
+        t = pa.table(
+            {
+                "l_partkey": pc.cast(batch.column("l_partkey"), pa.int64()),
+                "l_suppkey": pc.cast(batch.column("l_suppkey"), pa.int64()),
+                "qty": pa.array(qty),
+            }
+        ).join(ray.get(pk_ref), keys=["l_partkey"],
+               right_keys=["p_partkey"], join_type="inner")
+        return t.group_by("l_suppkey").aggregate([("qty", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_suppkey").aggregate([("qty_sum", "sum")])
+        q = g.column("qty_sum_sum").to_numpy()
+        n = len(q)
+        if n == 0:
+            return pa.table({"s_name": pa.array([], pa.string()),
+                             "qty_sum": pa.array([], pa.int64())})
+        total = int(q.sum())  # Python int — no int64 product headroom risk
+        keep = np.array([2 * int(v) * n > total for v in q])
+        kept = g.filter(pa.array(keep)).join(
+            ray.get(sup_ref), keys=["l_suppkey"], right_keys=["s_suppkey"],
+            join_type="inner",
+        )
+        return pa.table(
+            {
+                "s_name": kept.column("s_name"),
+                "qty_sum": pc.cast(kept.column("qty_sum_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_partkey", "l_suppkey", "l_quantity"],
+            )
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # bounded |suppliers| rows per block
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+_SHIP_MODES = ("REG AIR", "RAIL", "TRUCK")
+
+
+def shipmode_priority_matrix(sf_dir: str, late_days: int = 45,
+                             num_partitions: int | None = None):
+    """Late-shipment mode x priority matrix (TPC-H Q12 shape): lineitems
+    shipped more than ``late_days`` after their order's date, split by a
+    derived ship mode (l_linenumber % 3 — this schema has no shipmode
+    column) and by high ('1-URGENT'/'2-HIGH') vs low priority.
+
+    Scale shape: lineitem combines per (orderkey, mode, ship_day) inside
+    map_batches before the ONE native hash join with the pruned orders
+    projection (Q12's join); the late predicate is vectorized post-join
+    and the matrix folds on its bounded |modes| x 2 domain.
+
+    Output: (ship_mode, high_line_count, low_line_count) — late lines only.
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    num_partitions, agg_args = _multi_join_args(
+        _join_partitions(num_partitions)
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        day = (
+            batch.column("l_shipdate")
+            .to_numpy()
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        mode = batch.column("l_linenumber").to_numpy().astype(np.int64) % 3
+        t = pa.table(
+            {
+                "k": pc.cast(batch.column("l_orderkey"), pa.int64()),
+                "mode": pa.array(mode),
+                "ship_day": pa.array(day),
+                "n": pa.array(np.ones(len(day), np.int64)),
+            }
+        )
+        return t.group_by(["k", "mode", "ship_day"]).aggregate([("n", "sum")])
+
+    li = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_linenumber", "l_shipdate"],
+        )
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    orders = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        )
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "o_day": pa.array(
+                    t.column("o_orderdate")
+                    .to_numpy()
+                    .astype("datetime64[D]")
+                    .astype(np.int64)
+                ),
+                "high": pc.cast(
+                    pc.is_in(
+                        t.column("o_orderpriority"),
+                        value_set=pa.array(["1-URGENT", "2-HIGH"]),
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("k",),
+        right_on=("o_orderkey",),
+        aggregator_ray_remote_args=agg_args,
+    )
+
+    def late_partial(t: pa.Table) -> pa.Table:
+        late = (
+            pc.cast(t.column("ship_day"), pa.int64()).to_numpy()
+            - pc.cast(t.column("o_day"), pa.int64()).to_numpy()
+        ) > late_days
+        mode = pc.cast(t.column("mode"), pa.int64()).to_numpy()[late]
+        n = pc.cast(t.column("n_sum"), pa.int64()).to_numpy()[late]
+        high = pc.cast(t.column("high"), pa.int64()).to_numpy()[late]
+        hi = np.zeros(3, np.int64)
+        lo = np.zeros(3, np.int64)
+        np.add.at(hi, mode, n * high)
+        np.add.at(lo, mode, n * (1 - high))
+        return pa.table(
+            {
+                "mode": pa.array(np.arange(3, dtype=np.int64)),
+                "hi": pa.array(hi),
+                "lo": pa.array(lo),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("mode").aggregate([("hi", "sum"), ("lo", "sum")])
+        idx = pc.sort_indices(g, sort_keys=[("mode", "ascending")])
+        g = g.take(idx)
+        names = pa.array(
+            [_SHIP_MODES[m] for m in g.column("mode").to_pylist()]
+        )
+        out = pa.table(
+            {
+                "ship_mode": names,
+                "high_line_count": pc.cast(g.column("hi_sum"), pa.int64()),
+                "low_line_count": pc.cast(g.column("lo_sum"), pa.int64()),
+            }
+        )
+        # a mode with no late lines does not appear in the SQL GROUP BY
+        return out.filter(
+            pc.greater(
+                pc.add(out.column("high_line_count"),
+                       out.column("low_line_count")),
+                0,
+            )
+        )
+
+    return (
+        joined.map_batches(late_partial, batch_format="pyarrow")
+        .repartition(1)  # 3 mode rows per block
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def part_value_share(sf_dir: str):
+    """High-value parts (TPC-H Q11 shape): per-part total lineitem value
+    (extendedprice cents), keeping parts worth more than 1.5x the mean
+    per-part value (integer-exact: 2 * value * n_parts > 3 * total) — Q11's
+    have-a-minimum-share-of-global-value structure with lineitem standing
+    in for partsupp.
+
+    Scale shape: per-partkey partials combine inside map_batches; the
+    per-part fold is one hash groupby; the global total is a driver-side
+    SCALAR (``Dataset.sum``) broadcast into the filter — no second
+    shuffle, and only the tiny above-threshold survivor set leaves the
+    final filter.
+
+    Output: (l_partkey, value_cents), survivors only.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_partkey": pc.cast(batch.column("l_partkey"), pa.int64()),
+                "v": pa.array(_cents(batch.column("l_extendedprice"))),
+            }
+        )
+        return t.group_by("l_partkey").aggregate([("v", "sum")])
+
+    per_part = (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_partkey", "l_extendedprice"],
+            )
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("v_sum", alias_name="value_cents"))
+        .materialize()  # reused for the scalar total AND the filter pass
+    )
+
+    total = int(per_part.sum("value_cents"))
+    n_parts = int(per_part.count())
+
+    # exact integer predicate: for integer v, 2*v*n > 3*total is
+    # equivalent to v > floor(3*total / (2*n)) whether or not 2n divides
+    # 3*total — the threshold is a Python int, so no per-row product and
+    # no int64 overflow regardless of corpus value totals
+    thresh = (3 * total) // (2 * n_parts) if n_parts else 0
+
+    def keep(t: pa.Table) -> pa.Table:
+        v = pc.cast(t.column("value_cents"), pa.int64())
+        return pa.table(
+            {
+                "l_partkey": pc.cast(t.column("l_partkey"), pa.int64()),
+                "value_cents": v,
+            }
+        ).filter(pc.greater(v, thresh))
+
+    return per_part.map_batches(keep, batch_format="pyarrow")
