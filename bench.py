@@ -333,6 +333,21 @@ def run_bench() -> dict:
     timed("typo_neighbor_pairs",
           lambda: typo_neighbor_pairs(SF_DIR).count())
 
+    from ray_extract.pipelines.relational import (
+        part_value_share,
+        promo_part_suppliers,
+        shipmode_priority_matrix,
+        supplier_attr_counts,
+    )
+
+    timed("supplier_attr_counts",
+          lambda: supplier_attr_counts(SF_DIR).count())
+    timed("promo_part_suppliers",
+          lambda: promo_part_suppliers(SF_DIR).count())
+    timed("shipmode_priority_matrix",
+          lambda: shipmode_priority_matrix(SF_DIR).count())
+    timed("part_value_share", lambda: part_value_share(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),

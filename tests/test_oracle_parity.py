@@ -12,6 +12,8 @@ SF = "/root/testdata/sf0.001"
 SUBSET = [
     "extract_spans",
     "extract_kind_counts",
+    "extract_main_content_ratio",
+    "shipmode_priority_matrix",
     "dedup_exact",
     "dedup_simhash",
     "ann_lsh",
