@@ -168,7 +168,10 @@ def run_bench() -> dict:
     out_dir = f"{out_root}/out_{NUM_CPUS}_{int(time.time())}"
     st0 = _proc_stat()
     t0 = time.time()
-    run_extract_job(corpus_dir(), out_dir, cfg, partitions_per_branch=1, resume=False)
+    # partitions_per_branch=None -> auto_partitions_per_branch: partition
+    # count scales with cluster size (1 per branch <= 8 cpus, 2 above),
+    # measured A/B in job.py's docstring — the wide level packs branch tails
+    run_extract_job(corpus_dir(), out_dir, cfg, partitions_per_branch=None, resume=False)
     headline = time.time() - t0
     steal = steal_pct(st0, _proc_stat())
     import shutil
