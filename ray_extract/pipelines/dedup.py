@@ -793,9 +793,12 @@ def duplicate_clusters(sf_dir: str, max_iters: int = 64,
     materialized once, then every round is one map_batches over edges — a
     vectorized searchsorted lookup against the broadcast (ray.put) node->
     label array, with a per-batch partial min per destination (sort +
-    minimum.reduceat combiner). Only NODE-scale data (docs that have at
-    least one near-duplicate — a small fraction of any corpus) touches the
-    driver, and the convergence check is a vector compare. For node tables
+    minimum.reduceat combiner). Node ids ship once (one ray.put before the
+    loop); each round re-puts only the label array, and the return leg is
+    DELTA-ONLY — batches emit just the (node, cand) rows that improve on
+    the node's current label, so driver traffic decays with convergence
+    instead of staying node-scale every round. Convergence = an empty
+    delta. For node tables
     too large to broadcast, swap the lookup stage for a co-partitioned
     join and keep the same iteration structure (or use pointer-jumping to
     cut rounds to O(log diameter)).
@@ -841,11 +844,12 @@ def duplicate_clusters(sf_dir: str, max_iters: int = 64,
     )
     labels = nodes.copy()
 
+    nodes_ref = ray.put(nodes)  # node ids never change: ship once, not per round
+
     for _ in range(max_iters):
-        nodes_ref = ray.put(nodes)
         labels_ref = ray.put(labels)
 
-        def prop(batch: pa.Table) -> pa.Table:
+        def prop(batch: pa.Table, labels_ref=labels_ref) -> pa.Table:
             nds = ray.get(nodes_ref)
             lab = ray.get(labels_ref)
             src = batch.column("src").to_numpy()
@@ -854,14 +858,17 @@ def duplicate_clusters(sf_dir: str, max_iters: int = 64,
             order = np.argsort(dst, kind="stable")
             dst_s, lsrc_s = dst[order], lsrc[order]
             starts = np.r_[0, np.flatnonzero(dst_s[1:] != dst_s[:-1]) + 1]
-            return pa.table(
-                {
-                    "node": dst_s[starts],
-                    "cand": np.minimum.reduceat(lsrc_s, starts),
-                }
-            )
+            node = dst_s[starts]
+            cand = np.minimum.reduceat(lsrc_s, starts)
+            # delta pull: only labels that IMPROVE on the node's current
+            # label return to the driver — per-round driver traffic decays
+            # with convergence instead of staying node-scale every round
+            keep = cand < lab[np.searchsorted(nds, node)]
+            return pa.table({"node": node[keep], "cand": cand[keep]})
 
         parts = edges.map_batches(prop, batch_format="pyarrow").to_pandas()
+        if parts.empty:
+            break
         cand = parts.groupby("node")["cand"].min()
         new = labels.copy()
         idx = np.searchsorted(nodes, cand.index.to_numpy())
