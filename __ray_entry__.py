@@ -2912,6 +2912,36 @@ def _q_duplicate_ngram_coverage(sf_dir: str):
     return duplicate_ngram_coverage(sf_dir)
 
 
+def _q_order_burst_counts(sf_dir: str):
+    from ray_extract.pipelines.relational import order_burst_counts
+
+    return order_burst_counts(sf_dir)
+
+
+def _q_mad_outliers(sf_dir: str):
+    from ray_extract.pipelines.text import mad_outliers
+
+    return mad_outliers(sf_dir)
+
+
+def _q_collocation_pmi_terms(sf_dir: str):
+    from ray_extract.pipelines.text import collocation_pmi_terms
+
+    return collocation_pmi_terms(sf_dir)
+
+
+def _q_cluster_size_histogram(sf_dir: str):
+    from ray_extract.pipelines.dedup import cluster_size_histogram
+
+    return cluster_size_histogram(sf_dir)
+
+
+def _q_clustering_coefficient(sf_dir: str):
+    from ray_extract.pipelines.dedup import clustering_coefficient
+
+    return clustering_coefficient(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -3178,6 +3208,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_profile": _q_orders_profile,
         "part_price_deviation": _q_part_price_deviation,
         "centroid_spread": _q_centroid_spread,
+        "order_burst_counts": _q_order_burst_counts,
+        "mad_outliers": _q_mad_outliers,
+        "collocation_pmi_terms": _q_collocation_pmi_terms,
+        "cluster_size_histogram": _q_cluster_size_histogram,
+        "clustering_coefficient": _q_clustering_coefficient,
     }
 
 
@@ -6584,5 +6619,74 @@ deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
         FROM edges GROUP BY node)
 SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
 FROM deg GROUP BY degree
+"""
+    # component-size histogram composed over the dedup_clusters closure
+    d["cluster_size_histogram"] = f"""
+WITH cc AS ({d["dedup_clusters"]}),
+sz AS (SELECT cluster_id, count(*) AS s FROM cc GROUP BY 1)
+SELECT CAST(s AS BIGINT) AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM sz GROUP BY 1
+"""
+    # per-node (degree, triangles) joint histogram over the simhash pair
+    # graph; pairs are oriented doc_a < doc_b so each triangle a<b<c is
+    # counted once and credits all three corners
+    d["clustering_coefficient"] = f"""
+WITH pairs AS (SELECT doc_a, doc_b FROM ({d["dedup_simhash"]}) t),
+tri AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.doc_a = e1.doc_a AND e2.doc_b > e1.doc_b
+  JOIN pairs e3 ON e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b
+),
+tn AS (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+       UNION ALL SELECT c FROM tri),
+tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM tn GROUP BY 1),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
+        (SELECT doc_a AS node FROM pairs UNION ALL SELECT doc_b FROM pairs)
+        GROUP BY 1)
+SELECT deg.degree, CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg LEFT JOIN tc USING (node) GROUP BY 1, 2
+"""
+    d["order_burst_counts"] = """
+WITH b AS (
+  SELECT o1.o_orderkey, count(o2.o_orderkey) AS burst
+  FROM orders o1 LEFT JOIN orders o2
+    ON o2.o_custkey = o1.o_custkey AND o2.o_orderkey <> o1.o_orderkey
+   AND abs(date_diff('second', o1.o_orderdate, o2.o_orderdate)) <= 2592000
+  GROUP BY 1)
+SELECT CAST(burst AS BIGINT) AS burst_count,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM b GROUP BY 1
+"""
+    # quantile_disc(0.5) = LOWER median (element at (n-1)//2): matches the
+    # kernel's weighted lower-median exactly — integer end to end
+    d["mad_outliers"] = """
+WITH med AS (SELECT source, quantile_disc(n_chars, 0.5) AS m
+             FROM documents GROUP BY 1),
+dev AS (SELECT d.source, abs(d.n_chars - med.m) AS dv, med.m AS m
+        FROM documents d JOIN med USING (source)),
+mad AS (SELECT source, quantile_disc(dv, 0.5) AS md, any_value(m) AS m
+        FROM dev GROUP BY 1)
+SELECT dev.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(mad.m AS BIGINT) AS med_chars, CAST(mad.md AS BIGINT) AS mad_chars,
+       CAST(count(*) FILTER (dev.dv > 3 * mad.md) AS BIGINT) AS n_outliers
+FROM dev JOIN mad USING (source) GROUP BY 1, 3, 4
+"""
+    d["collocation_pmi_terms"] = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+w AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i, ws[CAST(u.i AS INTEGER)] AS w
+      FROM d, unnest(range(1, len(ws) + 1)) AS u(i)),
+bg AS (SELECT a.w || ' ' || b.w AS bigram, a.w AS lw, b.w AS rw,
+              CAST(count(*) AS BIGINT) AS n_ab
+       FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+       GROUP BY 1, 2, 3),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1),
+tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_pairs FROM bg),
+wtot AS (SELECT CAST(count(*) AS BIGINT) AS n_words FROM w)
+SELECT bg.bigram, bg.n_ab, ul.n AS n_left, ur.n AS n_right,
+       tot.n_pairs, wtot.n_words
+FROM bg JOIN uni ul ON ul.w = bg.lw JOIN uni ur ON ur.w = bg.rw, tot, wtot
+WHERE bg.n_ab >= 5
 """
     return d

@@ -2680,3 +2680,186 @@ def typo_neighbor_pairs(sf_dir: str, num_buckets: int = 256,
 
     # result scale = |lev-1 pairs| (linkage output, not corpus scale)
     return pairs.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def cluster_size_histogram(sf_dir: str, max_iters: int = 64,
+                           label_backend: str = "profile"):
+    """Duplicate-cluster SIZE histogram — the capacity-planning readout of
+    cluster resolution: how many 2-doc near-dup pairs vs how many
+    template blobs about to collapse hundreds of docs into one canonical.
+    Composes over ``duplicate_clusters`` (same memoized pair table, same
+    label backend selection), so it adds only node-scale work.
+
+    Output: (cluster_size, n_clusters), both int64.
+    """
+    labels = duplicate_clusters(sf_dir, max_iters=max_iters,
+                                label_backend=label_backend)
+    if isinstance(labels, pa.Table):
+        # broadcast backend: node-scale driver table (clustered docs only)
+        _, sizes = np.unique(
+            labels.column("cluster_id").to_numpy(), return_counts=True
+        )
+        vals, cnts = np.unique(sizes, return_counts=True)
+        return pa.table(
+            {
+                "cluster_size": pa.array(vals.astype(np.int64)),
+                "n_clusters": pa.array(cnts.astype(np.int64)),
+            }
+        )
+    # join backend: labels are dataset-resident; two small groupbys
+    from ray.data.aggregate import Count
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cluster_size": pc.cast(t.column("n_"), pa.int64()),
+                "n_clusters": pc.cast(t.column("n_c"), pa.int64()),
+            }
+        )
+
+    return (
+        labels.groupby("cluster_id")
+        .aggregate(Count(alias_name="n_"))
+        .groupby("n_")
+        .aggregate(Count(alias_name="n_c"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def clustering_coefficient(sf_dir: str, num_buckets: int = 64):
+    """Per-node local-clustering readout over the near-duplicate pair graph:
+    the joint (degree, triangles-through-node) histogram. Kept integer on
+    purpose — local clustering coefficient is 2*n_tri/(degree*(degree-1)),
+    and emitting the integer terms keeps the oracle exact while letting
+    the consumer bin the ratio however it wants.
+
+    Scale shape: same apex-bucketed wedge enumeration as ``triangle_count``
+    (one shuffle of the sparse edge list, triangular-index wedge expansion,
+    packed-edge binary-search closure), but each CLOSED wedge credits all
+    three corners, so buckets emit per-node partial triangle counts
+    (np.unique-compressed). Degrees ride the same union as zero-triangle
+    carriers; one groupby-sum per node, then a pre-counted histogram
+    shuffle of one row per (bucket, degree, n_tri).
+
+    Output: (degree, n_tri, n_nodes), all int64.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    pairs = simhash_pairs_cached(sf_dir).map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"
+    ).materialize()
+
+    from ..functions.tables import concat_nonempty
+
+    edge_refs = pairs.map_batches(
+        lambda t: pa.table(
+            {
+                "k": pa.array(
+                    (t.column("doc_a").to_numpy() << 31)
+                    | t.column("doc_b").to_numpy()
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_arrow_refs()
+    packed = np.sort(
+        concat_nonempty(
+            ray.get(edge_refs), {"k": pa.int64()}
+        ).column("k").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    packed_ref = ray.put(packed)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy()
+        bucket = np.abs((a * np.int64(2654435761)) % np.int64(num_buckets))
+        return pa.table(
+            {
+                "doc_a": t.column("doc_a"),
+                "doc_b": t.column("doc_b"),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g):
+        import pandas as pd
+
+        a = g["doc_a"].to_numpy().astype(np.int64)
+        b = g["doc_b"].to_numpy().astype(np.int64)
+        # degree partials: each oriented edge credits both endpoints
+        dn, dc = np.unique(np.r_[a, b], return_counts=True)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        n = len(a)
+        tri_nodes = np.array([], dtype=np.int64)
+        if n >= 2:
+            new_seg = np.ones(n, dtype=bool)
+            new_seg[1:] = a[1:] != a[:-1]
+            starts = np.flatnonzero(new_seg)
+            seg_of = np.cumsum(new_seg) - 1
+            cnt = np.diff(np.r_[starts, n])
+            local = np.arange(n) - starts[seg_of]
+            reps = cnt[seg_of] - 1 - local
+            total = int(reps.sum())
+            if total:
+                i_idx = np.repeat(np.arange(n), reps)
+                block_start = np.r_[0, np.cumsum(reps)[:-1]]
+                j_idx = np.arange(total) - np.repeat(block_start, reps) + i_idx + 1
+                cand = (b[i_idx] << 31) | b[j_idx]
+                edges = ray.get(packed_ref)
+                pos = np.searchsorted(edges, cand)
+                closed = (pos < len(edges)) & (
+                    edges[np.minimum(pos, len(edges) - 1)] == cand
+                )
+                # a closed wedge (apex, bi, bj) is one triangle; credit all
+                # three corners — each triangle a<b<c is enumerated exactly
+                # once (at apex a), so corner credits are exact
+                tri_nodes = np.r_[
+                    a[i_idx][closed], b[i_idx][closed], b[j_idx][closed]
+                ]
+        tn, tc = np.unique(tri_nodes, return_counts=True)
+        return pd.DataFrame(
+            {
+                "node": np.r_[dn, tn],
+                "deg": np.r_[dc.astype(np.int64), np.zeros(len(tn), np.int64)],
+                "tri": np.r_[np.zeros(len(dn), np.int64), tc.astype(np.int64)],
+            }
+        )
+
+    per_node = (
+        pairs.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("node")
+        .aggregate(Sum("deg", alias_name="degree"),
+                   Sum("tri", alias_name="n_tri"))
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        d = pc.cast(t.column("degree"), pa.int64()).to_numpy()
+        tr = pc.cast(t.column("n_tri"), pa.int64()).to_numpy()
+        key = d * np.int64(1) * (np.int64(1) << 32) + tr  # tri < 2^32 per node
+        vals, cnts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "degree": pa.array(vals >> 32),
+                "n_tri": pa.array(vals & ((np.int64(1) << 32) - 1)),
+                "n": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "degree": pc.cast(t.column("degree"), pa.int64()),
+                "n_tri": pc.cast(t.column("n_tri"), pa.int64()),
+                "n_nodes": pc.cast(t.column("n"), pa.int64()),
+            }
+        )
+
+    return (
+        per_node.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["degree", "n_tri"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(finish, batch_format="pyarrow")
+    )

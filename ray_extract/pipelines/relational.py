@@ -8113,3 +8113,88 @@ def part_value_share(sf_dir: str):
         ).filter(pc.greater(v, thresh))
 
     return per_part.map_batches(keep, batch_format="pyarrow")
+
+
+def order_burst_counts(sf_dir: str, window_days: int = 30,
+                       num_buckets: int = 64):
+    """Per-order BURST count — a self RANGE JOIN: for every order, how many
+    OTHER orders the same customer placed within ±``window_days`` of it,
+    reduced to a histogram (burst_count -> n_orders). The range-join shape
+    (each row probes an interval of its own table) is what order-velocity
+    fraud checks and demand-spike detectors run; it is not expressible as
+    an equi-join.
+
+    Scale shape: ONE hash(custkey) shuffle, then per bucket a single
+    vectorized pass — rows are packed into one sorted int64 key
+    (custkey << 31 | seconds-since-bucket-min, range-asserted) so BOTH
+    window edges per row come from two np.searchsorted calls against the
+    bucket's own sorted keys; no per-customer Python, no pairwise
+    materialization (the count is hi-lo-1, the matching rows are never
+    built). The histogram is pre-counted per bucket (np.unique) so the
+    final shuffle moves one row per (bucket, burst value).
+
+    Window semantics are integer-exact: both sides compare
+    abs(epoch-second delta) <= window_days*86400 inclusive, so the DuckDB
+    date_diff('second', ...) oracle matches bit-for-bit.
+
+    Output: (burst_count, n_orders), both int64.
+    """
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    win_s = np.int64(window_days) * 86400
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ck = pc.cast(batch.column("o_custkey"), pa.int64()).to_numpy()
+        bucket = np.abs((ck * np.int64(2654435761)) % np.int64(num_buckets))
+        sec = batch.column("o_orderdate").cast(pa.timestamp("us")).to_numpy()
+        sec = sec.astype("datetime64[us]").astype(np.int64) // 1_000_000
+        return pa.table(
+            {"ck": pa.array(ck), "sec": pa.array(sec),
+             "bucket": pa.array(bucket)}
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ck = g["ck"].to_numpy()
+        sec = g["sec"].to_numpy()
+        rel = sec - sec.min()
+        # packed-key headroom: rel spans the bucket's date range in seconds
+        # (TPC-H ~7 years ~ 2.2e8); the window probe adds win_s more
+        assert rel.max() + win_s < np.int64(1) << 31, "date range too wide for pack"
+        key = (ck << 31) | rel
+        key.sort()
+        kq = (ck << 31) + rel
+        lo = np.searchsorted(key, (ck << 31) + np.maximum(rel - win_s, 0), "left")
+        hi = np.searchsorted(key, kq + win_s, "right")
+        burst = hi - lo - 1
+        vals, cnts = np.unique(burst, return_counts=True)
+        return pd.DataFrame(
+            {"burst_count": vals.astype(np.int64),
+             "n_orders": cnts.astype(np.int64)}
+        )
+
+    ds = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+        )
+    )
+    agg = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("burst_count")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "burst_count": pc.cast(t.column("burst_count"), pa.int64()),
+                "n_orders": pc.cast(t.column("n_orders"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

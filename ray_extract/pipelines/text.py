@@ -3876,3 +3876,216 @@ def duplicate_ngram_coverage(sf_dir: str, k: int = 5,
         .repartition(1)  # O(|sources|) rows per partial
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def mad_outliers(sf_dir: str):
+    """Per-source robust length outliers — median-absolute-deviation gate,
+    the outlier rule that survives the heavy-tailed length distributions a
+    z-score breaks on (one 100x boilerplate blob inflates sigma until
+    nothing is an outlier; the MAD doesn't move).
+
+    Integer-exact end to end: the median is the LOWER median
+    (sorted[(n-1)//2], DuckDB's quantile_disc(0.5) semantics — verified
+    element selection, no interpolation), deviations of integer n_chars
+    from an integer median are integers, and so is the MAD. The outlier
+    predicate (dev > 3*MAD) therefore never touches a float.
+
+    Scale shape: lengths are pre-compressed to (source, n_chars) -> count
+    inside each batch (Arrow group_by combiner), so the shuffle and the
+    per-source median pass run over DISTINCT length values with weights —
+    bounded by the length-value cardinality, not the corpus. Weighted
+    lower-medians come from one cumsum + searchsorted per source.
+
+    Output: (source, n_docs, med_chars, mad_chars, n_outliers), ints.
+    """
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "n_chars": pc.cast(batch.column("n_chars"), pa.int64()),
+            }
+        )
+        g = t.group_by(["source", "n_chars"]).aggregate([("n_chars", "count")])
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "n_chars": g.column("n_chars"),
+                "cnt": pc.cast(g.column("n_chars_count"), pa.int64()),
+            }
+        )
+
+    def _wmedian_lower(vals: np.ndarray, wts: np.ndarray) -> int:
+        # lower median of the expanded multiset: element at index (n-1)//2
+        order = np.argsort(vals, kind="mergesort")
+        v, w = vals[order], wts[order]
+        cum = np.cumsum(w)
+        idx = (cum[-1] - 1) // 2
+        return int(v[np.searchsorted(cum, idx + 1, side="left")])
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["n_chars"].to_numpy().astype(np.int64)
+        w = g["cnt"].to_numpy().astype(np.int64)
+        med = _wmedian_lower(v, w)
+        dev = np.abs(v - med)
+        mad = _wmedian_lower(dev, w)
+        n_out = int(w[dev > 3 * mad].sum())
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "n_docs": [int(w.sum())],
+                "med_chars": [med],
+                "mad_chars": [mad],
+                "n_outliers": [n_out],
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "n_chars"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .groupby("source")
+        .map_groups(per_source, batch_format="pandas")
+    )
+
+
+def collocation_pmi_terms(sf_dir: str, min_count: int = 5,
+                          num_partitions: int | None = None):
+    """Collocation-detection TERMS — for every bigram seen >= ``min_count``
+    times, the exact integer counts PMI needs: the bigram count, both
+    unigram counts, and the corpus totals. PMI itself is
+    log(n_ab*N / (n_a*n_b)) — emitting the integer terms keeps the oracle
+    exact (no float log) and lets the consumer pick base/normalization
+    (PMI, NPMI, t-score all derive from these five numbers).
+
+    Scale shape: bigram and unigram counts are both combiner-first (Arrow
+    group_by inside each batch, one row per distinct gram per batch on the
+    wire); the frequency filter shrinks the bigram side BEFORE the two
+    hash joins that attach unigram counts, and the joins are native
+    dataset joins — the unigram vocabulary never has to fit anywhere.
+
+    Output: (bigram, n_ab, n_left, n_right, n_pairs, n_words), ints.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .relational import _join_partitions, _multi_join_args
+
+    nparts, agg_args = _multi_join_args(_join_partitions(num_partitions))
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        words = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(words)
+        n = len(flat)
+        if n < 2:
+            return pa.table(
+                {"bigram": pa.array([], type=pa.string()),
+                 "n": pa.array([], type=pa.int64())}
+            )
+        offsets = words.offsets.to_numpy()[1:-1]
+        mask = np.ones(n - 1, dtype=bool)
+        mask[offsets - 1] = False
+        mask_arr = pa.array(mask)
+        left = flat.slice(0, n - 1).filter(mask_arr)
+        right = flat.slice(1, n - 1).filter(mask_arr)
+        bigram = pc.binary_join_element_wise(left, right, " ")
+        g = pa.table({"bigram": bigram}).group_by("bigram").aggregate(
+            [("bigram", "count")]
+        )
+        return pa.table(
+            {
+                "bigram": g.column("bigram"),
+                "n": pc.cast(g.column("bigram_count"), pa.int64()),
+            }
+        )
+
+    def unigram_partial(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        flat = pc.list_flatten(pc.split_pattern(text, " "))
+        g = pa.table({"word": flat}).group_by("word").aggregate(
+            [("word", "count")]
+        )
+        return pa.table(
+            {
+                "word": g.column("word"),
+                "n": pc.cast(g.column("word_count"), pa.int64()),
+            }
+        )
+
+    docs = _docs(sf_dir)
+    big = (
+        docs.map_batches(bigram_partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n_ab"))
+        .materialize()  # reused for the total AND the filtered join input
+    )
+    uni = (
+        docs.map_batches(unigram_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n_w"))
+        .materialize()  # reused for both join sides AND the token total
+    )
+    n_pairs = int(big.sum("n_ab"))
+    n_words = int(uni.sum("n_w"))
+
+    def split_filter(t: pa.Table) -> pa.Table:
+        n_ab = pc.cast(t.column("n_ab"), pa.int64())
+        keep = pc.greater_equal(n_ab, min_count)
+        t = pa.table({"bigram": t.column("bigram"), "n_ab": n_ab}).filter(keep)
+        parts = pc.split_pattern(t.column("bigram").combine_chunks(), " ")
+        flat = pc.list_flatten(parts)
+        return pa.table(
+            {
+                "bigram": t.column("bigram"),
+                "n_ab": t.column("n_ab"),
+                "lw": flat.take(np.arange(0, 2 * len(t), 2)),
+                "rw": flat.take(np.arange(1, 2 * len(t), 2)),
+            }
+        )
+
+    def uni_as(name: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    f"{name}_w": t.column("word"),
+                    f"n_{name}": pc.cast(t.column("n_w"), pa.int64()),
+                }
+            )
+
+        return fn
+
+    fb = big.map_batches(split_filter, batch_format="pyarrow")
+    j1 = fb.join(
+        uni.map_batches(uni_as("left"), batch_format="pyarrow"),
+        join_type="inner", num_partitions=nparts,
+        on=("lw",), right_on=("left_w",),
+        aggregator_ray_remote_args=agg_args,
+    )
+    j2 = j1.join(
+        uni.map_batches(uni_as("right"), batch_format="pyarrow"),
+        join_type="inner", num_partitions=nparts,
+        on=("rw",), right_on=("right_w",),
+        aggregator_ray_remote_args=agg_args,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        k = len(t)
+        return pa.table(
+            {
+                "bigram": t.column("bigram"),
+                "n_ab": pc.cast(t.column("n_ab"), pa.int64()),
+                "n_left": pc.cast(t.column("n_left"), pa.int64()),
+                "n_right": pc.cast(t.column("n_right"), pa.int64()),
+                "n_pairs": pa.array(np.full(k, n_pairs, dtype=np.int64)),
+                "n_words": pa.array(np.full(k, n_words, dtype=np.int64)),
+            }
+        )
+
+    return j2.map_batches(finish, batch_format="pyarrow")

@@ -1,0 +1,130 @@
+"""Semantic pins for the round-5 second-batch operators beyond oracle parity:
+the range-join window boundary of order_burst_counts, the lower-median
+(quantile_disc) convention of mad_outliers, PMI-term consistency of
+collocation_pmi_terms, and mass/corner invariants of the two new graph
+readouts (cluster_size_histogram, clustering_coefficient).
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_order_burst_window_boundary_inclusive(ray_session):
+    """Brute-force per-customer count with an inclusive +/-30-day window."""
+    from ray_extract.pipelines.relational import order_burst_counts
+
+    got = (
+        order_burst_counts(SF)
+        .to_pandas()
+        .sort_values("burst_count")
+        .reset_index(drop=True)
+    )
+    o = duckdb.sql(
+        f"SELECT o_custkey, o_orderdate FROM '{SF}/orders.parquet'"
+    ).df()
+    sec = o["o_orderdate"].astype("datetime64[us]").astype(np.int64) // 1_000_000
+    W = 30 * 86400
+    bursts = []
+    for _, grp in pd.DataFrame({"ck": o["o_custkey"], "s": sec}).groupby("ck"):
+        s = grp["s"].to_numpy()
+        for x in s:
+            bursts.append(int((np.abs(s - x) <= W).sum()) - 1)  # inclusive edge
+    want = (
+        pd.Series(bursts).value_counts().sort_index().rename_axis("burst_count")
+        .reset_index(name="n_orders")
+    )
+    assert (got["burst_count"].to_numpy() == want["burst_count"].to_numpy()).all()
+    assert (got["n_orders"].to_numpy() == want["n_orders"].to_numpy()).all()
+    # histogram mass = order count (every order is classified exactly once)
+    assert got["n_orders"].sum() == len(o)
+
+
+def test_mad_outliers_lower_median_convention(ray_session):
+    """med/MAD are LOWER medians (sorted[(n-1)//2]) — numpy brute force."""
+    from ray_extract.pipelines.text import mad_outliers
+
+    got = mad_outliers(SF).to_pandas().set_index("source")
+    d = duckdb.sql(f"SELECT source, n_chars FROM '{SF}/documents.parquet'").df()
+    for src, grp in d.groupby("source"):
+        v = np.sort(grp["n_chars"].to_numpy())
+        med = int(v[(len(v) - 1) // 2])
+        dev = np.sort(np.abs(grp["n_chars"].to_numpy() - med))
+        mad = int(dev[(len(dev) - 1) // 2])
+        row = got.loc[src]
+        assert row["med_chars"] == med and row["mad_chars"] == mad
+        assert row["n_outliers"] == int(
+            (np.abs(grp["n_chars"].to_numpy() - med) > 3 * mad).sum()
+        )
+        assert row["n_docs"] == len(grp)
+
+
+def test_collocation_pmi_terms_consistency(ray_session):
+    """Unigram counts attached to each bigram agree with a direct count,
+    totals are constant columns, and the min-count filter is a >= gate."""
+    from ray_extract.pipelines.text import collocation_pmi_terms
+
+    got = collocation_pmi_terms(SF).to_pandas()
+    d = duckdb.sql(f"SELECT text FROM '{SF}/documents.parquet'").df()
+    toks = [t.split(" ") for t in d["text"]]
+    from collections import Counter
+
+    uni = Counter(w for ws in toks for w in ws)
+    big = Counter(
+        f"{a} {b}" for ws in toks for a, b in zip(ws, ws[1:])
+    )
+    n_words = sum(uni.values())
+    n_pairs = sum(big.values())
+    assert (got["n_pairs"] == n_pairs).all() and (got["n_words"] == n_words).all()
+    assert (got["n_ab"] >= 5).all()
+    assert set(got["bigram"]) == {b for b, c in big.items() if c >= 5}
+    for _, r in got.iterrows():
+        lw, rw = r["bigram"].split(" ")
+        assert r["n_ab"] == big[r["bigram"]]
+        assert r["n_left"] == uni[lw] and r["n_right"] == uni[rw]
+
+
+def _sym_pairs():
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    return con.execute(E.oracle_sql()["dedup_simhash"]).df()
+
+
+def test_cluster_size_histogram_mass_and_floor(ray_session):
+    """Cluster sizes are >= 2 (every clustered doc has a partner) and the
+    histogram mass equals the clustered-node count."""
+    from ray_extract.pipelines.dedup import (
+        cluster_size_histogram,
+        duplicate_clusters,
+    )
+
+    got = cluster_size_histogram(SF)
+    import pyarrow as pa
+
+    g = got.to_pandas() if isinstance(got, pa.Table) else got.to_pandas()
+    assert (g["cluster_size"] >= 2).all()
+    labels = duplicate_clusters(SF)
+    lab = labels.to_pandas() if isinstance(labels, pa.Table) else labels.to_pandas()
+    assert (g["cluster_size"] * g["n_clusters"]).sum() == len(lab)
+    assert g["n_clusters"].sum() == lab["cluster_id"].nunique()
+
+
+def test_clustering_coefficient_invariants(ray_session):
+    """Histogram mass = node count; sum(degree*n_nodes) = 2|E|;
+    sum(n_tri*n_nodes) = 3 * global triangle count; n_tri <= C(degree,2)."""
+    from ray_extract.pipelines.dedup import clustering_coefficient, triangle_count
+
+    got = clustering_coefficient(SF).to_pandas()
+    pairs = _sym_pairs()
+    n_nodes = len(set(pairs["doc_a"]) | set(pairs["doc_b"]))
+    assert got["n_nodes"].sum() == n_nodes
+    assert (got["degree"] * got["n_nodes"]).sum() == 2 * len(pairs)
+    tri = triangle_count(SF).to_pandas()
+    assert (got["n_tri"] * got["n_nodes"]).sum() == 3 * int(tri["n_triangles"].iloc[0])
+    assert (got["n_tri"] <= got["degree"] * (got["degree"] - 1) // 2).all()
