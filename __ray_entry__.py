@@ -2942,6 +2942,24 @@ def _q_clustering_coefficient(sf_dir: str):
     return clustering_coefficient(sf_dir)
 
 
+def _q_winnowing_fingerprints(sf_dir: str):
+    from ray_extract.pipelines.text import winnowing_fingerprints
+
+    return winnowing_fingerprints(sf_dir)
+
+
+def _q_theil_sen_trend(sf_dir: str):
+    from ray_extract.pipelines.relational import theil_sen_trend
+
+    return theil_sen_trend(sf_dir)
+
+
+def _q_drift_psi_terms(sf_dir: str):
+    from ray_extract.pipelines.events import drift_psi_terms
+
+    return drift_psi_terms(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -3213,6 +3231,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocation_pmi_terms": _q_collocation_pmi_terms,
         "cluster_size_histogram": _q_cluster_size_histogram,
         "clustering_coefficient": _q_clustering_coefficient,
+        "winnowing_fingerprints": _q_winnowing_fingerprints,
+        "theil_sen_trend": _q_theil_sen_trend,
+        "drift_psi_terms": _q_drift_psi_terms,
     }
 
 
@@ -6688,5 +6709,80 @@ SELECT bg.bigram, bg.n_ab, ul.n AS n_left, ur.n AS n_right,
        tot.n_pairs, wtot.n_words
 FROM bg JOIN uni ul ON ul.w = bg.lw JOIN uni ur ON ur.w = bg.rw, tot, wtot
 WHERE bg.n_ab >= 5
+"""
+    # winnowing (SIGMOD'03): per-window packed argmin (hash*2^20 + 1-based
+    # position) over rolling31/MULT_A k-gram hashes; short docs clip the
+    # window at the doc end (greatest(n_kg-3, 1) start bound)
+    d["winnowing_fingerprints"] = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+w AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i, ws[CAST(u.i AS INTEGER)] AS w
+      FROM d, unnest(range(1, len(ws) + 1)) AS u(i)),
+kg AS (SELECT a.doc_id, a.i, a.w || ' ' || b.w || ' ' || c.w AS kgram
+       FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                JOIN w c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+h AS (SELECT doc_id, i,
+             list_reduce(list_transform(split(kgram, ''),
+                                        x -> unicode(x)::BIGINT),
+                         (a, b) -> (a * 1000003 + b) % 2147483647)
+               * 1048576 + i AS pk,
+             count(*) OVER (PARTITION BY doc_id) AS n_kg
+      FROM kg),
+win AS (SELECT doc_id, n_kg, i,
+               min(pk) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        FROM h),
+sel AS (SELECT doc_id, any_value(n_kg) AS n_kg,
+               count(DISTINCT wmin) AS n_sel
+        FROM win WHERE i <= greatest(n_kg - 3, 1) GROUP BY doc_id)
+SELECT doc.doc_id,
+       CAST(COALESCE(sel.n_kg, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(sel.n_sel, 0) AS BIGINT) AS n_selected
+FROM documents doc LEFT JOIN sel ON sel.doc_id = doc.doc_id
+"""
+    # Theil-Sen: LOWER-median pairwise slope kept as an integer rational;
+    # ordering (double ratio, num, den) is bit-identical on both sides
+    d["theil_sen_trend"] = """
+WITH rev AS (
+  SELECT n.n_name,
+         CAST(date_part('year', o.o_orderdate) * 12
+              + date_part('month', o.o_orderdate) - 1 AS BIGINT) AS m,
+         CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS r
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+       JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2),
+sl AS (SELECT a.n_name, b.r - a.r AS num, b.m - a.m AS den
+       FROM rev a JOIN rev b ON b.n_name = a.n_name AND b.m > a.m),
+rk AS (SELECT n_name, num, den,
+              row_number() OVER (PARTITION BY n_name
+                 ORDER BY CAST(num AS DOUBLE) / den, num, den) AS rn,
+              count(*) OVER (PARTITION BY n_name) AS np
+       FROM sl),
+st AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n_months
+       FROM rev GROUP BY 1)
+SELECT rk.n_name, st.n_months, CAST(rk.np AS BIGINT) AS n_pairs,
+       CAST(rk.num AS BIGINT) AS med_num_cents,
+       CAST(rk.den AS BIGINT) AS med_den_months
+FROM rk JOIN st USING (n_name)
+WHERE rk.rn = (rk.np - 1) // 2 + 1
+"""
+    # PSI drift bins: quantile_disc = smallest value with cume_dist >= q
+    # (rank ceil(n*q)); bin id counts edges STRICTLY below the cent value
+    d["drift_psi_terms"] = """
+WITH e AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                  epoch_us(ts) AS us FROM events),
+cut AS (SELECT (min(us) + max(us)) // 2 AS c FROM e),
+ref AS (SELECT v FROM e, cut WHERE us < cut.c),
+cur AS (SELECT v FROM e, cut WHERE us >= cut.c),
+b AS (SELECT quantile_disc(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+      FROM ref),
+rb AS (SELECT len(list_filter(b.bs, x -> r.v > x)) AS bin, 1 AS is_ref
+       FROM ref r, b),
+cb AS (SELECT len(list_filter(b.bs, x -> c2.v > x)) AS bin, 0 AS is_ref
+       FROM cur c2, b),
+ab AS (SELECT * FROM rb UNION ALL SELECT * FROM cb)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(sum(is_ref) AS BIGINT) AS n_ref,
+       CAST(count(*) - sum(is_ref) AS BIGINT) AS n_cur
+FROM ab GROUP BY 1
 """
     return d

@@ -351,6 +351,26 @@ def run_bench() -> dict:
           lambda: shipmode_priority_matrix(SF_DIR).count())
     timed("part_value_share", lambda: part_value_share(SF_DIR).count())
 
+    from ray_extract.pipelines.dedup import clustering_coefficient
+    from ray_extract.pipelines.relational import order_burst_counts
+    from ray_extract.pipelines.text import collocation_pmi_terms, mad_outliers
+
+    timed("order_burst_counts", lambda: order_burst_counts(SF_DIR).count())
+    timed("mad_outliers", lambda: mad_outliers(SF_DIR).count())
+    timed("collocation_pmi_terms",
+          lambda: collocation_pmi_terms(SF_DIR).count())
+    timed("clustering_coefficient",
+          lambda: clustering_coefficient(SF_DIR).count())
+
+    from ray_extract.pipelines.events import drift_psi_terms
+    from ray_extract.pipelines.relational import theil_sen_trend
+    from ray_extract.pipelines.text import winnowing_fingerprints
+
+    timed("winnowing_fingerprints",
+          lambda: winnowing_fingerprints(SF_DIR).count())
+    timed("theil_sen_trend", lambda: theil_sen_trend(SF_DIR).count())
+    timed("drift_psi_terms", lambda: drift_psi_terms(SF_DIR).num_rows)
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),

@@ -2818,33 +2818,41 @@ def clustering_coefficient(sf_dir: str, num_buckets: int = 64):
                     a[i_idx][closed], b[i_idx][closed], b[j_idx][closed]
                 ]
         tn, tc = np.unique(tri_nodes, return_counts=True)
+        node = np.r_[dn, tn]
         return pd.DataFrame(
             {
-                "node": np.r_[dn, tn],
+                "node": node,
                 "deg": np.r_[dc.astype(np.int64), np.zeros(len(tn), np.int64)],
                 "tri": np.r_[np.zeros(len(dn), np.int64), tc.astype(np.int64)],
+                # second-stage routing key: all partials of a node co-locate
+                "nbucket": np.abs(
+                    (node * np.int64(2654435761)) % np.int64(num_buckets)
+                ),
             }
         )
 
-    per_node = (
-        pairs.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
-        .groupby("node")
-        .aggregate(Sum("deg", alias_name="degree"),
-                   Sum("tri", alias_name="n_tri"))
-    )
+    def per_node_bucket(g):
+        # per-node sums + histogram partial in ONE vectorized pass — avoids
+        # a node-scale sort-based aggregate (measured 3x slower at sf0.1)
+        import pandas as pd
 
-    def hist_partial(t: pa.Table) -> pa.Table:
-        d = pc.cast(t.column("degree"), pa.int64()).to_numpy()
-        tr = pc.cast(t.column("n_tri"), pa.int64()).to_numpy()
-        key = d * np.int64(1) * (np.int64(1) << 32) + tr  # tri < 2^32 per node
+        node = g["node"].to_numpy()
+        order = np.argsort(node, kind="mergesort")
+        node = node[order]
+        deg = g["deg"].to_numpy()[order]
+        tri = g["tri"].to_numpy()[order]
+        new = np.ones(len(node), dtype=bool)
+        new[1:] = node[1:] != node[:-1]
+        starts = np.flatnonzero(new)
+        d_sum = np.add.reduceat(deg, starts)
+        t_sum = np.add.reduceat(tri, starts)
+        key = (d_sum << 32) + t_sum  # per-node tri < 2^32
         vals, cnts = np.unique(key, return_counts=True)
-        return pa.table(
+        return pd.DataFrame(
             {
-                "degree": pa.array(vals >> 32),
-                "n_tri": pa.array(vals & ((np.int64(1) << 32) - 1)),
-                "n": pa.array(cnts.astype(np.int64)),
+                "degree": vals >> 32,
+                "n_tri": vals & ((np.int64(1) << 32) - 1),
+                "n": cnts.astype(np.int64),
             }
         )
 
@@ -2858,7 +2866,11 @@ def clustering_coefficient(sf_dir: str, num_buckets: int = 64):
         )
 
     return (
-        per_node.map_batches(hist_partial, batch_format="pyarrow")
+        pairs.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("nbucket")
+        .map_groups(per_node_bucket, batch_format="pandas")
         .groupby(["degree", "n_tri"])
         .aggregate(Sum("n", alias_name="n"))
         .map_batches(finish, batch_format="pyarrow")

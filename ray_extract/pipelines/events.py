@@ -3948,3 +3948,92 @@ def purchase_click_window(sf_dir: str, window_seconds: int = 86400,
         .repartition(1)  # bounded |click counts| rows per bucket
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def drift_psi_terms(sf_dir: str, n_bins: int = 10):
+    """Distribution-drift terms (PSI-style): split the event stream at its
+    temporal midpoint, cut the REFERENCE half's value distribution into
+    ``n_bins`` decile bins, and count both halves per bin. The population
+    stability index is sum((cur%-ref%)*ln(cur%/ref%)) over these counts —
+    emitting the integer bin counts keeps the oracle exact (no float log)
+    and leaves the smoothing/threshold policy to the consumer.
+
+    Determinism pins: values are compared in half-up CENTS; bin edges are
+    DuckDB ``quantile_disc`` elements — the smallest value whose
+    cumulative distribution reaches q, i.e. expanded index ceil(n*q)-1 of
+    the sorted reference multiset (verified against DuckDB at tie-heavy
+    sizes) — computed from a cumsum over the count-compressed
+    distribution; bin id = number of edges strictly below the value.
+
+    Scale shape: one Min/Max aggregate for the midpoint, then ONE
+    count-compression shuffle — batches emit (cents, n_ref, n_cur)
+    partials, the groupby reduces to one row per distinct cent value, and
+    ONLY that compressed distribution (bounded by the value domain, not
+    the event count — the take_all below is over distinct cent values)
+    reaches the driver for the edge scan.
+
+    Output: (bin, n_ref, n_cur), all int64.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def us_col(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.timestamp("us")).to_numpy()
+        return pa.table({"us": us.astype("datetime64[us]").astype(np.int64)})
+
+    mm = ds.map_batches(us_col, batch_format="pyarrow").aggregate(
+        Min("us"), Max("us")
+    )
+    cut = (int(mm["min(us)"]) + int(mm["max(us)"])) // 2
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.timestamp("us")).to_numpy()
+        us = us.astype("datetime64[us]").astype(np.int64)
+        v = np.floor(batch.column("value").to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        is_ref = us < cut
+        t = pa.table(
+            {
+                "v": pa.array(v),
+                "n_ref": pa.array(is_ref.astype(np.int64)),
+                "n_cur": pa.array((~is_ref).astype(np.int64)),
+            }
+        )
+        return t.group_by("v").aggregate([("n_ref", "sum"), ("n_cur", "sum")])
+
+    comp = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("n_ref_sum", alias_name="n_ref"),
+                   Sum("n_cur_sum", alias_name="n_cur"))
+    )
+    # bounded: one row per distinct cent value (value domain, not corpus)
+    rows = comp.sort("v").take_all()
+    v = np.array([r["v"] for r in rows], dtype=np.int64)
+    nr = np.array([r["n_ref"] for r in rows], dtype=np.int64)
+    nc = np.array([r["n_cur"] for r in rows], dtype=np.int64)
+    cum = np.cumsum(nr)
+    n = int(cum[-1]) if len(cum) else 0
+    edges = []
+    import math
+
+    for b in range(1, n_bins):
+        q = b / n_bins
+        # quantile_disc: smallest value with cume_dist >= q -> rank ceil(n*q)
+        rank = math.ceil(n * q)
+        edges.append(int(v[np.searchsorted(cum, rank, side="left")]))
+    edges_arr = np.array(edges, dtype=np.int64)
+    bins = np.searchsorted(edges_arr, v, side="left")  # edges strictly < v
+    out_ref = np.bincount(bins, weights=nr, minlength=n_bins).astype(np.int64)
+    out_cur = np.bincount(bins, weights=nc, minlength=n_bins).astype(np.int64)
+    keep = (out_ref > 0) | (out_cur > 0)
+    return pa.table(
+        {
+            "bin": pa.array(np.arange(n_bins, dtype=np.int64)[keep]),
+            "n_ref": pa.array(out_ref[keep]),
+            "n_cur": pa.array(out_cur[keep]),
+        }
+    )

@@ -8198,3 +8198,140 @@ def order_burst_counts(sf_dir: str, window_days: int = 30,
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def theil_sen_trend(sf_dir: str, num_partitions: int | None = None):
+    """Theil–Sen robust trend of monthly revenue per nation — the median of
+    all pairwise month-to-month slopes. Unlike the OLS terms
+    (``revenue_trend``), the estimator tolerates ~29% outlier months
+    (one promo blowout month doesn't bend the trend), which is why it's
+    the standard robust drift detector for revenue series.
+
+    Exactness: the slope is kept as an integer RATIONAL (num = revenue
+    delta in cents, den = month delta); pairs are ordered by
+    (num/den as float64, num, den) — both sides compute the identical
+    IEEE-754 division, and the integer tiebreak pins ties — and the LOWER
+    median pair (index (n_pairs-1)//2) is emitted, so the output never
+    contains a derived float.
+
+    Scale shape: orders partial-agg per (custkey, month) inside batches,
+    one hash join to customer, nation hop broadcast, groupby
+    (nation, month) sum — then the pair enumeration runs per NATION GROUP
+    over ~O(months) rows (bounded by the calendar, not the corpus), so
+    the quadratic step is over at most a few thousand pairs per group.
+
+    Output: (n_name, n_months, n_pairs, med_num_cents, med_den_months);
+    nations with a single month have no pairs and are omitted.
+    """
+    import pandas as pd
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    num_partitions = _join_partitions(num_partitions)
+
+    def ord_partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("o_orderdate").cast(pa.timestamp("us"))
+        yr = pc.year(ts).to_numpy().astype(np.int64)
+        mo = pc.month(ts).to_numpy().astype(np.int64)
+        t = pa.table(
+            {
+                "o_custkey": pc.cast(batch.column("o_custkey"), pa.int64()),
+                "m": pa.array(yr * 12 + mo - 1),
+                "rev": pa.array(_cents(batch.column("o_totalprice"))),
+            }
+        )
+        return t.group_by(["o_custkey", "m"]).aggregate([("rev", "sum")])
+
+    orders = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        )
+    ).map_batches(ord_partial, batch_format="pyarrow")
+
+    cust = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": pc.cast(t.column("c_custkey"), pa.int64()),
+                "c_nationkey": pc.cast(t.column("c_nationkey"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nat = pa.table(
+        {
+            "c_nationkey": pc.cast(nat.column("n_nationkey"), pa.int64()),
+            "n_name": pc.cast(nat.column("n_name"), pa.string()),
+        }
+    )
+    nat_ref = ray.put(nat.replace_schema_metadata(None))
+
+    def nation_partial(batch: pa.Table) -> pa.Table:
+        dim = ray.get(nat_ref)
+        t = pa.table(
+            {
+                "c_nationkey": batch.column("c_nationkey"),
+                "m": pc.cast(batch.column("m"), pa.int64()),
+                "rev": pc.cast(batch.column("rev_sum"), pa.int64()),
+            }
+        ).join(dim, keys="c_nationkey", join_type="inner")
+        return t.group_by(["n_name", "m"]).aggregate([("rev", "sum")])
+
+    monthly = (
+        joined.map_batches(nation_partial, batch_format="pyarrow")
+        .groupby(["n_name", "m"])
+        .aggregate(Sum("rev_sum", alias_name="rev"))
+    )
+
+    def per_nation(g: pd.DataFrame) -> pd.DataFrame:
+        m = g["m"].to_numpy().astype(np.int64)
+        r = g["rev"].to_numpy().astype(np.int64)
+        order = np.argsort(m, kind="mergesort")
+        m, r = m[order], r[order]
+        n = len(m)
+        if n < 2:
+            return pd.DataFrame(
+                {"n_name": pd.Series([], dtype=object),
+                 "n_months": pd.Series([], dtype=np.int64),
+                 "n_pairs": pd.Series([], dtype=np.int64),
+                 "med_num_cents": pd.Series([], dtype=np.int64),
+                 "med_den_months": pd.Series([], dtype=np.int64)}
+            )
+        iu, ju = np.triu_indices(n, k=1)
+        num = r[ju] - r[iu]
+        den = m[ju] - m[iu]
+        ratio = num.astype(np.float64) / den.astype(np.float64)
+        sel = np.lexsort((den, num, ratio))[(len(num) - 1) // 2]
+        return pd.DataFrame(
+            {
+                "n_name": [g["n_name"].iloc[0]],
+                "n_months": [n],
+                "n_pairs": [len(num)],
+                "med_num_cents": [int(num[sel])],
+                "med_den_months": [int(den[sel])],
+            }
+        )
+
+    return monthly.groupby("n_name").map_groups(
+        per_nation, batch_format="pandas"
+    )

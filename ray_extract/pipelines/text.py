@@ -4089,3 +4089,76 @@ def collocation_pmi_terms(sf_dir: str, min_count: int = 5,
         )
 
     return j2.map_batches(finish, batch_format="pyarrow")
+
+
+def winnowing_fingerprints(sf_dir: str, k: int = 3, window: int = 4):
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD
+    2003 — the MOSS algorithm): per document, hash every k-word shingle,
+    slide a ``window`` over the hash sequence, select the minimum of each
+    window (ties -> leftmost position), and count the DISTINCT selected
+    fingerprints. The winnowing guarantee — any match of length >=
+    window+k-1 words shares a selected fingerprint — is what makes the
+    selected set a valid sub-linear index for near-dup/plagiarism search.
+
+    Determinism pins: the shingle hash is the shared rolling31/MULT_A
+    polynomial (SQL-reproducible), packed as hash*2^20 + 1-based position
+    so the per-window argmin (and its tie rule) is a single integer min;
+    documents shorter than a full window still select the minimum of what
+    they have (the standard boundary convention), so every doc with >= k
+    words yields >= 1 fingerprint.
+
+    Scale shape: zero shuffles — documents are row-complete in their
+    batch, so shingling (all-Arrow), hashing (one vectorized codepoint
+    pass), the sliding min (``window`` shifted-array minimums with
+    doc-boundary sentinels) and the distinct count (one lexsort) are all
+    batch-local.
+
+    Output: (doc_id, n_grams, n_selected), all int64.
+    """
+    import ray.data as rd
+
+    from ..functions.hashing import MULT_A, rolling31_batch, word_shingle_positions_batch
+
+    sent = np.iinfo(np.int64).max
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        doc_ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        doc_idx, sh = word_shingle_positions_batch(batch.column("text"), k)
+        n_docs = len(doc_ids)
+        n_grams = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+        n_sel = np.zeros(n_docs, dtype=np.int64)
+        total = len(doc_idx)
+        if total:
+            h31 = rolling31_batch(sh.to_pylist(), MULT_A)
+            # 1-based position within the doc (matches the SQL oracle's i)
+            starts = np.r_[0, np.cumsum(n_grams[n_grams > 0])[:-1]]
+            pos = np.arange(total, dtype=np.int64) - np.repeat(
+                starts, n_grams[n_grams > 0]
+            ) + 1
+            assert pos.max() < (1 << 20), "doc too long for winnowing pack"
+            pk = h31 * (np.int64(1) << 20) + pos
+            # window min with doc-boundary + end-of-array sentinels
+            wmin = pk.copy()
+            for s in range(1, window):
+                shifted = np.full(total, sent, dtype=np.int64)
+                shifted[: total - s] = pk[s:]
+                shifted[: total - s][doc_idx[s:] != doc_idx[: total - s]] = sent
+                np.minimum(wmin, shifted, out=wmin)
+            # valid window starts: pos <= max(n_grams - (window-1), 1)
+            lim = np.maximum(n_grams[doc_idx] - (window - 1), 1)
+            keep = pos <= lim
+            d_k, w_k = doc_idx[keep], wmin[keep]
+            order = np.lexsort((w_k, d_k))
+            d_s, w_s = d_k[order], w_k[order]
+            new = np.ones(len(d_s), dtype=bool)
+            new[1:] = (d_s[1:] != d_s[:-1]) | (w_s[1:] != w_s[:-1])
+            np.add.at(n_sel, d_s[new], 1)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids),
+                "n_grams": pa.array(n_grams),
+                "n_selected": pa.array(n_sel),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(per_batch, batch_format="pyarrow")

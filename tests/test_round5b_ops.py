@@ -128,3 +128,87 @@ def test_clustering_coefficient_invariants(ray_session):
     tri = triangle_count(SF).to_pandas()
     assert (got["n_tri"] * got["n_nodes"]).sum() == 3 * int(tri["n_triangles"].iloc[0])
     assert (got["n_tri"] <= got["degree"] * (got["degree"] - 1) // 2).all()
+
+
+def test_winnowing_bounds_and_scalar_brute_force(ray_session):
+    """Selected-count bounds + a scalar-spec reimplementation on real docs."""
+    from ray_extract.functions.hashing import MULT_A, rolling31
+    from ray_extract.pipelines.text import winnowing_fingerprints
+
+    got = winnowing_fingerprints(SF).to_pandas().set_index("doc_id")
+    assert (got.loc[got["n_grams"] > 0, "n_selected"] >= 1).all()
+    assert (got.loc[got["n_grams"] == 0, "n_selected"] == 0).all()
+    # at most one fingerprint per valid window start
+    lim = np.maximum(got["n_grams"] - 3, 1)
+    assert (got["n_selected"] <= lim.where(got["n_grams"] > 0, 0)).all()
+
+    d = duckdb.sql(f"SELECT doc_id, text FROM '{SF}/documents.parquet' LIMIT 25").df()
+    for _, row in d.iterrows():
+        ws = row["text"].split(" ")
+        grams = [" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)]
+        pks = [rolling31(g, MULT_A) * (1 << 20) + i + 1 for i, g in enumerate(grams)]
+        sel = {min(pks[i:i + 4]) for i in range(max(len(pks) - 3, 1))} if pks else set()
+        assert got.loc[row["doc_id"], "n_grams"] == len(grams)
+        assert got.loc[row["doc_id"], "n_selected"] == len(sel)
+
+
+def test_theil_sen_brute_force(ray_session):
+    """Independent per-nation brute force over the monthly revenue series."""
+    from ray_extract.pipelines.relational import theil_sen_trend
+
+    got = theil_sen_trend(SF).to_pandas().set_index("n_name")
+    rev = duckdb.sql(f"""
+        SELECT n.n_name,
+               CAST(date_part('year', o.o_orderdate) * 12
+                    + date_part('month', o.o_orderdate) - 1 AS BIGINT) AS m,
+               CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS r
+        FROM '{SF}/orders.parquet' o
+        JOIN '{SF}/customer.parquet' c ON c.c_custkey = o.o_custkey
+        JOIN '{SF}/nation.parquet' n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2""").df()
+    for name, grp in rev.groupby("n_name"):
+        grp = grp.sort_values("m")
+        m = grp["m"].to_numpy()
+        r = grp["r"].to_numpy()
+        slopes = []
+        for i in range(len(m)):
+            for j in range(i + 1, len(m)):
+                num, den = int(r[j] - r[i]), int(m[j] - m[i])
+                slopes.append((num / den, num, den))
+        if not slopes:
+            assert name not in got.index
+            continue
+        slopes.sort()
+        _, num, den = slopes[(len(slopes) - 1) // 2]
+        row = got.loc[name]
+        assert row["n_months"] == len(m) and row["n_pairs"] == len(slopes)
+        assert row["med_num_cents"] == num and row["med_den_months"] == den
+
+
+def test_drift_psi_brute_force(ray_session):
+    """Numpy reimplementation: midpoint split, cume_dist>=q edges, strict
+    bin assignment, full mass conservation."""
+    import math
+
+    from ray_extract.pipelines.events import drift_psi_terms
+
+    got = drift_psi_terms(SF).to_pandas().sort_values("bin").reset_index(drop=True)
+    e = duckdb.sql(f"SELECT ts, value FROM '{SF}/events.parquet'").df()
+    us = e["ts"].astype("datetime64[us]").astype(np.int64)
+    v = np.floor(e["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    cut = (int(us.min()) + int(us.max())) // 2
+    ref, cur = v[us < cut], v[us >= cut]
+    sref = np.sort(ref)
+    edges = np.array(
+        [sref[math.ceil(len(sref) * (b / 10)) - 1] for b in range(1, 10)]
+    )
+    rb = np.searchsorted(edges, ref, side="left")
+    cb = np.searchsorted(edges, cur, side="left")
+    want_ref = np.bincount(rb, minlength=10)
+    want_cur = np.bincount(cb, minlength=10)
+    full = np.zeros((10, 2), dtype=np.int64)
+    full[got["bin"].to_numpy(), 0] = got["n_ref"].to_numpy()
+    full[got["bin"].to_numpy(), 1] = got["n_cur"].to_numpy()
+    assert (full[:, 0] == want_ref).all() and (full[:, 1] == want_cur).all()
+    assert full.sum() == len(e)
