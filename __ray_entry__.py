@@ -2960,6 +2960,18 @@ def _q_drift_psi_terms(sf_dir: str):
     return drift_psi_terms(sf_dir)
 
 
+def _q_rank_fusion_terms(sf_dir: str):
+    from ray_extract.pipelines.similarity import rank_fusion_terms
+
+    return rank_fusion_terms(sf_dir)
+
+
+def _q_dup_graph_bfs_depths(sf_dir: str):
+    from ray_extract.pipelines.dedup import dup_graph_bfs_depths
+
+    return dup_graph_bfs_depths(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -3234,6 +3246,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnowing_fingerprints": _q_winnowing_fingerprints,
         "theil_sen_trend": _q_theil_sen_trend,
         "drift_psi_terms": _q_drift_psi_terms,
+        "rank_fusion_terms": _q_rank_fusion_terms,
+        "dup_graph_bfs_depths": _q_dup_graph_bfs_depths,
     }
 
 
@@ -6784,5 +6798,44 @@ ab AS (SELECT * FROM rb UNION ALL SELECT * FROM cb)
 SELECT CAST(bin AS BIGINT) AS bin, CAST(sum(is_ref) AS BIGINT) AS n_ref,
        CAST(count(*) - sum(is_ref) AS BIGINT) AS n_cur
 FROM ab GROUP BY 1
+"""
+    # hybrid-search RRF terms: candidates = union of top-5 under exact
+    # cosine and under the 6-bit quantized dot; both GLOBAL ranks emitted
+    d["rank_fusion_terms"] = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id < 10),
+base AS (
+  SELECT q.qid, e.vec_id,
+         list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS sc,
+         list_dot_product(
+            list_transform(q.qe, x -> greatest(-31.0, least(31.0,
+                                       floor(x::DOUBLE * 127 + 0.5)))),
+            list_transform(e.embedding, x -> greatest(-31.0, least(31.0,
+                                       floor(x::DOUBLE * 127 + 0.5))))
+         ) AS sq
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+r AS (SELECT qid, vec_id,
+        row_number() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id) AS rc,
+        row_number() OVER (PARTITION BY qid ORDER BY sq DESC, vec_id) AS rq
+      FROM base)
+SELECT qid AS query_id, vec_id AS neighbor_id,
+       CAST(rc AS BIGINT) AS rank_cos, CAST(rq AS BIGINT) AS rank_q8
+FROM r WHERE rc <= 5 OR rq <= 5
+"""
+    # multi-source BFS from each cluster's canonical over the dup graph;
+    # UNION (set) recursion + min(d) = hop distance, capped at 64 rounds
+    d["dup_graph_bfs_depths"] = f"""
+WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({d["dedup_simhash"]}) t),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+cc AS ({d["dedup_clusters"]}),
+bfs(node, dd) AS (
+  SELECT DISTINCT cluster_id, 0 FROM cc
+  UNION
+  SELECT e.b, bfs.dd + 1 FROM bfs JOIN edges e ON e.a = bfs.node
+  WHERE bfs.dd < 64
+),
+md AS (SELECT node, CAST(min(dd) AS BIGINT) AS depth FROM bfs GROUP BY node)
+SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes FROM md GROUP BY 1
 """
     return d

@@ -371,6 +371,13 @@ def run_bench() -> dict:
     timed("theil_sen_trend", lambda: theil_sen_trend(SF_DIR).count())
     timed("drift_psi_terms", lambda: drift_psi_terms(SF_DIR).num_rows)
 
+    from ray_extract.pipelines.dedup import dup_graph_bfs_depths
+    from ray_extract.pipelines.similarity import rank_fusion_terms
+
+    timed("rank_fusion_terms", lambda: rank_fusion_terms(SF_DIR).count())
+    timed("dup_graph_bfs_depths",
+          lambda: dup_graph_bfs_depths(SF_DIR).num_rows)
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),

@@ -2875,3 +2875,90 @@ def clustering_coefficient(sf_dir: str, num_buckets: int = 64):
         .aggregate(Sum("n", alias_name="n"))
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def dup_graph_bfs_depths(sf_dir: str, max_iters: int = 64):
+    """Multi-source BFS depth histogram over the near-duplicate graph: the
+    hop distance from every clustered doc to its cluster's CANONICAL
+    (min-id) doc. This is the radius readout of cluster resolution — depth
+    1 means direct near-dups of the canonical; a long tail means chained
+    templates that transitively collapsed (and that a pairwise-only dedup
+    would have missed).
+
+    Algorithm: distance relaxation — seeds (canonicals, from the same
+    min-label closure as ``duplicate_clusters``) start at 0, every round
+    each edge proposes dist[src]+1 to dst, rounds are bounded by the graph
+    diameter. Scale shape mirrors the CC broadcast backend: the edge table
+    stays distributed and is scanned once per round; node ids ship once;
+    the return leg is DELTA-ONLY (batches emit just improvements), so
+    driver traffic decays as the frontier empties; convergence = an empty
+    delta. Every clustered node is reachable from its canonical by
+    construction, so all depths are finite.
+
+    Output: (depth, n_nodes), both int64.
+    """
+    import ray
+
+    labels = duplicate_clusters(sf_dir, max_iters=max_iters,
+                                label_backend="broadcast")
+    nodes = labels.column("doc_id").to_numpy()
+    canon = labels.column("cluster_id").to_numpy()
+    order = np.argsort(nodes)
+    nodes, canon = nodes[order], canon[order]
+    sent = np.iinfo(np.int64).max
+    dist = np.where(nodes == canon, 0, sent).astype(np.int64)
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy().astype(np.int64)
+        b = batch.column("doc_b").to_numpy().astype(np.int64)
+        return pa.table({"src": np.r_[a, b], "dst": np.r_[b, a]})
+
+    edges = (
+        simhash_pairs_cached(sf_dir)
+        .map_batches(sym, batch_format="pyarrow")
+        .materialize()
+    )
+    nodes_ref = ray.put(nodes)
+
+    for _ in range(max_iters):
+        dist_ref = ray.put(dist)
+
+        def prop(batch: pa.Table, dist_ref=dist_ref) -> pa.Table:
+            nds = ray.get(nodes_ref)
+            dst_arr = ray.get(dist_ref)
+            src = batch.column("src").to_numpy()
+            dst = batch.column("dst").to_numpy()
+            d_src = dst_arr[np.searchsorted(nds, src)]
+            ok = d_src < sent  # only settled sources propose
+            src, dst, d_src = src[ok], dst[ok], d_src[ok]
+            if len(dst) == 0:
+                return pa.table(
+                    {"node": pa.array([], type=pa.int64()),
+                     "cand": pa.array([], type=pa.int64())}
+                )
+            order = np.argsort(dst, kind="stable")
+            d, c = dst[order], d_src[order] + 1
+            starts = np.r_[0, np.flatnonzero(d[1:] != d[:-1]) + 1]
+            node = d[starts]
+            cand = np.minimum.reduceat(c, starts)
+            keep = cand < dst_arr[np.searchsorted(nds, node)]
+            return pa.table({"node": node[keep], "cand": cand[keep]})
+
+        parts = edges.map_batches(prop, batch_format="pyarrow").to_pandas()
+        if parts.empty:
+            break
+        cand = parts.groupby("node")["cand"].min()
+        idx = np.searchsorted(nodes, cand.index.to_numpy())
+        new = dist.copy()
+        np.minimum.at(new, idx, cand.to_numpy())
+        if (new == dist).all():
+            break
+        dist = new
+
+    vals, cnts = np.unique(dist, return_counts=True)
+    return pa.table(
+        {
+            "depth": pa.array(vals.astype(np.int64)),
+            "n_nodes": pa.array(cnts.astype(np.int64)),
+        }
+    )

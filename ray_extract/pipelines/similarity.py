@@ -1537,3 +1537,147 @@ def embedding_covariance_terms(sf_dir: str, n_dims: int = 4,
         .repartition(1)  # bounded pair grid per partial
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def rank_fusion_terms(sf_dir: str, n_queries: int = 10, k: int = 5,
+                      scale: int = 127, clip: int = 31):
+    """Reciprocal-rank-fusion TERMS over two retrieval scorers — the hybrid
+    -search primitive: candidates are the union of each scorer's top-k,
+    and each candidate carries its GLOBAL rank under BOTH scorers, so the
+    consumer can compute RRF = sum_i 1/(K + rank_i) (or any other fusion)
+    without re-scoring. Emitting integer ranks keeps the oracle exact.
+
+    Scorers: (a) exact float64 cosine, the ann_bruteforce ranking;
+    (b) the 6-bit quantized integer dot product (same clamp grid as
+    embedding_quantize_stats) — the cheap index a production system would
+    actually serve, which is exactly why its rank disagreement with (a)
+    is worth auditing. Both rank with the (score desc, vec_id asc)
+    tiebreak, self excluded.
+
+    Scale shape: two streaming passes over the vector table. Pass 1 is
+    the standard broadcast-queries partial-top-k (one row per (batch,
+    query, scorer-candidate) on the wire). Pass 2 broadcasts the tiny
+    candidate table (<= 2k rows per query) with each candidate's scores
+    and counts, per batch, how many vectors BEAT each candidate — a
+    partial-sum combiner, so the global rank is one small groupby away
+    and no full ranking is ever materialized.
+
+    Output: (query_id, neighbor_id, rank_cos, rank_q8), ranks 1-based.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    qids, q = _read_queries(sf_dir, n_queries)
+    # raw (un-normalized) queries for the quantized scorer
+    import pyarrow.dataset as pads
+
+    raw = (
+        pads.dataset(f"{sf_dir}/embeddings.parquet")
+        .to_table(columns=["vec_id", "embedding"],
+                  filter=pads.field("vec_id") < n_queries)
+    )
+    rq_ids = raw.column("vec_id").to_numpy()
+    rq = np.stack(raw.column("embedding").to_pylist()).astype(np.float64)
+    rq = rq[np.argsort(rq_ids)]
+    q8_q = np.clip(np.floor(rq * scale + 0.5), -clip, clip).astype(np.int64)
+    qref = ray.put((qids, q, q8_q))
+
+    def quant(e: np.ndarray) -> np.ndarray:
+        return np.clip(np.floor(e * scale + 0.5), -clip, clip).astype(np.int64)
+
+    def score_both(batch: pa.Table) -> pa.Table:
+        qids_, q_, q8_ = ray.get(qref)
+        ids, e = _emb_matrix(batch)
+        en = e / np.linalg.norm(e, axis=1, keepdims=True)
+        cos = en @ q_.T
+        qd = quant(e) @ q8_.T
+        out = {"query_id": [], "vec_id": [], "cos": [], "q8": []}
+        kk = min(k, len(ids))
+        for j in range(len(qids_)):
+            sc, sq = cos[:, j].copy(), qd[:, j].copy()
+            self_m = ids == qids_[j]
+            sc[self_m] = -np.inf
+            sq[self_m] = np.iinfo(np.int64).min
+            cand = np.union1d(
+                np.lexsort((ids, -sc))[:kk], np.lexsort((ids, -sq))[:kk]
+            )
+            # emit the MASKED scores: in a small tail batch the self row can
+            # enter the union, and its raw score would win the final reduce
+            out["query_id"].append(np.full(len(cand), qids_[j], np.int64))
+            out["vec_id"].append(ids[cand].astype(np.int64))
+            out["cos"].append(sc[cand])
+            out["q8"].append(sq[cand])
+        return pa.table({c: pa.array(np.concatenate(v)) for c, v in out.items()})
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    partial = ds.map_batches(score_both, batch_format="pyarrow")
+
+    def final_cands(g):
+        import pandas as pd
+
+        g = g[np.isfinite(g["cos"].to_numpy())]  # masked self rows
+        top_c = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+        top_q = g.sort_values(["q8", "vec_id"], ascending=[False, True]).head(k)
+        u = pd.concat([top_c, top_q]).drop_duplicates("vec_id")
+        return u[["query_id", "vec_id", "cos", "q8"]]
+
+    # bounded: <= 2k candidate rows per query
+    cand_rows = (
+        partial.groupby("query_id")
+        .map_groups(final_cands, batch_format="pandas")
+        .take_all()
+    )
+    c_q = np.array([r["query_id"] for r in cand_rows], dtype=np.int64)
+    c_v = np.array([r["vec_id"] for r in cand_rows], dtype=np.int64)
+    c_cos = np.array([r["cos"] for r in cand_rows], dtype=np.float64)
+    c_q8 = np.array([r["q8"] for r in cand_rows], dtype=np.int64)
+    cref = ray.put((c_q, c_v, c_cos, c_q8))
+
+    def count_beats(batch: pa.Table) -> pa.Table:
+        qids_, q_, q8_ = ray.get(qref)
+        cq, cv, ccos, cq8 = ray.get(cref)
+        ids, e = _emb_matrix(batch)
+        en = e / np.linalg.norm(e, axis=1, keepdims=True)
+        cos = en @ q_.T
+        qd = quant(e) @ q8_.T
+        qcol = {int(x): i for i, x in enumerate(qids_)}
+        b_cos = np.zeros(len(cq), dtype=np.int64)
+        b_q8 = np.zeros(len(cq), dtype=np.int64)
+        for i in range(len(cq)):
+            j = qcol[int(cq[i])]
+            sc, sq = cos[:, j], qd[:, j]
+            ok = ids != cq[i]  # self never ranks
+            b_cos[i] = int(
+                ((sc > ccos[i]) | ((sc == ccos[i]) & (ids < cv[i])))[ok].sum()
+            )
+            b_q8[i] = int(
+                ((sq > cq8[i]) | ((sq == cq8[i]) & (ids < cv[i])))[ok].sum()
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(cq),
+                "neighbor_id": pa.array(cv),
+                "b_cos": pa.array(b_cos),
+                "b_q8": pa.array(b_q8),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": pc.cast(t.column("query_id"), pa.int64()),
+                "neighbor_id": pc.cast(t.column("neighbor_id"), pa.int64()),
+                "rank_cos": pc.add(pc.cast(t.column("b_cos"), pa.int64()), 1),
+                "rank_q8": pc.add(pc.cast(t.column("b_q8"), pa.int64()), 1),
+            }
+        )
+
+    return (
+        ds.map_batches(count_beats, batch_format="pyarrow")
+        .groupby(["query_id", "neighbor_id"])
+        .aggregate(Sum("b_cos", alias_name="b_cos"),
+                   Sum("b_q8", alias_name="b_q8"))
+        .map_batches(finish, batch_format="pyarrow")
+    )

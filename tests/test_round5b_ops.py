@@ -212,3 +212,57 @@ def test_drift_psi_brute_force(ray_session):
     full[got["bin"].to_numpy(), 1] = got["n_cur"].to_numpy()
     assert (full[:, 0] == want_ref).all() and (full[:, 1] == want_cur).all()
     assert full.sum() == len(e)
+
+
+def test_rank_fusion_agrees_with_ann_and_is_well_formed(ray_session):
+    """The rank_cos<=5 slice must be exactly ann_bruteforce's top-5; both
+    per-scorer top-5 sets are complete; ranks are 1-based positives."""
+    from ray_extract.pipelines.similarity import ann_bruteforce, rank_fusion_terms
+
+    got = rank_fusion_terms(SF).to_pandas()
+    assert (got["rank_cos"] >= 1).all() and (got["rank_q8"] >= 1).all()
+    for _, grp in got.groupby("query_id"):
+        assert (grp["rank_cos"] <= 5).sum() == 5
+        assert (grp["rank_q8"] <= 5).sum() == 5
+        assert grp["neighbor_id"].is_unique
+    ann = ann_bruteforce(SF).to_pandas()
+    cos_top = (
+        got[got["rank_cos"] <= 5]
+        .rename(columns={"rank_cos": "rank"})[["query_id", "rank", "neighbor_id"]]
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    ann = ann.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert cos_top[["query_id", "rank", "neighbor_id"]].equals(
+        ann[["query_id", "rank", "neighbor_id"]]
+    )
+
+
+def test_bfs_depths_brute_force(ray_session):
+    """Python BFS from each cluster canonical over the symmetric pair set."""
+    from collections import defaultdict, deque
+
+    from ray_extract.pipelines.dedup import dup_graph_bfs_depths, duplicate_clusters
+
+    got = dup_graph_bfs_depths(SF).to_pandas().sort_values("depth")
+    pairs = _sym_pairs()
+    adj = defaultdict(list)
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        adj[a].append(b)
+        adj[b].append(a)
+    lab = duplicate_clusters(SF).to_pandas()
+    seeds = sorted(set(lab["cluster_id"]))
+    dist = {s: 0 for s in seeds}
+    dq = deque(seeds)
+    while dq:
+        u = dq.popleft()
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    want = pd.Series(list(dist.values())).value_counts().sort_index()
+    assert got["depth"].tolist() == want.index.tolist()
+    assert got["n_nodes"].tolist() == want.tolist()
+    # depth-0 mass = number of clusters; total mass = clustered nodes
+    assert got.loc[got["depth"] == 0, "n_nodes"].iloc[0] == len(seeds)
+    assert got["n_nodes"].sum() == len(lab)
