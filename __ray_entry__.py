@@ -2972,6 +2972,24 @@ def _q_dup_graph_bfs_depths(sf_dir: str):
     return dup_graph_bfs_depths(sf_dir)
 
 
+def _q_skyline_parts(sf_dir: str):
+    from ray_extract.pipelines.relational import skyline_parts
+
+    return skyline_parts(sf_dir)
+
+
+def _q_name_edit_histogram(sf_dir: str):
+    from ray_extract.pipelines.dedup import name_edit_histogram
+
+    return name_edit_histogram(sf_dir)
+
+
+def _q_kcore_peel_counts(sf_dir: str):
+    from ray_extract.pipelines.dedup import kcore_peel_counts
+
+    return kcore_peel_counts(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -3248,6 +3266,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_psi_terms": _q_drift_psi_terms,
         "rank_fusion_terms": _q_rank_fusion_terms,
         "dup_graph_bfs_depths": _q_dup_graph_bfs_depths,
+        "skyline_parts": _q_skyline_parts,
+        "name_edit_histogram": _q_name_edit_histogram,
+        "kcore_peel_counts": _q_kcore_peel_counts,
     }
 
 
@@ -6837,5 +6858,59 @@ bfs(node, dd) AS (
 ),
 md AS (SELECT node, CAST(min(dd) AS BIGINT) AS depth FROM bfs GROUP BY node)
 SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes FROM md GROUP BY 1
+"""
+    # 2-D skyline: strict-dominance NOT EXISTS over cents-quantized price
+    # (both engines compare the identical int64 cents, never raw doubles)
+    d["skyline_parts"] = """
+WITH p AS (SELECT p_partkey,
+                  CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                      AS price_cents,
+                  CAST(p_size AS BIGINT) AS p_size
+           FROM part)
+SELECT a.p_partkey, a.price_cents, a.p_size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+    AND (b.price_cents < a.price_cents OR b.p_size > a.p_size))
+"""
+    # within-brand pairwise Levenshtein mass (quadratic oracle; the Ray
+    # side is count-compressed over distinct names)
+    d["name_edit_histogram"] = """
+SELECT CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+GROUP BY 1
+"""
+    # bounded 2-core peeling, exactly 3 synchronous rounds (chained CTEs
+    # mirror the Ray rounds; stage 0 = survivors)
+    d["kcore_peel_counts"] = f"""
+WITH pairs AS (SELECT doc_a, doc_b FROM ({d["dedup_simhash"]}) t),
+e0 AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       UNION ALL SELECT doc_b, doc_a FROM pairs),
+n0 AS (SELECT DISTINCT a AS node FROM e0),
+d1 AS (SELECT a AS node, count(*) AS c FROM e0 GROUP BY 1),
+rm1 AS (SELECT n0.node FROM n0 LEFT JOIN d1 USING (node)
+        WHERE coalesce(c, 0) < 2),
+n1 AS (SELECT node FROM n0 WHERE node NOT IN (SELECT node FROM rm1)),
+e1 AS (SELECT a, b FROM e0 WHERE a IN (SELECT node FROM n1)
+                             AND b IN (SELECT node FROM n1)),
+d2 AS (SELECT a AS node, count(*) AS c FROM e1 GROUP BY 1),
+rm2 AS (SELECT n1.node FROM n1 LEFT JOIN d2 USING (node)
+        WHERE coalesce(c, 0) < 2),
+n2 AS (SELECT node FROM n1 WHERE node NOT IN (SELECT node FROM rm2)),
+e2 AS (SELECT a, b FROM e1 WHERE a IN (SELECT node FROM n2)
+                             AND b IN (SELECT node FROM n2)),
+d3 AS (SELECT a AS node, count(*) AS c FROM e2 GROUP BY 1),
+rm3 AS (SELECT n2.node FROM n2 LEFT JOIN d3 USING (node)
+        WHERE coalesce(c, 0) < 2),
+n3 AS (SELECT node FROM n2 WHERE node NOT IN (SELECT node FROM rm3)),
+u AS (SELECT 1 AS stage, count(*) AS n_nodes FROM rm1
+      UNION ALL SELECT 2, count(*) FROM rm2
+      UNION ALL SELECT 3, count(*) FROM rm3
+      UNION ALL SELECT 0, count(*) FROM n3)
+SELECT CAST(stage AS BIGINT) AS stage, CAST(n_nodes AS BIGINT) AS n_nodes
+FROM u
 """
     return d

@@ -2962,3 +2962,205 @@ def dup_graph_bfs_depths(sf_dir: str, max_iters: int = 64):
             "n_nodes": pa.array(cnts.astype(np.int64)),
         }
     )
+
+
+# ------------------------------------------- blocked edit-distance histogram
+def name_edit_histogram(sf_dir: str, max_group_names: int | None = None):
+    """Within-brand Levenshtein distance histogram over part names: for
+    every unordered pair of parts sharing a brand (the blocking key), the
+    unit-cost edit distance between their names, reduced to
+    (dist, n_pairs). The linkage-tuning readout that complements
+    ``typo_neighbor_pairs`` (which ENUMERATES distance-1 pairs): this one
+    shows the whole distance mass so a threshold can be chosen.
+
+    Scale shape — value compression before the quadratic step: names are
+    first collapsed to DISTINCT (brand, name, count) rows (per-batch
+    combiner + one bounded groupby; the distinct-name domain is
+    vocabulary-scale, not corpus-scale), so the pair kernel runs over
+    distinct-name pairs weighted by count products: cnt_a*cnt_b for
+    cross-name pairs, C(cnt,2) at distance 0 for same-name pairs. A brand
+    with D distinct names costs O(D^2 * L^2 / 8) vectorized cells
+    regardless of how many million parts carry those names.
+    ``max_group_names`` caps D per brand for adversarial vocabularies
+    (None = exact, the oracle default; capped mode drops the
+    LEAST-frequent names first, deterministically tie-broken by name).
+
+    Kernel: batched DP — one (n_pairs,)-wide vector per DP cell, iterating
+    the (len_a x len_b) grid of the two padded byte matrices; ~L^2
+    vectorized steps per brand, never a Python loop over pairs.
+
+    Output: (dist, n_pairs) — both int64.
+    """
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tables import strip_schema_metadata
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"brand": batch.column("p_brand"),
+             "name": batch.column("p_name"),
+             "cnt": pa.array(np.ones(len(batch), dtype=np.int64))}
+        )
+        return t.group_by(["brand", "name"]).aggregate([("cnt", "sum")])
+
+    names = (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_brand", "p_name"])
+        )
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["brand", "name"])
+        .aggregate(Sum("cnt_sum", alias_name="cnt"))
+    )
+
+    def per_brand(g: "pd.DataFrame") -> "pd.DataFrame":
+        name = g["name"].to_numpy()
+        cnt = g["cnt"].to_numpy().astype(np.int64)
+        if max_group_names is not None and len(name) > max_group_names:
+            keep = np.lexsort((name, -cnt))[:max_group_names]
+            name, cnt = name[keep], cnt[keep]
+        # distance-0 mass: same-name unordered pairs
+        out = {0: int((cnt * (cnt - 1) // 2).sum())}
+        n = len(name)
+        if n > 1:
+            enc = [s.encode("utf-8") for s in name]
+            maxlen = max(len(b) for b in enc)
+            mat = np.zeros((n, maxlen), dtype=np.uint8)
+            lens = np.empty(n, dtype=np.int64)
+            for i, b in enumerate(enc):
+                mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+                lens[i] = len(b)
+            iu, ju = np.triu_indices(n, k=1)
+            a, b = mat[iu], mat[ju]
+            la, lb = lens[iu], lens[ju]
+            npairs = len(iu)
+            prev = np.broadcast_to(
+                np.arange(maxlen + 1, dtype=np.int32), (npairs, maxlen + 1)
+            ).copy()
+            res = np.empty(npairs, dtype=np.int64)
+            res[la == 0] = lb[la == 0]  # degenerate: empty left string
+            for i in range(1, maxlen + 1):
+                cur = np.empty_like(prev)
+                cur[:, 0] = i
+                ai = a[:, i - 1][:, None]
+                cost = (ai != b).astype(np.int32)
+                for j in range(1, maxlen + 1):
+                    cur[:, j] = np.minimum(
+                        np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                        prev[:, j - 1] + cost[:, j - 1],
+                    )
+                hit = la == i
+                if hit.any():
+                    res[hit] = cur[hit, lb[hit]]
+                prev = cur
+            w = cnt[iu] * cnt[ju]
+            order = np.argsort(res, kind="stable")
+            r, wsorted = res[order], w[order]
+            starts = np.r_[0, np.flatnonzero(r[1:] != r[:-1]) + 1]
+            for d, s in zip(r[starts], np.add.reduceat(wsorted, starts)):
+                out[int(d)] = out.get(int(d), 0) + int(s)
+        if out.get(0, 0) == 0:
+            out.pop(0, None)
+        ds = sorted(out)
+        return pd.DataFrame(
+            {"dist": pd.Series(ds, dtype=np.int64),
+             "n_pairs": pd.Series([out[d] for d in ds], dtype=np.int64)}
+        )
+
+    return (
+        names.groupby("brand")
+        .map_groups(per_brand, batch_format="pandas")
+        .groupby("dist")
+        .aggregate(Sum("n_pairs", alias_name="n_pairs"))
+    )
+
+
+# ---------------------------------------------------- bounded k-core peeling
+def kcore_peel_counts(sf_dir: str, k: int = 2, rounds: int = 3):
+    """Bounded k-core peeling over the near-duplicate graph: ``rounds``
+    synchronous rounds of removing every node whose REMAINING degree is
+    below ``k``, reporting how many nodes each round peels and how many
+    survive. The dense-core detector: nodes surviving 2-core peeling sit
+    in cycles of mutual near-duplication (template families), while peeled
+    nodes hang off the core in chains — exactly the split a curator wants
+    before deciding which cluster members to keep.
+
+    Semantics are BOUNDED-ROUND by construction (not peel-to-fixpoint):
+    both this implementation and the oracle run exactly ``rounds`` peel
+    steps, so the two are comparable even on adversarial chain graphs
+    where fixpoint depth is O(n).
+
+    Scale shape (mirrors the CC/BFS broadcast backend): the symmetrized
+    edge table stays distributed and is scanned once per round; the node
+    id vector ships once; each round ships one alive-bitmap broadcast
+    (1 bit/node) and pulls batch-compressed (node, partial-degree) rows.
+    Driver state is node-scale — above the ~20M-node threshold the
+    join-backend analog of ``_clusters_label_join`` applies (degrees via
+    dataset groupby, removal via semi-join), at the cost of one extra
+    shuffle per round.
+
+    Output: (stage, n_nodes), both int64 — stage r in 1..rounds = nodes
+    peeled in round r, stage 0 = survivors after the final round.
+    """
+    import ray
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy().astype(np.int64)
+        b = batch.column("doc_b").to_numpy().astype(np.int64)
+        return pa.table({"src": np.r_[a, b], "dst": np.r_[b, a]})
+
+    edges = (
+        simhash_pairs_cached(sf_dir)
+        .map_batches(sym, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def node_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": np.unique(batch.column("src").to_numpy())})
+
+    nodes_df = edges.map_batches(node_partial, batch_format="pyarrow").to_pandas()
+    nodes = np.unique(nodes_df["node"].to_numpy()) if len(nodes_df) else \
+        np.array([], dtype=np.int64)
+    n = len(nodes)
+    nodes_ref = ray.put(nodes)
+
+    alive = np.ones(n, dtype=bool)
+    peeled = np.zeros(rounds, dtype=np.int64)
+    for r in range(rounds):
+        if n == 0 or not alive.any():
+            break
+        alive_ref = ray.put(alive)
+
+        def deg_partial(batch: pa.Table, alive_ref=alive_ref) -> pa.Table:
+            nds = ray.get(nodes_ref)
+            alv = ray.get(alive_ref)
+            src = batch.column("src").to_numpy()
+            dst = batch.column("dst").to_numpy()
+            ia = np.searchsorted(nds, src)
+            ib = np.searchsorted(nds, dst)
+            ok = alv[ia] & alv[ib]
+            ia = ia[ok]
+            if len(ia) == 0:
+                return pa.table(
+                    {"idx": pa.array([], type=pa.int64()),
+                     "c": pa.array([], type=pa.int64())}
+                )
+            idx, c = np.unique(ia, return_counts=True)
+            return pa.table({"idx": idx.astype(np.int64),
+                             "c": c.astype(np.int64)})
+
+        parts = edges.map_batches(deg_partial, batch_format="pyarrow").to_pandas()
+        deg = np.zeros(n, dtype=np.int64)
+        if len(parts):
+            np.add.at(deg, parts["idx"].to_numpy(), parts["c"].to_numpy())
+        rm = alive & (deg < k)
+        peeled[r] = int(rm.sum())
+        if peeled[r] == 0:
+            break
+        alive &= ~rm
+
+    stages = np.r_[np.arange(1, rounds + 1), 0].astype(np.int64)
+    counts = np.r_[peeled, int(alive.sum()) if n else 0].astype(np.int64)
+    return pa.table({"stage": pa.array(stages), "n_nodes": pa.array(counts)})

@@ -8335,3 +8335,78 @@ def theil_sen_trend(sf_dir: str, num_partitions: int | None = None):
     return monthly.groupby("n_name").map_groups(
         per_nation, batch_format="pandas"
     )
+
+
+def skyline_parts(sf_dir: str):
+    """2-D skyline (Pareto frontier) over the part catalog: every part for
+    which no other part is at-least-as-cheap AND at-least-as-large with one
+    strict improvement (minimize p_retailprice, maximize p_size). The
+    classic "undominated offers" query — a naive engine answers it with a
+    quadratic NOT EXISTS; here it is the textbook distributed skyline:
+    local skylines per block, then one exact merge pass.
+
+    Scale shape (zero shuffles): each block's local skyline is a SUPERSET
+    filter — a globally undominated row is undominated in its own block, so
+    dropping block-dominated rows loses nothing — and collapses a block to
+    O(distinct prices on its frontier) rows. The survivors concatenate
+    through ``repartition(1)`` (frontier-scale, not corpus-scale) and the
+    same kernel run once more is exact. Ties are kept: parts with identical
+    (price, size) on the frontier all survive, matching the
+    strict-dominance oracle.
+
+    Kernel: lexsort by (price asc, size desc); within an equal-price group
+    only rows equal to the group-max size survive; across groups a prefix
+    running-max of group-max size drops anything a strictly-cheaper group
+    already beats. O(n log n), fully vectorized.
+
+    Output: (p_partkey, price_cents, p_size) — all int64.
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def _skyline_np(key: np.ndarray, price: np.ndarray, size: np.ndarray):
+        order = np.lexsort((-size, price))
+        key, price, size = key[order], price[order], size[order]
+        new_group = np.r_[True, price[1:] != price[:-1]]
+        gid = np.cumsum(new_group) - 1
+        group_max = size[new_group]            # size desc within each group
+        best_before = np.r_[np.iinfo(np.int64).min,
+                            np.maximum.accumulate(group_max)[:-1]]
+        keep = (size == group_max[gid]) & (size > best_before[gid])
+        return key[keep], price[keep], size[keep]
+
+    def _pack(key, price, size) -> pa.Table:
+        return pa.table(
+            {"p_partkey": pa.array(key, type=pa.int64()),
+             "price_cents": pa.array(price, type=pa.int64()),
+             "p_size": pa.array(size, type=pa.int64())}
+        )
+
+    def local_skyline(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _pack([], [], [])
+        return _pack(*_skyline_np(
+            pc.cast(batch.column("p_partkey"), pa.int64()).to_numpy(),
+            np.asarray(_cents(batch.column("p_retailprice")), dtype=np.int64),
+            pc.cast(batch.column("p_size"), pa.int64()).to_numpy(),
+        ))
+
+    def merge_skyline(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _pack([], [], [])
+        return _pack(*_skyline_np(
+            batch.column("p_partkey").to_numpy(),
+            batch.column("price_cents").to_numpy(),
+            batch.column("p_size").to_numpy(),
+        ))
+
+    parts = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/part.parquet",
+                        columns=["p_partkey", "p_retailprice", "p_size"])
+    )
+    return (
+        parts.map_batches(local_skyline, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge_skyline, batch_format="pyarrow")
+    )

@@ -1,0 +1,148 @@
+"""Semantic pins for the round-5 third-batch operators beyond oracle parity:
+strict-dominance and tie-keeping of skyline_parts, the count-compressed
+Levenshtein mass of name_edit_histogram vs a brute-force DP, and the
+bounded-round peeling schedule of kcore_peel_counts vs an independent
+in-test peeler.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _cents(x):
+    return np.floor(np.asarray(x, dtype=np.float64) * 100.0 + 0.5).astype(
+        np.int64
+    )
+
+
+def test_skyline_parts_brute_force(ray_session):
+    """Every emitted row is undominated, every omitted row is dominated."""
+    from ray_extract.pipelines.relational import skyline_parts
+
+    got = skyline_parts(SF).to_pandas().sort_values("p_partkey")
+    p = duckdb.sql(
+        f"SELECT p_partkey, p_retailprice, p_size FROM '{SF}/part.parquet'"
+    ).df()
+    price = _cents(p["p_retailprice"])
+    size = p["p_size"].to_numpy().astype(np.int64)
+    dominated = np.zeros(len(p), dtype=bool)
+    for i in range(len(p)):
+        dominated[i] = bool(
+            (
+                (price <= price[i])
+                & (size >= size[i])
+                & ((price < price[i]) | (size > size[i]))
+            ).any()
+        )
+    want = set(p["p_partkey"].to_numpy()[~dominated])
+    assert set(got["p_partkey"]) == want
+    assert (got["price_cents"].to_numpy() >= 0).all()
+
+
+def test_skyline_keeps_exact_ties(ray_session, tmp_path):
+    """Two frontier rows with identical (price, size) both survive."""
+    from ray_extract.pipelines.relational import skyline_parts
+
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+                "p_retailprice": pa.array([1.0, 1.0, 2.0, 0.5]),
+                "p_size": pa.array([10, 10, 10, 1], type=pa.int32()),
+            }
+        ),
+        tmp_path / "part.parquet",
+    )
+    got = skyline_parts(str(tmp_path)).to_pandas()
+    # parts 1,2 tie on the frontier; 3 is dominated (same size, pricier);
+    # 4 is undominated (strictly cheaper, smaller)
+    assert sorted(got["p_partkey"]) == [1, 2, 4]
+
+
+def test_name_edit_histogram_brute_force(ray_session):
+    """Distance mass equals a per-pair brute-force DP over raw rows."""
+    from ray_extract.pipelines.dedup import name_edit_histogram
+
+    got = name_edit_histogram(SF).to_pandas().set_index("dist")["n_pairs"]
+
+    def lev(s, t):
+        m, n = len(s), len(t)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (s[i - 1] != t[j - 1]),
+                )
+            prev = cur
+        return prev[n]
+
+    p = duckdb.sql(
+        f"SELECT p_brand, p_name FROM '{SF}/part.parquet'"
+    ).df()
+    want: dict[int, int] = {}
+    for _, grp in p.groupby("p_brand"):
+        names = grp["p_name"].tolist()
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                d = lev(names[i], names[j])
+                want[d] = want.get(d, 0) + 1
+    assert dict(got) == want
+    # mass invariant: every within-brand unordered pair counted once
+    tot = sum(
+        len(g) * (len(g) - 1) // 2 for _, g in p.groupby("p_brand")
+    )
+    assert int(got.sum()) == tot
+
+
+def test_name_edit_histogram_cap_drops_rarest(ray_session):
+    """max_group_names keeps the most frequent distinct names only."""
+    from ray_extract.pipelines.dedup import name_edit_histogram
+
+    full = name_edit_histogram(SF).to_pandas()
+    capped = name_edit_histogram(SF, max_group_names=3).to_pandas()
+    assert capped["n_pairs"].sum() < full["n_pairs"].sum()
+    # capped histogram is a sub-mass of the full one at every distance
+    f = full.set_index("dist")["n_pairs"]
+    for _, row in capped.iterrows():
+        assert row["n_pairs"] <= f.loc[row["dist"]]
+
+
+def test_kcore_peel_matches_reference_peeler(ray_session):
+    """Three synchronous peel rounds, k=2, vs an independent peeler."""
+    from ray_extract.pipelines.dedup import kcore_peel_counts, simhash_pairs
+
+    got = (
+        kcore_peel_counts(SF)
+        .to_pandas()
+        .set_index("stage")["n_nodes"]
+        .to_dict()
+    )
+    pairs = simhash_pairs(SF).to_pandas()
+    edges = set(
+        map(tuple, pairs[["doc_a", "doc_b"]].to_numpy().tolist())
+    )
+    nodes = {a for a, _ in edges} | {b for _, b in edges}
+    want = {}
+    for r in (1, 2, 3):
+        deg: dict[int, int] = {v: 0 for v in nodes}
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        rm = {v for v in nodes if deg[v] < 2}
+        want[r] = len(rm)
+        nodes -= rm
+        edges = {(a, b) for a, b in edges if a in nodes and b in nodes}
+    want[0] = len(nodes)
+    assert got == want
+    # mass conservation: peeled + survivors = initial node count
+    assert sum(got.values()) == len(
+        set(pairs["doc_a"]) | set(pairs["doc_b"])
+    )
