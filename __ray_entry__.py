@@ -2990,6 +2990,24 @@ def _q_kcore_peel_counts(sf_dir: str):
     return kcore_peel_counts(sf_dir)
 
 
+def _q_curation_funnel(sf_dir: str):
+    from ray_extract.pipelines.text import curation_funnel
+
+    return curation_funnel(sf_dir)
+
+
+def _q_assortativity_terms(sf_dir: str):
+    from ray_extract.pipelines.dedup import assortativity_terms
+
+    return assortativity_terms(sf_dir)
+
+
+def _q_ks_drift_terms(sf_dir: str):
+    from ray_extract.pipelines.text import ks_drift_terms
+
+    return ks_drift_terms(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -3269,6 +3287,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_parts": _q_skyline_parts,
         "name_edit_histogram": _q_name_edit_histogram,
         "kcore_peel_counts": _q_kcore_peel_counts,
+        "curation_funnel": _q_curation_funnel,
+        "assortativity_terms": _q_assortativity_terms,
+        "ks_drift_terms": _q_ks_drift_terms,
     }
 
 
@@ -6912,5 +6933,91 @@ u AS (SELECT 1 AS stage, count(*) AS n_nodes FROM rm1
       UNION ALL SELECT 0, count(*) FROM n3)
 SELECT CAST(stage AS BIGINT) AS stage, CAST(n_nodes AS BIGINT) AS n_nodes
 FROM u
+"""
+    # the whole curation pipeline as one cumulative funnel; dedup winners
+    # are corpus-global (composed over dedup_clusters / contamination_check)
+    d["curation_funnel"] = f"""
+WITH m AS (
+  SELECT doc_id, text, source,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    len(regexp_extract_all(text, '\\b(the|and|of|to|is|a)\\b')) AS s_en,
+    len(regexp_extract_all(text,
+        '\\b(der|die|und|ist|das|nicht|ein)\\b')) AS s_de,
+    len(regexp_extract_all(text,
+        '\\b(le|les|et|est|une|dans|que)\\b')) AS s_fr,
+    len(regexp_extract_all(text,
+        '\\b(el|los|las|es|una|por|con)\\b')) AS s_es,
+    CASE WHEN regexp_matches(text, '[一-鿿]') THEN 1 ELSE 0 END AS cjk
+  FROM documents
+),
+l AS (
+  SELECT doc_id, text, source, n_tokens, s_en AS stop_hits,
+    CASE WHEN cjk = 1 THEN 'zh'
+         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         WHEN s_fr >= s_es THEN 'fr'
+         ELSE 'es' END AS pred_lang
+  FROM m
+),
+ew AS (SELECT md5(text) AS h, min(doc_id) AS keep FROM documents GROUP BY 1),
+nl AS (SELECT doc_id FROM ({d["dedup_clusters"]}) c
+       WHERE doc_id <> cluster_id),
+ct AS (SELECT doc_id FROM ({d["contamination_check"]}) t
+       WHERE contaminated = 1),
+f AS (
+  SELECT l.doc_id,
+    (n_tokens >= 15 AND n_tokens <= 120
+     AND stop_hits * 20 >= n_tokens) AS ok_q,
+    (pred_lang = 'en') AS ok_l,
+    (ew.keep = l.doc_id) AS ok_e,
+    (l.doc_id NOT IN (SELECT doc_id FROM nl)) AS ok_n,
+    (l.source <> 'src0'
+     AND l.doc_id NOT IN (SELECT doc_id FROM ct)) AS ok_c
+  FROM l JOIN ew ON md5(l.text) = ew.h
+)
+SELECT CAST(stage AS BIGINT) AS stage, CAST(n AS BIGINT) AS n_docs FROM (
+  SELECT 1 AS stage, count(*) AS n FROM f
+  UNION ALL SELECT 2, count_if(ok_q) FROM f
+  UNION ALL SELECT 3, count_if(ok_q AND ok_l) FROM f
+  UNION ALL SELECT 4, count_if(ok_q AND ok_l AND ok_e) FROM f
+  UNION ALL SELECT 5, count_if(ok_q AND ok_l AND ok_e AND ok_n) FROM f
+  UNION ALL SELECT 6,
+    count_if(ok_q AND ok_l AND ok_e AND ok_n AND ok_c) FROM f) u
+"""
+    # integer degree-degree correlation terms over the directed dup edges
+    d["assortativity_terms"] = f"""
+WITH pairs AS (SELECT doc_a, doc_b FROM ({d["dedup_simhash"]}) t),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+d AS (SELECT a AS node, count(*) AS deg FROM e GROUP BY 1),
+j AS (SELECT da.deg AS x, db.deg AS y
+      FROM e JOIN d da ON e.a = da.node JOIN d db ON e.b = db.node)
+SELECT CAST(count(*) AS BIGINT) AS m_edges,
+       CAST(sum(x) AS BIGINT) AS sum_deg,
+       CAST(sum(x * x) AS BIGINT) AS sum_deg_sq,
+       CAST(sum(x * y) AS BIGINT) AS sum_deg_prod
+FROM j
+"""
+    # exact integer two-sample KS per source vs rest over n_chars
+    d["ks_drift_terms"] = """
+WITH c AS (SELECT source, n_chars AS v, count(*) AS cnt
+           FROM documents GROUP BY 1, 2),
+vs AS (SELECT v, sum(cnt) AS cv FROM c GROUP BY 1),
+tv AS (SELECT v, sum(cv) OVER (ORDER BY v) AS ct FROM vs),
+tot AS (SELECT source, sum(cnt) AS n_s FROM c GROUP BY 1),
+nn AS (SELECT sum(cnt) AS n FROM c),
+grid AS (SELECT t.source, v.v FROM tot t CROSS JOIN vs v),
+j AS (SELECT g.source, g.v, coalesce(c.cnt, 0) AS cnt
+      FROM grid g LEFT JOIN c ON c.source = g.source AND c.v = g.v),
+cum AS (SELECT source, v,
+               sum(cnt) OVER (PARTITION BY source ORDER BY v) AS cs
+        FROM j),
+x AS (SELECT cum.source, tot.n_s,
+             abs(cs * (nn.n - tot.n_s) - (tv.ct - cs) * tot.n_s) AS gap
+      FROM cum JOIN tv USING (v) JOIN tot USING (source) CROSS JOIN nn)
+SELECT source, CAST(n_s AS BIGINT) AS n_s,
+       CAST(max(gap) AS BIGINT) AS d_num,
+       CAST(n_s * ((SELECT n FROM nn) - n_s) AS BIGINT) AS d_den
+FROM x GROUP BY source, n_s
 """
     return d

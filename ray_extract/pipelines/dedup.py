@@ -3164,3 +3164,74 @@ def kcore_peel_counts(sf_dir: str, k: int = 2, rounds: int = 3):
     stages = np.r_[np.arange(1, rounds + 1), 0].astype(np.int64)
     counts = np.r_[peeled, int(alive.sum()) if n else 0].astype(np.int64)
     return pa.table({"stage": pa.array(stages), "n_nodes": pa.array(counts)})
+
+
+# ------------------------------------------------- degree assortativity terms
+def assortativity_terms(sf_dir: str):
+    """Degree-assortativity TERMS of the near-duplicate graph: the exact
+    integer sums from which the Pearson degree-degree correlation is
+    assembled (r = (m*Sxy - Sx^2) / (m*Sxx - Sx^2) over directed edges;
+    by symmetry the x- and y-marginals coincide, so three sums suffice).
+    Positive r = big template families link to each other (one dense blob
+    to cut); negative r = hub-and-spoke near-dup topology. Terms stay
+    integer so the oracle comparison is exact — assembling the float is
+    one driver-side division the caller does.
+
+    Scale shape: two scans of the distributed symmetrized edge table — one
+    for batch-compressed degree partials (node-scale driver fold, one
+    broadcast back, same 20M-node threshold argument as the CC broadcast
+    backend with the join analog above it), one for the per-batch term
+    partials, which reduce to a single row.
+
+    Output: one row (m_edges, sum_deg, sum_deg_sq, sum_deg_prod), int64.
+    """
+    import ray
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy().astype(np.int64)
+        b = batch.column("doc_b").to_numpy().astype(np.int64)
+        return pa.table({"src": np.r_[a, b], "dst": np.r_[b, a]})
+
+    edges = (
+        simhash_pairs_cached(sf_dir)
+        .map_batches(sym, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        idx, c = np.unique(batch.column("src").to_numpy(), return_counts=True)
+        return pa.table({"node": idx.astype(np.int64),
+                         "c": c.astype(np.int64)})
+
+    parts = edges.map_batches(deg_partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        z = pa.array([0], type=pa.int64())
+        return pa.table({"m_edges": z, "sum_deg": z,
+                         "sum_deg_sq": z, "sum_deg_prod": z})
+    agg = parts.groupby("node")["c"].sum()
+    nodes = agg.index.to_numpy()
+    deg = agg.to_numpy().astype(np.int64)
+    nodes_ref = ray.put(nodes)
+    deg_ref = ray.put(deg)
+
+    def term_partial(batch: pa.Table) -> pa.Table:
+        nds, dg = ray.get(nodes_ref), ray.get(deg_ref)
+        x = dg[np.searchsorted(nds, batch.column("src").to_numpy())]
+        y = dg[np.searchsorted(nds, batch.column("dst").to_numpy())]
+        return pa.table(
+            {
+                "m_edges": pa.array([len(x)], type=pa.int64()),
+                "sum_deg": pa.array([int(x.sum())], type=pa.int64()),
+                "sum_deg_sq": pa.array([int((x * x).sum())], type=pa.int64()),
+                "sum_deg_prod": pa.array([int((x * y).sum())],
+                                         type=pa.int64()),
+            }
+        )
+
+    tot = edges.map_batches(term_partial, batch_format="pyarrow").sum(
+        ["m_edges", "sum_deg", "sum_deg_sq", "sum_deg_prod"]
+    )
+    return pa.table(
+        {k: pa.array([int(tot[f"sum({k})"])], type=pa.int64())
+         for k in ("m_edges", "sum_deg", "sum_deg_sq", "sum_deg_prod")}
+    )

@@ -4162,3 +4162,234 @@ def winnowing_fingerprints(sf_dir: str, k: int = 3, window: int = 4):
         )
 
     return _docs(sf_dir).map_batches(per_batch, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------- curation funnel
+def curation_funnel(sf_dir: str, lang: str = "en", num_buckets: int = 64,
+                    bench_source: str = "src0"):
+    """The whole training-data curation pipeline as ONE funnel readout: how
+    many documents survive each cumulative stage —
+
+      1 raw corpus
+      2 + quality rules (the ``quality_filter`` gates)
+      3 + language selection (detected ``lang``)
+      4 + exact dedup (doc is the global min-doc_id for its md5(text))
+      5 + near-dup dedup (doc is not a simhash-cluster loser;
+          cluster resolution from ``duplicate_clusters``)
+      6 + decontamination (doc is not of ``bench_source`` and shares no
+          word 3-shingle with it, per ``contamination_check``)
+
+    Dedup winners are corpus-GLOBAL (the standard order: resolve duplicate
+    clusters on the raw corpus, then intersect with the filter funnel), so
+    every stage is an independent per-doc predicate and the funnel is a
+    cumulative conjunction — which is what makes the whole thing one
+    streaming pass plus the dedup stages' own bounded shuffles.
+
+    Scale shape: one map computes the per-doc quality/lang flags and tags
+    near-dup losers via a broadcast of the (cluster-member-scale) loser id
+    array; the exact-winner flag rides the md5-bucket groupby (shuffle 1);
+    the contamination flag arrives as sparse (doc_id, 1) rows unioned in
+    and merged by a doc_id groupby (shuffle 2 — union-then-merge instead
+    of a second join, the repo's zero-hit pattern); the funnel itself
+    reduces to six integers via per-batch partial sums.
+
+    Output: (stage, n_docs), both int64, 6 rows.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .dedup import contamination_check, duplicate_clusters
+
+    labels = duplicate_clusters(sf_dir)
+    lose_ids = np.sort(
+        labels.column("doc_id").to_numpy()[
+            labels.column("doc_id").to_numpy()
+            != labels.column("cluster_id").to_numpy()
+        ]
+    )
+    lose_ref = ray.put(lose_ids)
+
+    FLAGS = ["base", "q", "en", "exact", "not_loser", "not_bench", "cont"]
+
+    def base_flags(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        nt = pc.add(pc.count_substring(text, " "), 1).to_numpy().astype(np.int64)
+        stop = pc.count_substring_regex(text, STOPWORD_PATTERN).to_numpy().astype(np.int64)
+        langs = detect_languages_arrow(text.combine_chunks())
+        q = (nt >= 15) & (nt <= 120) & (stop * 20 >= nt)
+        hashes = np.array(
+            [md5_str(t) for t in text.to_pylist()], dtype=object
+        )
+        bucket = np.array(
+            [int(h[:8], 16) % num_buckets for h in hashes], dtype=np.int64
+        )
+        losers = ray.get(lose_ref)
+        pos = np.searchsorted(losers, ids)
+        is_loser = (pos < len(losers)) & (losers[np.minimum(pos, max(len(losers) - 1, 0))] == ids) \
+            if len(losers) else np.zeros(len(ids), dtype=bool)
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "bucket": pa.array(bucket),
+                "content_hash": pa.array(hashes, type=pa.string()),
+                "base": pa.array(np.ones(len(ids), dtype=np.int64)),
+                "q": pa.array(q.astype(np.int64)),
+                "en": pa.array((langs == lang).astype(np.int64)),
+                "not_loser": pa.array((~is_loser).astype(np.int64)),
+                "not_bench": pa.array((src != bench_source).astype(np.int64)),
+            }
+        )
+
+    def mark_exact(g):
+        import pandas as pd
+
+        g = g.sort_values(["content_hash", "doc_id"], kind="mergesort")
+        exact = ~g["content_hash"].duplicated(keep="first")
+        out = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64").to_numpy(),
+                "exact": exact.astype("int64").to_numpy(),
+                "cont": np.zeros(len(g), dtype=np.int64),
+            }
+        )
+        for c in ("base", "q", "en", "not_loser", "not_bench"):
+            out[c] = g[c].astype("int64").to_numpy()
+        return out[["doc_id"] + FLAGS]
+
+    flagged = (
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "source"],
+        )
+        .map_batches(lambda t: t.replace_schema_metadata(None),
+                     batch_format="pyarrow")
+        .map_batches(base_flags, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(mark_exact, batch_format="pandas")
+        # rejoin the arrow world so the union with cont is homogeneous
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    )
+
+    def cont_rows(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("contaminated"), 1)
+        ids = pc.filter(pc.cast(batch.column("doc_id"), pa.int64()), keep)
+        z = np.zeros(len(ids), dtype=np.int64)
+        cols = {"doc_id": ids}
+        for c in FLAGS:
+            cols[c] = pa.array(z if c != "cont"
+                               else np.ones(len(ids), dtype=np.int64))
+        return pa.table(cols)
+
+    cont = contamination_check(sf_dir, bench_source=bench_source).map_batches(
+        cont_rows, batch_format="pyarrow"
+    )
+
+    merged = flagged.union(cont).groupby("doc_id").aggregate(
+        *[Sum(c, alias_name=c) for c in FLAGS]
+    )
+
+    def partial_funnel(batch: pa.Table) -> pa.Table:
+        f = {c: batch.column(c).to_numpy() > 0 for c in FLAGS}
+        s2 = f["q"]
+        s3 = s2 & f["en"]
+        s4 = s3 & f["exact"]
+        s5 = s4 & f["not_loser"]
+        s6 = s5 & f["not_bench"] & ~f["cont"]
+        return pa.table(
+            {
+                "s1": pa.array([len(batch)], type=pa.int64()),
+                "s2": pa.array([int(s2.sum())]),
+                "s3": pa.array([int(s3.sum())]),
+                "s4": pa.array([int(s4.sum())]),
+                "s5": pa.array([int(s5.sum())]),
+                "s6": pa.array([int(s6.sum())]),
+            }
+        )
+
+    tot = merged.map_batches(partial_funnel, batch_format="pyarrow").sum(
+        ["s1", "s2", "s3", "s4", "s5", "s6"]
+    )
+    return pa.table(
+        {
+            "stage": pa.array(np.arange(1, 7, dtype=np.int64)),
+            "n_docs": pa.array(
+                np.array([tot[f"sum(s{i})"] for i in range(1, 7)],
+                         dtype=np.int64)
+            ),
+        }
+    )
+
+
+# ------------------------------------------------ two-sample KS drift terms
+def ks_drift_terms(sf_dir: str):
+    """Exact two-sample Kolmogorov–Smirnov statistic of each source's
+    document-length distribution against the REST of the corpus, as an
+    integer rational: D = d_num / d_den with
+    d_num = max over values v of |cdf_src(v)*n_rest - cdf_rest(v)*n_src|
+    scaled by d_den = n_src * n_rest. The drift gate a mixture-weighted
+    corpus needs: a source whose length CDF walks away from the blend is
+    re-weighted or re-cleaned. Integer form means no float CDFs anywhere —
+    both engines compare exact products.
+
+    Scale shape: lengths count-compress per (source, n_chars) inside
+    batches before one bounded groupby (the domain is |sources| x
+    |distinct lengths| — value-scale, not corpus-scale), then the CDF walk
+    is a driver-side numpy cumsum over that bounded table. Corpora with
+    unbounded value domains would quantize lengths first (the same move
+    drift_psi_terms makes with its quantile bins).
+
+    Output: (source, n_s, d_num, d_den) — n_s/d_num/d_den int64.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "v": pc.cast(batch.column("n_chars"), pa.int64()),
+                "cnt": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["source", "v"]).aggregate([("cnt", "sum")])
+
+    counts = (
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+        )
+        .map_batches(lambda t: t.replace_schema_metadata(None),
+                     batch_format="pyarrow")
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["source", "v"])
+        .aggregate(Sum("cnt_sum", alias_name="cnt"))
+        .to_pandas()  # bounded: |sources| x |distinct lengths|
+    )
+
+    src_codes, src_names = counts["source"].factorize(sort=True)
+    vals = np.sort(counts["v"].unique())
+    vpos = np.searchsorted(vals, counts["v"].to_numpy())
+    cnt = counts["cnt"].to_numpy().astype(np.int64)
+    n_src = len(src_names)
+    grid = np.zeros((n_src, len(vals)), dtype=np.int64)
+    np.add.at(grid, (src_codes, vpos), cnt)
+    cum = np.cumsum(grid, axis=1)
+    tot_cum = cum.sum(axis=0)
+    n_s = grid.sum(axis=1)
+    n = int(n_s.sum())
+    rows = []
+    for i in range(n_src):
+        rest = n - n_s[i]
+        gap = np.abs(cum[i] * rest - (tot_cum - cum[i]) * n_s[i])
+        rows.append((str(src_names[i]), int(n_s[i]), int(gap.max()),
+                     int(n_s[i] * rest)))
+    return pa.table(
+        {
+            "source": pa.array([r[0] for r in rows], type=pa.string()),
+            "n_s": pa.array([r[1] for r in rows], type=pa.int64()),
+            "d_num": pa.array([r[2] for r in rows], type=pa.int64()),
+            "d_den": pa.array([r[3] for r in rows], type=pa.int64()),
+        }
+    )

@@ -146,3 +146,78 @@ def test_kcore_peel_matches_reference_peeler(ray_session):
     assert sum(got.values()) == len(
         set(pairs["doc_a"]) | set(pairs["doc_b"])
     )
+
+
+def test_curation_funnel_monotone_and_consistent(ray_session):
+    """Funnel counts are monotone non-increasing; stages 1-4 replay against
+    quality_filter's own survivors."""
+    from ray_extract.pipelines.text import curation_funnel, quality_filter
+
+    got = (
+        curation_funnel(SF)
+        .to_pandas()
+        .set_index("stage")["n_docs"]
+        .to_dict()
+    )
+    assert list(got) == [1, 2, 3, 4, 5, 6]
+    vals = [got[s] for s in range(1, 7)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/documents.parquet'"
+    ).fetchone()[0]
+    assert got[1] == n_docs
+    # quality_filter dedups WITHIN survivors; the funnel's stage 4 uses
+    # corpus-global winners, so it can only be <= the quality_filter count
+    qf = quality_filter(SF).to_pandas()
+    assert got[3] >= got[4]
+    assert got[4] <= len(qf)
+
+
+def test_assortativity_terms_brute_force(ray_session):
+    """Integer sums vs a networkx-free pandas recomputation."""
+    from ray_extract.pipelines.dedup import assortativity_terms, simhash_pairs
+
+    got = assortativity_terms(SF).to_pandas().iloc[0]
+    pairs = simhash_pairs(SF).to_pandas()
+    a = np.r_[pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()]
+    b = np.r_[pairs["doc_b"].to_numpy(), pairs["doc_a"].to_numpy()]
+    nodes, deg = np.unique(a, return_counts=True)
+    x = deg[np.searchsorted(nodes, a)]
+    y = deg[np.searchsorted(nodes, b)]
+    assert got["m_edges"] == len(a)
+    assert got["sum_deg"] == x.sum()
+    assert got["sum_deg_sq"] == (x * x).sum()
+    assert got["sum_deg_prod"] == (x * y).sum()
+    # symmetry: the prod term is symmetric, so r is well-defined from
+    # these three sums; sanity-check the assembled r is within [-1, 1]
+    m, s, s2, sp = (
+        int(got["m_edges"]), int(got["sum_deg"]),
+        int(got["sum_deg_sq"]), int(got["sum_deg_prod"]),
+    )
+    denom = m * s2 - s * s
+    if denom:
+        r = (m * sp - s * s) / denom
+        assert -1.0 - 1e-9 <= r <= 1.0 + 1e-9
+
+
+def test_ks_drift_terms_brute_force(ray_session):
+    """Exact integer KS vs a scipy-free brute force over raw lengths."""
+    from ray_extract.pipelines.text import ks_drift_terms
+
+    got = ks_drift_terms(SF).to_pandas().set_index("source")
+    d = duckdb.sql(
+        f"SELECT source, n_chars FROM '{SF}/documents.parquet'"
+    ).df()
+    n = len(d)
+    for src, grp in d.groupby("source"):
+        v_s = np.sort(grp["n_chars"].to_numpy())
+        v_r = np.sort(d.loc[d["source"] != src, "n_chars"].to_numpy())
+        n_s, n_r = len(v_s), len(v_r)
+        vals = np.unique(d["n_chars"].to_numpy())
+        cs = np.searchsorted(v_s, vals, side="right")
+        cr = np.searchsorted(v_r, vals, side="right")
+        d_num = int(np.abs(cs * n_r - cr * n_s).max())
+        row = got.loc[src]
+        assert row["n_s"] == n_s
+        assert row["d_num"] == d_num
+        assert row["d_den"] == n_s * n_r
