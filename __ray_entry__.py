@@ -3008,6 +3008,24 @@ def _q_ks_drift_terms(sf_dir: str):
     return ks_drift_terms(sf_dir)
 
 
+def _q_cusum_changepoint_terms(sf_dir: str):
+    from ray_extract.pipelines.events import cusum_changepoint_terms
+
+    return cusum_changepoint_terms(sf_dir)
+
+
+def _q_cluster_density_histogram(sf_dir: str):
+    from ray_extract.pipelines.dedup import cluster_density_histogram
+
+    return cluster_density_histogram(sf_dir)
+
+
+def _q_cross_lang_dup_pairs(sf_dir: str):
+    from ray_extract.pipelines.dedup import cross_lang_dup_pairs
+
+    return cross_lang_dup_pairs(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -3290,6 +3308,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_funnel": _q_curation_funnel,
         "assortativity_terms": _q_assortativity_terms,
         "ks_drift_terms": _q_ks_drift_terms,
+        "cusum_changepoint_terms": _q_cusum_changepoint_terms,
+        "cluster_density_histogram": _q_cluster_density_histogram,
+        "cross_lang_dup_pairs": _q_cross_lang_dup_pairs,
     }
 
 
@@ -7019,5 +7040,54 @@ SELECT source, CAST(n_s AS BIGINT) AS n_s,
        CAST(max(gap) AS BIGINT) AS d_num,
        CAST(n_s * ((SELECT n FROM nn) - n_s) AS BIGINT) AS d_den
 FROM x GROUP BY source, n_s
+"""
+    # exact integer CUSUM max deviation per event type: dev_t =
+    # |n*cum_t - t*tot| over (ts, event_id) order; first index on ties
+    d["cusum_changepoint_terms"] = """
+WITH e AS (SELECT event_type, ts, event_id,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+w AS (SELECT event_type, cents,
+        row_number() OVER (PARTITION BY event_type
+                           ORDER BY ts, event_id) AS i,
+        sum(cents) OVER (PARTITION BY event_type
+                         ORDER BY ts, event_id) AS cum
+      FROM e),
+t AS (SELECT event_type, count(*) AS n, sum(cents) AS tot
+      FROM e GROUP BY 1),
+x AS (SELECT w.event_type, w.i, abs(t.n * w.cum - w.i * t.tot) AS dev
+      FROM w JOIN t USING (event_type)),
+m AS (SELECT event_type, max(dev) AS mx FROM x GROUP BY 1)
+SELECT t.event_type, CAST(t.n AS BIGINT) AS n_events,
+       CAST(t.tot AS BIGINT) AS tot_cents,
+       CAST(m.mx AS BIGINT) AS cusum_num,
+       CAST((SELECT min(i) FROM x
+             WHERE x.event_type = t.event_type AND x.dev = m.mx)
+            AS BIGINT) AS t_at_max
+FROM t JOIN m USING (event_type)
+"""
+    # joint (cluster size, internal edges) histogram over dup clusters
+    d["cluster_density_histogram"] = f"""
+WITH cl AS (SELECT doc_id, cluster_id FROM ({d["dedup_clusters"]}) t),
+sz AS (SELECT cluster_id, count(*) AS size FROM cl GROUP BY 1),
+pe AS (SELECT cl.cluster_id, count(*) AS n_edges
+       FROM ({d["dedup_simhash"]}) p JOIN cl ON p.doc_a = cl.doc_id
+       GROUP BY 1)
+SELECT CAST(sz.size AS BIGINT) AS size,
+       CAST(pe.n_edges AS BIGINT) AS n_edges,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM sz JOIN pe USING (cluster_id)
+GROUP BY 1, 2
+"""
+    # unordered metadata-language matrix of the near-dup pairs
+    d["cross_lang_dup_pairs"] = f"""
+WITH pairs AS (SELECT doc_a, doc_b FROM ({d["dedup_simhash"]}) t),
+j AS (SELECT la.lang AS xa, lb.lang AS xb
+      FROM pairs p
+      JOIN documents la ON p.doc_a = la.doc_id
+      JOIN documents lb ON p.doc_b = lb.doc_id)
+SELECT least(xa, xb) AS lang_a, greatest(xa, xb) AS lang_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM j GROUP BY 1, 2
 """
     return d

@@ -3235,3 +3235,149 @@ def assortativity_terms(sf_dir: str):
         {k: pa.array([int(tot[f"sum({k})"])], type=pa.int64())
          for k in ("m_edges", "sum_deg", "sum_deg_sq", "sum_deg_prod")}
     )
+
+
+# --------------------------------------------- cluster density joint histogram
+def cluster_density_histogram(sf_dir: str):
+    """Joint (cluster size, internal edge count) histogram over the
+    near-duplicate clusters: how many clusters of n members carry m pair
+    edges. The shape readout that separates CLIQUE-like template families
+    (m = n(n-1)/2 — every member pairwise similar, safe to keep one) from
+    CHAIN-like drift clusters (m = n-1 — transitive collapse of gradually
+    mutated docs, where keeping one canonical may lose content).
+
+    Scale shape: cluster labels come from ``duplicate_clusters`` (its own
+    backends handle scale); the pair table is scanned once with a
+    broadcast node->cluster lookup (both endpoints of a pair share a
+    cluster by CC construction, so only doc_a is looked up), per-batch
+    edge counts combine by cluster, and the driver folds cluster-scale
+    partials into the bounded joint histogram.
+
+    Output: (size, n_edges, n_clusters) — all int64.
+    """
+    import ray
+
+    labels = duplicate_clusters(sf_dir)
+    nodes = labels.column("doc_id").to_numpy()
+    cl = labels.column("cluster_id").to_numpy()
+    order = np.argsort(nodes)
+    nodes, cl = nodes[order], cl[order]
+    nodes_ref, cl_ref = ray.put(nodes), ray.put(cl)
+
+    def edge_partial(batch: pa.Table) -> pa.Table:
+        nds, cls = ray.get(nodes_ref), ray.get(cl_ref)
+        c = cls[np.searchsorted(nds, batch.column("doc_a").to_numpy())]
+        u, cnt = np.unique(c, return_counts=True)
+        return pa.table({"cluster_id": u.astype(np.int64),
+                         "n": cnt.astype(np.int64)})
+
+    parts = (
+        simhash_pairs_cached(sf_dir)
+        .map_batches(edge_partial, batch_format="pyarrow")
+        .to_pandas()  # cluster-scale, batch-combined
+    )
+    edges = parts.groupby("cluster_id")["n"].sum()
+    sz_id, sz = np.unique(cl, return_counts=True)
+    n_edges = edges.reindex(sz_id).to_numpy().astype(np.int64)
+    joint = {}
+    for s, m in zip(sz, n_edges):
+        joint[(int(s), int(m))] = joint.get((int(s), int(m)), 0) + 1
+    keys = sorted(joint)
+    return pa.table(
+        {
+            "size": pa.array([k[0] for k in keys], type=pa.int64()),
+            "n_edges": pa.array([k[1] for k in keys], type=pa.int64()),
+            "n_clusters": pa.array([joint[k] for k in keys],
+                                   type=pa.int64()),
+        }
+    )
+
+
+# ------------------------------------------------- cross-language dup matrix
+def cross_lang_dup_pairs(sf_dir: str):
+    """Language matrix of the near-duplicate pairs: for every simhash pair,
+    the (lang_a, lang_b) of its endpoints' METADATA language, folded into
+    an unordered histogram. Off-diagonal mass is the translated-template
+    signal (the same boilerplate shipped in two languages — a dedup pass
+    keyed on text alone catches it only when the template swamps the
+    translation, which is exactly what this readout quantifies).
+
+    Scale shape: the pair table joins to the documents' (doc_id, lang)
+    column twice via the NATIVE hash-shuffle join (pair- and corpus-scale
+    sides both stay distributed — no doc-scale broadcast), then the
+    bounded lang x lang histogram reduces via per-batch combiners.
+
+    Output: (lang_a, lang_b, n_pairs) with lang_a <= lang_b, int64 count.
+    """
+    import ray.data as rd
+
+    from .relational import _join_partitions, _multi_join_args
+
+    nparts, agg_args = _multi_join_args(_join_partitions(None))
+
+    langs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "lang": pc.cast(t.column("lang"), pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    pairs = simhash_pairs_cached(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_a": pc.cast(t.column("doc_a"), pa.int64()),
+                "doc_b": pc.cast(t.column("doc_b"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    withb = pairs.join(
+        langs,
+        join_type="inner",
+        num_partitions=nparts,
+        on=("doc_b",),
+        right_on=("doc_id",),
+        aggregator_ray_remote_args=agg_args,
+    ).map_batches(
+        lambda t: pa.table(
+            {"doc_a": t.column("doc_a"), "lang_b": t.column("lang")}
+        ),
+        batch_format="pyarrow",
+    )
+
+    both = withb.join(
+        langs,
+        join_type="inner",
+        num_partitions=nparts,
+        on=("doc_a",),
+        right_on=("doc_id",),
+        aggregator_ray_remote_args=agg_args,
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        la = batch.column("lang").to_numpy(zero_copy_only=False)
+        lb = batch.column("lang_b").to_numpy(zero_copy_only=False)
+        lo = np.minimum(la, lb)
+        hi = np.maximum(la, lb)
+        t = pa.table(
+            {
+                "lang_a": pa.array(lo, type=pa.string()),
+                "lang_b": pa.array(hi, type=pa.string()),
+                "n_pairs": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["lang_a", "lang_b"]).aggregate([("n_pairs", "sum")])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        both.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["lang_a", "lang_b"])
+        .aggregate(Sum("n_pairs_sum", alias_name="n_pairs"))
+    )

@@ -4037,3 +4037,139 @@ def drift_psi_terms(sf_dir: str, n_bins: int = 10):
             "n_cur": pa.array(out_cur[keep]),
         }
     )
+
+
+# --------------------------------------------------- CUSUM change-point terms
+def cusum_changepoint_terms(sf_dir: str):
+    """Exact CUSUM change-point statistic per event type: over the type's
+    events in (ts, event_id) order, the maximum deviation of the running
+    value sum from its expected straight line, as the INTEGER
+    dev_t = |n * cum_t - t * tot| (the mean-centered cumulative sum scaled
+    by n so no float ever appears; D = dev/n in cents). The drift alarm
+    for a metrics stream: a level shift in a type's value distribution
+    puts the max near the shift index, reported as t_at_max (first index
+    on ties).
+
+    Scale shape — a two-pass distributed prefix scan, no global sort:
+      pass 1: per-batch (type, day) partials -> one bounded groupby ->
+        shard-scale driver fold computing each (type, day) shard's
+        exclusive (count, sum) offsets plus per-type (n, tot);
+      pass 2: one (type, day) groupby; each shard lexsorts ITS OWN rows,
+        local-cumsums, rebases with the broadcast offsets, and emits a
+        single (max dev, argmax) row; the final reduce is shard-scale.
+    Shards follow the calendar (bounded), never the corpus. int64
+    headroom: n * cum_t caps at ~9.2e18 — fine to ~1e8 events of ~1e6
+    cents per type; beyond that pre-scale cents (document the quantum) or
+    lift to object ints in the shard kernel.
+
+    Output: (event_type, n_events, tot_cents, cusum_num, t_at_max) —
+    int64 except the type; D = cusum_num / n_events (cents).
+    """
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def shard_partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.timestamp("us"))
+        day = pc.cast(pc.floor_temporal(ts, unit="day"), pa.int64())
+        cents = np.floor(
+            batch.column("value").to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "day": day,
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "s": pa.array(cents),
+            }
+        )
+        return t.group_by(["event_type", "day"]).aggregate(
+            [("n", "sum"), ("s", "sum")]
+        )
+
+    ev = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "event_type", "value"],
+        )
+    )
+    shards = (
+        ev.map_batches(shard_partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .sum(["n_sum", "s_sum"])
+        .to_pandas()  # bounded: |types| x |days|
+    )
+    shards = shards.sort_values(["event_type", "day"], kind="mergesort")
+    off: dict[tuple, tuple] = {}
+    for typ, grp in shards.groupby("event_type", sort=False):
+        nc = grp["sum(n_sum)"].to_numpy().astype(np.int64)
+        sc = grp["sum(s_sum)"].to_numpy().astype(np.int64)
+        n_t, tot_t = int(nc.sum()), int(sc.sum())
+        off_c = np.r_[0, np.cumsum(nc)[:-1]]
+        off_s = np.r_[0, np.cumsum(sc)[:-1]]
+        for d, oc, os_ in zip(grp["day"].to_numpy(), off_c, off_s):
+            off[(typ, int(d))] = (int(oc), int(os_), n_t, tot_t)
+    off_ref = ray.put(off)
+
+    def add_shard_key(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.timestamp("us"))
+        day = pc.cast(pc.floor_temporal(ts, unit="day"), pa.int64())
+        cents = np.floor(
+            batch.column("value").to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "day": day,
+                "ts": ts,
+                "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+                "cents": pa.array(cents),
+            }
+        )
+
+    def shard_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        o = ray.get(off_ref)
+        typ = g["event_type"].iloc[0]
+        oc, os_, n_t, tot_t = o[(typ, int(g["day"].iloc[0]))]
+        order = np.lexsort(
+            (g["event_id"].to_numpy(), g["ts"].to_numpy())
+        )
+        lc = np.cumsum(g["cents"].to_numpy()[order])
+        idx = oc + np.arange(1, len(lc) + 1, dtype=np.int64)
+        dev = np.abs(n_t * (os_ + lc) - idx * tot_t)
+        j = int(np.argmax(dev))  # first max — ties resolve to smallest t
+        return pd.DataFrame(
+            {
+                "event_type": [typ],
+                "n_events": np.array([n_t], dtype=np.int64),
+                "tot_cents": np.array([tot_t], dtype=np.int64),
+                "dev": np.array([int(dev[j])], dtype=np.int64),
+                "t": np.array([int(idx[j])], dtype=np.int64),
+            }
+        )
+
+    per_shard = (
+        ev.map_batches(add_shard_key, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .map_groups(shard_kernel, batch_format="pandas")
+        .to_pandas()  # shard-scale
+    )
+    rows = []
+    for typ, grp in per_shard.groupby("event_type", sort=True):
+        mx = int(grp["dev"].max())
+        t_at = int(grp.loc[grp["dev"] == mx, "t"].min())
+        rows.append(
+            (typ, int(grp["n_events"].iloc[0]),
+             int(grp["tot_cents"].iloc[0]), mx, t_at)
+        )
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], type=pa.string()),
+            "n_events": pa.array([r[1] for r in rows], type=pa.int64()),
+            "tot_cents": pa.array([r[2] for r in rows], type=pa.int64()),
+            "cusum_num": pa.array([r[3] for r in rows], type=pa.int64()),
+            "t_at_max": pa.array([r[4] for r in rows], type=pa.int64()),
+        }
+    )

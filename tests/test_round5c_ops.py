@@ -221,3 +221,79 @@ def test_ks_drift_terms_brute_force(ray_session):
         assert row["n_s"] == n_s
         assert row["d_num"] == d_num
         assert row["d_den"] == n_s * n_r
+
+
+def test_cusum_changepoint_brute_force(ray_session):
+    """Shard-rebased distributed scan equals a single-machine CUSUM."""
+    from ray_extract.pipelines.events import cusum_changepoint_terms
+
+    got = (
+        cusum_changepoint_terms(SF).to_pandas().set_index("event_type")
+    )
+    e = duckdb.sql(
+        f"SELECT event_type, ts, event_id, value FROM '{SF}/events.parquet'"
+    ).df()
+    e["cents"] = np.floor(e["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    for typ, grp in e.groupby("event_type"):
+        order = np.lexsort(
+            (grp["event_id"].to_numpy(), grp["ts"].to_numpy())
+        )
+        c = grp["cents"].to_numpy()[order]
+        n, tot = len(c), int(c.sum())
+        cum = np.cumsum(c)
+        idx = np.arange(1, n + 1, dtype=np.int64)
+        dev = np.abs(n * cum - idx * tot)
+        row = got.loc[typ]
+        assert row["n_events"] == n and row["tot_cents"] == tot
+        assert row["cusum_num"] == int(dev.max())
+        assert row["t_at_max"] == int(idx[dev == dev.max()].min())
+
+
+def test_cluster_density_histogram_invariants(ray_session):
+    """Edge mass = total pair count; size mass = clustered node count;
+    every cell respects the chain..clique edge bounds."""
+    from ray_extract.pipelines.dedup import (
+        cluster_density_histogram,
+        duplicate_clusters,
+        simhash_pairs,
+    )
+
+    got = cluster_density_histogram(SF).to_pandas()
+    n_pairs = len(simhash_pairs(SF).to_pandas())
+    labels = duplicate_clusters(SF)
+    assert (got["n_edges"] * got["n_clusters"]).sum() == n_pairs
+    assert (got["size"] * got["n_clusters"]).sum() == labels.num_rows
+    # connectivity lower bound (CC: n-1 edges) and simple-graph upper bound
+    assert (got["n_edges"] >= got["size"] - 1).all()
+    assert (got["n_edges"] <= got["size"] * (got["size"] - 1) // 2).all()
+
+
+def test_cross_lang_dup_pairs_brute_force(ray_session):
+    """Native-join matrix equals a pandas merge; mass = pair count."""
+    from ray_extract.pipelines.dedup import cross_lang_dup_pairs, simhash_pairs
+
+    got = (
+        cross_lang_dup_pairs(SF)
+        .to_pandas()
+        .sort_values(["lang_a", "lang_b"])
+        .reset_index(drop=True)
+    )
+    pairs = simhash_pairs(SF).to_pandas()
+    langs = duckdb.sql(
+        f"SELECT doc_id, lang FROM '{SF}/documents.parquet'"
+    ).df()
+    m = pairs.merge(
+        langs.rename(columns={"doc_id": "doc_a", "lang": "la"}), on="doc_a"
+    ).merge(
+        langs.rename(columns={"doc_id": "doc_b", "lang": "lb"}), on="doc_b"
+    )
+    lo = np.minimum(m["la"], m["lb"])
+    hi = np.maximum(m["la"], m["lb"])
+    want = (
+        pd.DataFrame({"lang_a": lo, "lang_b": hi})
+        .value_counts()
+        .sort_index()
+    )
+    got_s = got.set_index(["lang_a", "lang_b"])["n_pairs"]
+    assert got_s.to_dict() == want.to_dict()
+    assert int(got["n_pairs"].sum()) == len(pairs)
