@@ -3026,6 +3026,12 @@ def _q_cross_lang_dup_pairs(sf_dir: str):
     return cross_lang_dup_pairs(sf_dir)
 
 
+def _q_incremental_dedup_matches(sf_dir: str):
+    from ray_extract.pipelines.dedup import incremental_dedup_matches
+
+    return incremental_dedup_matches(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -3311,6 +3317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_changepoint_terms": _q_cusum_changepoint_terms,
         "cluster_density_histogram": _q_cluster_density_histogram,
         "cross_lang_dup_pairs": _q_cross_lang_dup_pairs,
+        "incremental_dedup_matches": _q_incremental_dedup_matches,
     }
 
 
@@ -7089,5 +7096,17 @@ j AS (SELECT la.lang AS xa, lb.lang AS xb
 SELECT least(xa, xb) AS lang_a, greatest(xa, xb) AS lang_b,
        CAST(count(*) AS BIGINT) AS n_pairs
 FROM j GROUP BY 1, 2
+"""
+    # incremental dedup vs index: new = top 10% of the doc_id range; a
+    # match is any simhash pair straddling the cut
+    d["incremental_dedup_matches"] = f"""
+WITH p AS (SELECT doc_a, doc_b FROM ({d["dedup_simhash"]}) t),
+cutv AS (SELECT (max(doc_id) + 1) * 90 // 100 AS c FROM documents),
+e AS (SELECT doc_a AS a, doc_b AS b FROM p
+      UNION ALL SELECT doc_b, doc_a FROM p)
+SELECT a AS new_doc, CAST(min(b) AS BIGINT) AS matched_old,
+       CAST(count(*) AS BIGINT) AS n_old_matches
+FROM e, cutv WHERE a >= cutv.c AND b < cutv.c
+GROUP BY 1
 """
     return d

@@ -3381,3 +3381,142 @@ def cross_lang_dup_pairs(sf_dir: str):
         .groupby(["lang_a", "lang_b"])
         .aggregate(Sum("n_pairs_sum", alias_name="n_pairs"))
     )
+
+
+# ----------------------------------------------- incremental dedup vs index
+def incremental_dedup_matches(sf_dir: str, max_hamming: int = 3,
+                              n_bands: int | None = None,
+                              new_fraction: float = 0.1):
+    """Dedup-against-index — the INCREMENTAL ingestion op a production
+    pipeline runs on every new batch: which incoming documents are
+    near-duplicates of the EXISTING corpus, without regenerating the full
+    pair graph. The corpus split is deterministic: the top
+    ``new_fraction`` of the doc_id range plays the incoming batch,
+    everything below is the standing index.
+
+    Same banded-LSH completeness contract as ``simhash_pairs`` (pigeonhole
+    over max_hamming+1 disjoint bands, exact Hamming verify), but the
+    bucket kernel compares NEW x OLD only — never old-vs-old, which is the
+    whole point: work is proportional to the incoming batch's candidate
+    count, not the standing corpus's pair count. At scale the index side
+    is a persisted (band_key, sig) parquet the batch probes into; here
+    both sides derive from the one documents table so the oracle can
+    replay the split.
+
+    Output: (new_doc, matched_old, n_old_matches) — matched_old = the
+    minimum matching index doc, n_old_matches = distinct index docs within
+    the Hamming radius sharing >= 1 band. New docs with no match are
+    absent (the caller's anti-join keeps them as genuinely-new).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    n_bands = n_bands or (max_hamming + 1)
+    if n_bands < max_hamming + 1:
+        raise ValueError(
+            f"n_bands={n_bands} < max_hamming + 1 = {max_hamming + 1}"
+        )
+    edges = np.linspace(0, 32, n_bands + 1).astype(np.int64)
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(lambda t: t.replace_schema_metadata(None),
+                  batch_format="pyarrow")
+    max_id = int(docs.max("doc_id"))
+    cut = (max_id + 1) * (100 - int(new_fraction * 100)) // 100
+
+    def band_stage(batch: pa.Table) -> pa.Table:
+        sigs = simhash32_batch(batch.column("text").to_pylist()).astype(
+            np.uint32
+        )
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        n = len(ids)
+        keys = np.empty((n, n_bands), dtype=np.int64)
+        for b in range(n_bands):
+            lo, hi = int(edges[b]), int(edges[b + 1])
+            val = (sigs >> lo) & np.uint32((1 << (hi - lo)) - 1)
+            keys[:, b] = b * (1 << 32) + val.astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, n_bands)),
+                "sig": pa.array(np.repeat(sigs.astype(np.int64), n_bands)),
+                "is_new": pa.array(
+                    np.repeat((ids >= cut).astype(np.int64), n_bands)
+                ),
+                "band_key": pa.array(keys.ravel()),
+            }
+        )
+
+    def probe_bucket(g) -> pa.Table:
+        empty = pa.table(
+            {"new_doc": pa.array([], type=pa.int64()),
+             "old_doc": pa.array([], type=pa.int64())}
+        )
+        bk = g["band_key"].to_numpy()
+        order = np.argsort(bk, kind="stable")
+        bk = bk[order]
+        ids = g["doc_id"].to_numpy().astype(np.int64)[order]
+        sigs = g["sig"].to_numpy().astype(np.int64).astype(np.uint32)[order]
+        new = g["is_new"].to_numpy().astype(bool)[order]
+        out_a, out_b = [], []
+        seg_starts = np.r_[0, np.flatnonzero(bk[1:] != bk[:-1]) + 1]
+        seg_ends = np.r_[seg_starts[1:], len(bk)]
+        for s, e in zip(seg_starts, seg_ends):
+            nn = np.flatnonzero(new[s:e]) + s
+            oo = np.flatnonzero(~new[s:e]) + s
+            if len(nn) == 0 or len(oo) == 0:
+                continue
+            ai = np.repeat(nn, len(oo))
+            bi = np.tile(oo, len(nn))
+            x = sigs[ai] ^ sigs[bi]
+            x = x - ((x >> np.uint32(1)) & np.uint32(0x55555555))
+            x = (x & np.uint32(0x33333333)) + (
+                (x >> np.uint32(2)) & np.uint32(0x33333333)
+            )
+            ham = (
+                ((x + (x >> np.uint32(4))) & np.uint32(0x0F0F0F0F))
+                * np.uint32(0x01010101)
+            ) >> np.uint32(24)
+            keep = ham <= max_hamming
+            out_a.append(ids[ai[keep]])
+            out_b.append(ids[bi[keep]])
+        if not out_a:
+            return empty
+        return pa.table(
+            {"new_doc": pa.array(np.concatenate(out_a)),
+             "old_doc": pa.array(np.concatenate(out_b))}
+        )
+
+    matches = (
+        docs.map_batches(band_stage, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(probe_bucket, batch_format="pandas")
+        # a pair found in k shared bands appears k times: collapse first
+        .groupby(["new_doc", "old_doc"])
+        .aggregate(Count(alias_name="_b"))
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "new_doc": batch.column("new_doc"),
+                "matched_old": batch.column("old_doc"),
+                "n_old_matches": pa.array(
+                    np.ones(len(batch), dtype=np.int64)
+                ),
+            }
+        )
+        return t.group_by("new_doc").aggregate(
+            [("matched_old", "min"), ("n_old_matches", "sum")]
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        matches.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("new_doc")
+        .aggregate(
+            Min("matched_old_min", alias_name="matched_old"),
+            Sum("n_old_matches_sum", alias_name="n_old_matches"),
+        )
+    )

@@ -297,3 +297,37 @@ def test_cross_lang_dup_pairs_brute_force(ray_session):
     got_s = got.set_index(["lang_a", "lang_b"])["n_pairs"]
     assert got_s.to_dict() == want.to_dict()
     assert int(got["n_pairs"].sum()) == len(pairs)
+
+
+def test_incremental_dedup_never_compares_old_old(ray_session):
+    """Matches equal the straddling subset of the full pair graph — and
+    nothing else (no old-old or new-new leakage)."""
+    from ray_extract.pipelines.dedup import (
+        incremental_dedup_matches,
+        simhash_pairs,
+    )
+
+    got = incremental_dedup_matches(SF).to_pandas()
+    pairs = simhash_pairs(SF).to_pandas()
+    max_id = int(
+        duckdb.sql(
+            f"SELECT max(doc_id) FROM '{SF}/documents.parquet'"
+        ).fetchone()[0]
+    )
+    cut = (max_id + 1) * 90 // 100
+    a = np.r_[pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()]
+    b = np.r_[pairs["doc_b"].to_numpy(), pairs["doc_a"].to_numpy()]
+    keep = (a >= cut) & (b < cut)
+    want = (
+        pd.DataFrame({"new_doc": a[keep], "old": b[keep]})
+        .groupby("new_doc")["old"]
+        .agg(["min", "count"])
+    )
+    assert set(got["new_doc"]) == set(want.index)
+    g = got.set_index("new_doc")
+    for nd, row in want.iterrows():
+        assert g.loc[nd, "matched_old"] == row["min"]
+        assert g.loc[nd, "n_old_matches"] == row["count"]
+    # every reported id respects the cut from both sides
+    assert (got["new_doc"].to_numpy() >= cut).all()
+    assert (got["matched_old"].to_numpy() < cut).all()
