@@ -3032,6 +3032,12 @@ def _q_incremental_dedup_matches(sf_dir: str):
     return incremental_dedup_matches(sf_dir)
 
 
+def _q_km_repeat_terms(sf_dir: str):
+    from ray_extract.pipelines.relational import km_repeat_terms
+
+    return km_repeat_terms(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -3318,6 +3324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_density_histogram": _q_cluster_density_histogram,
         "cross_lang_dup_pairs": _q_cross_lang_dup_pairs,
         "incremental_dedup_matches": _q_incremental_dedup_matches,
+        "km_repeat_terms": _q_km_repeat_terms,
     }
 
 
@@ -7108,5 +7115,29 @@ SELECT a AS new_doc, CAST(min(b) AS BIGINT) AS matched_old,
        CAST(count(*) AS BIGINT) AS n_old_matches
 FROM e, cutv WHERE a >= cutv.c AND b < cutv.c
 GROUP BY 1
+"""
+    # Kaplan-Meier terms for time-to-repeat-purchase; censoring at the
+    # corpus's last order date, durations over DISTINCT order dates
+    d["km_repeat_terms"] = """
+WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS dt FROM orders),
+mx AS (SELECT max(dt) AS m FROM o),
+f1 AS (SELECT o_custkey, min(dt) AS t1 FROM o GROUP BY 1),
+f2 AS (SELECT o.o_custkey, min(o.dt) AS t2
+       FROM o JOIN f1 USING (o_custkey) WHERE o.dt > f1.t1 GROUP BY 1),
+u AS (SELECT f1.o_custkey,
+        CASE WHEN f2.t2 IS NULL THEN date_diff('day', f1.t1, mx.m)
+             ELSE date_diff('day', f1.t1, f2.t2) END AS dur,
+        CASE WHEN f2.t2 IS NULL THEN 0 ELSE 1 END AS ev
+      FROM f1 LEFT JOIN f2 USING (o_custkey) CROSS JOIN mx),
+c AS (SELECT dur, sum(ev) AS n_event,
+             count(*) - sum(ev) AS n_censored, count(*) AS n
+      FROM u GROUP BY 1)
+SELECT CAST(dur AS BIGINT) AS d_days,
+       CAST(n_event AS BIGINT) AS n_event,
+       CAST(n_censored AS BIGINT) AS n_censored,
+       CAST(sum(n) OVER (ORDER BY dur
+                         ROWS BETWEEN CURRENT ROW
+                         AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_at_risk
+FROM c
 """
     return d

@@ -8410,3 +8410,135 @@ def skyline_parts(sf_dir: str):
         .repartition(1)
         .map_batches(merge_skyline, batch_format="pyarrow")
     )
+
+
+def km_repeat_terms(sf_dir: str):
+    """Kaplan–Meier survival TERMS for time-to-repeat-purchase: per
+    distinct duration d (days from a customer's first order date to their
+    second DISTINCT order date), the count of repeat events at d, of
+    right-censored customers at d (single-date customers, censored at the
+    corpus's last order date), and the at-risk count (customers whose
+    duration >= d). The retention readout marketing actually uses — the
+    survival curve itself is the running product of
+    (1 - n_event/n_at_risk), assembled from these exact integers by the
+    caller.
+
+    Scale shape: per-batch combiner keeps each customer's two smallest
+    DISTINCT order dates (all KM needs), one customer groupby merges
+    partials with the same two-smallest fold, durations count-compress
+    per (duration, event) cell inside batches, and the at-risk suffix-sum
+    folds on the driver over the calendar-bounded compressed table.
+
+    Output: (d_days, n_event, n_censored, n_at_risk) — all int64.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    SENT = np.iinfo(np.int64).max
+
+    def two_smallest(batch: pa.Table) -> pa.Table:
+        ck = pc.cast(batch.column("o_custkey"), pa.int64()).to_numpy()
+        day = (
+            batch.column("o_orderdate")
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy()
+            // 86_400_000_000
+        )
+        order = np.lexsort((day, ck))
+        ck, day = ck[order], day[order]
+        # distinct (custkey, day), sorted: first row per key = d1, next = d2
+        first = np.r_[True, (ck[1:] != ck[:-1]) | (day[1:] != day[:-1])]
+        ck, day = ck[first], day[first]
+        newk = np.r_[True, ck[1:] != ck[:-1]]
+        starts = np.flatnonzero(newk)
+        cnt = np.diff(np.r_[starts, len(ck)])
+        d1 = day[starts]
+        d2 = np.where(cnt > 1, day[np.minimum(starts + 1, len(day) - 1)],
+                      SENT)
+        return pa.table(
+            {"o_custkey": pa.array(ck[starts]),
+             "d1": pa.array(d1.astype(np.int64)),
+             "d2": pa.array(d2.astype(np.int64))}
+        )
+
+    def merge_customer(g: "pd.DataFrame") -> "pd.DataFrame":
+        # fold partials: global two smallest distinct days across batches
+        days = np.unique(np.r_[g["d1"].to_numpy(), g["d2"].to_numpy()])
+        days = days[days != SENT]
+        d1 = int(days[0])
+        d2 = int(days[1]) if len(days) > 1 else SENT
+        return pd.DataFrame(
+            {"o_custkey": [int(g["o_custkey"].iloc[0])],
+             "d1": np.array([d1], dtype=np.int64),
+             "d2": np.array([d2], dtype=np.int64)}
+        )
+
+    per_cust = (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderdate"])
+        )
+        .map_batches(two_smallest, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .map_groups(merge_customer, batch_format="pandas")
+    )
+
+    orders_max = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderdate"])
+    ).max("o_orderdate")
+    horizon = int(pd.Timestamp(orders_max).value // 86_400_000_000_000)
+
+    def dur_partial(batch: pa.Table) -> pa.Table:
+        d1 = batch.column("d1").to_numpy()
+        d2 = batch.column("d2").to_numpy()
+        ev = (d2 != SENT).astype(np.int64)
+        dur = np.where(ev == 1, d2 - d1, -d1 - 2)  # censored encodes -d1-2
+        t = pa.table(
+            {"dur": pa.array(dur.astype(np.int64)),
+             "ev": pa.array(ev),
+             "n": pa.array(np.ones(len(d1), dtype=np.int64))}
+        )
+        return t.group_by(["dur", "ev"]).aggregate([("n", "sum")])
+
+    body = (
+        per_cust.map_batches(dur_partial, batch_format="pyarrow")
+        .to_pandas()  # count-compressed: calendar-bounded (dur, ev) cells
+        .groupby(["dur", "ev"], as_index=False)["n_sum"].sum()
+    )
+    return _km_fold(
+        body["dur"].to_numpy().astype(np.int64),
+        body["ev"].to_numpy().astype(bool),
+        body["n_sum"].to_numpy().astype(np.int64),
+        horizon,
+    )
+
+
+def _km_fold(dur: np.ndarray, ev: np.ndarray, w: np.ndarray,
+             horizon: int) -> pa.Table:
+    """Driver-side calendar-bounded weighted fold shared with the test
+    suite: decode censored encodings (-d1-2), build the KM table."""
+    cen_dur = horizon - (-(dur[~ev] + 2))
+    all_dur = np.r_[dur[ev], cen_dur]
+    all_ev_w = np.r_[w[ev], np.zeros(int((~ev).sum()), dtype=np.int64)]
+    all_w = np.r_[w[ev], w[~ev]]
+    order = np.argsort(all_dur, kind="stable")
+    all_dur = all_dur[order]
+    all_ev_w, all_w = all_ev_w[order], all_w[order]
+    starts = np.r_[0, np.flatnonzero(all_dur[1:] != all_dur[:-1]) + 1]
+    uniq = all_dur[starts]
+    n_event = np.add.reduceat(all_ev_w, starts)
+    tot = np.add.reduceat(all_w, starts)
+    n_cens = tot - n_event
+    at_risk = tot[::-1].cumsum()[::-1]
+    return pa.table(
+        {
+            "d_days": pa.array(uniq.astype(np.int64)),
+            "n_event": pa.array(n_event.astype(np.int64)),
+            "n_censored": pa.array(n_cens.astype(np.int64)),
+            "n_at_risk": pa.array(at_risk.astype(np.int64)),
+        }
+    )

@@ -331,3 +331,40 @@ def test_incremental_dedup_never_compares_old_old(ray_session):
     # every reported id respects the cut from both sides
     assert (got["new_doc"].to_numpy() >= cut).all()
     assert (got["matched_old"].to_numpy() < cut).all()
+
+
+def test_km_repeat_terms_brute_force(ray_session):
+    """KM table vs a per-customer brute force; at-risk telescoping."""
+    from ray_extract.pipelines.relational import km_repeat_terms
+
+    got = km_repeat_terms(SF).to_pandas()
+    o = duckdb.sql(
+        f"SELECT o_custkey, CAST(o_orderdate AS DATE) AS dt"
+        f" FROM '{SF}/orders.parquet'"
+    ).df()
+    horizon = o["dt"].max()
+    recs = []
+    for _, grp in o.groupby("o_custkey"):
+        days = np.sort(grp["dt"].unique())
+        if len(days) > 1:
+            recs.append((int((days[1] - days[0]) / np.timedelta64(1, "D")), 1))
+        else:
+            recs.append((int((horizon - days[0]) / np.timedelta64(1, "D")), 0))
+    df = pd.DataFrame(recs, columns=["dur", "ev"])
+    want = (
+        df.groupby("dur")
+        .agg(n_event=("ev", "sum"), n=("ev", "count"))
+        .sort_index()
+    )
+    want["n_censored"] = want["n"] - want["n_event"]
+    want["n_at_risk"] = want["n"][::-1].cumsum()[::-1]
+    g = got.set_index("d_days").sort_index()
+    assert list(g.index) == list(want.index)
+    for col in ("n_event", "n_censored", "n_at_risk"):
+        assert (g[col].to_numpy() == want[col].to_numpy()).all()
+    # telescoping: at_risk[i] - at_risk[i+1] = events + censored at i
+    ar = g["n_at_risk"].to_numpy()
+    assert (
+        ar[:-1] - ar[1:]
+        == (g["n_event"] + g["n_censored"]).to_numpy()[:-1]
+    ).all()
