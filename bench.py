@@ -378,6 +378,36 @@ def run_bench() -> dict:
     timed("dup_graph_bfs_depths",
           lambda: dup_graph_bfs_depths(SF_DIR).num_rows)
 
+    from ray_extract.pipelines.dedup import (
+        assortativity_terms,
+        cluster_density_histogram,
+        cross_lang_dup_pairs,
+        incremental_dedup_matches,
+        kcore_peel_counts,
+        name_edit_histogram,
+    )
+    from ray_extract.pipelines.events import cusum_changepoint_terms
+    from ray_extract.pipelines.relational import km_repeat_terms, skyline_parts
+    from ray_extract.pipelines.text import curation_funnel, ks_drift_terms
+
+    timed("skyline_parts", lambda: skyline_parts(SF_DIR).count())
+    timed("name_edit_histogram",
+          lambda: name_edit_histogram(SF_DIR).count())
+    timed("ks_drift_terms", lambda: ks_drift_terms(SF_DIR).num_rows)
+    timed("km_repeat_terms", lambda: km_repeat_terms(SF_DIR).num_rows)
+    timed("cusum_changepoint_terms",
+          lambda: cusum_changepoint_terms(SF_DIR).num_rows)
+    timed("kcore_peel_counts", lambda: kcore_peel_counts(SF_DIR).num_rows)
+    timed("assortativity_terms",
+          lambda: assortativity_terms(SF_DIR).num_rows)
+    timed("cluster_density_histogram",
+          lambda: cluster_density_histogram(SF_DIR).num_rows)
+    timed("cross_lang_dup_pairs",
+          lambda: cross_lang_dup_pairs(SF_DIR).count())
+    timed("incremental_dedup_matches",
+          lambda: incremental_dedup_matches(SF_DIR).count())
+    timed("curation_funnel", lambda: curation_funnel(SF_DIR).num_rows)
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),
