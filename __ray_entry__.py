@@ -3038,6 +3038,36 @@ def _q_km_repeat_terms(sf_dir: str):
     return km_repeat_terms(sf_dir)
 
 
+def _q_two_hop_reach(sf_dir: str):
+    from ray_extract.pipelines.dedup import two_hop_reach
+
+    return two_hop_reach(sf_dir)
+
+
+def _q_user_day_impurity_terms(sf_dir: str):
+    from ray_extract.pipelines.events import user_day_impurity_terms
+
+    return user_day_impurity_terms(sf_dir)
+
+
+def _q_bm25_terms(sf_dir: str):
+    from ray_extract.pipelines.text import bm25_terms
+
+    return bm25_terms(sf_dir)
+
+
+def _q_misra_gries_heavy_hitters(sf_dir: str):
+    from ray_extract.pipelines.text import misra_gries_heavy_hitters
+
+    return misra_gries_heavy_hitters(sf_dir)
+
+
+def _q_pq_code_histogram(sf_dir: str):
+    from ray_extract.pipelines.similarity import pq_code_histogram
+
+    return pq_code_histogram(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -3325,6 +3355,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_lang_dup_pairs": _q_cross_lang_dup_pairs,
         "incremental_dedup_matches": _q_incremental_dedup_matches,
         "km_repeat_terms": _q_km_repeat_terms,
+        "two_hop_reach": _q_two_hop_reach,
+        "user_day_impurity_terms": _q_user_day_impurity_terms,
+        "bm25_terms": _q_bm25_terms,
+        "misra_gries_heavy_hitters": _q_misra_gries_heavy_hitters,
+        "pq_code_histogram": _q_pq_code_histogram,
     }
 
 
@@ -7139,5 +7174,81 @@ SELECT CAST(dur AS BIGINT) AS d_days,
                          ROWS BETWEEN CURRENT ROW
                          AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_at_risk
 FROM c
+"""
+    # friends-of-friends: distinct nodes within <= 2 hops, self excluded
+    # (UNION is a set union, so dist-1 and dist-2 mates dedup together)
+    d["two_hop_reach"] = f"""
+WITH pairs AS (SELECT doc_a, doc_b FROM ({d["dedup_simhash"]}) t),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+two AS (
+  SELECT e1.a AS node, e2.b AS mate
+  FROM e e1 JOIN e e2 ON e1.b = e2.a WHERE e2.b <> e1.a
+  UNION
+  SELECT a, b FROM e
+),
+r AS (SELECT node, count(*) AS reach FROM two GROUP BY 1)
+SELECT CAST(reach AS BIGINT) AS reach, CAST(count(*) AS BIGINT) AS n_nodes
+FROM r GROUP BY 1
+"""
+    # exact Gini-impurity terms of the per-(user, day) event-type mix
+    d["user_day_impurity_terms"] = """
+WITH c AS (SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+                  count(*) AS c
+           FROM events GROUP BY 1, 2, 3),
+g AS (SELECT user_id, d, sum(c) AS n, sum(c * c) AS ssq
+      FROM c GROUP BY 1, 2)
+SELECT CAST(n AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_user_days,
+       CAST(sum(ssq) AS BIGINT) AS sum_ssq
+FROM g GROUP BY 1
+"""
+    # integer BM25 terms for a fixed query, top-50 docs per term by
+    # (tf DESC, doc_id); tf = RE2 word-boundary match count
+    d["bm25_terms"] = """
+WITH t(term) AS (SELECT unnest(['merge', 'scan', 'spark', 'window'])),
+s AS (SELECT t.term, d.doc_id,
+        CAST(len(regexp_extract_all(
+            d.text, '\\b' || t.term || '\\b')) AS BIGINT) AS tf,
+        CAST(len(string_split(d.text, ' ')) AS BIGINT) AS dl
+      FROM documents d CROSS JOIN t),
+nz AS (SELECT * FROM s WHERE tf > 0),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM nz GROUP BY 1),
+r AS (SELECT nz.term, nz.doc_id, nz.tf, nz.dl, df.df,
+        row_number() OVER (PARTITION BY nz.term
+                           ORDER BY nz.tf DESC, nz.doc_id) AS rk
+      FROM nz JOIN df USING (term))
+SELECT term, doc_id, tf, dl, df FROM r WHERE rk <= 50
+"""
+    # exact heavy hitters above total/40 (MG k=39 guarantees the Ray
+    # sketch pass yields a candidate superset; verify pass is exact)
+    d["misra_gries_heavy_hitters"] = """
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+c AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1),
+t AS (SELECT sum(n) AS tot FROM c)
+SELECT word, n AS n_occurrences FROM c, t WHERE n * 40 > tot
+"""
+    # PQ code usage: 4 x 16-dim subspaces, codebook = first-8 vectors,
+    # exact int64 L2 on floor(x*1000 + 0.5)-quantized elements
+    d["pq_code_histogram"] = """
+WITH cb AS (SELECT vec_id AS code, embedding FROM embeddings
+            WHERE vec_id < 8),
+el AS (
+  SELECT e.vec_id, s.s AS subspace, cb.code,
+    CAST(floor(CAST(e.embedding[s.s * 16 + u.d + 1] AS DOUBLE)
+               * 1000 + 0.5) AS BIGINT) AS x,
+    CAST(floor(CAST(cb.embedding[s.s * 16 + u.d + 1] AS DOUBLE)
+               * 1000 + 0.5) AS BIGINT) AS y
+  FROM embeddings e CROSS JOIN cb,
+       unnest(range(0, 4)) AS s(s), unnest(range(0, 16)) AS u(d)),
+d0 AS (SELECT vec_id, subspace, code, sum((x - y) * (x - y)) AS dist
+       FROM el GROUP BY 1, 2, 3),
+a AS (SELECT vec_id, subspace, code,
+        row_number() OVER (PARTITION BY vec_id, subspace
+                           ORDER BY dist, code) AS rk
+      FROM d0)
+SELECT CAST(subspace AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM a WHERE rk = 1 GROUP BY 1, 2
 """
     return d

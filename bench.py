@@ -408,6 +408,22 @@ def run_bench() -> dict:
           lambda: incremental_dedup_matches(SF_DIR).count())
     timed("curation_funnel", lambda: curation_funnel(SF_DIR).num_rows)
 
+    from ray_extract.pipelines.dedup import two_hop_reach
+    from ray_extract.pipelines.events import user_day_impurity_terms
+    from ray_extract.pipelines.similarity import pq_code_histogram
+    from ray_extract.pipelines.text import (
+        bm25_terms,
+        misra_gries_heavy_hitters,
+    )
+
+    timed("two_hop_reach", lambda: two_hop_reach(SF_DIR).count())
+    timed("user_day_impurity_terms",
+          lambda: user_day_impurity_terms(SF_DIR).count())
+    timed("bm25_terms", lambda: bm25_terms(SF_DIR).count())
+    timed("misra_gries_heavy_hitters",
+          lambda: misra_gries_heavy_hitters(SF_DIR).num_rows)
+    timed("pq_code_histogram", lambda: pq_code_histogram(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),

@@ -3520,3 +3520,99 @@ def incremental_dedup_matches(sf_dir: str, max_hamming: int = 3,
             Sum("n_old_matches_sum", alias_name="n_old_matches"),
         )
     )
+
+
+# ------------------------------------------------- two-hop reach histogram
+def two_hop_reach(sf_dir: str, num_buckets: int = 64):
+    """Friends-of-friends reach over the near-duplicate graph: for every
+    node, the number of DISTINCT nodes within <= 2 hops (self excluded),
+    histogrammed. The template-family blast-radius profile: a node whose
+    2-hop reach vastly exceeds its degree sits one step from a dense
+    cluster — the docs a curator must also inspect when pulling it.
+
+    Scale shape: wedge enumeration via ONE hash(mid) bucket shuffle — each
+    bucket holds complete adjacency lists for its mid nodes (the edge
+    table is symmetrized, so grouping on src IS grouping on mid), and the
+    per-group kernel emits all ordered neighbor pairs with segment-index
+    arithmetic (np.repeat/offset math, no Python loop over mids). Wedge
+    volume is sum(deg^2), bounded here by the LSH band caps that already
+    bound pair generation (see simhash_pairs); production would cap
+    max-degree before wedging, same trade as max_block_df. Distinct
+    (node, reach-mate) pairs then dedup under a second hash(node) bucket
+    groupby, and the bounded (reach, count) histogram folds via
+    repartition(1).
+
+    Output: (reach, n_nodes), both int64, one row per distinct reach.
+    """
+    import pandas as pd
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy().astype(np.int64)
+        b = batch.column("doc_b").to_numpy().astype(np.int64)
+        src = np.r_[a, b]
+        return pa.table(
+            {
+                "src": src,
+                "dst": np.r_[b, a],
+                "bucket": (src * np.int64(2654435761)) % np.int64(num_buckets),
+            }
+        )
+
+    edges = simhash_pairs_cached(sf_dir).map_batches(
+        sym, batch_format="pyarrow"
+    )
+
+    def wedge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("src", kind="mergesort")
+        dst = g["dst"].to_numpy()
+        mids, counts = np.unique(g["src"].to_numpy(), return_counts=True)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        sq = counts * counts
+        total = int(sq.sum())
+        seg = np.repeat(np.arange(len(mids)), sq)
+        within = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(sq)[:-1]]), sq
+        )
+        a = dst[starts[seg] + within // counts[seg]]
+        c = dst[starts[seg] + within % counts[seg]]
+        keep = a != c
+        # 1-hop pairs ride along so the dedup stage sees dist<=2 together
+        a = np.r_[a[keep], g["src"].to_numpy()]
+        c = np.r_[c[keep], dst]
+        return pd.DataFrame(
+            {
+                "node": a,
+                "mate": c,
+                "b2": (a * np.int64(2654435761)) % np.int64(num_buckets),
+            }
+        )
+
+    def reach_per_node(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["node", "mate"]].drop_duplicates()
+        vc = d.groupby("node").size()
+        return pd.DataFrame(
+            {
+                "reach": vc.to_numpy().astype(np.int64),
+                "n": np.ones(len(vc), dtype=np.int64),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("reach").aggregate([("n", "sum")])
+        idx = pc.sort_indices(g, sort_keys=[("reach", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "reach": pc.cast(g.column("reach"), pa.int64()),
+                "n_nodes": pc.cast(g.column("n_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        edges.groupby("bucket")
+        .map_groups(wedge, batch_format="pandas")
+        .groupby("b2")
+        .map_groups(reach_per_node, batch_format="pandas")
+        .repartition(1)  # bounded |distinct reach values| rows per bucket
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -4173,3 +4173,92 @@ def cusum_changepoint_terms(sf_dir: str):
             "t_at_max": pa.array([r[4] for r in rows], type=pa.int64()),
         }
     )
+
+
+def user_day_impurity_terms(sf_dir: str, num_buckets: int = 64):
+    """Behavioral-diversity impurity: treat every (user, calendar-day)
+    block as a mini-session and compute the exact integer Gini-impurity
+    terms of its event-type mix — per block size n, how many blocks exist
+    and the summed sum-of-squared-type-counts. Gini impurity of a block
+    is 1 - ssq/n^2; blocks near 0 are single-purpose (bots, scrapers),
+    blocks near the max are exploratory humans — emitting the integer
+    terms keeps the oracle exact and leaves the float to the consumer.
+
+    Scale shape: each batch pre-aggregates to (user, day, type, count)
+    rows (bounded by distinct triples per batch, far below row count),
+    then ONE hash(user, day) bucket shuffle co-locates every block's
+    partials; the per-bucket kernel is two vectorized pandas groupbys,
+    and the bounded (n_events, ...) histogram folds via repartition(1).
+
+    Output: (n_events, n_user_days, sum_ssq), all int64.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch.column("user_id"), pa.int64()).to_numpy()
+        day = (batch.column("ts").to_numpy().astype("datetime64[D]")
+               .astype(np.int64))
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"user_id": uid, "day": day, "event_type": et})
+        g = df.groupby(["user_id", "day", "event_type"], as_index=False,
+                       sort=False).size()
+        key = g["user_id"].to_numpy() * np.int64(1 << 20) + g["day"].to_numpy()
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy()),
+                "day": pa.array(g["day"].to_numpy()),
+                "event_type": pa.array(g["event_type"].to_numpy()),
+                "c": pa.array(g["size"].to_numpy().astype(np.int64)),
+                "bucket": pa.array(
+                    (key * np.int64(2654435761)) % np.int64(num_buckets)
+                ),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby(["user_id", "day", "event_type"], as_index=False,
+                      sort=False)["c"].sum()
+        t["csq"] = t["c"] * t["c"]
+        b = t.groupby(["user_id", "day"], as_index=False, sort=False).agg(
+            n=("c", "sum"), ssq=("csq", "sum")
+        )
+        h = b.groupby("n", as_index=False).agg(
+            n_user_days=("n", "size"), sum_ssq=("ssq", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "n_events": h["n"].to_numpy().astype(np.int64),
+                "n_user_days": h["n_user_days"].to_numpy().astype(np.int64),
+                "sum_ssq": h["sum_ssq"].to_numpy().astype(np.int64),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("n_events").aggregate(
+            [("n_user_days", "sum"), ("sum_ssq", "sum")]
+        )
+        idx = pc.sort_indices(g, sort_keys=[("n_events", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "n_events": pc.cast(g.column("n_events"), pa.int64()),
+                "n_user_days": pc.cast(g.column("n_user_days_sum"),
+                                       pa.int64()),
+                "sum_ssq": pc.cast(g.column("sum_ssq_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # bounded |distinct n| rows per bucket
+        .map_batches(finish, batch_format="pyarrow")
+    )

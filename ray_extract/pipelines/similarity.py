@@ -1681,3 +1681,87 @@ def rank_fusion_terms(sf_dir: str, n_queries: int = 10, k: int = 5,
                    Sum("b_q8", alias_name="b_q8"))
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+# -------------------------------------------- product-quantization codes
+def pq_code_histogram(sf_dir: str, n_sub: int = 4, n_codes: int = 8):
+    """Product-quantization code assignment: split each embedding into
+    ``n_sub`` contiguous subspaces, assign every subvector to its nearest
+    codebook entry by exact integer L2 (elements quantized
+    floor(x*1000 + 0.5) like embedding_norm_stats, so the DuckDB oracle
+    matches bit-for-bit), and report code usage per subspace — the
+    vector-compression primitive behind IVF-PQ indexes, where a skewed
+    code histogram means a dead codebook region and bad recall.
+
+    The codebook is the first ``n_codes`` corpus vectors' subvectors (the
+    same deterministic bounded-filtered-read convention as ann_ivf's
+    centroids), ties broken toward the lowest code id (np.argmin's
+    first-max == the oracle's ORDER BY dist, code row_number).
+
+    Scale shape: codebook ships once via ray.put (n_codes x dim int64 —
+    KBs); each batch computes all n_sub (B x n_codes) distance matrices
+    in one broadcast numpy subtract per subspace and emits bounded
+    (subspace, code, n) partials; repartition(1) fold.
+
+    Output: (subspace, code, n_vecs), all int64.
+    """
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data as rd
+
+    path = f"{sf_dir}/embeddings.parquet"
+    ctbl = pads.dataset(path).to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < n_codes,
+    )
+    cids = ctbl.column("vec_id").to_numpy()
+    cb = np.stack(ctbl.column("embedding").to_pylist()).astype(np.float64)
+    cb = np.floor(cb[np.argsort(cids)] * 1000.0 + 0.5).astype(np.int64)
+    cb_ref = ray.put(cb)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cbq = ray.get(cb_ref)
+        _, e = _emb_matrix(batch)
+        q = np.floor(e * 1000.0 + 0.5).astype(np.int64)
+        dim = q.shape[1]
+        w = dim // n_sub
+        subs, codes, ns = [], [], []
+        for s in range(n_sub):
+            x = q[:, s * w:(s + 1) * w]
+            c = cbq[:, s * w:(s + 1) * w]
+            # (B, n_codes) exact int64 distances; argmin = lowest-code tie
+            d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            code, n = np.unique(assign, return_counts=True)
+            subs.append(np.full(len(code), s, dtype=np.int64))
+            codes.append(code.astype(np.int64))
+            ns.append(n.astype(np.int64))
+        return pa.table(
+            {
+                "subspace": np.concatenate(subs),
+                "code": np.concatenate(codes),
+                "n": np.concatenate(ns),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["subspace", "code"]).aggregate([("n", "sum")])
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[("subspace", "ascending"), ("code", "ascending")],
+        )
+        g = g.take(idx)
+        return pa.table(
+            {
+                "subspace": pc.cast(g.column("subspace"), pa.int64()),
+                "code": pc.cast(g.column("code"), pa.int64()),
+                "n_vecs": pc.cast(g.column("n_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(path, columns=["vec_id", "embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # bounded n_sub x n_codes rows per block
+        .map_batches(finish, batch_format="pyarrow")
+    )

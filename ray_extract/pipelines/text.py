@@ -4393,3 +4393,193 @@ def ks_drift_terms(sf_dir: str):
             "d_den": pa.array([r[3] for r in rows], type=pa.int64()),
         }
     )
+
+
+# ------------------------------------------------------- BM25 term stats
+def bm25_terms(sf_dir: str,
+               terms: tuple[str, ...] = ("scan", "merge", "window", "spark"),
+               k: int = 50):
+    """BM25 scoring terms for a fixed query: per (query term, document)
+    the exact term frequency and document length, plus the term's corpus
+    document frequency — every integer the BM25 formula consumes
+    (idf(df), tf, dl/avgdl) — limited to the top ``k`` docs per term by
+    (tf DESC, doc_id ASC). Emitting the integer terms keeps the oracle
+    exact; the float score assembly (k1, b, log) is one consumer-side
+    expression.
+
+    Scale shape: the query is tiny and rides inside the closure; each
+    batch runs |terms| vectorized RE2 word-boundary counts
+    (pc.count_substring_regex) and reduces to a BOUNDED partial — its
+    local top-k rows per term (merge-safe for global top-k under the
+    same total order) plus one df partial row per term — so the
+    repartition(1) fold sees O(|terms| * k) rows per block and nothing
+    row-scale ever shuffles.
+
+    Output: (term, doc_id, tf, dl, df), tf > 0, top-k per term.
+    """
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        did = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        dl = pc.list_value_length(pc.split_pattern(text, " ")).to_numpy()
+        out = []
+        for term in terms:
+            tf = pc.count_substring_regex(
+                text, rf"\b{term}\b"
+            ).to_numpy().astype(np.int64)
+            nz = np.nonzero(tf > 0)[0]
+            top = nz[np.lexsort((did[nz], -tf[nz]))[:k]]
+            out.append(pd.DataFrame(
+                {
+                    "term": term,
+                    "doc_id": did[top],
+                    "tf": tf[top],
+                    "dl": dl[top].astype(np.int64),
+                    "dfp": np.int64(0),
+                }
+            ))
+            # df partial: how many docs in THIS batch contain the term
+            out.append(pd.DataFrame(
+                {
+                    "term": [term],
+                    "doc_id": np.int64(-1),
+                    "tf": np.int64(0),
+                    "dl": np.int64(0),
+                    "dfp": np.int64(len(nz)),
+                }
+            ))
+        return pa.Table.from_pandas(
+            pd.concat(out, ignore_index=True), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        dfs = df[df["doc_id"] < 0].groupby("term")["dfp"].sum()
+        cand = df[df["doc_id"] >= 0]
+        rows = []
+        for term, g in cand.groupby("term", sort=True):
+            order = np.lexsort((g["doc_id"].to_numpy(),
+                                -g["tf"].to_numpy()))[:k]
+            g = g.iloc[order]
+            rows.append(pd.DataFrame(
+                {
+                    "term": term,
+                    "doc_id": g["doc_id"].to_numpy(),
+                    "tf": g["tf"].to_numpy(),
+                    "dl": g["dl"].to_numpy(),
+                    "df": np.int64(dfs[term]),
+                }
+            ))
+        if not rows:
+            return pa.table(
+                {"term": pa.array([], pa.string()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "tf": pa.array([], pa.int64()),
+                 "dl": pa.array([], pa.int64()),
+                 "df": pa.array([], pa.int64())}
+            )
+        return pa.Table.from_pandas(
+            pd.concat(rows, ignore_index=True), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # O(|terms| * k) rows per block by construction
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+# --------------------------------------- Misra-Gries deterministic top-k
+def misra_gries_heavy_hitters(sf_dir: str, k: int = 39):
+    """Deterministic heavy hitters via a mergeable Misra-Gries summary:
+    words whose EXACT corpus frequency strictly exceeds total/(k+1),
+    with exact counts. The deterministic counterpart of
+    cms_heavy_hitters: MG with k counters guarantees every such word
+    survives the sketch (no hash collisions, no randomness), so the
+    sketch pass yields a candidate SUPERSET and one exact counting pass
+    over the candidates makes the output exact — the two-pass
+    sketch-then-verify pattern at its cheapest.
+
+    Scale shape: batch word-count partials reduce to <= k MG counters
+    each (subtract the (k+1)-th largest count, keep positive — the
+    Agarwal et al. mergeable-summaries merge); the repartition(1) fold
+    merges summaries the same way, so nothing vocabulary-scale leaves a
+    block. The verify pass re-scans the materialized per-batch counts
+    with the <= k candidates broadcast in the closure.
+
+    Output: (word, n_occurrences), n*(k+1) > total, sorted n DESC, word.
+    """
+    import ray.data as rd
+
+    def word_counts(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        flat = pc.list_flatten(pc.split_pattern(text, " "))
+        part = pa.table({"word": flat}).group_by("word").aggregate(
+            [("word", "count")]
+        )
+        return pa.table(
+            {
+                "word": part.column("word"),
+                "n": pc.cast(part.column("word_count"), pa.int64()),
+            }
+        )
+
+    counted = _docs(sf_dir).map_batches(
+        word_counts, batch_format="pyarrow"
+    ).materialize()  # scanned by the sketch fold, the total, and verify
+
+    def mg_reduce(t: pa.Table) -> pa.Table:
+        w = t.column("word")
+        n = t.column("n").to_numpy()
+        if len(n) > k:
+            thr = np.partition(n, -(k + 1))[-(k + 1)]
+            keep = n - thr > 0
+            return pa.table(
+                {"word": w.filter(pa.array(keep)),
+                 "n": pa.array(n[keep] - thr)}
+            )
+        return t
+
+    def mg_merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("word").aggregate([("n", "sum")])
+        return mg_reduce(pa.table(
+            {"word": g.column("word"),
+             "n": pc.cast(g.column("n_sum"), pa.int64())}
+        ))
+
+    summary = (
+        counted.map_batches(mg_reduce, batch_format="pyarrow")
+        .repartition(1)  # <= k rows per block by construction
+        .map_batches(mg_merge, batch_format="pyarrow")
+        .take_all()  # <= k candidate rows: the merged sketch is tiny
+    )
+    cand = {r["word"] for r in summary}
+    total = int(counted.sum("n") or 0)
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("word"),
+                        value_set=pa.array(sorted(cand), pa.string()))
+        return t.filter(keep)
+
+    if not cand or total == 0:
+        return pa.table({"word": pa.array([], pa.string()),
+                         "n_occurrences": pa.array([], pa.int64())})
+    ex = (
+        counted.map_batches(exact_partial, batch_format="pyarrow")
+        .groupby("word")
+        .sum("n")
+        .to_pandas()
+    )
+    n = ex["sum(n)"].to_numpy().astype(np.int64)
+    keep = n * (k + 1) > total
+    ex = ex[keep]
+    n = n[keep]
+    order = np.lexsort((ex["word"].to_numpy(), -n))
+    return pa.table(
+        {
+            "word": pa.array(ex["word"].to_numpy()[order], pa.string()),
+            "n_occurrences": pa.array(n[order], pa.int64()),
+        }
+    )
