@@ -4199,9 +4199,9 @@ def curation_funnel(sf_dir: str, lang: str = "en", num_buckets: int = 64,
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    from .dedup import contamination_check, duplicate_clusters
+    from .dedup import contamination_check, duplicate_clusters_cached
 
-    labels = duplicate_clusters(sf_dir)
+    labels = duplicate_clusters_cached(sf_dir)
     lose_ids = np.sort(
         labels.column("doc_id").to_numpy()[
             labels.column("doc_id").to_numpy()

@@ -51,6 +51,24 @@ def test_pairs_memo_matches_fresh():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_clusters_memo_matches_fresh():
+    from ray_extract.pipelines import dedup
+
+    fresh = dedup.duplicate_clusters(SF).to_pandas()
+    memo = dedup.duplicate_clusters_cached(SF).to_pandas()
+    pd.testing.assert_frame_equal(
+        fresh.sort_values("doc_id").reset_index(drop=True),
+        memo.sort_values("doc_id").reset_index(drop=True),
+    )
+    # second call must return the SAME table (no re-propagation)
+    assert dedup.duplicate_clusters_cached(SF) is \
+        dedup.duplicate_clusters_cached(SF)
+    # params participate in the key
+    assert dedup.duplicate_clusters_cached(SF) is not \
+        dedup.duplicate_clusters_cached(SF, max_iters=1)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_triangle_count_join_backend_matches_broadcast():
     from ray_extract.pipelines.dedup import triangle_count
 
