@@ -3068,6 +3068,30 @@ def _q_pq_code_histogram(sf_dir: str):
     return pq_code_histogram(sf_dir)
 
 
+def _q_edge_support_histogram(sf_dir: str):
+    from ray_extract.pipelines.dedup import edge_support_histogram
+
+    return edge_support_histogram(sf_dir)
+
+
+def _q_component_diameter_histogram(sf_dir: str):
+    from ray_extract.pipelines.dedup import component_diameter_histogram
+
+    return component_diameter_histogram(sf_dir)
+
+
+def _q_interval_coverage(sf_dir: str):
+    from ray_extract.pipelines.events import interval_coverage
+
+    return interval_coverage(sf_dir)
+
+
+def _q_heavy_hitter_drift(sf_dir: str):
+    from ray_extract.pipelines.text import heavy_hitter_drift
+
+    return heavy_hitter_drift(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -3360,6 +3384,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_terms": _q_bm25_terms,
         "misra_gries_heavy_hitters": _q_misra_gries_heavy_hitters,
         "pq_code_histogram": _q_pq_code_histogram,
+        "edge_support_histogram": _q_edge_support_histogram,
+        "component_diameter_histogram": _q_component_diameter_histogram,
+        "interval_coverage": _q_interval_coverage,
+        "heavy_hitter_drift": _q_heavy_hitter_drift,
     }
 
 
@@ -7250,5 +7278,104 @@ a AS (SELECT vec_id, subspace, code,
 SELECT CAST(subspace AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code,
        CAST(count(*) AS BIGINT) AS n_vecs
 FROM a WHERE rk = 1 GROUP BY 1, 2
+"""
+    # per-edge common-neighbor (triangle support) count, histogrammed;
+    # LEFT JOINs keep support-0 edges
+    d["edge_support_histogram"] = f"""
+WITH pairs AS (SELECT doc_a, doc_b FROM ({d["dedup_simhash"]}) t),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+sup AS (
+  SELECT p.doc_a, p.doc_b, count(y.b) AS s
+  FROM pairs p
+  LEFT JOIN e x ON x.a = p.doc_a
+  LEFT JOIN e y ON y.a = p.doc_b AND y.b = x.b
+  GROUP BY 1, 2)
+SELECT CAST(s AS BIGINT) AS support, CAST(count(*) AS BIGINT) AS n_edges
+FROM sup GROUP BY 1
+"""
+    # bounded 8-round BFS diameter per component: chained level CTEs
+    # (walk sets, DISTINCT per level — a recursive UNION on (src, node,
+    # dd) multiplies states along cycles and is ~100x slower); a src
+    # that has not reached its whole component by round 8 caps at 8
+    d["component_diameter_histogram"] = f"""
+WITH pairs AS (SELECT doc_a, doc_b FROM ({d["dedup_simhash"]}) t),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+n0 AS (SELECT DISTINCT a AS node FROM e),
+s1 AS (SELECT DISTINCT a AS src, b AS node FROM e),
+s2 AS (SELECT DISTINCT s.src, e.b AS node FROM s1 s JOIN e ON e.a = s.node),
+s3 AS (SELECT DISTINCT s.src, e.b AS node FROM s2 s JOIN e ON e.a = s.node),
+s4 AS (SELECT DISTINCT s.src, e.b AS node FROM s3 s JOIN e ON e.a = s.node),
+s5 AS (SELECT DISTINCT s.src, e.b AS node FROM s4 s JOIN e ON e.a = s.node),
+s6 AS (SELECT DISTINCT s.src, e.b AS node FROM s5 s JOIN e ON e.a = s.node),
+s7 AS (SELECT DISTINCT s.src, e.b AS node FROM s6 s JOIN e ON e.a = s.node),
+s8 AS (SELECT DISTINCT s.src, e.b AS node FROM s7 s JOIN e ON e.a = s.node),
+lv AS (SELECT node AS src, node, 0 AS dd FROM n0
+       UNION ALL SELECT src, node, 1 FROM s1
+       UNION ALL SELECT src, node, 2 FROM s2
+       UNION ALL SELECT src, node, 3 FROM s3
+       UNION ALL SELECT src, node, 4 FROM s4
+       UNION ALL SELECT src, node, 5 FROM s5
+       UNION ALL SELECT src, node, 6 FROM s6
+       UNION ALL SELECT src, node, 7 FROM s7
+       UNION ALL SELECT src, node, 8 FROM s8),
+md AS (SELECT src, node, min(dd) AS dd FROM lv GROUP BY 1, 2),
+cc AS (SELECT doc_id, cluster_id FROM ({d["dedup_clusters"]}) c),
+sz AS (SELECT cluster_id, count(*) AS size FROM cc GROUP BY 1),
+ecc AS (SELECT md.src, cc.cluster_id,
+          CASE WHEN count(*) < max(sz.size) THEN 8
+               ELSE max(md.dd) END AS ecc
+        FROM md JOIN cc ON cc.doc_id = md.src
+        JOIN sz ON sz.cluster_id = cc.cluster_id
+        GROUP BY 1, 2),
+dia AS (SELECT cluster_id, max(ecc) AS diameter FROM ecc GROUP BY 1)
+SELECT CAST(diameter AS BIGINT) AS diameter,
+       CAST(count(*) AS BIGINT) AS n_components
+FROM dia GROUP BY 1
+"""
+    # interval-union sweep: gaps-and-islands over [ts, ts+30s) per user;
+    # touching intervals (s = prev running max end) merge
+    d["interval_coverage"] = """
+WITH x AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                  CAST(floor(epoch(ts)) AS BIGINT) + 30 AS e
+           FROM events),
+o AS (SELECT user_id, s, e,
+        max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING) AS pmax
+      FROM x),
+f AS (SELECT user_id, s, e,
+        CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS brk
+      FROM o),
+g AS (SELECT user_id, s, e,
+        sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING) AS isl
+      FROM f),
+i AS (SELECT user_id, isl, max(e) - min(s) AS cov, count(*) AS n
+      FROM g GROUP BY 1, 2)
+SELECT user_id, CAST(sum(n) AS BIGINT) AS n_intervals,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(cov) AS BIGINT) AS covered_seconds
+FROM i GROUP BY 1
+"""
+    # union of both halves' exact top-20 words with both exact counts
+    d["heavy_hitter_drift"] = """
+WITH w AS (SELECT doc_id % 2 AS half, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+c AS (SELECT half, word, CAST(count(*) AS BIGINT) AS n
+      FROM w GROUP BY 1, 2),
+r AS (SELECT half, word, n,
+        row_number() OVER (PARTITION BY half
+                           ORDER BY n DESC, word) AS rk
+      FROM c),
+top AS (SELECT DISTINCT word FROM r WHERE rk <= 20)
+SELECT t.word,
+       CAST(coalesce(sum(CASE WHEN half = 0 THEN n END), 0) AS BIGINT)
+           AS n_even,
+       CAST(coalesce(sum(CASE WHEN half = 1 THEN n END), 0) AS BIGINT)
+           AS n_odd
+FROM top t LEFT JOIN c ON c.word = t.word
+GROUP BY 1
 """
     return d

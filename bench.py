@@ -424,6 +424,21 @@ def run_bench() -> dict:
           lambda: misra_gries_heavy_hitters(SF_DIR).num_rows)
     timed("pq_code_histogram", lambda: pq_code_histogram(SF_DIR).count())
 
+    from ray_extract.pipelines.dedup import (
+        component_diameter_histogram,
+        edge_support_histogram,
+    )
+    from ray_extract.pipelines.events import interval_coverage
+    from ray_extract.pipelines.text import heavy_hitter_drift
+
+    timed("edge_support_histogram",
+          lambda: edge_support_histogram(SF_DIR).count())
+    timed("component_diameter_histogram",
+          lambda: component_diameter_histogram(SF_DIR).count())
+    timed("interval_coverage", lambda: interval_coverage(SF_DIR).count())
+    timed("heavy_hitter_drift",
+          lambda: heavy_hitter_drift(SF_DIR).num_rows)
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),

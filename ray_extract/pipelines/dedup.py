@@ -3632,3 +3632,156 @@ def two_hop_reach(sf_dir: str):
         .repartition(1)  # bounded |distinct reach values| rows per cluster
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+# ------------------------------------------------ edge-support (truss) histogram
+def edge_support_histogram(sf_dir: str):
+    """Per-edge triangle support over the near-duplicate graph: for every
+    pair edge (a, b), the number of COMMON neighbors, histogrammed — the
+    k-truss building block. Support ~ deg on both ends means the edge sits
+    inside a clique-like template family (safe transitive collapse);
+    support 0 flags a bridge between families, exactly the edge a curator
+    should NOT collapse across.
+
+    Scale shape: same per-component dense kernel as ``two_hop_reach`` —
+    labels from the memoized ``duplicate_clusters_cached``, one broadcast
+    lookup tags each edge, one groupby(cluster) co-locates components, and
+    support for all of a component's edges is one A@A BLAS read at the
+    edge positions (never a wedge materialization). Bounded histogram
+    folds via repartition(1).
+
+    Output: (support, n_edges), both int64; one row per distinct support.
+    """
+    import pandas as pd
+    import ray
+
+    labels = duplicate_clusters_cached(sf_dir)
+    nodes = labels.column("doc_id").to_numpy()
+    cl = labels.column("cluster_id").to_numpy()
+    order = np.argsort(nodes)
+    nodes_ref = ray.put(nodes[order])
+    cl_ref = ray.put(cl[order])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        nds, cls = ray.get(nodes_ref), ray.get(cl_ref)
+        a = batch.column("doc_a").to_numpy().astype(np.int64)
+        b = batch.column("doc_b").to_numpy().astype(np.int64)
+        return pa.table(
+            {"cluster_id": cls[np.searchsorted(nds, a)], "a": a, "b": b}
+        )
+
+    def component_support(g: pd.DataFrame) -> pd.DataFrame:
+        a = g["a"].to_numpy()
+        b = g["b"].to_numpy()
+        loc = np.unique(np.r_[a, b])
+        ia = np.searchsorted(loc, a)
+        ib = np.searchsorted(loc, b)
+        A = np.zeros((len(loc), len(loc)), dtype=np.float32)
+        A[ia, ib] = 1.0
+        A[ib, ia] = 1.0
+        sup = (A @ A)[ia, ib].astype(np.int64)
+        u, cnt = np.unique(sup, return_counts=True)
+        return pd.DataFrame({"support": u, "n": cnt.astype(np.int64)})
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("support").aggregate([("n", "sum")])
+        idx = pc.sort_indices(g, sort_keys=[("support", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "support": pc.cast(g.column("support"), pa.int64()),
+                "n_edges": pc.cast(g.column("n_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        simhash_pairs_cached(sf_dir)
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .map_groups(component_support, batch_format="pandas")
+        .repartition(1)  # bounded |distinct support values| rows per cluster
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+# --------------------------------------------- component diameter histogram
+def component_diameter_histogram(sf_dir: str, rounds: int = 8):
+    """BFS diameter of every near-duplicate component, bounded at
+    ``rounds`` (components still expanding after ``rounds`` report
+    ``rounds`` — the same bounded-round-by-construction contract as
+    kcore_peel_counts, keeping the Ray and SQL sides comparable on
+    adversarial chain graphs), histogrammed. The cluster-TOPOLOGY
+    readout that complements cluster_density_histogram's edge counts:
+    diameter 1 = clique (template family, keep one), diameter at the cap
+    = drift chain (transitive collapse loses content between the ends).
+
+    Scale shape: per-component dense BFS by boolean matrix squaring —
+    reached_{k+1} = reached_k | reached_k @ A, distances stamped on
+    first reach — O(rounds * n^3) BLAS per component, microseconds at
+    bounded template-family sizes (the same dense-kernel bound as
+    two_hop_reach). Labels ride the memoized cluster table; the bounded
+    histogram folds via repartition(1).
+
+    Output: (diameter, n_components), both int64.
+    """
+    import pandas as pd
+    import ray
+
+    labels = duplicate_clusters_cached(sf_dir)
+    nodes = labels.column("doc_id").to_numpy()
+    cl = labels.column("cluster_id").to_numpy()
+    order = np.argsort(nodes)
+    nodes_ref = ray.put(nodes[order])
+    cl_ref = ray.put(cl[order])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        nds, cls = ray.get(nodes_ref), ray.get(cl_ref)
+        a = batch.column("doc_a").to_numpy().astype(np.int64)
+        b = batch.column("doc_b").to_numpy().astype(np.int64)
+        return pa.table(
+            {"cluster_id": cls[np.searchsorted(nds, a)], "a": a, "b": b}
+        )
+
+    def component_diameter(g: pd.DataFrame) -> pd.DataFrame:
+        a = g["a"].to_numpy()
+        b = g["b"].to_numpy()
+        loc = np.unique(np.r_[a, b])
+        n = len(loc)
+        ia = np.searchsorted(loc, a)
+        ib = np.searchsorted(loc, b)
+        A = np.zeros((n, n), dtype=np.float32)
+        A[ia, ib] = 1.0
+        A[ib, ia] = 1.0
+        reached = np.eye(n, dtype=bool)
+        dist = np.zeros((n, n), dtype=np.int64)
+        k = 0
+        while k < rounds:
+            nxt = reached | ((reached.astype(np.float32) @ A) > 0)
+            newly = nxt & ~reached
+            if not newly.any():
+                break
+            k += 1
+            dist[newly] = k
+            reached = nxt
+        dia = np.int64(rounds) if not reached.all() else np.int64(dist.max())
+        return pd.DataFrame({"diameter": [dia], "n": [np.int64(1)]})
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("diameter").aggregate([("n", "sum")])
+        idx = pc.sort_indices(g, sort_keys=[("diameter", "ascending")])
+        g = g.take(idx)
+        return pa.table(
+            {
+                "diameter": pc.cast(g.column("diameter"), pa.int64()),
+                "n_components": pc.cast(g.column("n_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        simhash_pairs_cached(sf_dir)
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .map_groups(component_diameter, batch_format="pandas")
+        .repartition(1)  # one row per component before the bounded fold
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -4262,3 +4262,88 @@ def user_day_impurity_terms(sf_dir: str, num_buckets: int = 64):
         .repartition(1)  # bounded |distinct n| rows per bucket
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def interval_coverage(sf_dir: str, duration_seconds: int = 30,
+                      num_buckets: int = 64):
+    """Interval-UNION coverage per user: extend every event to a
+    [ts, ts + duration) activity interval, merge overlapping-or-touching
+    intervals (sweep-line), and report per user the exact covered
+    seconds, the interval count, and the merged-island count — the
+    active-time metric that naive sum(duration) double-counts whenever
+    events burst. The companion to peak_concurrency (max overlap) on the
+    other classic interval primitive (union length).
+
+    Scale shape: ONE hash(user) bucket shuffle; inside a bucket the sweep
+    is fully vectorized pandas — sort by (user, start), grouped running
+    max of interval ends (cummax) shifted by one row, island ids by
+    cumsum of gap breaks, two groupbys for island extents and user
+    totals. Per-user output rows (users are corpus-scale/1000s, not
+    event-scale).
+
+    Output: (user_id, n_intervals, n_islands, covered_seconds), int64.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    dur = np.int64(duration_seconds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch.column("user_id"), pa.int64()).to_numpy()
+        sec = (batch.column("ts").to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // np.int64(1_000_000))
+        return pa.table(
+            {
+                "user_id": uid,
+                "s": sec,
+                "bucket": (uid * np.int64(2654435761))
+                % np.int64(num_buckets),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "s"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        s = g["s"].to_numpy()
+        e = s + dur
+        first = np.r_[True, uid[1:] != uid[:-1]]
+        df = pd.DataFrame({"uid": uid, "s": s, "e": e})
+        # prev interval end = grouped running max of e, shifted one row;
+        # the shift bleeding across user boundaries is harmless because
+        # `first` forces a break there anyway
+        prev_max = df.groupby("uid", sort=False)["e"].cummax().shift(1)
+        # strict >: touching intervals (s == prev end) merge
+        brk = first | (s > prev_max.to_numpy())
+        isl = np.cumsum(brk)
+        df["isl"] = isl
+        ext = df.groupby("isl", sort=False).agg(
+            uid=("uid", "first"), lo=("s", "min"), hi=("e", "max"),
+            n=("s", "size")
+        )
+        out = ext.assign(cov=ext["hi"] - ext["lo"]).groupby(
+            "uid", sort=False
+        ).agg(
+            n_intervals=("n", "sum"), n_islands=("cov", "size"),
+            covered_seconds=("cov", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "user_id": out.index.to_numpy().astype(np.int64),
+                "n_intervals": out["n_intervals"].to_numpy().astype(np.int64),
+                "n_islands": out["n_islands"].to_numpy().astype(np.int64),
+                "covered_seconds": out["covered_seconds"].to_numpy()
+                .astype(np.int64),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -4583,3 +4583,90 @@ def misra_gries_heavy_hitters(sf_dir: str, k: int = 39):
             "n_occurrences": pa.array(n[order], pa.int64()),
         }
     )
+
+
+# ----------------------------------------------------- heavy-hitter drift
+def heavy_hitter_drift(sf_dir: str, k: int = 20):
+    """Top-k vocabulary drift between the two doc_id-parity halves of the
+    corpus: every word in EITHER half's exact top-k (count DESC, word
+    ASC), with its exact count in both halves — the shift detector a
+    crawl-over-crawl ingest runs before retraining a tokenizer (a word
+    entering/leaving the head of the distribution is the actionable
+    signal; the KS/PSI ops cover the body).
+
+    Scale shape: per-batch (half, word, count) combiners -> ONE
+    vocabulary-scale groupby(word) producing the (word, n_even, n_odd)
+    table, materialized once; each half's top-k then reduces via bounded
+    per-block top-k partials (merge-safe under the same total order) and
+    the <= 2k winner words filter the same materialized table — no second
+    vocabulary shuffle, nothing vocabulary-scale on the driver.
+
+    Output: (word, n_even, n_odd), counts int64 (0 = absent from half).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def word_counts(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        words = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(words)
+        offs = words.offsets.to_numpy()
+        half = (pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+                % 2).astype(np.int64)
+        per_word_half = np.repeat(half, np.diff(offs))
+        t = pa.table({"word": flat, "h": pa.array(per_word_half)})
+        g = t.group_by(["word", "h"]).aggregate([("h", "count")])
+        n = pc.cast(g.column("h_count"), pa.int64()).to_numpy()
+        h = g.column("h").to_numpy()
+        return pa.table(
+            {
+                "word": g.column("word"),
+                "n_even": pa.array(np.where(h == 0, n, 0)),
+                "n_odd": pa.array(np.where(h == 1, n, 0)),
+            }
+        )
+
+    counts = (
+        _docs(sf_dir)
+        .map_batches(word_counts, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n_even", alias_name="n_even"),
+                   Sum("n_odd", alias_name="n_odd"))
+        .materialize()  # scanned by both top-k passes and the final filter
+    )
+
+    def topk_partial(col):
+        def part(t: pa.Table) -> pa.Table:
+            # a word absent from this half never ranks in its top-k
+            t = t.filter(pc.greater(t.column(col), 0))
+            idx = pc.sort_indices(
+                t, sort_keys=[(col, "descending"), ("word", "ascending")]
+            )
+            return t.take(idx[: min(k, len(t))])
+        return part
+
+    winners: set[str] = set()
+    for col in ("n_even", "n_odd"):
+        top = (
+            counts.map_batches(topk_partial(col), batch_format="pyarrow")
+            .repartition(1)  # <= k rows per block by construction
+            .map_batches(topk_partial(col), batch_format="pyarrow")
+            .take_all()  # <= k winner rows
+        )
+        winners |= {r["word"] for r in top}
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.is_in(t.column("word"),
+                     value_set=pa.array(sorted(winners), pa.string()))
+        )
+
+    out = counts.map_batches(keep, batch_format="pyarrow").to_pandas()
+    out = out.sort_values("word", kind="mergesort")
+    return pa.table(
+        {
+            "word": pa.array(out["word"].to_numpy(), pa.string()),
+            "n_even": pa.array(out["n_even"].to_numpy(), pa.int64()),
+            "n_odd": pa.array(out["n_odd"].to_numpy(), pa.int64()),
+        }
+    )
