@@ -3555,6 +3555,78 @@ def incremental_dedup_matches(sf_dir: str, max_hamming: int = 3,
 
 
 
+
+# ----------------------------------------- packed-bitset component kernels
+# two_hop_reach / edge_support_histogram / component_diameter_histogram all
+# run a per-component kernel after the same (label-tag -> groupby(cluster))
+# co-location. Dense float matmuls are the wrong kernel once a template
+# family reaches thousands of members (an n^3 sgemm on the sf0.1 giant
+# component measured ~50 s single-threaded); these helpers give the
+# bitset forms — n x ceil(n/64) uint64 adjacency rows, SWAR popcount, and
+# a chunked grouped-OR (the one BFS/semiring primitive all three need) —
+# which replace n^3 FLOPs with n*m/64 word-ops and bound per-chunk memory.
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over uint64 (no unpackbits blowup)."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def _pack_adjacency(ia: np.ndarray, ib: np.ndarray, n: int) -> np.ndarray:
+    """(n, ceil(n/64)) uint64 adjacency bitset from undirected edge index
+    pairs (no self bits)."""
+    w = (n + 63) // 64
+    adj = np.zeros((n, w), dtype=np.uint64)
+    rows = np.r_[ia, ib]
+    cols = np.r_[ib, ia]
+    bits = np.left_shift(np.uint64(1), (cols % 64).astype(np.uint64))
+    np.bitwise_or.at(adj, (rows, cols // 64), bits)
+    return adj
+
+
+def _or_groups(mat: np.ndarray, dsts: np.ndarray, starts: np.ndarray,
+               chunk: int = 262144) -> np.ndarray:
+    """OR of mat[dsts] rows per group (groups delimited by ``starts`` into
+    ``dsts``), gathering at most ~chunk rows at a time so the fancy-index
+    copy stays bounded regardless of component size."""
+    res = np.empty((len(starts), mat.shape[1]), dtype=np.uint64)
+    i = 0
+    total = len(dsts)
+    while i < len(starts):
+        j = i + 1
+        while j < len(starts) and (starts[j] - starts[i]) < chunk:
+            j += 1
+        end = starts[j] if j < len(starts) else total
+        res[i:j] = np.bitwise_or.reduceat(
+            mat[dsts[starts[i]:end]], starts[i:j] - starts[i], axis=0
+        )
+        i = j
+    return res
+
+
+def _component_index(g) -> tuple[np.ndarray, np.ndarray, int]:
+    """Local (ia, ib, n) edge index for one component DataFrame."""
+    a = g["a"].to_numpy()
+    b = g["b"].to_numpy()
+    loc = np.unique(np.r_[a, b])
+    return np.searchsorted(loc, a), np.searchsorted(loc, b), len(loc)
+
+
+def _grouped_edges(ia: np.ndarray, ib: np.ndarray):
+    """Symmetrized edges sorted by source: (srcs_unique, starts, dsts)."""
+    s = np.r_[ia, ib]
+    t = np.r_[ib, ia]
+    order = np.argsort(s, kind="mergesort")
+    s, t = s[order], t[order]
+    us, starts = np.unique(s, return_index=True)
+    return us, starts, t
+
+
 # ------------------------------------------------- two-hop reach histogram
 def two_hop_reach(sf_dir: str):
     """Friends-of-friends reach over the near-duplicate graph: for every
@@ -3564,18 +3636,16 @@ def two_hop_reach(sf_dir: str):
     cluster — the docs a curator must also inspect when pulling it.
 
     Scale shape: reach never crosses a connected component, and dup
-    components are dense template families — so enumerating wedges
-    (sum(deg^2): 339M at sf0.1, measured) is the WRONG shape. Instead the
-    component labels come from ``duplicate_clusters`` (its own scaling
-    backends), each edge is tagged with its component via the broadcast
-    node->cluster lookup (both endpoints share it by CC construction),
-    and ONE groupby(cluster) co-locates each component, where reach is a
-    dense boolean A | A@A row-popcount — O(n^3) BLAS on an n<=|cluster|
-    matrix, microseconds at template-family sizes. Components above a
-    dense-kernel bound (~50k nodes) would fall back to capped wedge
-    enumeration, the same bounded-family assumption as
-    cluster_density_histogram. The bounded (reach, count) histogram folds
-    via repartition(1).
+    components are dense template families — enumerating wedges
+    (sum(deg^2): 339M at sf0.1, measured) is the WRONG shape, and so is a
+    dense n^3 matmul once a family hits thousands of members. Component
+    labels come from the memoized ``duplicate_clusters_cached``, each
+    edge is tagged via the broadcast node->cluster lookup (both endpoints
+    share the label by CC construction), ONE groupby(cluster) co-locates
+    each component, and the kernel is a packed-bitset semiring step:
+    R_i = A_i | OR_{j in N(i)} A_j (one chunked grouped-OR), reach =
+    popcount(R_i minus the self bit) — O(m * n/64) word-ops. The bounded
+    (reach, count) histogram folds via repartition(1).
 
     Output: (reach, n_nodes), both int64, one row per distinct reach.
     """
@@ -3598,18 +3668,16 @@ def two_hop_reach(sf_dir: str):
         )
 
     def component_reach(g: pd.DataFrame) -> pd.DataFrame:
-        a = g["a"].to_numpy()
-        b = g["b"].to_numpy()
-        loc = np.unique(np.r_[a, b])
-        n = len(loc)
-        ia = np.searchsorted(loc, a)
-        ib = np.searchsorted(loc, b)
-        A = np.zeros((n, n), dtype=np.float32)
-        A[ia, ib] = 1.0
-        A[ib, ia] = 1.0
-        R = (A + A @ A) > 0
-        np.fill_diagonal(R, False)
-        reach = R.sum(axis=1).astype(np.int64)
+        ia, ib, n = _component_index(g)
+        adj = _pack_adjacency(ia, ib, n)
+        us, starts, dsts = _grouped_edges(ia, ib)
+        r = _or_groups(adj, dsts, starts)  # OR of neighbor rows per node
+        r |= adj[us]
+        idx = np.arange(n)
+        r[idx, idx // 64] &= ~np.left_shift(
+            np.uint64(1), (idx % 64).astype(np.uint64)
+        )
+        reach = _popcount64(r).sum(axis=1).astype(np.int64)
         u, cnt = np.unique(reach, return_counts=True)
         return pd.DataFrame({"reach": u, "n": cnt.astype(np.int64)})
 
@@ -3634,7 +3702,7 @@ def two_hop_reach(sf_dir: str):
     )
 
 
-# ------------------------------------------------ edge-support (truss) histogram
+# ------------------------------------------ edge-support (truss) histogram
 def edge_support_histogram(sf_dir: str):
     """Per-edge triangle support over the near-duplicate graph: for every
     pair edge (a, b), the number of COMMON neighbors, histogrammed — the
@@ -3643,11 +3711,11 @@ def edge_support_histogram(sf_dir: str):
     support 0 flags a bridge between families, exactly the edge a curator
     should NOT collapse across.
 
-    Scale shape: same per-component dense kernel as ``two_hop_reach`` —
-    labels from the memoized ``duplicate_clusters_cached``, one broadcast
-    lookup tags each edge, one groupby(cluster) co-locates components, and
-    support for all of a component's edges is one A@A BLAS read at the
-    edge positions (never a wedge materialization). Bounded histogram
+    Scale shape: same label-tag -> groupby(cluster) co-location as
+    two_hop_reach; support for a component's edges is
+    popcount(adj_row_a & adj_row_b) over packed uint64 bitsets, chunked
+    so the per-edge AND buffer stays bounded — O(m * n/64) word-ops,
+    never a wedge materialization or an n^3 matmul. Bounded histogram
     folds via repartition(1).
 
     Output: (support, n_edges), both int64; one row per distinct support.
@@ -3671,15 +3739,14 @@ def edge_support_histogram(sf_dir: str):
         )
 
     def component_support(g: pd.DataFrame) -> pd.DataFrame:
-        a = g["a"].to_numpy()
-        b = g["b"].to_numpy()
-        loc = np.unique(np.r_[a, b])
-        ia = np.searchsorted(loc, a)
-        ib = np.searchsorted(loc, b)
-        A = np.zeros((len(loc), len(loc)), dtype=np.float32)
-        A[ia, ib] = 1.0
-        A[ib, ia] = 1.0
-        sup = (A @ A)[ia, ib].astype(np.int64)
+        ia, ib, n = _component_index(g)
+        adj = _pack_adjacency(ia, ib, n)
+        sup = np.empty(len(ia), dtype=np.int64)
+        step = max(1, 262144 // max(1, adj.shape[1]))
+        for c in range(0, len(ia), step):
+            sup[c:c + step] = _popcount64(
+                adj[ia[c:c + step]] & adj[ib[c:c + step]]
+            ).sum(axis=1)
         u, cnt = np.unique(sup, return_counts=True)
         return pd.DataFrame({"support": u, "n": cnt.astype(np.int64)})
 
@@ -3715,12 +3782,16 @@ def component_diameter_histogram(sf_dir: str, rounds: int = 8):
     diameter 1 = clique (template family, keep one), diameter at the cap
     = drift chain (transitive collapse loses content between the ends).
 
-    Scale shape: per-component dense BFS by boolean matrix squaring —
-    reached_{k+1} = reached_k | reached_k @ A, distances stamped on
-    first reach — O(rounds * n^3) BLAS per component, microseconds at
-    bounded template-family sizes (the same dense-kernel bound as
-    two_hop_reach). Labels ride the memoized cluster table; the bounded
-    histogram folds via repartition(1).
+    Scale shape: per-component DELTA-FRONTIER BFS over packed bitsets —
+    row i holds the set of nodes that have reached i; each synchronous
+    round pulls, via one chunked grouped-OR, only over edges whose
+    source row changed last round, so work decays with convergence
+    exactly like the CC label loop. A row's eccentricity is the round
+    its bitset fills; diameter = max eccentricity (cap if any row is
+    unfilled after ``rounds``). O(rounds * m * n/64) word-ops worst
+    case, a fraction of that on dense families that fill in 2-3 rounds.
+    Labels ride the memoized cluster table; the bounded histogram folds
+    via repartition(1).
 
     Output: (diameter, n_components), both int64.
     """
@@ -3743,27 +3814,41 @@ def component_diameter_histogram(sf_dir: str, rounds: int = 8):
         )
 
     def component_diameter(g: pd.DataFrame) -> pd.DataFrame:
-        a = g["a"].to_numpy()
-        b = g["b"].to_numpy()
-        loc = np.unique(np.r_[a, b])
-        n = len(loc)
-        ia = np.searchsorted(loc, a)
-        ib = np.searchsorted(loc, b)
-        A = np.zeros((n, n), dtype=np.float32)
-        A[ia, ib] = 1.0
-        A[ib, ia] = 1.0
-        reached = np.eye(n, dtype=bool)
-        dist = np.zeros((n, n), dtype=np.int64)
+        ia, ib, n = _component_index(g)
+        w = (n + 63) // 64
+        reached = np.zeros((n, w), dtype=np.uint64)
+        idx = np.arange(n)
+        bit = np.left_shift(np.uint64(1), (idx % 64).astype(np.uint64))
+        reached[idx, idx // 64] = bit
+        full = np.full(w, np.uint64(0xFFFFFFFFFFFFFFFF))
+        if n % 64:
+            full[-1] = (np.uint64(1) << np.uint64(n % 64)) - np.uint64(1)
+        srcs = np.r_[ia, ib]
+        dsts = np.r_[ib, ia]
+        ecc = np.full(n, -1, dtype=np.int64)
+        changed = np.ones(n, dtype=bool)
         k = 0
-        while k < rounds:
-            nxt = reached | ((reached.astype(np.float32) @ A) > 0)
-            newly = nxt & ~reached
-            if not newly.any():
+        while k < rounds and changed.any():
+            live = changed[dsts]
+            if not live.any():
                 break
+            es, ed = srcs[live], dsts[live]
+            o = np.argsort(es, kind="mergesort")
+            es, ed = es[o], ed[o]
+            us, starts = np.unique(es, return_index=True)
+            contrib = _or_groups(reached, ed, starts)
+            old = reached[us].copy()
+            reached[us] |= contrib
+            row_changed = (reached[us] != old).any(axis=1)
+            changed = np.zeros(n, dtype=bool)
+            changed[us[row_changed]] = True
             k += 1
-            dist[newly] = k
-            reached = nxt
-        dia = np.int64(rounds) if not reached.all() else np.int64(dist.max())
+            isfull = (reached[us] == full).all(axis=1)
+            newly = us[isfull & (ecc[us] < 0)]
+            ecc[newly] = k
+            if (ecc >= 0).all():
+                break
+        dia = np.int64(rounds) if (ecc < 0).any() else np.int64(ecc.max())
         return pd.DataFrame({"diameter": [dia], "n": [np.int64(1)]})
 
     def finish(t: pa.Table) -> pa.Table:
