@@ -3092,6 +3092,30 @@ def _q_heavy_hitter_drift(sf_dir: str):
     return heavy_hitter_drift(sf_dir)
 
 
+def _q_modularity_terms(sf_dir: str):
+    from ray_extract.pipelines.dedup import modularity_terms
+
+    return modularity_terms(sf_dir)
+
+
+def _q_lpa_community_histogram(sf_dir: str):
+    from ray_extract.pipelines.dedup import lpa_community_histogram
+
+    return lpa_community_histogram(sf_dir)
+
+
+def _q_spearman_rank_terms(sf_dir: str):
+    from ray_extract.pipelines.relational import spearman_rank_terms
+
+    return spearman_rank_terms(sf_dir)
+
+
+def _q_embedding_pca_power_terms(sf_dir: str):
+    from ray_extract.pipelines.similarity import embedding_pca_power_terms
+
+    return embedding_pca_power_terms(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -3388,6 +3412,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "component_diameter_histogram": _q_component_diameter_histogram,
         "interval_coverage": _q_interval_coverage,
         "heavy_hitter_drift": _q_heavy_hitter_drift,
+        "modularity_terms": _q_modularity_terms,
+        "lpa_community_histogram": _q_lpa_community_histogram,
+        "spearman_rank_terms": _q_spearman_rank_terms,
+        "embedding_pca_power_terms": _q_embedding_pca_power_terms,
     }
 
 
@@ -7377,5 +7405,80 @@ SELECT t.word,
            AS n_odd
 FROM top t LEFT JOIN c ON c.word = t.word
 GROUP BY 1
+"""
+    # Newman modularity integer terms over the CC partition (every edge
+    # internal by construction, so deg_c = 2 * e_c)
+    d["modularity_terms"] = f"""
+WITH pairs AS (SELECT doc_a, doc_b FROM ({d["dedup_simhash"]}) t),
+cc AS (SELECT doc_id, cluster_id FROM ({d["dedup_clusters"]}) c),
+t AS (SELECT cc.cluster_id, count(*) AS e
+      FROM pairs p JOIN cc ON cc.doc_id = p.doc_a GROUP BY 1),
+m AS (SELECT sum(e) AS m FROM t)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(e AS BIGINT) AS n_intra_edges,
+       CAST(2 * e AS BIGINT) AS sum_deg,
+       CAST(m.m AS BIGINT) AS m_edges
+FROM t, m
+"""
+    # bounded 2-round frequency label propagation; argmax vote with
+    # (count DESC, label ASC) tie-break each round
+    d["lpa_community_histogram"] = f"""
+WITH pairs AS (SELECT doc_a, doc_b FROM ({d["dedup_simhash"]}) t),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+c1 AS (SELECT e.a AS v, e.b AS lab, count(*) AS c FROM e GROUP BY 1, 2),
+r1 AS (SELECT v, lab FROM (
+         SELECT v, lab, row_number() OVER (PARTITION BY v
+                                           ORDER BY c DESC, lab) AS rk
+         FROM c1) t WHERE rk = 1),
+c2 AS (SELECT e.a AS v, r1.lab AS lab, count(*) AS c
+       FROM e JOIN r1 ON r1.v = e.b GROUP BY 1, 2),
+r2 AS (SELECT v, lab FROM (
+         SELECT v, lab, row_number() OVER (PARTITION BY v
+                                           ORDER BY c DESC, lab) AS rk
+         FROM c2) t WHERE rk = 1),
+sz AS (SELECT lab, count(*) AS size FROM r2 GROUP BY 1)
+SELECT CAST(size AS BIGINT) AS size,
+       CAST(count(*) AS BIGINT) AS n_communities
+FROM sz GROUP BY 1
+"""
+    # doubled-average-rank Spearman terms; rx = 2*min_rank + ties - 1
+    d["spearman_rank_terms"] = """
+WITH q AS (SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+           FROM lineitem),
+r AS (SELECT
+        2 * rank() OVER (ORDER BY x)
+            + count(*) OVER (PARTITION BY x) - 1 AS rx,
+        2 * rank() OVER (ORDER BY y)
+            + count(*) OVER (PARTITION BY y) - 1 AS ry
+      FROM q)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(rx) AS BIGINT) AS sum_rx,
+       CAST(sum(ry) AS BIGINT) AS sum_ry,
+       CAST(sum(rx * ry) AS BIGINT) AS sum_rxy,
+       CAST(sum(rx * rx) AS BIGINT) AS sum_rxx,
+       CAST(sum(ry * ry) AS BIGINT) AS sum_ryy
+FROM r
+"""
+    # two exact-integer power iterations from the all-ones vector; each
+    # iterate rescales by TRUNCATING division by 2^20 (sign * abs-div)
+    d["embedding_pca_power_terms"] = """
+WITH q AS (SELECT vec_id, CAST(u.d AS BIGINT) AS dim,
+             CAST(floor(CAST(embedding[u.d + 1] AS DOUBLE)
+                        * 1000 + 0.5) AS BIGINT) AS qv
+           FROM embeddings, unnest(range(0, 64)) AS u(d)),
+w1 AS (SELECT vec_id, sum(qv) AS w FROM q GROUP BY 1),
+v1 AS (SELECT q.dim, sum(q.qv * w1.w) AS v
+       FROM q JOIN w1 USING (vec_id) GROUP BY 1),
+v1s AS (SELECT dim, CASE WHEN v >= 0 THEN v // 1048576
+                         ELSE -((-v) // 1048576) END AS v FROM v1),
+w2 AS (SELECT q.vec_id, sum(q.qv * v1s.v) AS w
+       FROM q JOIN v1s USING (dim) GROUP BY 1),
+v2 AS (SELECT q.dim, sum(q.qv * w2.w) AS v
+       FROM q JOIN w2 USING (vec_id) GROUP BY 1)
+SELECT dim, CAST(CASE WHEN v >= 0 THEN v // 1048576
+                      ELSE -((-v) // 1048576) END AS BIGINT) AS v
+FROM v2
 """
     return d

@@ -439,6 +439,21 @@ def run_bench() -> dict:
     timed("heavy_hitter_drift",
           lambda: heavy_hitter_drift(SF_DIR).num_rows)
 
+    from ray_extract.pipelines.dedup import (
+        lpa_community_histogram,
+        modularity_terms,
+    )
+    from ray_extract.pipelines.relational import spearman_rank_terms
+    from ray_extract.pipelines.similarity import embedding_pca_power_terms
+
+    timed("modularity_terms", lambda: modularity_terms(SF_DIR).num_rows)
+    timed("lpa_community_histogram",
+          lambda: lpa_community_histogram(SF_DIR).num_rows)
+    timed("spearman_rank_terms",
+          lambda: spearman_rank_terms(SF_DIR).num_rows)
+    timed("embedding_pca_power_terms",
+          lambda: embedding_pca_power_terms(SF_DIR).num_rows)
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),

@@ -3870,3 +3870,165 @@ def component_diameter_histogram(sf_dir: str, rounds: int = 8):
         .repartition(1)  # one row per component before the bounded fold
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+# -------------------------------------------------------- modularity terms
+def modularity_terms(sf_dir: str):
+    """Newman modularity TERMS of the connected-component partition over
+    the near-duplicate graph: per cluster the internal edge count and
+    the degree sum, plus the global edge count riding in every row — the
+    exact integers behind Q = sum_c(e_c/m - (deg_c/2m)^2). For a CC
+    partition every edge is internal (e_c sums to m), so Q here reads
+    as a null-model baseline: a cluster whose deg_c^2/4m^2 term swamps
+    e_c/m is a hub-family that LOOKS cohesive only because it is big —
+    the one to re-split before canonical selection. Terms stay integer
+    so the oracle comparison is exact; the float Q is one consumer-side
+    fold.
+
+    Scale shape: labels ride the memoized cluster table (one broadcast
+    lookup); ONE scan of the pair table emits batch-combined per-cluster
+    (edges, degree) partials; cluster-scale fold on the driver, same
+    node-scale threshold argument as the CC backends.
+
+    Output: (cluster_id, n_intra_edges, sum_deg, m_edges), all int64.
+    """
+    import ray
+
+    labels = duplicate_clusters_cached(sf_dir)
+    nodes = labels.column("doc_id").to_numpy()
+    cl = labels.column("cluster_id").to_numpy()
+    order = np.argsort(nodes)
+    nodes_s, cl_s = nodes[order], cl[order]
+    nodes_ref, cl_ref = ray.put(nodes_s), ray.put(cl_s)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nds, cls = ray.get(nodes_ref), ray.get(cl_ref)
+        a = batch.column("doc_a").to_numpy().astype(np.int64)
+        b = batch.column("doc_b").to_numpy().astype(np.int64)
+        ca = cls[np.searchsorted(nds, a)]
+        # both endpoints share the cluster by CC construction; each edge
+        # contributes 1 intra edge and 2 degree to its cluster
+        u, cnt = np.unique(ca, return_counts=True)
+        return pa.table(
+            {
+                "cluster_id": u.astype(np.int64),
+                "e": cnt.astype(np.int64),
+                "d": (2 * cnt).astype(np.int64),
+            }
+        )
+
+    parts = (
+        simhash_pairs_cached(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # cluster-scale, batch-combined
+    )
+    agg = parts.groupby("cluster_id")[["e", "d"]].sum().sort_index()
+    m = int(agg["e"].sum())
+    return pa.table(
+        {
+            "cluster_id": pa.array(agg.index.to_numpy(), pa.int64()),
+            "n_intra_edges": pa.array(agg["e"].to_numpy(), pa.int64()),
+            "sum_deg": pa.array(agg["d"].to_numpy(), pa.int64()),
+            "m_edges": pa.array(np.full(len(agg), m), pa.int64()),
+        }
+    )
+
+
+# --------------------------------------------- label-propagation communities
+def lpa_community_histogram(sf_dir: str, rounds: int = 2,
+                            num_buckets: int = 64):
+    """Frequency label-propagation communities over the near-duplicate
+    graph, bounded at ``rounds`` synchronous rounds (the
+    bounded-round-by-construction contract of kcore_peel_counts): labels
+    start as node ids, each round every node adopts its neighbors' most
+    frequent PREVIOUS-round label (ties -> smallest label), and the final
+    community sizes are histogrammed. Unlike connected components
+    (duplicate_clusters), LPA can SPLIT a weakly-bridged component —
+    exactly the hub-family re-split that modularity_terms flags.
+
+    Scale shape: per round, one edge-table scan emits batch-combined
+    (node, label, count) votes, ONE hash(node) bucket groupby resolves
+    each node's argmax vote vectorized (sort + drop_duplicates), and
+    only the NODE-scale label table returns to the driver for the next
+    round's ray.put broadcast — votes never accumulate driver-side. Same
+    node-scale threshold argument as the CC broadcast backend.
+
+    Output: (size, n_communities), both int64.
+    """
+    import pandas as pd
+    import ray
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy().astype(np.int64)
+        b = batch.column("doc_b").to_numpy().astype(np.int64)
+        src = np.r_[a, b]
+        return pa.table(
+            {
+                "src": src,
+                "dst": np.r_[b, a],
+                "bucket": (src * np.int64(2654435761)) % np.int64(num_buckets),
+            }
+        )
+
+    edges = (
+        simhash_pairs_cached(sf_dir)
+        .map_batches(sym, batch_format="pyarrow")
+        .materialize()  # scanned once per round
+    )
+
+    nodes_df = edges.map_batches(
+        lambda t: pa.table({"node": np.unique(t.column("src").to_numpy())}),
+        batch_format="pyarrow",
+    ).to_pandas()
+    nodes = np.unique(nodes_df["node"].to_numpy()) if len(nodes_df) else \
+        np.array([], dtype=np.int64)
+    nodes_ref = ray.put(nodes)
+    labels = nodes.copy()  # l0(v) = v
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby(["src", "lab"], as_index=False, sort=False)["c"].sum()
+        t = t.sort_values(["src", "c", "lab"],
+                          ascending=[True, False, True], kind="mergesort")
+        t = t.drop_duplicates("src", keep="first")
+        return pd.DataFrame(
+            {"node": t["src"].to_numpy(), "lab": t["lab"].to_numpy()}
+        )
+
+    for _ in range(rounds):
+        lab_ref = ray.put(labels)
+
+        def vote(batch: pa.Table, lab_ref=lab_ref) -> pa.Table:
+            nds, lbs = ray.get(nodes_ref), ray.get(lab_ref)
+            src = batch.column("src").to_numpy()
+            lab = lbs[np.searchsorted(nds, batch.column("dst").to_numpy())]
+            df = pd.DataFrame({"src": src, "lab": lab})
+            g = df.groupby(["src", "lab"], as_index=False, sort=False).size()
+            return pa.table(
+                {
+                    "src": g["src"].to_numpy(),
+                    "lab": g["lab"].to_numpy(),
+                    "c": g["size"].to_numpy().astype(np.int64),
+                    "bucket": (g["src"].to_numpy() * np.int64(2654435761))
+                    % np.int64(num_buckets),
+                }
+            )
+
+        res = (
+            edges.map_batches(vote, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(resolve, batch_format="pandas")
+            .to_pandas()  # node-scale label table
+        )
+        new = labels.copy()
+        pos = np.searchsorted(nodes, res["node"].to_numpy())
+        new[pos] = res["lab"].to_numpy()
+        labels = new
+
+    _, sizes = np.unique(labels, return_counts=True)
+    u, cnt = np.unique(sizes, return_counts=True)
+    return pa.table(
+        {
+            "size": pa.array(u.astype(np.int64)),
+            "n_communities": pa.array(cnt.astype(np.int64)),
+        }
+    )

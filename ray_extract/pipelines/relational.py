@@ -8542,3 +8542,88 @@ def _km_fold(dur: np.ndarray, ev: np.ndarray, w: np.ndarray,
             "n_at_risk": pa.array(at_risk.astype(np.int64)),
         }
     )
+
+
+def spearman_rank_terms(sf_dir: str):
+    """Exact integer Spearman rank-correlation TERMS between line-item
+    quantity and extended price: every row is ranked with AVERAGE tie
+    ranks doubled to stay integer (rx = 2*min_rank + ties - 1), and the
+    six Pearson-on-ranks sums are emitted — rho is one consumer-side
+    division. The monotone-association probe that Pearson
+    (price_discount_corr_terms) misses when the relation is nonlinear.
+
+    Scale shape: NO global sort. Both rank maps are count-compressed —
+    pass 1 folds per-batch (value, count) histograms (distinct
+    cents-quantized values are DOMAIN-bounded: ~50 quantities, price
+    grid), min-ranks come from one cumsum over each sorted histogram,
+    and the maps broadcast via ray.put for pass 2's searchsorted +
+    per-batch term partials. The driver folds partials with PYTHON ints
+    (sum(rx*ry) ~ 4n^3 wraps int64 near sf~1; per-batch partials stay
+    under it, the fold must not), emitting BIGINT like the oracle's
+    HUGEINT-internal/BIGINT-out convention.
+
+    Output: one row (n, sum_rx, sum_ry, sum_rxy, sum_rxx, sum_ryy).
+    """
+    import ray
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        x = _cents(batch.column("l_quantity"))
+        y = _cents(batch.column("l_extendedprice"))
+        ux, cx = np.unique(x, return_counts=True)
+        uy, cy = np.unique(y, return_counts=True)
+        return pa.table(
+            {
+                "which": np.r_[np.zeros(len(ux), np.int64),
+                               np.ones(len(uy), np.int64)],
+                "val": np.r_[ux, uy],
+                "cnt": np.r_[cx, cy].astype(np.int64),
+            }
+        )
+
+    ds = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_quantity", "l_extendedprice"])
+    ).materialize()  # scanned by both passes
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .to_pandas()  # domain-bounded distinct values
+        .groupby(["which", "val"], as_index=False)["cnt"].sum()
+    )
+
+    def rank_map(h):
+        h = h.sort_values("val")
+        v = h["val"].to_numpy()
+        c = h["cnt"].to_numpy().astype(np.int64)
+        min_rank = 1 + np.r_[0, np.cumsum(c)[:-1]]
+        return v, 2 * min_rank + c - 1  # doubled average tie rank
+
+    vx, rx = rank_map(hist[hist["which"] == 0])
+    vy, ry = rank_map(hist[hist["which"] == 1])
+    maps_ref = ray.put((vx, rx, vy, ry))
+
+    def term_partial(batch: pa.Table) -> pa.Table:
+        vx_, rx_, vy_, ry_ = ray.get(maps_ref)
+        a = rx_[np.searchsorted(vx_, _cents(batch.column("l_quantity")))]
+        b = ry_[np.searchsorted(vy_, _cents(batch.column("l_extendedprice")))]
+        return pa.table(
+            {
+                "n": pa.array([len(a)], pa.int64()),
+                "sum_rx": pa.array([int(a.sum())], pa.int64()),
+                "sum_ry": pa.array([int(b.sum())], pa.int64()),
+                "sum_rxy": pa.array([int((a * b).sum())], pa.int64()),
+                "sum_rxx": pa.array([int((a * a).sum())], pa.int64()),
+                "sum_ryy": pa.array([int((b * b).sum())], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(term_partial, batch_format="pyarrow").to_pandas()
+    cols = ["n", "sum_rx", "sum_ry", "sum_rxy", "sum_rxx", "sum_ryy"]
+    # Python-int fold: per-batch partials fit int64, the corpus total may not
+    return pa.table(
+        {c: pa.array([int(sum(int(v) for v in parts[c]))], pa.int64())
+         for c in cols}
+    )

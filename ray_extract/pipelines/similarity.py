@@ -1765,3 +1765,63 @@ def pq_code_histogram(sf_dir: str, n_sub: int = 4, n_codes: int = 8):
         .repartition(1)  # bounded n_sub x n_codes rows per block
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+# ------------------------------------------- power-iteration PCA direction
+def embedding_pca_power_terms(sf_dir: str, iters: int = 2, shift: int = 20):
+    """Dominant-eigenvector direction of the (uncentered) embedding Gram
+    matrix by ``iters`` exact-integer power iterations: elements quantize
+    to int64 (floor(x*1000 + 0.5), the embedding_norm_stats convention),
+    each iteration computes v' = Q^T (Q v) and then rescales by
+    truncating division by 2**shift (sign * (abs // 2^shift) — identical
+    trunc semantics both sides) to keep magnitudes bounded. The
+    deterministic all-ones start makes the whole iterate reproducible in
+    SQL — a rare ORACLE-EXACT iterative linear-algebra pipeline, the
+    spectral building block behind PCA whitening and spectral hashing.
+
+    Scale shape: v (dim ints) broadcasts via ray.put each round; one scan
+    per round emits per-batch d-row partials of Q^T(Qv) (two O(rows*dim)
+    integer mat-vecs inside the batch, nothing row-scale leaves it); the
+    driver folds d-row partials with Python ints (per-batch partials fit
+    int64 by the shift rescale — ~2e17 at sf0.1 — the cross-batch fold
+    must not wrap) and rescales. O(iters) passes, dim-scale driver state.
+
+    Output: (dim, v), the scaled iterate after the final round, int64.
+    """
+    import pandas as pd
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data as rd
+
+    path = f"{sf_dir}/embeddings.parquet"
+    head = pads.dataset(path).scanner(columns=["embedding"]).head(1)
+    dim = len(head.column("embedding")[0])
+    div = 1 << shift
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"]).materialize()
+
+    v = np.ones(dim, dtype=np.int64)
+    for _ in range(iters):
+        v_ref = ray.put(v)
+
+        def partial(batch: pa.Table, v_ref=v_ref) -> pa.Table:
+            vv = ray.get(v_ref)
+            _, e = _emb_matrix(batch)
+            q = np.floor(e * 1000.0 + 0.5).astype(np.int64)
+            s = q.T @ (q @ vv)
+            return pa.table(
+                {"dim": np.arange(len(s), dtype=np.int64), "s": s}
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        folded = [0] * dim
+        for d_, s_ in zip(parts["dim"], parts["s"]):
+            folded[int(d_)] += int(s_)  # Python ints: fold must not wrap
+        v = np.array(
+            [(1 if x >= 0 else -1) * (abs(x) // div) for x in folded],
+            dtype=np.int64,
+        )
+
+    return pa.table(
+        {"dim": pa.array(np.arange(dim, dtype=np.int64)), "v": pa.array(v)}
+    )
