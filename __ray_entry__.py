@@ -3116,6 +3116,40 @@ def _q_embedding_pca_power_terms(sf_dir: str):
     return embedding_pca_power_terms(sf_dir)
 
 
+def _q_media_decode_wav(sf_dir: str):
+    """REAL WAV decode end-to-end: deterministic PCM-16 RIFF blobs
+    synthesized per sampled doc, then actually decoded (chunk walk, fmt
+    parse, frame extraction) by an actor pool; the oracle recomputes the
+    waveform statistics from the generative formula."""
+    from ray_extract.pipelines.media import media_decode_wav
+
+    return media_decode_wav(sf_dir)
+
+
+def _q_pii_scrub_stats(sf_dir: str):
+    from ray_extract.pipelines.text import pii_scrub_stats
+
+    return pii_scrub_stats(sf_dir)
+
+
+def _q_association_rules(sf_dir: str):
+    from ray_extract.pipelines.relational import association_rules
+
+    return association_rules(sf_dir)
+
+
+def _q_seasonal_naive_error(sf_dir: str):
+    from ray_extract.pipelines.relational import seasonal_naive_error
+
+    return seasonal_naive_error(sf_dir)
+
+
+def _q_partition_boundaries(sf_dir: str):
+    from ray_extract.pipelines.relational import partition_boundaries
+
+    return partition_boundaries(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -3416,6 +3450,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lpa_community_histogram": _q_lpa_community_histogram,
         "spearman_rank_terms": _q_spearman_rank_terms,
         "embedding_pca_power_terms": _q_embedding_pca_power_terms,
+        "media_decode_wav": _q_media_decode_wav,
+        "pii_scrub_stats": _q_pii_scrub_stats,
+        "association_rules": _q_association_rules,
+        "seasonal_naive_error": _q_seasonal_naive_error,
+        "partition_boundaries": _q_partition_boundaries,
     }
 
 
@@ -7480,5 +7519,83 @@ v2 AS (SELECT q.dim, sum(q.qv * w2.w) AS v
 SELECT dim, CAST(CASE WHEN v >= 0 THEN v // 1048576
                       ELSE -((-v) // 1048576) END AS BIGINT) AS v
 FROM v2
+"""
+    d["media_decode_wav"] = """
+SELECT d.doc_id,
+       CAST(8000 + (d.doc_id % 5) * 1000 AS BIGINT) AS sample_rate,
+       CAST(200 + d.doc_id % 257 AS BIGINT) AS n_samples,
+       CAST(MAX(ABS((7 * d.doc_id + 31 * i.i) % 4001 - 2000)) AS BIGINT) AS peak_abs,
+       CAST(SUM(ABS((7 * d.doc_id + 31 * i.i) % 4001 - 2000)) AS BIGINT) AS sum_abs,
+       CAST(COUNT(*) FILTER (WHERE (7 * d.doc_id + 31 * i.i) % 4001 - 2000 < 0)
+            AS BIGINT) AS n_neg
+FROM documents d, generate_series(0, 456) i(i)
+WHERE d.doc_id % 13 = 0 AND i.i < 200 + d.doc_id % 257
+GROUP BY d.doc_id
+"""
+    d["pii_scrub_stats"] = r"""
+WITH laced AS (
+  SELECT source,
+    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail'
+         || CAST(doc_id % 7 AS VARCHAR) || '.example.com or call +1-555-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' alt.x' || CAST(doc_id AS VARCHAR) || '@test.org'
+                 ELSE '' END AS t
+  FROM documents
+),
+s AS (
+  SELECT source,
+    len(regexp_extract_all(t, '[A-Za-z0-9._]+@[A-Za-z0-9.]+\.[A-Za-z]{2,}')) AS ne,
+    len(regexp_extract_all(t, '\+1-555-[0-9]{4}')) AS np,
+    length(t) - length(
+      regexp_replace(
+        regexp_replace(t, '[A-Za-z0-9._]+@[A-Za-z0-9.]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+        '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS removed
+  FROM laced
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ne) AS BIGINT) AS n_emails,
+       CAST(sum(np) AS BIGINT) AS n_phones,
+       CAST(sum(removed) AS BIGINT) AS chars_removed
+FROM s GROUP BY source
+"""
+    d["association_rules"] = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS co
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+s AS (SELECT l_partkey, count(*) AS n FROM li GROUP BY 1)
+SELECT CAST(p.part_a AS BIGINT) AS part_a, CAST(p.part_b AS BIGINT) AS part_b,
+       CAST(p.co AS BIGINT) AS co_orders,
+       CAST(sa.n AS BIGINT) AS n_orders_a, CAST(sb.n AS BIGINT) AS n_orders_b
+FROM p
+JOIN s sa ON sa.l_partkey = p.part_a
+JOIN s sb ON sb.l_partkey = p.part_b
+"""
+    d["seasonal_naive_error"] = """
+WITH daily AS (
+  SELECT CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day,
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS c
+  FROM orders GROUP BY 1
+)
+SELECT CAST(a.day % 7 AS BIGINT) AS weekday,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(SUM(ABS(a.c - b.c)) AS BIGINT) AS sum_abs_err_cents
+FROM daily a JOIN daily b ON b.day = a.day - 7
+GROUP BY 1
+"""
+    d["partition_boundaries"] = """
+WITH c AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+           FROM lineitem),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+             count(*) OVER () AS n
+      FROM c)
+SELECT CAST(q.q AS BIGINT) AS q, r.v AS boundary_cents
+FROM generate_series(1, 15) q(q)
+JOIN r ON r.rn = (q.q * r.n + 15) // 16
 """
     return d

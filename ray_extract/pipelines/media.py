@@ -262,3 +262,88 @@ def media_decode_png(sf_dir: str, sample_mod: int = 17):
         PngFeatureExtractor, batch_format="pyarrow", batch_size=2048,
         concurrency=2,
     )
+
+
+class WavFeatureExtractor:
+    """Actor-pool REAL audio decode stage: RIFF/WAVE PCM-16 bytes in,
+    waveform statistics out, via the from-scratch stdlib codec
+    (functions/wav.py). Counterpart of PngFeatureExtractor for the audio
+    modality — chunk walk, fmt parse, and frame alignment all run for
+    real; any framing or sample-decode defect breaks the oracle equality.
+    """
+
+    def __init__(self):
+        from ..functions import wav  # codec bound once per actor
+
+        self._decode = wav.wav_decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        payloads = batch.column("wav").combine_chunks()
+        rate = np.empty(len(ids), np.int64)
+        n = np.empty(len(ids), np.int64)
+        peak = np.empty(len(ids), np.int64)
+        sabs = np.empty(len(ids), np.int64)
+        nneg = np.empty(len(ids), np.int64)
+        for i in range(len(ids)):  # per-blob: each WAV is its own stream
+            d = self._decode(payloads[i].as_py())
+            s = d["samples"].astype(np.int64)
+            rate[i] = d["sample_rate"]
+            n[i] = len(s)
+            a = np.abs(s)
+            peak[i], sabs[i] = a.max(), a.sum()
+            nneg[i] = int((s < 0).sum())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "sample_rate": pa.array(rate),
+                "n_samples": pa.array(n),
+                "peak_abs": pa.array(peak),
+                "sum_abs": pa.array(sabs),
+                "n_neg": pa.array(nneg),
+            }
+        )
+
+
+def media_decode_wav(sf_dir: str, sample_mod: int = 13):
+    """REAL audio decode end-to-end: a deterministic mono PCM-16 WAV is
+    synthesized per sampled document (``doc_id % sample_mod == 0``;
+    n = 200 + id%257 samples at 8000 + (id%5)*1000 Hz, sample(i) =
+    (7*id + 31*i) % 4001 - 2000, with a LIST chunk between fmt and data so
+    the decoder must walk chunks), then a stateful actor pool DECODES THE
+    BYTES — RIFF framing, fmt parse, int16 frame extraction — and emits
+    waveform statistics. The DuckDB oracle recomputes the statistics from
+    the generative formula, so any codec error breaks equality.
+
+    Scale shape: synth and decode are pure map stages (no shuffle); decode
+    is a fixed-size actor pool exactly like a real audio-feature stage;
+    payload bytes never leave the consuming stage.
+
+    Output: (doc_id, sample_rate, n_samples, peak_abs, sum_abs, n_neg).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+    from ..functions.wav import wav_encode_pcm16
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        ids = ids[ids % sample_mod == 0]
+        blobs = []
+        for did in ids:  # encode is per-blob (one RIFF stream each)
+            did = int(did)
+            n = 200 + did % 257
+            i = np.arange(n, dtype=np.int64)
+            s = ((7 * did + 31 * i) % 4001 - 2000).astype(np.int16)
+            blobs.append(wav_encode_pcm16(s, 8000 + (did % 5) * 1000))
+        return pa.table(
+            {"doc_id": pa.array(ids), "wav": pa.array(blobs, type=pa.binary())}
+        )
+
+    ds = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    )
+    return ds.map_batches(synth, batch_format="pyarrow").map_batches(
+        WavFeatureExtractor, batch_format="pyarrow", batch_size=2048,
+        concurrency=2,
+    )

@@ -8627,3 +8627,310 @@ def spearman_rank_terms(sf_dir: str):
         {c: pa.array([int(sum(int(v) for v in parts[c]))], pa.int64())
          for c in cols}
     )
+
+
+def association_rules(sf_dir: str, min_co: int = 3, num_buckets: int = 64):
+    """Market-basket ASSOCIATION RULES over parts: every unordered part
+    pair co-occurring in >= ``min_co`` orders, with each side's own order
+    support attached — the (support, confidence, lift) terms of classic
+    frequent-itemset mining, integer-exact.
+
+    Scale shape: batch-local distinct (orderkey, partkey) packs into one
+    int64 and combines BEFORE the order-hash bucket shuffle; inside each
+    bucket (orders are whole) a triangular expansion grouped by basket
+    size emits pair partials — order width is bounded (7 lines in TPC-H),
+    so expansion is O(rows x width), never quadratic in parts. The
+    ``min_co`` HAVING cut runs distributed; only the surviving RULE SET
+    (the miner's actual output, bounded by min_co) is collected. Side
+    supports are then counted in a second pruned pass that filters to
+    surviving parts via one broadcast set (ray.put once, read per task) —
+    no |parts|-scale state ever reaches the driver.
+
+    Output: (part_a, part_b, co_orders, n_orders_a, n_orders_b).
+    """
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    # partkey < 2^24 holds through TPC-H sf~80 (partkey = sf*200k); the
+    # packed keys (orderkey*2^24 + partkey) and (a*2^24 + b) stay int64
+    # for orderkey < 2^39. Both bounds asserted in the partials.
+    SHIFT = np.int64(1) << np.int64(24)
+
+    def read_distinct():
+        return strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_orderkey", "l_partkey"],
+            )
+        )
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        k = pc.cast(batch.column("l_orderkey"), pa.int64()).to_numpy()
+        p = pc.cast(batch.column("l_partkey"), pa.int64()).to_numpy()
+        if len(k):
+            assert k.max() < (1 << 39) and 0 <= p.min() \
+                and p.max() < int(SHIFT), "packed key field overflow"
+        ks = np.unique(k * SHIFT + p)
+        bucket = np.abs(((ks // SHIFT) * np.int64(2654435761))
+                        % np.int64(num_buckets))
+        return pa.table({"ks": pa.array(ks), "bucket": pa.array(bucket)})
+
+    def pairs_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ks = np.unique(g["ks"].to_numpy())  # finish the (okey, part) dedup
+        k = ks // SHIFT
+        p = ks % SHIFT
+        n = len(ks)
+        first = np.r_[True, k[1:] != k[:-1]]
+        seg = np.flatnonzero(first)
+        sizes = np.diff(np.r_[seg, n])
+        ai, bi = [], []
+        for sz in np.unique(sizes):
+            if sz < 2:
+                continue
+            starts = seg[sizes == sz]
+            iu, ju = np.triu_indices(int(sz), k=1)
+            ai.append((starts[:, None] + iu[None, :]).ravel())
+            bi.append((starts[:, None] + ju[None, :]).ravel())
+        if not ai:
+            return pd.DataFrame({"pair": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64")})
+        ai = np.concatenate(ai)
+        bi = np.concatenate(bi)
+        # parts are sorted within an order (np.unique), so p[ai] < p[bi]
+        pair, c = np.unique(p[ai] * SHIFT + p[bi], return_counts=True)
+        pbucket = np.abs((pair * np.int64(-7046029254386353131))
+                         % np.int64(num_buckets))
+        return pd.DataFrame({"pair": pair, "c": c.astype(np.int64),
+                             "pbucket": pbucket})
+
+    def cut_per_pair_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # every order-bucket partial of a pair lands here (pbucket keys on
+        # the pair), so the sum is GLOBAL and the min_co HAVING cut is
+        # exact — one sorted reduceat pass, no per-group Python
+        pair = g["pair"].to_numpy()
+        c = g["c"].to_numpy()
+        order = np.argsort(pair, kind="stable")
+        pair, c = pair[order], c[order]
+        first = np.r_[True, pair[1:] != pair[:-1]]
+        seg = np.flatnonzero(first)
+        co = np.add.reduceat(c, seg)
+        keep = co >= min_co
+        return pd.DataFrame({"pair": pair[seg][keep],
+                             "co": co[keep].astype(np.int64)})
+
+    # Two exchanges: order-hash buckets make baskets whole; pair-hash
+    # buckets make pair counts whole so min_co cuts distributed. What
+    # survives IS the rule set — the miner's output, bounded by min_co.
+    surv = (
+        read_distinct()
+        .map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_per_bucket, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(cut_per_pair_bucket, batch_format="pandas")
+        .take_all()  # rule-set scale (min_co-bounded), see docstring
+    )
+    pairs = np.array([r["pair"] for r in surv], dtype=np.int64)
+    cos = np.array([r["co"] for r in surv], dtype=np.int64)
+    order = np.argsort(pairs)
+    pairs, cos = pairs[order], cos[order]
+    part_a = pairs // SHIFT
+    part_b = pairs % SHIFT
+    surviving = np.unique(np.concatenate([part_a, part_b])) \
+        if len(pairs) else np.empty(0, np.int64)
+    surv_ref = ray.put(surviving)  # sorted int64 array, shipped once
+
+    def support_partial(batch: pa.Table) -> pa.Table:
+        want = ray.get(surv_ref)  # zero-copy object-store read per task
+        k = pc.cast(batch.column("l_orderkey"), pa.int64()).to_numpy()
+        p = pc.cast(batch.column("l_partkey"), pa.int64()).to_numpy()
+        keep = np.isin(p, want) if len(want) else np.zeros(len(p), bool)
+        ks = np.unique(k[keep] * SHIFT + p[keep])
+        bucket = np.abs((ks * np.int64(-7046029254386353131))
+                        % np.int64(num_buckets))
+        return pa.table({"ks": pa.array(ks), "bucket": pa.array(bucket)})
+
+    def support_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ks = np.unique(g["ks"].to_numpy())  # finish the global dedup
+        part, n = np.unique(ks % SHIFT, return_counts=True)
+        return pd.DataFrame({"part": part, "n": n.astype(np.int64)})
+
+    sup_rows = (
+        read_distinct()
+        .map_batches(support_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(support_per_bucket, batch_format="pandas")
+        .take_all()  # surviving-parts scale (<= 2 x |rules|)
+    )
+    sup: dict[int, int] = {}
+    for r in sup_rows:
+        sup[int(r["part"])] = sup.get(int(r["part"]), 0) + int(r["n"])
+
+    return pa.table(
+        {
+            "part_a": pa.array(part_a, pa.int64()),
+            "part_b": pa.array(part_b, pa.int64()),
+            "co_orders": pa.array(cos, pa.int64()),
+            "n_orders_a": pa.array(
+                [sup[int(x)] for x in part_a], pa.int64()),
+            "n_orders_b": pa.array(
+                [sup[int(x)] for x in part_b], pa.int64()),
+        }
+    )
+
+
+def seasonal_naive_error(sf_dir: str):
+    """Seasonal-naive forecast backtest: predict each day's order revenue
+    with the revenue of the SAME WEEKDAY one week earlier, and fold the
+    absolute error per weekday — the MASE-denominator terms every
+    demand-forecast evaluation starts from, integer-exact in cents.
+
+    Scale shape: the only exchange is a per-batch (day -> cents) combiner
+    followed by a repartition(1) fold of the bounded date domain (~2.4k
+    days for TPC-H, O(years) for any corpus) — no row-level shuffle, no
+    window sort; the lag-7 alignment is one searchsorted on the folded
+    date axis.
+
+    Output: (weekday, n_days, sum_abs_err_cents) — weekday = epoch-day
+    mod 7, days counted only when day-7 exists in the data.
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    DAY_US = np.int64(86_400_000_000)
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        day = (batch.column("o_orderdate").to_numpy()
+               .astype("datetime64[us]").astype(np.int64) // DAY_US)
+        cents = _cents(batch.column("o_totalprice"))
+        return (
+            pa.table({"day": pa.array(day), "c": pa.array(cents)})
+            .group_by("day")
+            .aggregate([("c", "sum")])
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("day").aggregate([("c_sum", "sum")])
+        day = pc.cast(g.column("day"), pa.int64()).to_numpy()
+        c = pc.cast(g.column("c_sum_sum"), pa.int64()).to_numpy()
+        order = np.argsort(day)
+        day, c = day[order], c[order]
+        pos = np.searchsorted(day, day - 7)
+        has = (pos < len(day)) & (day[pos.clip(max=len(day) - 1)] == day - 7)
+        err = np.abs(c[has] - c[pos[has]])
+        wd = day[has] % 7
+        out_wd = np.arange(7, dtype=np.int64)
+        n_days = np.bincount(wd, minlength=7).astype(np.int64)
+        # Python-int fold per weekday (7 groups): float64 bincount would
+        # lose exactness past 2^53 total cents
+        sums_exact = np.zeros(7, dtype=np.int64)
+        for w in range(7):
+            sums_exact[w] = sum(int(e) for e in err[wd == w])
+        keep = n_days > 0
+        return pa.table(
+            {
+                "weekday": pa.array(out_wd[keep]),
+                "n_days": pa.array(n_days[keep]),
+                "sum_abs_err_cents": pa.array(sums_exact[keep]),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/orders.parquet",
+                columns=["o_orderdate", "o_totalprice"],
+            )
+        )
+        .map_batches(day_partial, batch_format="pyarrow")
+        .repartition(1)  # bounded date domain (~2.4k days)
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def partition_boundaries(sf_dir: str, n_parts: int = 16,
+                         bucket_cents: int = 1 << 16):
+    """EXACT equi-depth range-partition boundaries for l_extendedprice —
+    the split points a distributed sort / range-repartition of the column
+    would use, computed WITHOUT sorting any data: pass 1 folds a coarse
+    value-bucket histogram (metadata-scale), the driver locates each of
+    the n_parts-1 target ranks' bucket + residual, pass 2 re-scans only
+    those buckets for the exact order statistics. This generalizes
+    weighted_median_price's two-pass selection to a full quantile vector —
+    the planning step of every scale-out sort.
+
+    Rule: boundary(q) = the ceil(q*N/n_parts)-th smallest value (1-based),
+    q = 1..n_parts-1 — identical to a row_number window over the sorted
+    column picking rank (q*N + n_parts - 1) // n_parts.
+
+    Output: (q, boundary_cents), n_parts-1 rows.
+    """
+    import ray
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        b = _cents(batch.column("l_extendedprice")) // bucket_cents
+        bb, n = np.unique(b, return_counts=True)
+        return pa.table({"b": pa.array(bb), "n": pa.array(n.astype(np.int64))})
+
+    ds = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_extendedprice"])
+    )
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("b")
+        .sum("n")
+        .to_pandas()  # O(|price range| / bucket_cents) rows — metadata scale
+        .sort_values("b")
+    )
+    bb = hist["b"].to_numpy()
+    cnt = hist["sum(n)"].to_numpy().astype(np.int64)
+    cum = cnt.cumsum()
+    total = int(cum[-1])
+    # (bucket, residual rank within bucket) per boundary
+    targets: list[tuple[int, int, int]] = []
+    for q in range(1, n_parts):
+        rank = (q * total + n_parts - 1) // n_parts
+        i = int(np.searchsorted(cum, rank))
+        before = int(cum[i - 1]) if i else 0
+        targets.append((q, int(bb[i]), rank - before))
+    needed = np.unique(np.array([b for _, b, _ in targets], np.int64))
+    need_ref = ray.put(needed)
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        need = ray.get(need_ref)
+        v = _cents(batch.column("l_extendedprice"))
+        v = v[np.isin(v // bucket_cents, need)]
+        vv, n = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(vv), "n": pa.array(n.astype(np.int64))})
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("v").aggregate([("n", "sum")])
+        v = pc.cast(g.column("v"), pa.int64()).to_numpy()
+        n = pc.cast(g.column("n_sum"), pa.int64()).to_numpy()
+        order = np.argsort(v)
+        v, n = v[order], n[order]
+        b = v // bucket_cents
+        qs, bounds = [], []
+        for q, bkt, resid in targets:
+            m = b == bkt
+            cum_b = n[m].cumsum()
+            qs.append(q)
+            bounds.append(int(v[m][np.searchsorted(cum_b, resid)]))
+        return pa.table(
+            {"q": pa.array(qs, pa.int64()),
+             "boundary_cents": pa.array(bounds, pa.int64())}
+        )
+
+    return (
+        ds.map_batches(exact_partial, batch_format="pyarrow")
+        .repartition(1)  # O(|needed buckets| x bucket width) value rows
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -4670,3 +4670,107 @@ def heavy_hitter_drift(sf_dir: str, k: int = 20):
             "n_odd": pa.array(out["n_odd"].to_numpy(), pa.int64()),
         }
     )
+
+
+# RE2-compatible PII patterns — identical semantics in pyarrow
+# (count/replace_substring_regex) and DuckDB (regexp_extract_all /
+# regexp_replace 'g'); both embed RE2, so greedy-with-give-back matching
+# of the dotted-host email pattern is bit-identical across engines.
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._]+@[A-Za-z0-9.]+\.[A-Za-z]{2,}"
+PII_PHONE_PATTERN = r"\+1-555-[0-9]{4}"
+
+
+def pii_scrub_stats(sf_dir: str):
+    """PII scrubbing audit — the redaction pass every LLM training-data
+    pipeline runs before tokenization. The synthetic corpus is PII-free
+    word soup, so each document is first LACED deterministically with
+    synthetic contact strings (an email + a US-555 phone per doc, a second
+    email on every third doc), then a REAL regex scrub runs: count the
+    matches and measure the characters removed by replacing them with
+    <EMAIL> / <PHONE> tags. The oracle re-laces the same text in SQL and
+    scrubs with DuckDB's RE2 — any drift in pattern semantics or
+    replacement accounting breaks equality.
+
+    Scale shape: pure vectorized map (compiled RE2 kernels over Arrow
+    string batches, no Python per-row loop) + a 20-key combiner groupby —
+    scale-safe at any corpus size; this is the exact shape a production
+    scrub stage has, minus nothing.
+
+    Output per source: (source, n_docs, n_emails, n_phones,
+    chars_removed) sorted by source.
+    """
+
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        ids_np = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        ids_s = pa.array(ids_np.astype(str))
+        mod7 = pa.array((ids_np % 7).astype(str))
+        pad4 = pc.utf8_lpad(pa.array((ids_np % 10000).astype(str)), 4, "0")
+        laced = pc.binary_join_element_wise(
+            batch.column("text").combine_chunks(),
+            " contact user", ids_s, "@mail", mod7,
+            ".example.com or call +1-555-", pad4,
+            "",
+        )
+        extra = pc.binary_join_element_wise(
+            " alt.x", ids_s, "@test.org", "")
+        laced = pc.if_else(
+            pa.array(ids_np % 3 == 0),
+            pc.binary_join_element_wise(laced, extra, ""),
+            laced,
+        )
+        n_email = pc.count_substring_regex(laced, PII_EMAIL_PATTERN)
+        n_phone = pc.count_substring_regex(laced, PII_PHONE_PATTERN)
+        red = pc.replace_substring_regex(laced, PII_EMAIL_PATTERN, "<EMAIL>")
+        red = pc.replace_substring_regex(red, PII_PHONE_PATTERN, "<PHONE>")
+        removed = pc.subtract(
+            pc.utf8_length(laced), pc.utf8_length(red))
+        return (
+            pa.table(
+                {
+                    "source": batch.column("source"),
+                    "n_docs": pa.array(
+                        np.ones(len(ids_np), np.int64)),
+                    "n_emails": pc.cast(n_email, pa.int64()),
+                    "n_phones": pc.cast(n_phone, pa.int64()),
+                    "chars_removed": pc.cast(removed, pa.int64()),
+                }
+            )
+            .group_by("source")
+            .aggregate(
+                [("n_docs", "sum"), ("n_emails", "sum"),
+                 ("n_phones", "sum"), ("chars_removed", "sum")]
+            )
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate(
+            [("n_docs_sum", "sum"), ("n_emails_sum", "sum"),
+             ("n_phones_sum", "sum"), ("chars_removed_sum", "sum")]
+        )
+        g = g.take(pc.sort_indices(g, sort_keys=[("source", "ascending")]))
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "n_docs": pc.cast(g.column("n_docs_sum_sum"), pa.int64()),
+                "n_emails": pc.cast(g.column("n_emails_sum_sum"), pa.int64()),
+                "n_phones": pc.cast(g.column("n_phones_sum_sum"), pa.int64()),
+                "chars_removed": pc.cast(
+                    g.column("chars_removed_sum_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text", "source"],
+            )
+        )
+        .map_batches(scrub, batch_format="pyarrow")
+        .repartition(1)  # 20 sources x 5 int cols — metadata scale
+        .map_batches(finish, batch_format="pyarrow")
+    )
