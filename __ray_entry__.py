@@ -3150,6 +3150,36 @@ def _q_partition_boundaries(sf_dir: str):
     return partition_boundaries(sf_dir)
 
 
+def _q_link_graph_degrees(sf_dir: str):
+    from ray_extract.pipelines.web import link_graph_degrees
+
+    return link_graph_degrees(sf_dir)
+
+
+def _q_url_frontier_dedup(sf_dir: str):
+    from ray_extract.pipelines.web import url_frontier_dedup
+
+    return url_frontier_dedup(sf_dir)
+
+
+def _q_charset_audit(sf_dir: str):
+    from ray_extract.pipelines.web import charset_audit
+
+    return charset_audit(sf_dir)
+
+
+def _q_heading_outline(sf_dir: str):
+    from ray_extract.pipelines.web import heading_outline
+
+    return heading_outline(sf_dir)
+
+
+def _q_redirect_resolve(sf_dir: str):
+    from ray_extract.pipelines.web import redirect_resolve
+
+    return redirect_resolve(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -3455,6 +3485,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "association_rules": _q_association_rules,
         "seasonal_naive_error": _q_seasonal_naive_error,
         "partition_boundaries": _q_partition_boundaries,
+        "link_graph_degrees": _q_link_graph_degrees,
+        "url_frontier_dedup": _q_url_frontier_dedup,
+        "charset_audit": _q_charset_audit,
+        "heading_outline": _q_heading_outline,
+        "redirect_resolve": _q_redirect_resolve,
     }
 
 
@@ -7597,5 +7632,98 @@ r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
 SELECT CAST(q.q AS BIGINT) AS q, r.v AS boundary_cents
 FROM generate_series(1, 15) q(q)
 JOIN r ON r.rn = (q.q * r.n + 15) // 16
+"""
+    d["link_graph_degrees"] = """
+SELECT CAST((d.doc_id * 7 + k.k * 13) % 101 AS BIGINT) AS host_id,
+       CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT d.doc_id) AS BIGINT) AS n_src_docs
+FROM documents d JOIN generate_series(0, 4) k(k) ON k.k <= d.doc_id % 5
+GROUP BY 1
+"""
+    d["url_frontier_dedup"] = """
+WITH raw AS (
+  SELECT doc_id % 53 AS h,
+         'https://Host' || CAST(doc_id % 53 AS VARCHAR)
+           || '.Example.COM/item/' || CAST(doc_id % 499 AS VARCHAR) AS u
+  FROM documents
+  UNION ALL
+  SELECT doc_id % 53,
+         'http://host' || CAST(doc_id % 53 AS VARCHAR)
+           || '.example.com/item/' || CAST(doc_id % 499 AS VARCHAR) || '/'
+  FROM documents
+  UNION ALL
+  SELECT doc_id % 53,
+         'https://host' || CAST(doc_id % 53 AS VARCHAR)
+           || '.example.com/item/' || CAST(doc_id % 499 AS VARCHAR)
+           || '?utm_source=feed'
+  FROM documents
+  UNION ALL
+  SELECT doc_id % 53,
+         'https://host' || CAST(doc_id % 53 AS VARCHAR)
+           || '.example.com/about'
+  FROM documents WHERE doc_id % 2 = 0
+),
+c AS (
+  SELECT h,
+         regexp_replace(
+           replace(replace(lower(u), 'http://', 'https://'),
+                   '?utm_source=feed', ''),
+           '/$', '') AS cu
+  FROM raw
+)
+SELECT CAST(h AS BIGINT) AS host_id, CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(count(DISTINCT cu) AS BIGINT) AS n_canonical
+FROM c GROUP BY 1
+"""
+    d["charset_audit"] = """
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(*) FILTER (WHERE doc_id % 4 = 1) AS BIGINT) AS n_bom_utf8,
+  CAST(count(*) FILTER (WHERE doc_id % 4 = 2) AS BIGINT) AS n_bom_utf16,
+  CAST(count(*) FILTER (WHERE doc_id % 4 = 0) AS BIGINT) AS n_plain_utf8,
+  CAST(count(*) FILTER (WHERE doc_id % 4 = 3) AS BIGINT) AS n_latin1,
+  CAST(sum(CASE WHEN doc_id % 4 = 3 THEN strlen(text) + 2
+                ELSE length(text) END) AS BIGINT) AS n_chars
+FROM documents GROUP BY source
+"""
+    d["heading_outline"] = """
+WITH h AS (
+  SELECT d.doc_id, d.source, j.j,
+         1 + (d.doc_id * 3 + j.j * j) % 3 AS lvl
+  FROM documents d JOIN generate_series(0, 8) j(j) ON j.j < 3 + d.doc_id % 7
+),
+p AS (
+  SELECT source, doc_id, lvl,
+         lead(lvl) OVER (PARTITION BY doc_id ORDER BY j) AS nxt
+  FROM h
+),
+m AS (
+  SELECT source, doc_id, max(lvl) AS ml, count(*) AS nh,
+         sum(CASE WHEN nxt > lvl + 1 THEN 1 ELSE 0 END) AS viol
+  FROM p GROUP BY 1, 2
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nh) AS BIGINT) AS n_headings,
+       CAST(sum(ml) AS BIGINT) AS sum_max_level,
+       CAST(sum(viol) AS BIGINT) AS n_violations
+FROM m GROUP BY 1
+"""
+    d["redirect_resolve"] = """
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+r AS (
+  SELECT d.doc_id AS u, d.doc_id AS cur, 0 AS hops FROM documents d
+  UNION ALL
+  SELECT r.u, CAST((r.cur * 31 + 7) % nn.n AS BIGINT), r.hops + 1
+  FROM r, nn JOIN documents c ON c.doc_id = r.cur
+  WHERE length(c.text) % 3 = 0 AND r.hops < 8
+),
+t AS (
+  SELECT u, cur, hops,
+         row_number() OVER (PARTITION BY u ORDER BY hops DESC) AS rn
+  FROM r
+)
+SELECT CAST(hops AS BIGINT) AS hops, CAST(count(*) AS BIGINT) AS n_chains,
+       CAST(sum(cur) AS BIGINT) AS terminal_sum
+FROM t WHERE rn = 1 GROUP BY 1
 """
     return d
