@@ -3180,6 +3180,36 @@ def _q_redirect_resolve(sf_dir: str):
     return redirect_resolve(sf_dir)
 
 
+def _q_warc_extract(sf_dir: str):
+    from ray_extract.pipelines.containers import warc_extract
+
+    return warc_extract(sf_dir)
+
+
+def _q_zip_directory_walk(sf_dir: str):
+    from ray_extract.pipelines.containers import zip_directory_walk
+
+    return zip_directory_walk(sf_dir)
+
+
+def _q_base64_audit(sf_dir: str):
+    from ray_extract.pipelines.containers import base64_audit
+
+    return base64_audit(sf_dir)
+
+
+def _q_robots_rules(sf_dir: str):
+    from ray_extract.pipelines.containers import robots_rules
+
+    return robots_rules(sf_dir)
+
+
+def _q_varint_posting_decode(sf_dir: str):
+    from ray_extract.pipelines.containers import varint_posting_decode
+
+    return varint_posting_decode(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -3490,6 +3520,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "charset_audit": _q_charset_audit,
         "heading_outline": _q_heading_outline,
         "redirect_resolve": _q_redirect_resolve,
+        "warc_extract": _q_warc_extract,
+        "zip_directory_walk": _q_zip_directory_walk,
+        "base64_audit": _q_base64_audit,
+        "robots_rules": _q_robots_rules,
+        "varint_posting_decode": _q_varint_posting_decode,
     }
 
 
@@ -7725,5 +7760,43 @@ t AS (
 SELECT CAST(hops AS BIGINT) AS hops, CAST(count(*) AS BIGINT) AS n_chains,
        CAST(sum(cur) AS BIGINT) AS terminal_sum
 FROM t WHERE rn = 1 GROUP BY 1
+"""
+    d["warc_extract"] = """
+SELECT CAST(doc_id % 53 AS BIGINT) AS host_id,
+       CAST(count(*) AS BIGINT) AS n_records,
+       CAST(sum(strlen(text)) AS BIGINT) AS body_bytes
+FROM documents GROUP BY 1
+"""
+    d["zip_directory_walk"] = """
+SELECT CAST(doc_id // 64 AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+       CAST(count(*) FILTER (WHERE doc_id % 64 <> 7 OR strlen(text) = 0)
+            AS BIGINT) AS n_crc_ok
+FROM documents GROUP BY 1
+"""
+    d["base64_audit"] = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(strlen(text)) AS BIGINT) AS decoded_bytes,
+       CAST(sum(length(text) - length(replace(text, 'e', ''))) AS BIGINT)
+         AS n_e_bytes
+FROM documents GROUP BY source
+"""
+    d["robots_rules"] = """
+WITH p AS (SELECT doc_id % 53 AS h, doc_id % 10 AS pf FROM documents)
+SELECT CAST(h AS BIGINT) AS host_id,
+  CAST(sum((CASE WHEN h % 7 = 0 THEN 0 ELSE 1 END)
+         + (CASE WHEN h % 3 = 0 AND pf = 3 THEN 1 ELSE 0 END)) AS BIGINT)
+    AS n_allowed,
+  CAST(sum((CASE WHEN h % 7 = 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN h % 3 = 0 AND pf = 3 THEN 0 ELSE 1 END)) AS BIGINT)
+    AS n_blocked
+FROM p GROUP BY 1
+"""
+    d["varint_posting_decode"] = """
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_vals,
+       CAST(sum((d.doc_id * 97 + k.k * 31) % 5000 + 1) AS BIGINT) AS sum_vals
+FROM documents d JOIN generate_series(0, 6) k(k) ON k.k < d.doc_id % 6 + 2
+GROUP BY 1
 """
     return d
