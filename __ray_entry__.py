@@ -3210,6 +3210,36 @@ def _q_varint_posting_decode(sf_dir: str):
     return varint_posting_decode(sf_dir)
 
 
+def _q_mutual_information_terms(sf_dir: str):
+    from ray_extract.pipelines.mlstats import mutual_information_terms
+
+    return mutual_information_terms(sf_dir)
+
+
+def _q_chi_square_terms(sf_dir: str):
+    from ray_extract.pipelines.mlstats import chi_square_terms
+
+    return chi_square_terms(sf_dir)
+
+
+def _q_feature_hash_collisions(sf_dir: str):
+    from ray_extract.pipelines.mlstats import feature_hash_collisions
+
+    return feature_hash_collisions(sf_dir)
+
+
+def _q_regression_normal_terms(sf_dir: str):
+    from ray_extract.pipelines.mlstats import regression_normal_terms
+
+    return regression_normal_terms(sf_dir)
+
+
+def _q_calibration_bins(sf_dir: str):
+    from ray_extract.pipelines.mlstats import calibration_bins
+
+    return calibration_bins(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -3525,6 +3555,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "base64_audit": _q_base64_audit,
         "robots_rules": _q_robots_rules,
         "varint_posting_decode": _q_varint_posting_decode,
+        "mutual_information_terms": _q_mutual_information_terms,
+        "chi_square_terms": _q_chi_square_terms,
+        "feature_hash_collisions": _q_feature_hash_collisions,
+        "regression_normal_terms": _q_regression_normal_terms,
+        "calibration_bins": _q_calibration_bins,
     }
 
 
@@ -7798,5 +7833,70 @@ SELECT d.source, CAST(count(*) AS BIGINT) AS n_vals,
        CAST(sum((d.doc_id * 97 + k.k * 31) % 5000 + 1) AS BIGINT) AS sum_vals
 FROM documents d JOIN generate_series(0, 6) k(k) ON k.k < d.doc_id % 6 + 2
 GROUP BY 1
+"""
+    d["mutual_information_terms"] = """
+WITH j AS (SELECT lang, source, count(*) AS n_xy FROM documents
+           GROUP BY 1, 2),
+l AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+s AS (SELECT source, count(*) AS n_source FROM documents GROUP BY 1)
+SELECT j.lang, j.source, CAST(j.n_xy AS BIGINT) AS n_xy,
+       CAST(l.n_lang AS BIGINT) AS n_lang,
+       CAST(s.n_source AS BIGINT) AS n_source,
+       CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_total
+FROM j JOIN l USING (lang) JOIN s USING (source)
+"""
+    d["chi_square_terms"] = """
+WITH j AS (SELECT o_orderpriority AS priority, o_orderstatus AS status,
+                  count(*) AS observed
+           FROM orders GROUP BY 1, 2),
+r AS (SELECT o_orderpriority AS priority, count(*) AS row_total
+      FROM orders GROUP BY 1),
+c AS (SELECT o_orderstatus AS status, count(*) AS col_total
+      FROM orders GROUP BY 1)
+SELECT j.priority, j.status, CAST(j.observed AS BIGINT) AS observed,
+       CAST(r.row_total AS BIGINT) AS row_total,
+       CAST(c.col_total AS BIGINT) AS col_total,
+       CAST((SELECT count(*) FROM orders) AS BIGINT) AS grand_total
+FROM j JOIN r USING (priority) JOIN c USING (status)
+"""
+    d["feature_hash_collisions"] = """
+WITH toks AS (
+  SELECT DISTINCT t
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+b AS (
+  SELECT (length(t) * 37 + unicode(left(t, 1)) * 101
+          + unicode(right(t, 1))) % 256 AS bucket,
+         count(*) AS load
+  FROM toks GROUP BY 1
+)
+SELECT CAST(load AS BIGINT) AS load, CAST(count(*) AS BIGINT) AS n_buckets
+FROM b GROUP BY 1
+"""
+    d["regression_normal_terms"] = """
+WITH t AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+  FROM lineitem
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(q) AS BIGINT) AS sum_q, CAST(sum(d) AS BIGINT) AS sum_d,
+  CAST(sum(y) AS BIGINT) AS sum_y,
+  CAST(sum(q * q) AS BIGINT) AS sum_qq,
+  CAST(sum(q * d) AS BIGINT) AS sum_qd,
+  CAST(sum(d * d) AS BIGINT) AS sum_dd,
+  CAST(sum(q * y) AS BIGINT) AS sum_qy,
+  CAST(sum(d * y) AS BIGINT) AS sum_dy,
+  CAST(sum((y // 65536) * (y // 65536)) AS BIGINT) AS sum_yhyh,
+  CAST(sum((y // 65536) * (y % 65536)) AS BIGINT) AS sum_yhyl,
+  CAST(sum((y % 65536) * (y % 65536)) AS BIGINT) AS sum_ylyl
+FROM t
+"""
+    d["calibration_bins"] = """
+SELECT CAST(n_chars % 10 AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (WHERE text LIKE '%spark%') AS BIGINT) AS n_pos
+FROM documents GROUP BY 1
 """
     return d

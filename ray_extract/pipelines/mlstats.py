@@ -1,0 +1,271 @@
+"""ML-statistics operators — the integer-exact sufficient statistics a
+training-data pipeline computes before/while fitting models: mutual
+information and chi-square contingency terms, feature-hashing collision
+audits, normal-equation regression terms, and calibration (reliability
+diagram) bins.
+
+All outputs are INTEGER terms (counts / integer sums / decomposed
+products), matching this repo's ``*_terms`` convention: the float
+statistic is one driver-side expression away, but nothing lossy crosses
+the wire and every value has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.tables import strip_schema_metadata
+
+
+def _read(sf_dir: str, table: str, columns):
+    import ray.data as rd
+
+    return strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    )
+
+
+def _contingency(ds, col_a: str, col_b: str, names):
+    """Shared kernel for bounded-domain contingency tables: per-batch
+    combiner on (a, b), one bounded fold, marginals DERIVED from the
+    folded joint (no second scan)."""
+    a_out, b_out, n_xy, n_a, n_b, n_tot = names
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "a": batch.column(col_a),
+                    "b": batch.column(col_b),
+                    "n": pa.array(np.ones(batch.num_rows, np.int64)),
+                }
+            )
+            .group_by(["a", "b"])
+            .aggregate([("n", "sum")])
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["a", "b"]).aggregate([("n_sum", "sum")])
+        df = g.to_pandas()
+        df = df.rename(columns={"n_sum_sum": "n"})
+        ra = df.groupby("a")["n"].sum()
+        rb = df.groupby("b")["n"].sum()
+        tot = int(df["n"].sum())
+        df = df.sort_values(["a", "b"], ignore_index=True)
+        return pa.table(
+            {
+                a_out: pa.array(df["a"], pa.string()),
+                b_out: pa.array(df["b"], pa.string()),
+                n_xy: pa.array(df["n"].to_numpy(np.int64)),
+                n_a: pa.array(ra[df["a"]].to_numpy(np.int64)),
+                n_b: pa.array(rb[df["b"]].to_numpy(np.int64)),
+                n_tot: pa.array(np.full(len(df), tot, np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # joint domain is |A| x |B| — bounded
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def mutual_information_terms(sf_dir: str):
+    """Mutual-information sufficient statistics for the (lang, source)
+    feature pair: the joint contingency count with both marginals and the
+    grand total attached per cell — MI = sum n_xy/N * log(N*n_xy /
+    (n_lang*n_source)) is one float expression over these integers.
+
+    Scale shape: per-batch combiner on the bounded (lang, source) grid,
+    one metadata-scale fold, marginals derived from the folded joint
+    (zero extra passes).
+
+    Output: (lang, source, n_xy, n_lang, n_source, n_total).
+    """
+    return _contingency(
+        _read(sf_dir, "documents", ["lang", "source"]),
+        "lang",
+        "source",
+        ("lang", "source", "n_xy", "n_lang", "n_source", "n_total"),
+    )
+
+
+def chi_square_terms(sf_dir: str):
+    """Chi-square independence-test terms for order priority vs status:
+    observed cell counts with row/column marginals and the grand total —
+    expected(cell) = row*col/N and the statistic follow by one float
+    expression.
+
+    Output: (priority, status, observed, row_total, col_total,
+    grand_total).
+    """
+    return _contingency(
+        _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"]),
+        "o_orderpriority",
+        "o_orderstatus",
+        ("priority", "status", "observed", "row_total", "col_total",
+         "grand_total"),
+    )
+
+
+def feature_hash_collisions(sf_dir: str, n_buckets: int = 256):
+    """Feature-hashing collision audit: the corpus vocabulary (distinct
+    whitespace tokens) is hashed into ``n_buckets`` by an
+    oracle-reproducible byte hash (len*37 + first_byte*101 + last_byte),
+    and the readout is the bucket-load histogram — how many buckets carry
+    1, 2, ... distinct features, i.e. the collision mass a hashed
+    featurizer would silently merge.
+
+    Scale shape: per-batch token dedup BEFORE the one exchange (keyed by
+    bucket, so each group holds one bucket's candidate tokens); bucket
+    loads then fold on an ``n_buckets``-bounded domain. Token bytes are
+    inspected via the zero-copy flat-buffer view (functions/encodings.py
+    flat_bytes) — no per-token Python in the hash.
+
+    Output: (load, n_buckets).
+    """
+    from ..functions.encodings import flat_bytes
+
+    def tokenize_partial(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(
+            batch.column("text").combine_chunks(), pattern=" "
+        )
+        flat = pc.list_flatten(parts)
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        toks = pc.unique(flat)
+        data, offs = flat_bytes(toks)
+        lens = offs[1:] - offs[:-1]
+        first = data[offs[:-1]].astype(np.int64)
+        last = data[offs[1:] - 1].astype(np.int64)
+        bucket = (lens * 37 + first * 101 + last) % n_buckets
+        return pa.table({"bucket": pa.array(bucket), "token": toks})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "load": [np.int64(g["token"].nunique())],
+                "one": [np.int64(1)],
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("load").aggregate([("one", "sum")])
+        g = g.take(pc.sort_indices(g, sort_keys=[("load", "ascending")]))
+        return pa.table(
+            {
+                "load": pc.cast(g.column("load"), pa.int64()),
+                "n_buckets": pc.cast(g.column("one_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(tokenize_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # n_buckets rows
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def regression_normal_terms(sf_dir: str):
+    """Normal-equation sufficient statistics for the linear model
+    price_cents ~ quantity + discount_pct over lineitem: X'X and X'y in
+    exact integers. The y*y term would overflow int64 under summation
+    (price_cents^2 ~ 1.2e14 per row), so it ships DECOMPOSED via
+    y = yh*2^16 + yl: sum(yh*yh), sum(yh*yl), sum(yl*yl) — each bounded
+    (yh < 2^8 for TPC-H prices) and recombinable as
+    sum_yy = s_hh*2^32 + 2*s_hl*2^16 + s_ll with Python ints. Everything
+    else fits int64 with >=10^3x headroom at sf1.
+
+    Scale shape: one vectorized per-batch pass folding to a single
+    12-column row; global fold is a repartition(1) reduce over
+    one-row partials.
+
+    Output: one row (n, sum_q, sum_d, sum_y, sum_qq, sum_qd, sum_dd,
+    sum_qy, sum_dy, sum_yhyh, sum_yhyl, sum_ylyl).
+    """
+    from .relational import _cents
+
+    COLS = ["n", "sum_q", "sum_d", "sum_y", "sum_qq", "sum_qd", "sum_dd",
+            "sum_qy", "sum_dy", "sum_yhyh", "sum_yhyl", "sum_ylyl"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = pc.cast(batch.column("l_quantity"), pa.int64()).to_numpy()
+        d = np.floor(
+            batch.column("l_discount").to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        y = _cents(batch.column("l_extendedprice"))
+        yh, yl = y >> 16, y & 0xFFFF
+        vals = [
+            len(q), q.sum(), d.sum(), y.sum(), (q * q).sum(),
+            (q * d).sum(), (d * d).sum(), (q * y).sum(), (d * y).sum(),
+            (yh * yh).sum(), (yh * yl).sum(), (yl * yl).sum(),
+        ]
+        return pa.table(
+            {c: pa.array([np.int64(v)]) for c, v in zip(COLS, vals)}
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {c: pa.array([int(pc.sum(t.column(c)).as_py())], pa.int64())
+             for c in COLS}
+        )
+
+    return (
+        _read(sf_dir, "lineitem",
+              ["l_quantity", "l_discount", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # one-row partials
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def calibration_bins(sf_dir: str):
+    """Reliability-diagram (calibration) bins: a deterministic score bin
+    (n_chars % 10) against a real label predicate (document mentions
+    'spark'), yielding per-bin totals and positives — the integer terms
+    of expected-calibration-error.
+
+    Scale shape: vectorized per-batch combiner + 10-bin bounded fold.
+
+    Output: (bin, n, n_pos).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = pc.cast(batch.column("n_chars"), pa.int64()).to_numpy() % 10
+        pos = pc.match_substring(
+            batch.column("text"), "spark"
+        ).to_numpy(zero_copy_only=False)
+        n = np.bincount(b, minlength=10).astype(np.int64)
+        npos = np.bincount(b[pos], minlength=10).astype(np.int64)
+        keep = n > 0
+        bins = np.arange(10, dtype=np.int64)
+        return pa.table(
+            {
+                "bin": pa.array(bins[keep]),
+                "n": pa.array(n[keep]),
+                "n_pos": pa.array(npos[keep]),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("bin").aggregate([("n", "sum"), ("n_pos", "sum")])
+        g = g.take(pc.sort_indices(g, sort_keys=[("bin", "ascending")]))
+        return pa.table(
+            {
+                "bin": pc.cast(g.column("bin"), pa.int64()),
+                "n": pc.cast(g.column("n_sum"), pa.int64()),
+                "n_pos": pc.cast(g.column("n_pos_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["n_chars", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow")
+    )
