@@ -454,6 +454,69 @@ def run_bench() -> dict:
     timed("embedding_pca_power_terms",
           lambda: embedding_pca_power_terms(SF_DIR).num_rows)
 
+    from ray_extract.pipelines.media import media_decode_wav
+    from ray_extract.pipelines.relational import (
+        association_rules,
+        partition_boundaries,
+        seasonal_naive_error,
+    )
+    from ray_extract.pipelines.text import pii_scrub_stats
+
+    timed("media_decode_wav", lambda: media_decode_wav(SF_DIR).count())
+    timed("pii_scrub_stats", lambda: pii_scrub_stats(SF_DIR).count())
+    timed("association_rules",
+          lambda: association_rules(SF_DIR).num_rows)
+    timed("seasonal_naive_error",
+          lambda: seasonal_naive_error(SF_DIR).count())
+    timed("partition_boundaries",
+          lambda: partition_boundaries(SF_DIR).count())
+
+    from ray_extract.pipelines.web import (
+        charset_audit,
+        heading_outline,
+        link_graph_degrees,
+        redirect_resolve,
+        url_frontier_dedup,
+    )
+
+    timed("link_graph_degrees", lambda: link_graph_degrees(SF_DIR).count())
+    timed("url_frontier_dedup", lambda: url_frontier_dedup(SF_DIR).count())
+    timed("charset_audit", lambda: charset_audit(SF_DIR).count())
+    timed("heading_outline", lambda: heading_outline(SF_DIR).count())
+    timed("redirect_resolve", lambda: redirect_resolve(SF_DIR).count())
+
+    from ray_extract.pipelines.containers import (
+        base64_audit,
+        robots_rules,
+        varint_posting_decode,
+        warc_extract,
+        zip_directory_walk,
+    )
+
+    timed("warc_extract", lambda: warc_extract(SF_DIR).count())
+    timed("zip_directory_walk", lambda: zip_directory_walk(SF_DIR).count())
+    timed("base64_audit", lambda: base64_audit(SF_DIR).count())
+    timed("robots_rules", lambda: robots_rules(SF_DIR).count())
+    timed("varint_posting_decode",
+          lambda: varint_posting_decode(SF_DIR).count())
+
+    from ray_extract.pipelines.mlstats import (
+        calibration_bins,
+        chi_square_terms,
+        feature_hash_collisions,
+        mutual_information_terms,
+        regression_normal_terms,
+    )
+
+    timed("mutual_information_terms",
+          lambda: mutual_information_terms(SF_DIR).count())
+    timed("chi_square_terms", lambda: chi_square_terms(SF_DIR).count())
+    timed("feature_hash_collisions",
+          lambda: feature_hash_collisions(SF_DIR).count())
+    timed("regression_normal_terms",
+          lambda: regression_normal_terms(SF_DIR).count())
+    timed("calibration_bins", lambda: calibration_bins(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),
