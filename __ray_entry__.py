@@ -3240,6 +3240,36 @@ def _q_calibration_bins(sf_dir: str):
     return calibration_bins(sf_dir)
 
 
+def _q_sitemap_parse(sf_dir: str):
+    from ray_extract.pipelines.web import sitemap_parse
+
+    return sitemap_parse(sf_dir)
+
+
+def _q_http_header_parse(sf_dir: str):
+    from ray_extract.pipelines.web import http_header_parse
+
+    return http_header_parse(sf_dir)
+
+
+def _q_anchor_text_index(sf_dir: str):
+    from ray_extract.pipelines.web import anchor_text_index
+
+    return anchor_text_index(sf_dir)
+
+
+def _q_canonical_meta_dedup(sf_dir: str):
+    from ray_extract.pipelines.web import canonical_meta_dedup
+
+    return canonical_meta_dedup(sf_dir)
+
+
+def _q_gzip_transfer_decode(sf_dir: str):
+    from ray_extract.pipelines.containers import gzip_transfer_decode
+
+    return gzip_transfer_decode(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -3560,6 +3590,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_hash_collisions": _q_feature_hash_collisions,
         "regression_normal_terms": _q_regression_normal_terms,
         "calibration_bins": _q_calibration_bins,
+        "sitemap_parse": _q_sitemap_parse,
+        "http_header_parse": _q_http_header_parse,
+        "anchor_text_index": _q_anchor_text_index,
+        "canonical_meta_dedup": _q_canonical_meta_dedup,
+        "gzip_transfer_decode": _q_gzip_transfer_decode,
     }
 
 
@@ -7898,5 +7933,49 @@ FROM t
 SELECT CAST(n_chars % 10 AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
        CAST(count(*) FILTER (WHERE text LIKE '%spark%') AS BIGINT) AS n_pos
 FROM documents GROUP BY 1
+"""
+    d["sitemap_parse"] = """
+SELECT CAST(doc_id % 53 AS BIGINT) AS host_id,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(max(19000 + doc_id % 365) AS BIGINT) AS max_lastmod_day,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids
+FROM documents GROUP BY 1
+"""
+    d["http_header_parse"] = """
+WITH h AS (
+  SELECT CASE WHEN doc_id % 29 = 0 THEN 301
+              WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END AS status,
+         (doc_id % 7) * 3600 AS ma,
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS u8
+  FROM documents
+)
+SELECT CAST(status AS BIGINT) AS status, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(ma) AS BIGINT) AS sum_max_age,
+       CAST(sum(u8) AS BIGINT) AS n_utf8
+FROM h GROUP BY 1
+"""
+    d["anchor_text_index"] = """
+SELECT string_split(d.text, ' ')[
+         CAST((d.doc_id + k.k) % len(string_split(d.text, ' ')) AS INT) + 1
+       ] AS token,
+       CAST((d.doc_id * 7 + k.k * 13) % 101 AS BIGINT) AS host_id,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents d JOIN generate_series(0, 4) k(k) ON k.k <= d.doc_id % 5
+GROUP BY 1, 2
+"""
+    d["canonical_meta_dedup"] = """
+WITH c AS (SELECT doc_id % 201 AS t, count(*) AS sz FROM documents
+           GROUP BY 1)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM c GROUP BY 1
+"""
+    d["gzip_transfer_decode"] = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE doc_id % 31 <> 0) AS BIGINT) AS n_ok,
+       CAST(count(*) FILTER (WHERE doc_id % 31 = 0) AS BIGINT) AS n_corrupt,
+       CAST(coalesce(sum(strlen(text)) FILTER (WHERE doc_id % 31 <> 0), 0)
+            AS BIGINT) AS decoded_bytes
+FROM documents GROUP BY source
 """
     return d

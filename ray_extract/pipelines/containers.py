@@ -518,3 +518,92 @@ def varint_posting_decode(sf_dir: str):
         .repartition(1)
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------- gzip
+
+
+class GzipDecoder:
+    """Actor-pool Content-Encoding:gzip decode stage with trailer-CRC
+    integrity: good payloads must decompress to exactly the original
+    byte count, corrupted ones (trailer CRC flipped) must be caught and
+    dead-lettered — the reference's silently-drop error contract
+    (reference run.py:38-39), never an exception out of the actor."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src = batch.column("source").to_pylist()
+        payloads = batch.column("gz").combine_chunks()
+        agg: dict[str, np.ndarray] = {}
+        for i in range(len(src)):
+            row = agg.setdefault(src[i], np.zeros(4, np.int64))
+            row[0] += 1
+            try:
+                out = zlib.decompress(payloads[i].as_py(), 47)
+                row[1] += 1
+                row[3] += len(out)
+            except zlib.error:
+                row[2] += 1  # dead-letter, never raise (see docstring)
+        keys = sorted(agg)
+        m = np.array([agg[k] for k in keys], np.int64).reshape(-1, 4)
+        return pa.table(
+            {
+                "source": pa.array(keys, pa.string()),
+                "n_docs": pa.array(m[:, 0]),
+                "n_ok": pa.array(m[:, 1]),
+                "n_corrupt": pa.array(m[:, 2]),
+                "decoded_bytes": pa.array(m[:, 3]),
+            }
+        )
+
+
+def gzip_transfer_decode(sf_dir: str):
+    """Content-Encoding:gzip decode audit — the transfer decoding every
+    fetched page goes through. Each document's text is gzip-compressed
+    (RFC 1952 wrapper with CRC32 trailer); payloads of docs with
+    doc_id % 31 == 0 get a trailer-CRC byte flipped, which the decoder
+    MUST catch (zlib verifies the trailer) and dead-letter rather than
+    raise. Oracle pins ok/corrupt counts and the decoded byte totals.
+
+    Scale shape: per-blob synth/decode (each payload is its own stream,
+    like the WAV/charset stages) in actor pools; 20-source bounded fold.
+
+    Output: (source, n_docs, n_ok, n_corrupt, decoded_bytes).
+    """
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        texts = batch.column("text").to_pylist()
+        blobs = []
+        for did, t in zip(ids, texts):
+            co = zlib.compressobj(9, zlib.DEFLATED, 31)  # gzip wrapper
+            blob = co.compress(t.encode("utf-8")) + co.flush()
+            if int(did) % 31 == 0:
+                # flip a CRC byte in the 8-byte gzip trailer: guaranteed
+                # integrity failure, unlike a body flip (which could in
+                # principle still decode)
+                blob = blob[:-8] + bytes([blob[-8] ^ 0xFF]) + blob[-7:]
+            blobs.append(blob)
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "gz": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = ["n_docs", "n_ok", "n_corrupt", "decoded_bytes"]
+        g = t.group_by("source").aggregate([(c, "sum") for c in cols])
+        g = g.take(pc.sort_indices(g, sort_keys=[("source", "ascending")]))
+        out = {"source": g.column("source")}
+        for c in cols:
+            out[c] = pc.cast(g.column(f"{c}_sum"), pa.int64())
+        return pa.table(out)
+
+    return (
+        _docs(sf_dir, ["doc_id", "text", "source"])
+        .map_batches(synth, batch_format="pyarrow")
+        .map_batches(GzipDecoder, batch_format="pyarrow",
+                     batch_size=2048, concurrency=2)
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow")
+    )

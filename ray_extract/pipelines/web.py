@@ -487,3 +487,345 @@ def redirect_resolve(sf_dir: str, max_hops: int = 8):
         .repartition(1)  # <= max_hops+1 rows
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def sitemap_parse(sf_dir: str):
+    """Sitemap ingest — crawl discovery's structured feed. One
+    sitemap.xml is built per host (its documents' <url> entries with
+    <loc> and an ISO <lastmod> date at epoch day 19000 + doc_id % 365),
+    then the parser runs for real: split on <url>, regex out loc/lastmod,
+    and convert the ISO date BACK to an epoch day with vectorized
+    numpy datetime64 arithmetic — a date-format defect breaks equality.
+
+    Scale shape: one groupby(host) builds the containers (in production
+    sitemaps ARE the input); parse is vectorized across all url entries
+    of a batch; the fold is the 53-host bounded domain.
+
+    Output: (host_id, n_urls, max_lastmod_day, sum_doc_ids).
+    """
+    import pandas as pd
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy(np.int64)
+        days = (19000 + ids % 365).astype("datetime64[D]")
+        dates = np.datetime_as_string(days, unit="D")
+        h = int(g["host"].iloc[0])
+        entries = "".join(
+            f"<url><loc>https://host{h}.example.com/item/{i}</loc>"
+            f"<lastmod>{d}</lastmod></url>"
+            for i, d in zip(ids, dates)
+        )
+        return pd.DataFrame(
+            {
+                "host": [np.int64(h)],
+                "xml": ['<?xml version="1.0"?><urlset>'
+                        + entries + "</urlset>"],
+            }
+        )
+
+    def parse_partial(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(
+            batch.column("xml").combine_chunks(), pattern="<url>"
+        )
+        tails, _ = _tails(parts)
+        ex = pc.extract_regex(
+            tails,
+            r"^<loc>https://host(?P<h>\d+)\.example\.com/item/(?P<i>\d+)"
+            r"</loc><lastmod>(?P<d>[0-9-]+)</lastmod>",
+        )
+        if pc.any(pc.is_null(ex)).as_py():
+            raise ValueError("malformed sitemap entry")
+        h = pc.cast(pc.struct_field(ex, "h"), pa.int64()).to_numpy()
+        i = pc.cast(pc.struct_field(ex, "i"), pa.int64()).to_numpy()
+        d = np.array(
+            pc.struct_field(ex, "d").to_pylist(), dtype="datetime64[D]"
+        ).astype(np.int64)
+        order = np.argsort(h, kind="stable")
+        h, i, d = h[order], i[order], d[order]
+        starts = np.r_[0, np.flatnonzero(h[1:] != h[:-1]) + 1]
+        return pa.table(
+            {
+                "host_id": pa.array(h[starts]),
+                "n_urls": pa.array(np.diff(np.r_[starts, len(h)])
+                                   .astype(np.int64)),
+                "max_lastmod_day": pa.array(np.maximum.reduceat(d, starts)),
+                "sum_doc_ids": pa.array(np.add.reduceat(i, starts)),
+            }
+        )
+
+    def add_host(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        return batch.append_column("host", pa.array(ids % 53))
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("host_id").aggregate(
+            [("n_urls", "sum"), ("max_lastmod_day", "max"),
+             ("sum_doc_ids", "sum")]
+        )
+        g = g.take(pc.sort_indices(g, sort_keys=[("host_id", "ascending")]))
+        return pa.table(
+            {
+                "host_id": pc.cast(g.column("host_id"), pa.int64()),
+                "n_urls": pc.cast(g.column("n_urls_sum"), pa.int64()),
+                "max_lastmod_day": pc.cast(
+                    g.column("max_lastmod_day_max"), pa.int64()),
+                "sum_doc_ids": pc.cast(g.column("sum_doc_ids_sum"),
+                                       pa.int64()),
+            }
+        )
+
+    import ray.data as rd
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        )
+        .map_batches(add_host, batch_format="pyarrow")
+        .groupby("host")
+        .map_groups(build, batch_format="pandas")
+        .map_batches(parse_partial, batch_format="pyarrow")
+        .repartition(1)  # 53-host bounded domain
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def http_header_parse(sf_dir: str):
+    """HTTP response-header parsing — the fetch-metadata stage of a crawl.
+    Each document gets a deterministic raw header block (status 301 on
+    doc_id%29==0, else 404 on doc_id%17==0, else 200; charset utf-8 on
+    even ids; Cache-Control max-age (doc_id%7)*3600), and the parser
+    regex-extracts status, charset, and max-age from the raw text —
+    vectorized Arrow kernels only.
+
+    Scale shape: pure maps + a <=3-status bounded fold.
+
+    Output: (status, n, sum_max_age, n_utf8).
+    """
+    import ray.data as rd
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        status = np.where(ids % 29 == 0, 301,
+                          np.where(ids % 17 == 0, 404, 200))
+        cs = np.where(ids % 2 == 0, "utf-8", "iso-8859-1")
+        ma = (ids % 7) * 3600
+        j = pc.binary_join_element_wise
+        raw = j(
+            "HTTP/1.1 ", pa.array(status.astype(str)), " X\r\n",
+            "Content-Type: text/html; charset=", pa.array(cs), "\r\n",
+            "Cache-Control: max-age=", pa.array(ma.astype(str)), "\r\n\r\n",
+            "",
+        )
+        return pa.table({"raw": raw})
+
+    def parse_partial(batch: pa.Table) -> pa.Table:
+        raw = batch.column("raw").combine_chunks()
+        st = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(raw, r"^HTTP/1\.1 (?P<s>\d+) "), "s"
+            ),
+            pa.int64(),
+        ).to_numpy()
+        ma = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(raw, r"max-age=(?P<m>\d+)"), "m"
+            ),
+            pa.int64(),
+        ).to_numpy()
+        utf8 = pc.match_substring(raw, "charset=utf-8").to_numpy(
+            zero_copy_only=False
+        )
+        order = np.argsort(st, kind="stable")
+        st, ma, utf8 = st[order], ma[order], utf8[order]
+        starts = np.r_[0, np.flatnonzero(st[1:] != st[:-1]) + 1]
+        return pa.table(
+            {
+                "status": pa.array(st[starts]),
+                "n": pa.array(np.diff(np.r_[starts, len(st)])
+                              .astype(np.int64)),
+                "sum_max_age": pa.array(np.add.reduceat(ma, starts)),
+                "n_utf8": pa.array(
+                    np.add.reduceat(utf8.astype(np.int64), starts)),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("status").aggregate(
+            [("n", "sum"), ("sum_max_age", "sum"), ("n_utf8", "sum")]
+        )
+        g = g.take(pc.sort_indices(g, sort_keys=[("status", "ascending")]))
+        return pa.table(
+            {
+                "status": pc.cast(g.column("status"), pa.int64()),
+                "n": pc.cast(g.column("n_sum"), pa.int64()),
+                "sum_max_age": pc.cast(g.column("sum_max_age_sum"),
+                                       pa.int64()),
+                "n_utf8": pc.cast(g.column("n_utf8_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        )
+        .map_batches(synth, batch_format="pyarrow")
+        .map_batches(parse_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def anchor_text_index(sf_dir: str):
+    """Anchor-text inverted index — the link-text relevance signal search
+    engines aggregate per target. Anchors reuse link_graph_degrees'
+    deterministic outlink set, but each anchor's TEXT is a real token of
+    the source document (token (doc_id+k) % n_tokens), and the extractor
+    must recover both the anchor text (between '">' and '<') and the
+    target host from raw HTML with vectorized list/string kernels, then
+    fold (token, host) counts.
+
+    Scale shape: extraction is a pure map; the (token, host) fold domain
+    is vocabulary x 101 — bounded for this corpus; at open-vocabulary
+    scale the same partial feeds a hash-keyed groupby instead of the
+    bounded fold (one-line swap, noted here for the scale profile).
+
+    Output: (token, host_id, n) sorted by (token, host_id).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        texts = batch.column("text").to_pylist()
+        htmls = []
+        for did, text in zip(ids, texts):
+            did = int(did)
+            toks = text.split(" ")
+            out = ["<html><body>"]
+            for k in range(did % 5 + 1):
+                h = (did * 7 + k * 13) % 101
+                p = (did + k) % 997
+                a = toks[(did + k) % len(toks)]
+                out.append(
+                    f'<a href="https://host{h}.example.com/p/{p}">{a}</a>'
+                )
+            if did % 4 == 0:
+                out.append(f'<a href="mailto:u{did}@x.example">mail</a>')
+            out.append("</body></html>")
+            htmls.append("".join(out))
+        return pa.table({"html": pa.array(htmls, pa.string())})
+
+    def extract_partial(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(
+            batch.column("html").combine_chunks(), pattern='href="'
+        )
+        tails, _ = _tails(parts)
+        url = pc.list_element(pc.split_pattern(tails, '"', max_splits=1), 0)
+        rest = pc.list_element(pc.split_pattern(tails, '">', max_splits=1), 1)
+        anchor = pc.list_element(pc.split_pattern(rest, "<", max_splits=1), 0)
+        ex = pc.extract_regex(url, r"^https://host(?P<h>\d+)\.example\.com/")
+        hcol = pc.struct_field(ex, "h")
+        ok = pc.is_valid(hcol).to_numpy(zero_copy_only=False)
+        h = pc.cast(hcol.filter(pa.array(ok)), pa.int64()).to_numpy()
+        a = anchor.filter(pa.array(ok))
+        df = pd.DataFrame({"token": a.to_pylist(), "host_id": h})
+        g = df.groupby(["token", "host_id"], sort=False).size().reset_index()
+        return pa.table(
+            {
+                "token": pa.array(g["token"], pa.string()),
+                "host_id": pa.array(g["host_id"].to_numpy(np.int64)),
+                "n": pa.array(g[0].to_numpy(np.int64)),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["token", "host_id"]).aggregate([("n", "sum")])
+        g = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[("token", "ascending"), ("host_id", "ascending")],
+            )
+        )
+        return pa.table(
+            {
+                "token": g.column("token"),
+                "host_id": pc.cast(g.column("host_id"), pa.int64()),
+                "n": pc.cast(g.column("n_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            )
+        )
+        .map_batches(synth, batch_format="pyarrow")
+        .map_batches(extract_partial, batch_format="pyarrow")
+        .repartition(1)  # vocab x 101 bounded domain (see docstring)
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def canonical_meta_dedup(sf_dir: str):
+    """Canonical-URL dedup readout — the <link rel="canonical"> DOM
+    heuristic that collapses page variants before content dedup. Each
+    document declares canonical target doc_id % 201 in a synthesized
+    head; the extractor pulls the target from raw HTML and reports the
+    canonical-cluster SIZE HISTOGRAM (how many clusters of 1, 2, ...
+    variants exist).
+
+    Scale shape: extraction + per-batch bincount partial on the bounded
+    201-target domain, one fold, then the histogram over 201 rows.
+
+    Output: (cluster_size, n_clusters).
+    """
+    import ray.data as rd
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        j = pc.binary_join_element_wise
+        html = j(
+            '<html><head><link rel="canonical" '
+            'href="https://canon.example.com/page/',
+            pa.array((ids % 201).astype(str)),
+            '"></head><body>x</body></html>',
+            "",
+        )
+        return pa.table({"html": html})
+
+    def extract_partial(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(
+            batch.column("html").combine_chunks(),
+            r'rel="canonical" href="https://canon\.example\.com/page/'
+            r'(?P<t>\d+)"',
+        )
+        t = pc.cast(pc.struct_field(ex, "t"), pa.int64()).to_numpy()
+        n = np.bincount(t, minlength=201).astype(np.int64)
+        keep = n > 0
+        targets = np.arange(201, dtype=np.int64)
+        return pa.table(
+            {"target": pa.array(targets[keep]), "n": pa.array(n[keep])}
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("target").aggregate([("n", "sum")])
+        sz = pc.cast(g.column("n_sum"), pa.int64()).to_numpy()
+        vals, cnts = np.unique(sz, return_counts=True)
+        return pa.table(
+            {
+                "cluster_size": pa.array(vals.astype(np.int64)),
+                "n_clusters": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        )
+        .map_batches(synth, batch_format="pyarrow")
+        .map_batches(extract_partial, batch_format="pyarrow")
+        .repartition(1)  # 201-target bounded domain
+        .map_batches(finish, batch_format="pyarrow")
+    )
