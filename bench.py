@@ -517,6 +517,22 @@ def run_bench() -> dict:
           lambda: regression_normal_terms(SF_DIR).count())
     timed("calibration_bins", lambda: calibration_bins(SF_DIR).count())
 
+    from ray_extract.pipelines.containers import gzip_transfer_decode
+    from ray_extract.pipelines.web import (
+        anchor_text_index,
+        canonical_meta_dedup,
+        http_header_parse,
+        sitemap_parse,
+    )
+
+    timed("sitemap_parse", lambda: sitemap_parse(SF_DIR).count())
+    timed("http_header_parse", lambda: http_header_parse(SF_DIR).count())
+    timed("anchor_text_index", lambda: anchor_text_index(SF_DIR).count())
+    timed("canonical_meta_dedup",
+          lambda: canonical_meta_dedup(SF_DIR).count())
+    timed("gzip_transfer_decode",
+          lambda: gzip_transfer_decode(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),
