@@ -3270,6 +3270,36 @@ def _q_gzip_transfer_decode(sf_dir: str):
     return gzip_transfer_decode(sf_dir)
 
 
+def _q_csv_dialect_parse(sf_dir: str):
+    from ray_extract.pipelines.formats import csv_dialect_parse
+
+    return csv_dialect_parse(sf_dir)
+
+
+def _q_log_line_parse(sf_dir: str):
+    from ray_extract.pipelines.formats import log_line_parse
+
+    return log_line_parse(sf_dir)
+
+
+def _q_ini_config_parse(sf_dir: str):
+    from ray_extract.pipelines.formats import ini_config_parse
+
+    return ini_config_parse(sf_dir)
+
+
+def _q_markdown_structure(sf_dir: str):
+    from ray_extract.pipelines.formats import markdown_structure
+
+    return markdown_structure(sf_dir)
+
+
+def _q_parquet_footer_audit(sf_dir: str):
+    from ray_extract.pipelines.formats import parquet_footer_audit
+
+    return parquet_footer_audit(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -3595,6 +3625,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_text_index": _q_anchor_text_index,
         "canonical_meta_dedup": _q_canonical_meta_dedup,
         "gzip_transfer_decode": _q_gzip_transfer_decode,
+        "csv_dialect_parse": _q_csv_dialect_parse,
+        "log_line_parse": _q_log_line_parse,
+        "ini_config_parse": _q_ini_config_parse,
+        "markdown_structure": _q_markdown_structure,
+        "parquet_footer_audit": _q_parquet_footer_audit,
     }
 
 
@@ -7977,5 +8012,67 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(coalesce(sum(strlen(text)) FILTER (WHERE doc_id % 31 <> 0), 0)
             AS BIGINT) AS decoded_bytes
 FROM documents GROUP BY source
+"""
+    d["csv_dialect_parse"] = """
+SELECT CAST(doc_id // 64 AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(doc_id % 1000) AS BIGINT) AS sum_val,
+       CAST(count(*) FILTER (WHERE doc_id % 3 = 0) AS BIGINT)
+         AS n_quoted_commas,
+       CAST(sum(CASE WHEN doc_id % 5 = 0
+                     THEN 13 + length(CAST(doc_id AS VARCHAR))
+                     ELSE 5 END) AS BIGINT) AS sum_note_len
+FROM documents GROUP BY 1
+"""
+    d["log_line_parse"] = """
+WITH l AS (
+  SELECT CASE WHEN doc_id % 23 = 0 THEN 500
+              WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END AS status,
+         '10.' || CAST(doc_id % 3 AS VARCHAR) || '.'
+           || CAST(doc_id % 5 AS VARCHAR) || '.'
+           || CAST(doc_id % 7 AS VARCHAR) AS ip,
+         n_chars
+  FROM documents
+)
+SELECT CAST(status AS BIGINT) AS status, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS sum_bytes,
+       CAST(count(DISTINCT ip) AS BIGINT) AS n_ips
+FROM l GROUP BY 1
+"""
+    d["ini_config_parse"] = """
+WITH s AS (
+  SELECT d.doc_id, j.j
+  FROM documents d JOIN generate_series(0, 2) j(j) ON j.j <= d.doc_id % 3
+),
+k AS (
+  SELECT 'sec' || CAST(s.j AS VARCHAR) AS section,
+         (s.doc_id * 7 + s.j * 13 + i.i * 31) % 100 AS v
+  FROM s JOIN generate_series(0, 3) i(i) ON i.i < (s.doc_id + s.j) % 4
+)
+SELECT section, CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(v) AS BIGINT) AS sum_val
+FROM k GROUP BY 1
+"""
+    d["markdown_structure"] = """
+SELECT source,
+       CAST(sum(doc_id % 4 + 1) AS BIGINT) AS n_headings,
+       CAST(count(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT)
+         AS n_code_blocks,
+       CAST(coalesce(sum(doc_id % 6 + 2) FILTER (WHERE doc_id % 2 = 0), 0)
+            AS BIGINT) AS n_code_lines
+FROM documents GROUP BY source
+"""
+    d["parquet_footer_audit"] = """
+SELECT 'l_extendedprice' AS col_name,
+       CAST(floor(min(l_extendedprice) * 100 + 0.5) AS BIGINT) AS min_cents,
+       CAST(floor(max(l_extendedprice) * 100 + 0.5) AS BIGINT) AS max_cents,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity',
+       CAST(floor(min(l_quantity) * 100 + 0.5) AS BIGINT),
+       CAST(floor(max(l_quantity) * 100 + 0.5) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM lineitem
 """
     return d
