@@ -533,6 +533,21 @@ def run_bench() -> dict:
     timed("gzip_transfer_decode",
           lambda: gzip_transfer_decode(SF_DIR).count())
 
+    from ray_extract.pipelines.formats import (
+        csv_dialect_parse,
+        ini_config_parse,
+        log_line_parse,
+        markdown_structure,
+        parquet_footer_audit,
+    )
+
+    timed("csv_dialect_parse", lambda: csv_dialect_parse(SF_DIR).count())
+    timed("log_line_parse", lambda: log_line_parse(SF_DIR).count())
+    timed("ini_config_parse", lambda: ini_config_parse(SF_DIR).count())
+    timed("markdown_structure", lambda: markdown_structure(SF_DIR).count())
+    timed("parquet_footer_audit",
+          lambda: parquet_footer_audit(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),
