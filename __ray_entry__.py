@@ -3300,6 +3300,36 @@ def _q_parquet_footer_audit(sf_dir: str):
     return parquet_footer_audit(sf_dir)
 
 
+def _q_media_decode_bmp(sf_dir: str):
+    from ray_extract.pipelines.media import media_decode_bmp
+
+    return media_decode_bmp(sf_dir)
+
+
+def _q_media_jpeg_dimensions(sf_dir: str):
+    from ray_extract.pipelines.media import media_jpeg_dimensions
+
+    return media_jpeg_dimensions(sf_dir)
+
+
+def _q_media_tiff_ifd(sf_dir: str):
+    from ray_extract.pipelines.media import media_tiff_ifd
+
+    return media_tiff_ifd(sf_dir)
+
+
+def _q_media_mp3_frames(sf_dir: str):
+    from ray_extract.pipelines.media import media_mp3_frames
+
+    return media_mp3_frames(sf_dir)
+
+
+def _q_media_id3_tags(sf_dir: str):
+    from ray_extract.pipelines.media import media_id3_tags
+
+    return media_id3_tags(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -3630,6 +3660,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ini_config_parse": _q_ini_config_parse,
         "markdown_structure": _q_markdown_structure,
         "parquet_footer_audit": _q_parquet_footer_audit,
+        "media_decode_bmp": _q_media_decode_bmp,
+        "media_jpeg_dimensions": _q_media_jpeg_dimensions,
+        "media_tiff_ifd": _q_media_tiff_ifd,
+        "media_mp3_frames": _q_media_mp3_frames,
+        "media_id3_tags": _q_media_id3_tags,
     }
 
 
@@ -8074,5 +8109,56 @@ SELECT 'l_quantity',
        CAST(floor(max(l_quantity) * 100 + 0.5) AS BIGINT),
        CAST(count(*) AS BIGINT)
 FROM lineitem
+"""
+    d["media_decode_bmp"] = """
+SELECT d.doc_id,
+       CAST(3 + d.doc_id % 6 AS BIGINT) AS width,
+       CAST(2 + d.doc_id % 5 AS BIGINT) AS height,
+       CAST(sum((d.doc_id + 3 * x.x + 7 * y.y) % 256) AS BIGINT) AS sum_b,
+       CAST(sum((2 * d.doc_id + x.x) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((x.x * y.y + d.doc_id) % 256) AS BIGINT) AS sum_r
+FROM documents d
+JOIN generate_series(0, 8) x(x) ON x.x < 3 + d.doc_id % 6
+JOIN generate_series(0, 6) y(y) ON y.y < 2 + d.doc_id % 5
+WHERE d.doc_id % 11 = 0
+GROUP BY 1
+"""
+    d["media_jpeg_dimensions"] = """
+SELECT doc_id, CAST(100 + doc_id % 900 AS BIGINT) AS width,
+       CAST(50 + doc_id % 450 AS BIGINT) AS height,
+       CAST(2 + doc_id % 3 AS BIGINT) AS n_segments
+FROM documents WHERE doc_id % 19 = 0
+"""
+    d["media_tiff_ifd"] = """
+SELECT doc_id, CAST(16 + doc_id % 1000 AS BIGINT) AS width,
+       CAST(16 + doc_id % 800 AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 8 END AS BIGINT) AS bits,
+       CAST(doc_id % 2 AS BIGINT) AS big_endian
+FROM documents WHERE doc_id % 23 = 0
+"""
+    d["media_mp3_frames"] = """
+WITH fr AS (
+  SELECT d.doc_id,
+    ([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+      [2 + (d.doc_id + f.f) % 14] AS br,
+    ([44100,48000,32000])[1 + d.doc_id % 3] AS sr,
+    (d.doc_id + f.f) % 2 AS pad
+  FROM documents d JOIN generate_series(0, 7) f(f) ON f.f <= d.doc_id % 8
+  WHERE d.doc_id % 29 = 0
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(sum(br) AS BIGINT) AS kbps_sum,
+       CAST(sum(144 * br * 1000 // sr + pad) AS BIGINT) AS total_bytes
+FROM fr GROUP BY 1
+"""
+    d["media_id3_tags"] = """
+SELECT doc_id,
+       CAST(35 + length(CAST(doc_id AS VARCHAR))
+            + length(CAST(doc_id % 50 AS VARCHAR)) AS BIGINT) AS tag_size,
+       CAST(2 AS BIGINT) AS n_frames,
+       CAST(6 + length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS title_len,
+       CAST(7 + length(CAST(doc_id % 50 AS VARCHAR)) AS BIGINT)
+         AS artist_len
+FROM documents WHERE doc_id % 37 = 0
 """
     return d

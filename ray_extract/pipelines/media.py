@@ -347,3 +347,289 @@ def media_decode_wav(sf_dir: str, sample_mod: int = 13):
         WavFeatureExtractor, batch_format="pyarrow", batch_size=2048,
         concurrency=2,
     )
+
+
+def _codec_query(sf_dir: str, sample_mod: int, synth_fn, decode_cls):
+    """Pruned doc_id-only scan -> synth (filters to ids % sample_mod == 0)
+    -> actor-pool decode: the shared shape of the metadata-codec ops."""
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    ds = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    )
+    return ds.map_batches(synth_fn, batch_format="pyarrow").map_batches(
+        decode_cls, batch_format="pyarrow", batch_size=2048, concurrency=2
+    )
+
+
+class BmpFeatureExtractor:
+    """Actor-pool REAL BMP decode: header parse, bottom-up row flip,
+    padding strip, per-channel pixel sums (functions/mediameta.py)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.mediameta import bmp_decode
+
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        payloads = batch.column("bmp").combine_chunks()
+        w = np.empty(len(ids), np.int64)
+        h = np.empty(len(ids), np.int64)
+        sums = np.empty((len(ids), 3), np.int64)
+        for i in range(len(ids)):  # per-blob: each BMP is its own stream
+            d = bmp_decode(payloads[i].as_py())
+            w[i], h[i] = d["width"], d["height"]
+            sums[i] = d["pixels"].reshape(-1, 3).astype(np.int64).sum(axis=0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "width": pa.array(w),
+                "height": pa.array(h),
+                "sum_b": pa.array(sums[:, 0]),
+                "sum_g": pa.array(sums[:, 1]),
+                "sum_r": pa.array(sums[:, 2]),
+            }
+        )
+
+
+def media_decode_bmp(sf_dir: str, sample_mod: int = 11):
+    """REAL image decode end-to-end: a deterministic 24bpp BI_RGB BMP per
+    sampled doc (w = 3 + id%6, h = 2 + id%5, pixel(y, x) BGR =
+    ((id+3x+7y)%256, (2id+x)%256, (xy+id)%256)), decoded by an actor pool
+    — header parse, bottom-up flip, row-padding strip — emitting
+    per-channel pixel sums the oracle recomputes from the formula. Any
+    stride/flip/padding defect breaks equality. Complements
+    media_decode_png (zlib path) with the uncompressed-raster path.
+
+    Output: (doc_id, width, height, sum_b, sum_g, sum_r).
+    """
+    from ..functions.mediameta import bmp_encode
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        ids = ids[ids % sample_mod == 0]
+        blobs = []
+        for did in ids:
+            did = int(did)
+            w, h = 3 + did % 6, 2 + did % 5
+            y, x = np.mgrid[0:h, 0:w]
+            px = np.stack(
+                [
+                    (did + 3 * x + 7 * y) % 256,
+                    (2 * did + x) % 256,
+                    (x * y + did) % 256,
+                ],
+                axis=2,
+            ).astype(np.uint8)
+            blobs.append(bmp_encode(w, h, px))
+        return pa.table(
+            {"doc_id": pa.array(ids), "bmp": pa.array(blobs, pa.binary())}
+        )
+
+    return _codec_query(sf_dir, sample_mod, synth, BmpFeatureExtractor)
+
+
+class JpegHeaderParser:
+    """Actor-pool JPEG marker walk (functions/mediameta.py): segment
+    lengths are load-bearing — one bad hop and the SOF is never found."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.mediameta import jpeg_dimensions
+
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        payloads = batch.column("jpeg").combine_chunks()
+        out = np.empty((len(ids), 3), np.int64)
+        for i in range(len(ids)):
+            d = jpeg_dimensions(payloads[i].as_py())
+            out[i] = (d["width"], d["height"], d["n_segments"])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "width": pa.array(out[:, 0]),
+                "height": pa.array(out[:, 1]),
+                "n_segments": pa.array(out[:, 2]),
+            }
+        )
+
+
+def media_jpeg_dimensions(sf_dir: str, sample_mod: int = 19):
+    """JPEG dimension sniff WITHOUT decode — the thumbnail-planner /
+    layout pass every image pipeline runs first. Synth builds a
+    structurally-valid JPEG (SOI, APP0, id%3 COM segments, DQT, SOF0 with
+    w = 100 + id%900 / h = 50 + id%450, DHT, SOS); the parser walks
+    marker segments by declared length to the SOF.
+
+    Output: (doc_id, width, height, n_segments) — n_segments counts
+    non-standalone segments before the SOF (2 + id%3).
+    """
+    from ..functions.mediameta import jpeg_build
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        ids = ids[ids % sample_mod == 0]
+        blobs = [
+            jpeg_build(100 + int(d) % 900, 50 + int(d) % 450, int(d) % 3)
+            for d in ids
+        ]
+        return pa.table(
+            {"doc_id": pa.array(ids), "jpeg": pa.array(blobs, pa.binary())}
+        )
+
+    return _codec_query(sf_dir, sample_mod, synth, JpegHeaderParser)
+
+
+class TiffIfdParser:
+    """Actor-pool TIFF IFD walk honouring BOTH byte orders."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.mediameta import tiff_parse
+
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        payloads = batch.column("tiff").combine_chunks()
+        out = np.empty((len(ids), 4), np.int64)
+        for i in range(len(ids)):
+            d = tiff_parse(payloads[i].as_py())
+            out[i] = (d["width"], d["height"], d["bits"],
+                      int(d["big_endian"]))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "width": pa.array(out[:, 0]),
+                "height": pa.array(out[:, 1]),
+                "bits": pa.array(out[:, 2]),
+                "big_endian": pa.array(out[:, 3]),
+            }
+        )
+
+
+def media_tiff_ifd(sf_dir: str, sample_mod: int = 23):
+    """TIFF IFD metadata walk in BOTH byte orders (odd ids are
+    big-endian 'MM', even little-endian 'II'): w = 16 + id%1000,
+    h = 16 + id%800, bits 16 when id%3==0 else 8. An endianness mix-up
+    byte-swaps every field — the oracle catches it.
+
+    Output: (doc_id, width, height, bits, big_endian).
+    """
+    from ..functions.mediameta import tiff_build
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        ids = ids[ids % sample_mod == 0]
+        blobs = [
+            tiff_build(
+                16 + int(d) % 1000, 16 + int(d) % 800,
+                16 if int(d) % 3 == 0 else 8, int(d) % 2 == 1,
+            )
+            for d in ids
+        ]
+        return pa.table(
+            {"doc_id": pa.array(ids), "tiff": pa.array(blobs, pa.binary())}
+        )
+
+    return _codec_query(sf_dir, sample_mod, synth, TiffIfdParser)
+
+
+class Mp3FrameWalker:
+    """Actor-pool MPEG-1 Layer III frame-chain walk: the parser must
+    recompute each frame's length (144*bitrate/samplerate + padding) to
+    find the next sync — the real structure of an MP3 stream."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.mediameta import mp3_parse
+
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        payloads = batch.column("mp3").combine_chunks()
+        out = np.empty((len(ids), 3), np.int64)
+        for i in range(len(ids)):
+            d = mp3_parse(payloads[i].as_py())
+            out[i] = (d["n_frames"], d["kbps_sum"], d["total_bytes"])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_frames": pa.array(out[:, 0]),
+                "kbps_sum": pa.array(out[:, 1]),
+                "total_bytes": pa.array(out[:, 2]),
+            }
+        )
+
+
+def media_mp3_frames(sf_dir: str, sample_mod: int = 29):
+    """MP3 frame-chain audit: 1 + id%8 MPEG-1 Layer III frames per
+    sampled doc (bitrate index 1 + (id+f)%14, samplerate index id%3,
+    padding (id+f)%2); the walker hops frame to frame via the length
+    formula and folds frame count, bitrate sum, and total bytes — the
+    oracle recomputes all three from the bitrate/samplerate tables.
+
+    Output: (doc_id, n_frames, kbps_sum, total_bytes).
+    """
+    from ..functions.mediameta import mp3_build
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        ids = ids[ids % sample_mod == 0]
+        blobs = []
+        for did in ids:
+            did = int(did)
+            blobs.append(
+                mp3_build(
+                    [
+                        (1 + (did + f) % 14, did % 3, (did + f) % 2)
+                        for f in range(did % 8 + 1)
+                    ]
+                )
+            )
+        return pa.table(
+            {"doc_id": pa.array(ids), "mp3": pa.array(blobs, pa.binary())}
+        )
+
+    return _codec_query(sf_dir, sample_mod, synth, Mp3FrameWalker)
+
+
+class Id3TagParser:
+    """Actor-pool ID3v2.4 tag parse with syncsafe sizes at both levels;
+    the walk must land exactly on the declared tag end."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.mediameta import id3_parse
+
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        payloads = batch.column("id3").combine_chunks()
+        out = np.empty((len(ids), 4), np.int64)
+        for i in range(len(ids)):
+            d = id3_parse(payloads[i].as_py())
+            out[i] = (d["tag_size"], d["n_frames"], len(d["TIT2"]),
+                      len(d["TPE1"]))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "tag_size": pa.array(out[:, 0]),
+                "n_frames": pa.array(out[:, 1]),
+                "title_len": pa.array(out[:, 2]),
+                "artist_len": pa.array(out[:, 3]),
+            }
+        )
+
+
+def media_id3_tags(sf_dir: str, sample_mod: int = 37):
+    """ID3v2.4 tag parse — the metadata sidecar of every audio corpus.
+    Title 'Track {id}' and artist 'Artist {id%50}' ship in TIT2/TPE1
+    frames with SYNCSAFE sizes (7 bits per byte — the gotcha that makes
+    naive big-endian reads drift); the oracle pins tag size, frame count
+    and both decoded text lengths.
+
+    Output: (doc_id, tag_size, n_frames, title_len, artist_len).
+    """
+    from ..functions.mediameta import id3_build
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        ids = ids[ids % sample_mod == 0]
+        blobs = [
+            id3_build(f"Track {int(d)}", f"Artist {int(d) % 50}")
+            for d in ids
+        ]
+        return pa.table(
+            {"doc_id": pa.array(ids), "id3": pa.array(blobs, pa.binary())}
+        )
+
+    return _codec_query(sf_dir, sample_mod, synth, Id3TagParser)
