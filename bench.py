@@ -548,6 +548,21 @@ def run_bench() -> dict:
     timed("parquet_footer_audit",
           lambda: parquet_footer_audit(SF_DIR).count())
 
+    from ray_extract.pipelines.media import (
+        media_decode_bmp,
+        media_id3_tags,
+        media_jpeg_dimensions,
+        media_mp3_frames,
+        media_tiff_ifd,
+    )
+
+    timed("media_decode_bmp", lambda: media_decode_bmp(SF_DIR).count())
+    timed("media_jpeg_dimensions",
+          lambda: media_jpeg_dimensions(SF_DIR).count())
+    timed("media_tiff_ifd", lambda: media_tiff_ifd(SF_DIR).count())
+    timed("media_mp3_frames", lambda: media_mp3_frames(SF_DIR).count())
+    timed("media_id3_tags", lambda: media_id3_tags(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),
