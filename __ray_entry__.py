@@ -3330,6 +3330,30 @@ def _q_media_id3_tags(sf_dir: str):
     return media_id3_tags(sf_dir)
 
 
+def _q_spatial_grid_bin(sf_dir: str):
+    from ray_extract.pipelines.mlstats import spatial_grid_bin
+
+    return spatial_grid_bin(sf_dir)
+
+
+def _q_xor_parity_blocks(sf_dir: str):
+    from ray_extract.pipelines.containers import xor_parity_blocks
+
+    return xor_parity_blocks(sf_dir)
+
+
+def _q_content_manifest_digest(sf_dir: str):
+    from ray_extract.pipelines.containers import content_manifest_digest
+
+    return content_manifest_digest(sf_dir)
+
+
+def _q_rle_run_audit(sf_dir: str):
+    from ray_extract.pipelines.formats import rle_run_audit
+
+    return rle_run_audit(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -3665,6 +3689,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_tiff_ifd": _q_media_tiff_ifd,
         "media_mp3_frames": _q_media_mp3_frames,
         "media_id3_tags": _q_media_id3_tags,
+        "spatial_grid_bin": _q_spatial_grid_bin,
+        "xor_parity_blocks": _q_xor_parity_blocks,
+        "content_manifest_digest": _q_content_manifest_digest,
+        "rle_run_audit": _q_rle_run_audit,
     }
 
 
@@ -8160,5 +8188,47 @@ SELECT doc_id,
        CAST(7 + length(CAST(doc_id % 50 AS VARCHAR)) AS BIGINT)
          AS artist_len
 FROM documents WHERE doc_id % 37 = 0
+"""
+    d["spatial_grid_bin"] = """
+WITH p AS (
+  SELECT (doc_id * 7777777) % 180000000 AS lat,
+         (doc_id * 12345679) % 360000000 AS lon
+  FROM documents
+)
+SELECT CAST(lat // 10000000 AS BIGINT) AS cell_lat,
+       CAST(lon // 10000000 AS BIGINT) AS cell_lon,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(lat) AS BIGINT) AS sum_lat,
+       CAST(sum(lon) AS BIGINT) AS sum_lon,
+       CAST(count(*) FILTER (
+         WHERE (lat - 90000000) * (lat - 90000000)
+             + (lon - 180000000) * (lon - 180000000)
+             <= CAST(30000000 AS BIGINT) * 30000000) AS BIGINT) AS n_near
+FROM p GROUP BY 1, 2
+"""
+    d["xor_parity_blocks"] = """
+SELECT CAST(doc_id // 64 AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(max(strlen(text)) AS BIGINT) AS parity_len,
+       CAST(bit_xor(unicode(left(text, 1))) AS BIGINT) AS parity_first_byte
+FROM documents GROUP BY 1
+"""
+    d["content_manifest_digest"] = """
+SELECT CAST(doc_id // 64 AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       md5(string_agg(md5(text), '' ORDER BY doc_id)) AS digest
+FROM documents GROUP BY 1
+"""
+    d["rle_run_audit"] = """
+WITH o AS (
+  SELECT o_orderstatus AS f,
+         lag(o_orderstatus) OVER (ORDER BY o_orderkey) AS pf
+  FROM orders
+)
+SELECT f AS flag,
+       CAST(count(*) FILTER (WHERE pf IS NULL OR pf <> f) AS BIGINT)
+         AS n_runs,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM o GROUP BY 1
 """
     return d

@@ -607,3 +607,95 @@ def gzip_transfer_decode(sf_dir: str):
         .repartition(1)
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+# ----------------------------------------------------- integrity blocks
+
+
+def _parity_build(g: pd.DataFrame) -> pd.DataFrame:
+    """REAL RAID-style parity: bytewise XOR of the shard members'
+    zero-padded payload buffers, computed in one numpy pass."""
+    g = g.sort_values("doc_id")
+    bufs = [t.encode("utf-8") for t in g["text"]]
+    ln = max(len(b) for b in bufs)
+    m = np.zeros((len(bufs), ln), np.uint8)
+    for i, b in enumerate(bufs):
+        m[i, : len(b)] = np.frombuffer(b, np.uint8)
+    parity = np.bitwise_xor.reduce(m, axis=0)
+    return pd.DataFrame(
+        {
+            "shard": [np.int64(g["shard"].iloc[0])],
+            "n_members": [np.int64(len(bufs))],
+            "parity_len": [np.int64(ln)],
+            "parity_first_byte": [np.int64(parity[0])],
+        }
+    )
+
+
+def xor_parity_blocks(sf_dir: str):
+    """Erasure-coding parity blocks per shard: the bytewise XOR of all
+    member payloads (zero-padded to the longest member) — the primitive
+    that lets a lost member be reconstructed as the XOR of the parity
+    with the survivors (pinned in tests). The SQL-checkable readouts are
+    the member count, parity length (= max member length), and the
+    parity's first byte (= bit_xor of the members' first bytes, since
+    every member is non-empty).
+
+    Scale shape: one groupby(shard) co-locates members (the natural unit
+    of an erasure group); parity is a single vectorized XOR reduce.
+
+    Output: (shard, n_members, parity_len, parity_first_byte).
+    """
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64())
+        return batch.append_column(
+            "shard", pc.cast(pc.divide(ids, SHARD), pa.int64())
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_parity_build, batch_format="pandas")
+        .sort("shard")
+    )
+
+
+def content_manifest_digest(sf_dir: str):
+    """Checkpoint-manifest digests: per shard, the md5 of the
+    concatenated per-document md5s in doc_id order — the content-address
+    a resumable pipeline stores per partition so a resumed run can prove
+    byte-identical re-delivery (this repo's checkpoint manifests use the
+    same idea; state/checkpoint.py). DuckDB recomputes the digest with
+    its own md5/string_agg, so both the per-doc hashing and the ordering
+    are pinned.
+
+    Output: (shard, n_docs, digest).
+    """
+    from ..functions.hashing import md5_str
+
+    def digest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        inner = "".join(md5_str(t) for t in g["text"])
+        return pd.DataFrame(
+            {
+                "shard": [np.int64(g["shard"].iloc[0])],
+                "n_docs": [np.int64(len(g))],
+                "digest": [md5_str(inner)],
+            }
+        )
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64())
+        return batch.append_column(
+            "shard", pc.cast(pc.divide(ids, SHARD), pa.int64())
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(digest, batch_format="pandas")
+        .sort("shard")
+    )

@@ -497,3 +497,96 @@ def parquet_footer_audit(sf_dir: str):
         .repartition(1)
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+# -------------------------------------------------------------- RLE runs
+
+
+def rle_run_audit(sf_dir: str):
+    """Distributed run-length encoding audit over a GLOBALLY SORTED
+    column: orders is range-sorted by its unique o_orderkey — a real
+    all-to-all — then each batch counts its internal o_orderstatus runs
+    and emits FRAGMENT summaries (first/last key, first/last flag,
+    per-flag run and row counts); the fold orders fragments by key range,
+    asserts they tile without overlap, and cancels one run wherever a
+    fragment opens with the flag its predecessor closed on — the
+    boundary-stitch every distributed RLE/segment encoder needs. (The
+    sort key must be UNIQUE for the run structure to be well-defined;
+    lineitem's (orderkey, linenumber) has synthetic duplicates, so the
+    op runs on orders.)
+
+    Output: (flag, n_runs, n_rows) — runs of o_orderstatus in global
+    o_orderkey order; flags are F/O/P.
+    """
+    import ray.data as rd
+
+    FLAGS = ["F", "O", "P"]
+
+    def fragment(batch: pa.Table) -> pa.Table:
+        k = pc.cast(batch.column("o_orderkey"), pa.int64()).to_numpy()
+        f = batch.column("o_orderstatus").combine_chunks()
+        code = np.select(
+            [pc.equal(f, x).to_numpy(zero_copy_only=False) for x in FLAGS],
+            [0, 1, 2],
+            default=-1,
+        ).astype(np.int64)
+        if (code < 0).any():
+            raise ValueError("unexpected flag value")
+        # post-sort blocks are internally sorted, but one batch can
+        # concatenate NON-ADJACENT sorted blocks — split the batch into
+        # sorted segments at descent points and emit a fragment per
+        # segment (stitch's tiling assertion still covers the rest)
+        seg = np.r_[0, np.flatnonzero(np.diff(k) <= 0) + 1]
+        seg_end = np.r_[seg[1:], len(k)]
+        out = {name: [] for name in (
+            ["first_key", "last_key", "first_flag", "last_flag"]
+            + [f"runs_{x}" for x in FLAGS] + [f"rows_{x}" for x in FLAGS]
+        )}
+        for s, e in zip(seg, seg_end):
+            c = code[s:e]
+            start = np.r_[True, c[1:] != c[:-1]]
+            runs = np.bincount(c[start], minlength=3).astype(np.int64)
+            rows = np.bincount(c, minlength=3).astype(np.int64)
+            out["first_key"].append(int(k[s]))
+            out["last_key"].append(int(k[e - 1]))
+            out["first_flag"].append(int(c[0]))
+            out["last_flag"].append(int(c[-1]))
+            for i, x in enumerate(FLAGS):
+                out[f"runs_{x}"].append(int(runs[i]))
+                out[f"rows_{x}"].append(int(rows[i]))
+        return pa.table(
+            {name: pa.array(vals, pa.int64()) for name, vals in out.items()}
+        )
+
+    def stitch(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values("first_key", ignore_index=True)
+        if (df["first_key"].to_numpy()[1:]
+                <= df["last_key"].to_numpy()[:-1]).any():
+            raise ValueError("fragments overlap")
+        runs = df[[f"runs_{x}" for x in FLAGS]].to_numpy(np.int64).sum(axis=0)
+        rows = df[[f"rows_{x}" for x in FLAGS]].to_numpy(np.int64).sum(axis=0)
+        ff = df["first_flag"].to_numpy(np.int64)
+        lf = df["last_flag"].to_numpy(np.int64)
+        merge = ff[1:] == lf[:-1]  # run continues across the boundary
+        for flag in range(3):
+            runs[flag] -= int((merge & (ff[1:] == flag)).sum())
+        return pa.table(
+            {
+                "flag": pa.array(FLAGS, pa.string()),
+                "n_runs": pa.array(runs),
+                "n_rows": pa.array(rows),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/orders.parquet",
+                columns=["o_orderkey", "o_orderstatus"],
+            )
+        )
+        .sort("o_orderkey")
+        .map_batches(fragment, batch_format="pyarrow", batch_size=65536)
+        .repartition(1)  # a few summary rows per batch — metadata scale
+        .map_batches(stitch, batch_format="pyarrow")
+    )

@@ -269,3 +269,73 @@ def calibration_bins(sf_dir: str):
         .repartition(1)
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def spatial_grid_bin(sf_dir: str, cell_micro: int = 10_000_000):
+    """Spatial grid partitioning terms: each document gets a
+    deterministic point in OFFSET micro-degrees (lat in [0, 180e6),
+    lon in [0, 360e6) — kept non-negative because DuckDB's ``//``
+    truncates while numpy floors), binned into 10-degree grid cells,
+    with per-cell counts, centroid sums, and how many points fall within
+    a 30-degree square-distance radius of the grid center — the
+    partition-pruning readout of a spatial join.
+
+    Scale shape: pure vectorized map + bounded 18x36-cell fold.
+
+    Output: (cell_lat, cell_lon, n_points, sum_lat, sum_lon, n_near).
+    """
+    CLAT, CLON = 90_000_000, 180_000_000
+    R2 = (30_000_000) ** 2
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        lat = (ids * 7_777_777) % 180_000_000
+        lon = (ids * 12_345_679) % 360_000_000
+        cl = lat // cell_micro
+        cn = lon // cell_micro
+        near = ((lat - CLAT) ** 2 + (lon - CLON) ** 2 <= R2).astype(np.int64)
+        key = cl * 64 + cn
+        order = np.argsort(key, kind="stable")
+        k, lat, lon, near = key[order], lat[order], lon[order], near[order]
+        starts = np.r_[0, np.flatnonzero(k[1:] != k[:-1]) + 1]
+        return pa.table(
+            {
+                "cell_lat": pa.array(k[starts] // 64),
+                "cell_lon": pa.array(k[starts] % 64),
+                "n_points": pa.array(np.diff(np.r_[starts, len(k)])
+                                     .astype(np.int64)),
+                "sum_lat": pa.array(np.add.reduceat(lat, starts)),
+                "sum_lon": pa.array(np.add.reduceat(lon, starts)),
+                "n_near": pa.array(np.add.reduceat(near, starts)),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["cell_lat", "cell_lon"]).aggregate(
+            [("n_points", "sum"), ("sum_lat", "sum"), ("sum_lon", "sum"),
+             ("n_near", "sum")]
+        )
+        g = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[("cell_lat", "ascending"),
+                           ("cell_lon", "ascending")],
+            )
+        )
+        return pa.table(
+            {
+                "cell_lat": pc.cast(g.column("cell_lat"), pa.int64()),
+                "cell_lon": pc.cast(g.column("cell_lon"), pa.int64()),
+                "n_points": pc.cast(g.column("n_points_sum"), pa.int64()),
+                "sum_lat": pc.cast(g.column("sum_lat_sum"), pa.int64()),
+                "sum_lon": pc.cast(g.column("sum_lon_sum"), pa.int64()),
+                "n_near": pc.cast(g.column("n_near_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # 18x36 bounded cell domain
+        .map_batches(finish, batch_format="pyarrow")
+    )
