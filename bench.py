@@ -563,6 +563,19 @@ def run_bench() -> dict:
     timed("media_mp3_frames", lambda: media_mp3_frames(SF_DIR).count())
     timed("media_id3_tags", lambda: media_id3_tags(SF_DIR).count())
 
+    from ray_extract.pipelines.containers import (
+        content_manifest_digest,
+        xor_parity_blocks,
+    )
+    from ray_extract.pipelines.formats import rle_run_audit
+    from ray_extract.pipelines.mlstats import spatial_grid_bin
+
+    timed("spatial_grid_bin", lambda: spatial_grid_bin(SF_DIR).count())
+    timed("xor_parity_blocks", lambda: xor_parity_blocks(SF_DIR).count())
+    timed("content_manifest_digest",
+          lambda: content_manifest_digest(SF_DIR).count())
+    timed("rle_run_audit", lambda: rle_run_audit(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),
