@@ -3354,6 +3354,24 @@ def _q_rle_run_audit(sf_dir: str):
     return rle_run_audit(sf_dir)
 
 
+def _q_text_diff_stats(sf_dir: str):
+    from ray_extract.pipelines.text import text_diff_stats
+
+    return text_diff_stats(sf_dir)
+
+
+def _q_dictionary_compression_audit(sf_dir: str):
+    from ray_extract.pipelines.text import dictionary_compression_audit
+
+    return dictionary_compression_audit(sf_dir)
+
+
+def _q_zorder_locality_audit(sf_dir: str):
+    from ray_extract.pipelines.mlstats import zorder_locality_audit
+
+    return zorder_locality_audit(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -3693,6 +3711,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "xor_parity_blocks": _q_xor_parity_blocks,
         "content_manifest_digest": _q_content_manifest_digest,
         "rle_run_audit": _q_rle_run_audit,
+        "text_diff_stats": _q_text_diff_stats,
+        "dictionary_compression_audit": _q_dictionary_compression_audit,
+        "zorder_locality_audit": _q_zorder_locality_audit,
     }
 
 
@@ -8230,5 +8251,59 @@ SELECT f AS flag,
          AS n_runs,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM o GROUP BY 1
+"""
+    d["text_diff_stats"] = """
+WITH t AS (SELECT source, doc_id, len(string_split(text, ' ')) AS n
+           FROM documents),
+p AS (
+  SELECT t.source, t.doc_id, t.n,
+         count(*) FILTER (WHERE (t.doc_id + g.g) % 7 = 0) AS ch
+  FROM t JOIN generate_series(0, 511) g(g) ON g.g < t.n
+  GROUP BY 1, 2, 3
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n - ch) AS BIGINT) AS n_equal_tokens,
+       CAST(sum(ch) AS BIGINT) AS n_changed_tokens
+FROM p GROUP BY 1
+"""
+    d["dictionary_compression_audit"] = """
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
+             FROM documents),
+cnt AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2),
+top AS (
+  SELECT source, t FROM (
+    SELECT source, t,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY c DESC, t) AS rn
+    FROM cnt
+  ) WHERE rn <= 16
+)
+SELECT tok.source,
+       CAST(count(*) FILTER (WHERE top.t IS NOT NULL) AS BIGINT)
+         AS n_dict_hits,
+       CAST(count(*) FILTER (WHERE top.t IS NULL) AS BIGINT) AS n_literals
+FROM tok LEFT JOIN top ON top.source = tok.source AND top.t = tok.t
+GROUP BY 1
+"""
+    d["zorder_locality_audit"] = """
+WITH p AS (
+  SELECT ((doc_id * 7777777) % 180000000) // 10000000 AS cl,
+         ((doc_id * 12345679) % 360000000) // 10000000 AS cn
+  FROM documents
+),
+z AS (
+  SELECT cl, cn,
+    ((cl // 1) % 2) * 1 + ((cn // 1) % 2) * 2
+    + ((cl // 2) % 2) * 4 + ((cn // 2) % 2) * 8
+    + ((cl // 4) % 2) * 16 + ((cn // 4) % 2) * 32
+    + ((cl // 8) % 2) * 64 + ((cn // 8) % 2) * 128
+    + ((cl // 16) % 2) * 256 + ((cn // 16) % 2) * 512
+    + ((cl // 32) % 2) * 1024 + ((cn // 32) % 2) * 2048 AS zkey
+  FROM p
+)
+SELECT CAST(zkey // 16 AS BIGINT) AS zbucket,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(count(DISTINCT cl * 64 + cn) AS BIGINT) AS n_cells
+FROM z GROUP BY 1
 """
     return d

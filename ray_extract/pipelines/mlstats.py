@@ -339,3 +339,78 @@ def spatial_grid_bin(sf_dir: str, cell_micro: int = 10_000_000):
         .repartition(1)  # 18x36 bounded cell domain
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def zorder_locality_audit(sf_dir: str, bucket_shift: int = 4):
+    """Z-order (Morton) space-filling-curve audit: the spatial grid cells
+    of spatial_grid_bin are bit-interleaved into a Morton key (6 bits per
+    axis), and points are folded per z-bucket (key >> bucket_shift) with
+    the count of DISTINCT cells each bucket covers — the locality readout
+    that tells a layout planner how well curve-contiguous buckets map to
+    spatially-contiguous cells. The oracle replays the interleave with
+    explicit power-of-two arithmetic.
+
+    Scale shape: pure vectorized map (bit ops) + bounded z-bucket fold.
+
+    Output: (zbucket, n_points, n_cells).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        lat = (ids * 7_777_777) % 180_000_000
+        lon = (ids * 12_345_679) % 360_000_000
+        cl = lat // 10_000_000  # 0..17 (5 bits used, 6 allocated)
+        cn = lon // 10_000_000  # 0..35 (6 bits)
+        z = np.zeros(len(ids), np.int64)
+        for b in range(6):
+            z |= ((cl >> b) & 1) << (2 * b)
+            z |= ((cn >> b) & 1) << (2 * b + 1)
+        zb = z >> bucket_shift
+        cell = cl * 64 + cn
+        key = zb * 4096 + cell  # distinct (bucket, cell) pre-dedup
+        order = np.argsort(z, kind="stable")
+        zs = zb[order]
+        starts = np.r_[0, np.flatnonzero(zs[1:] != zs[:-1]) + 1]
+        ucells = np.unique(key)
+        ub = ucells // 4096
+        ub_u, ub_c = np.unique(ub, return_counts=True)
+        n_pts = np.diff(np.r_[starts, len(zs)]).astype(np.int64)
+        out_b = zs[starts]
+        # align cell counts to out_b (both sorted unique bucket lists)
+        cells = ub_c[np.searchsorted(ub_u, out_b)].astype(np.int64)
+        return pa.table(
+            {
+                "zbucket": pa.array(out_b),
+                "n_points": pa.array(n_pts),
+                "n_cells": pa.array(cells),
+                # distinct cells must re-dedup across batches: ship keys
+                "cellkeys": pa.array(
+                    [ucells[ub == b_].tolist() for b_ in out_b],
+                    pa.list_(pa.int64()),
+                ),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        pts = df.groupby("zbucket")["n_points"].sum()
+        cells = (
+            df.explode("cellkeys").groupby("zbucket")["cellkeys"].nunique()
+        )
+        zb = np.array(sorted(pts.index), np.int64)
+        return pa.table(
+            {
+                "zbucket": pa.array(zb),
+                "n_points": pa.array(pts[zb].to_numpy(np.int64)),
+                "n_cells": pa.array(cells[zb].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # z-bucket x cell bounded domain
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -4774,3 +4774,186 @@ def pii_scrub_stats(sf_dir: str):
         .repartition(1)  # 20 sources x 5 int cols — metadata scale
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def text_diff_stats(sf_dir: str):
+    """CDC text diffing with a REAL diff algorithm: each document's v2 is
+    the original with tokens at positions (doc_id + pos) % 7 == 0
+    substituted by out-of-vocabulary markers, and a Myers O(ND) LCS walk
+    (functions/diff.py — difflib.SequenceMatcher is NOT LCS and
+    undercounts on repetitive inputs) recovers the equal/changed token
+    split from the two texts alone. Substitutes match nothing, so the LCS
+    mass must equal exactly n_tokens - n_substituted — the oracle
+    recomputes that from the generative formula.
+
+    Scale shape: per-doc diff in a map stage (diff is inherently
+    per-document; cost O((n+m)·d), linear in the change count), 20-source
+    bounded fold.
+
+    Output: (source, n_docs, n_equal_tokens, n_changed_tokens).
+    """
+    import ray.data as rd
+
+    from ..functions.diff import lcs_length
+
+    from ..functions.tables import strip_schema_metadata
+
+    def diff_partial(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        srcs = batch.column("source").to_pylist()
+        texts = batch.column("text").to_pylist()
+        agg: dict[str, np.ndarray] = {}
+        for did, src, t in zip(ids, srcs, texts):
+            did = int(did)
+            v1 = t.split(" ")
+            v2 = [
+                f"qq{(did + p) % 3}" if (did + p) % 7 == 0 else w
+                for p, w in enumerate(v1)
+            ]
+            eq = lcs_length(v1, v2)
+            row = agg.setdefault(src, np.zeros(3, np.int64))
+            row += (1, eq, len(v1) - eq)
+        keys = sorted(agg)
+        m = np.array([agg[k] for k in keys], np.int64).reshape(-1, 3)
+        return pa.table(
+            {
+                "source": pa.array(keys, pa.string()),
+                "n_docs": pa.array(m[:, 0]),
+                "n_equal_tokens": pa.array(m[:, 1]),
+                "n_changed_tokens": pa.array(m[:, 2]),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = ["n_docs", "n_equal_tokens", "n_changed_tokens"]
+        g = t.group_by("source").aggregate([(c, "sum") for c in cols])
+        g = g.take(pc.sort_indices(g, sort_keys=[("source", "ascending")]))
+        out = {"source": g.column("source")}
+        for c in cols:
+            out[c] = pc.cast(g.column(f"{c}_sum"), pa.int64())
+        return pa.table(out)
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text", "source"],
+            )
+        )
+        .map_batches(diff_partial, batch_format="pyarrow")
+        .repartition(1)  # 20-source bounded domain
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def dictionary_compression_audit(sf_dir: str, dict_size: int = 16):
+    """Dictionary-coding audit — the build-table -> broadcast -> encode
+    shape of every columnar dictionary encoder: phase 1 counts tokens per
+    source and takes each source's top ``dict_size`` (count desc, token
+    asc — fully deterministic); phase 2 broadcasts the per-source
+    dictionaries once and counts dictionary hits vs literals per source.
+
+    Scale shape: phase-1 counts combine per batch before the exchange and
+    the dictionary table is (sources x dict_size)-bounded; phase 2 is a
+    pure vectorized map (pc.is_in against the source's value set).
+
+    Output: (source, n_dict_hits, n_literals).
+    """
+    import ray
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(
+            batch.column("text").combine_chunks(), pattern=" "
+        )
+        flat = pc.list_flatten(parts)
+        parent = pc.list_parent_indices(parts).to_numpy()
+        srcs = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        return (
+            pa.table(
+                {
+                    "source": pa.array(srcs[parent], pa.string()),
+                    "token": flat,
+                    "n": pa.array(np.ones(len(flat), np.int64)),
+                }
+            )
+            .group_by(["source", "token"])
+            .aggregate([("n", "sum")])
+        )
+
+    ds = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["text", "source"]
+        )
+    )
+    counts = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["source", "token"])
+        .sum("n_sum")
+        .to_pandas()  # (sources x vocab)-bounded — metadata scale
+    )
+    counts = counts.sort_values(
+        ["source", "sum(n_sum)", "token"],
+        ascending=[True, False, True],
+        ignore_index=True,
+    )
+    top = counts.groupby("source").head(dict_size)
+    dicts = {
+        src: set(g["token"]) for src, g in top.groupby("source")
+    }
+    dicts_ref = ray.put(dicts)
+
+    def encode_partial(batch: pa.Table) -> pa.Table:
+        dct = ray.get(dicts_ref)
+        parts = pc.split_pattern(
+            batch.column("text").combine_chunks(), pattern=" "
+        )
+        flat = pc.list_flatten(parts)
+        parent = pc.list_parent_indices(parts).to_numpy()
+        srcs = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        tok_src = srcs[parent]
+        hits = np.zeros(len(tok_src), bool)
+        for src in np.unique(tok_src):
+            m = tok_src == src
+            vs = pa.array(sorted(dct.get(src, ())), pa.string())
+            hits[m] = pc.is_in(
+                flat.filter(pa.array(m)), value_set=vs
+            ).to_numpy(zero_copy_only=False)
+        agg: dict[str, np.ndarray] = {}
+        for src in np.unique(tok_src):
+            m = tok_src == src
+            agg[src] = np.array(
+                [int(hits[m].sum()), int((~hits[m]).sum())], np.int64
+            )
+        keys = sorted(agg)
+        m2 = np.array([agg[k] for k in keys], np.int64).reshape(-1, 2)
+        return pa.table(
+            {
+                "source": pa.array(keys, pa.string()),
+                "n_dict_hits": pa.array(m2[:, 0]),
+                "n_literals": pa.array(m2[:, 1]),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate(
+            [("n_dict_hits", "sum"), ("n_literals", "sum")]
+        )
+        g = g.take(pc.sort_indices(g, sort_keys=[("source", "ascending")]))
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "n_dict_hits": pc.cast(g.column("n_dict_hits_sum"),
+                                       pa.int64()),
+                "n_literals": pc.cast(g.column("n_literals_sum"),
+                                      pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(encode_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow")
+    )
