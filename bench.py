@@ -576,6 +576,18 @@ def run_bench() -> dict:
           lambda: content_manifest_digest(SF_DIR).count())
     timed("rle_run_audit", lambda: rle_run_audit(SF_DIR).count())
 
+    from ray_extract.pipelines.mlstats import zorder_locality_audit
+    from ray_extract.pipelines.text import (
+        dictionary_compression_audit,
+        text_diff_stats,
+    )
+
+    timed("text_diff_stats", lambda: text_diff_stats(SF_DIR).count())
+    timed("dictionary_compression_audit",
+          lambda: dictionary_compression_audit(SF_DIR).count())
+    timed("zorder_locality_audit",
+          lambda: zorder_locality_audit(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),
