@@ -34,15 +34,17 @@ class MediaDecoder:
 
     def __init__(self):
         # A real deployment would load image/audio codecs or a feature model
-        # here, once per actor. PNG is carried by the from-scratch stdlib
-        # codec (functions/png.py); JPEG/audio/video genuinely need external
-        # libs that are not in this container:
+        # here, once per actor. This repo carries REAL from-scratch codecs
+        # for PNG (functions/png.py), WAV (functions/wav.py), BMP/JPEG-dims/
+        # TIFF/MP3/ID3 (functions/mediameta.py) — each a queries() op; only
+        # full JPEG/video pixel decode genuinely needs external libs absent
+        # from this container:
         self.real_codec = None  # import cv2/PIL/torchaudio -> NotImplementedError
 
     def decode_bytes(self, payload: bytes) -> dict:
         """Real byte decode: PNG decodes fully (width/height/pixel stats
-        from actual scanlines); other formats are stubbed in this
-        environment."""
+        from actual scanlines); formats needing absent external libs are
+        stubbed (see __init__ for the real-codec inventory)."""
         from ..functions.png import is_png, png_decode
 
         if is_png(payload):
