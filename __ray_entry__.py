@@ -3372,6 +3372,36 @@ def _q_zorder_locality_audit(sf_dir: str):
     return zorder_locality_audit(sf_dir)
 
 
+def _q_compaction_plan(sf_dir: str):
+    from ray_extract.pipelines.layout import compaction_plan
+
+    return compaction_plan(sf_dir)
+
+
+def _q_shard_skew_audit(sf_dir: str):
+    from ray_extract.pipelines.layout import shard_skew_audit
+
+    return shard_skew_audit(sf_dir)
+
+
+def _q_doc_stitch_pairs(sf_dir: str):
+    from ray_extract.pipelines.layout import doc_stitch_pairs
+
+    return doc_stitch_pairs(sf_dir)
+
+
+def _q_nearest_hub_assign(sf_dir: str):
+    from ray_extract.pipelines.layout import nearest_hub_assign
+
+    return nearest_hub_assign(sf_dir)
+
+
+def _q_source_report_card(sf_dir: str):
+    from ray_extract.pipelines.layout import source_report_card
+
+    return source_report_card(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -3714,6 +3744,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_diff_stats": _q_text_diff_stats,
         "dictionary_compression_audit": _q_dictionary_compression_audit,
         "zorder_locality_audit": _q_zorder_locality_audit,
+        "compaction_plan": _q_compaction_plan,
+        "shard_skew_audit": _q_shard_skew_audit,
+        "doc_stitch_pairs": _q_doc_stitch_pairs,
+        "nearest_hub_assign": _q_nearest_hub_assign,
+        "source_report_card": _q_source_report_card,
     }
 
 
@@ -8305,5 +8340,67 @@ SELECT CAST(zkey // 16 AS BIGINT) AS zbucket,
        CAST(count(*) AS BIGINT) AS n_points,
        CAST(count(DISTINCT cl * 64 + cn) AS BIGINT) AS n_cells
 FROM z GROUP BY 1
+"""
+    d["compaction_plan"] = """
+WITH s AS (
+  SELECT source, n_chars,
+         COALESCE(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM documents)
+SELECT source, CAST(before // 4096 AS BIGINT) AS group_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY 1, 2
+"""
+    d["shard_skew_audit"] = """
+SELECT CAST((doc_id * 2654435761) % 64 AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1
+"""
+    d["doc_stitch_pairs"] = r"""
+WITH k AS (
+  SELECT source,
+         regexp_extract(text, '^(\S+ \S+)', 1) AS head,
+         regexp_extract(text, '(\S+ \S+)$', 1) AS tail
+  FROM documents),
+h AS (SELECT head AS key, source, count(*) AS n FROM k
+      WHERE head <> '' GROUP BY 1, 2),
+t AS (SELECT tail AS key, source, count(*) AS n FROM k
+      WHERE tail <> '' GROUP BY 1, 2),
+d AS (SELECT source, count(*) AS n FROM k
+      WHERE head <> '' AND head = tail GROUP BY 1),
+x AS (SELECT t.source AS source_a, h.source AS source_b,
+             SUM(t.n * h.n) AS np
+      FROM t JOIN h ON t.key = h.key GROUP BY 1, 2)
+SELECT source_a, source_b, CAST(SUM(np) AS BIGINT) AS n_pairs FROM (
+  SELECT * FROM x UNION ALL SELECT source, source, -n FROM d
+) GROUP BY 1, 2 HAVING SUM(np) > 0
+"""
+    d["nearest_hub_assign"] = """
+WITH p AS (SELECT c_custkey, (c_custkey * 2654435761) % 1024 AS x,
+                  (c_custkey * 40503) % 1024 AS y FROM customer),
+hubs(hub_id, hx, hy) AS (VALUES
+  (0,128,128),(1,128,896),(2,896,128),(3,896,896),
+  (4,512,512),(5,128,512),(6,896,512),(7,512,128)),
+d AS (SELECT p.c_custkey, h.hub_id,
+             (x-hx)*(x-hx) + (y-hy)*(y-hy) AS dist
+      FROM p CROSS JOIN hubs h),
+best AS (SELECT * FROM (
+  SELECT *, row_number() OVER (PARTITION BY c_custkey
+                               ORDER BY dist, hub_id) AS rn FROM d
+) WHERE rn = 1)
+SELECT CAST(hub_id AS BIGINT) AS hub_id,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(dist) AS BIGINT) AS sum_sqdist
+FROM best GROUP BY 1
+"""
+    d["source_report_card"] = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+FROM documents GROUP BY 1
 """
     return d

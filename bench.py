@@ -588,6 +588,20 @@ def run_bench() -> dict:
     timed("zorder_locality_audit",
           lambda: zorder_locality_audit(SF_DIR).count())
 
+    from ray_extract.pipelines.layout import (
+        compaction_plan,
+        doc_stitch_pairs,
+        nearest_hub_assign,
+        shard_skew_audit,
+        source_report_card,
+    )
+
+    timed("compaction_plan", lambda: compaction_plan(SF_DIR).count())
+    timed("shard_skew_audit", lambda: shard_skew_audit(SF_DIR).count())
+    timed("doc_stitch_pairs", lambda: doc_stitch_pairs(SF_DIR).count())
+    timed("nearest_hub_assign", lambda: nearest_hub_assign(SF_DIR).count())
+    timed("source_report_card", lambda: source_report_card(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),

@@ -1,0 +1,402 @@
+"""Corpus-layout and curation-planning operators — the "how do I lay
+100 TB out on disk and stitch shards back together" family a lakehouse
+ingest job runs after extraction: small-file compaction planning,
+hash-shard skew audits, cross-document stitch detection (shard-boundary
+continuation), broadcast nearest-hub assignment for data placement, and
+the per-source corpus report card.
+
+All outputs are integer-exact (counts / integer sums), matching this
+repo's oracle convention: every value has an exact DuckDB oracle.
+
+Reference parity note: the reference repo batches documents into fixed
+API-sized groups (azure-pdf-parser ``split_into_batches``); these
+operators generalize that planning step to byte-budgeted compaction and
+skew-aware shard layout, re-expressed Ray-Data-first.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.tables import strip_schema_metadata
+
+
+def _read(sf_dir: str, table: str, columns):
+    import ray.data as rd
+
+    return strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    )
+
+
+def compaction_plan(sf_dir: str, target_chars: int = 4096):
+    """Small-file compaction plan: within each source, documents ordered
+    by doc_id are packed into output groups so each group starts a new
+    file once the running byte budget crosses ``target_chars`` — group
+    id = (running sum BEFORE this doc) // target. The plan itself is
+    what a compaction job would execute; this query returns its audit.
+
+    Scale shape: one hash(source) shuffle co-locates each source; the
+    per-source kernel is a vectorized cumsum. Sources are the natural
+    compaction unit (one directory per source at 100 TB); a source too
+    large for one group-kernel would pre-split on doc_id ranges, which
+    preserves the same group ids because the cumsum is order-prefix
+    additive.
+
+    Output: (source, group_id, n_docs, total_chars).
+    """
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        sz = g["n_chars"].to_numpy(np.int64)
+        before = np.cumsum(sz) - sz
+        grp = before // np.int64(target_chars)
+        out = pd.DataFrame(
+            {"source": g["source"].to_numpy(), "group_id": grp, "sz": sz}
+        )
+        agg = out.groupby(["source", "group_id"], as_index=False).agg(
+            n_docs=("sz", "size"), total_chars=("sz", "sum")
+        )
+        agg["n_docs"] = agg["n_docs"].astype(np.int64)
+        return agg
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+        .groupby("source")
+        .map_groups(per_source, batch_format="pandas")
+    )
+
+
+def shard_skew_audit(sf_dir: str, n_shards: int = 64):
+    """Hash-shard layout audit: every document is assigned a shard by a
+    multiplicative hash of doc_id and the audit reports per-shard doc
+    and byte totals — the skew readout a placement planner checks before
+    committing a layout (a hot shard means repartitioning by a salted
+    key instead).
+
+    Scale shape: pure vectorized map + bounded |shards| fold.
+
+    Output: (shard, n_docs, total_chars).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        sz = pc.cast(batch.column("n_chars"), pa.int64()).to_numpy()
+        # id * 2654435761 wraps int64 above 2^31 ids (DuckDB promotes to
+        # HUGEINT); assert the packed bound like the events packed keys do
+        if len(ids):
+            assert 0 <= ids.min() and ids.max() < (1 << 31), \
+                "doc_id outside 31-bit multiplicative-hash domain"
+        shard = (ids * np.int64(2654435761)) % np.int64(n_shards)
+        t = pa.table(
+            {
+                "shard": pa.array(shard),
+                "n_docs": pa.array(np.ones(len(ids), np.int64)),
+                "total_chars": pa.array(sz),
+            }
+        )
+        return t.group_by("shard").aggregate(
+            [("n_docs", "sum"), ("total_chars", "sum")]
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("shard").aggregate(
+            [("n_docs_sum", "sum"), ("total_chars_sum", "sum")]
+        )
+        g = g.take(pc.sort_indices(g, sort_keys=[("shard", "ascending")]))
+        return pa.table(
+            {
+                "shard": pc.cast(g.column("shard"), pa.int64()),
+                "n_docs": pc.cast(g.column("n_docs_sum_sum"), pa.int64()),
+                "total_chars": pc.cast(
+                    g.column("total_chars_sum_sum"), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # bounded |shards| rows per input block
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def doc_stitch_pairs(sf_dir: str):
+    """Cross-document stitch detection: ordered pairs (a, b) where the
+    last two whitespace words of a equal the first two words of b — the
+    shard-boundary continuation probe a re-assembly job runs when
+    documents may have been split across ingest shards. Counted per
+    (source_a, source_b) WITHOUT ever materializing pairs: per stitch
+    key k, pairs(sa, sb) = tails(k, sa) x heads(k, sb), minus the
+    diagonal docs whose own tail equals their own head (a doc never
+    stitches to itself). Documents with fewer than two words carry no
+    key and never pair.
+
+    Scale shape: vectorized RE2 key extraction, per-batch (key, source)
+    count combiner, one hash(key) shuffle, per-key bounded cross of
+    source-count vectors, bounded (source x source) fold. No pair
+    blow-up: the join ships counts, not documents.
+
+    Output: (source_a, source_b, n_pairs) with n_pairs > 0.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text")
+        src = batch.column("source")
+        head = pc.struct_field(
+            pc.extract_regex(txt, r"^(?P<k>\S+ \S+)"), "k"
+        )
+        tail = pc.struct_field(
+            pc.extract_regex(txt, r"(?P<k>\S+ \S+)$"), "k"
+        )
+        n1 = pa.array(np.ones(len(txt), np.int64))
+        parts = [
+            pa.table(
+                {
+                    "key": head,
+                    "source": src,
+                    "ht": pa.array(["h"] * len(txt), pa.string()),
+                    "n": n1,
+                }
+            ),
+            pa.table(
+                {
+                    "key": tail,
+                    "source": src,
+                    "ht": pa.array(["t"] * len(txt), pa.string()),
+                    "n": n1,
+                }
+            ),
+        ]
+        diag = pc.and_(
+            pc.and_(pc.is_valid(head), pc.is_valid(tail)),
+            pc.equal(head, tail),
+        )
+        d = pa.table({"key": head, "source": src}).filter(diag)
+        if d.num_rows:
+            parts.append(
+                pa.table(
+                    {
+                        "key": d.column("key"),
+                        "source": d.column("source"),
+                        "ht": pa.array(["d"] * d.num_rows, pa.string()),
+                        "n": pa.array(np.ones(d.num_rows, np.int64)),
+                    }
+                )
+            )
+        t = pa.concat_tables(parts)
+        t = t.filter(pc.is_valid(t.column("key")))
+        return t.group_by(["key", "source", "ht"]).aggregate([("n", "sum")])
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        tails = g[g["ht"] == "t"]
+        heads = g[g["ht"] == "h"]
+        diag = g[g["ht"] == "d"]
+        if tails.empty or heads.empty:
+            return pd.DataFrame(
+                {
+                    "source_a": pd.Series(dtype=object),
+                    "source_b": pd.Series(dtype=object),
+                    "n_pairs": pd.Series(dtype="int64"),
+                }
+            )
+        ta = tails["source"].to_numpy()
+        tn = tails["n_sum"].to_numpy(np.int64)
+        ha = heads["source"].to_numpy()
+        hn = heads["n_sum"].to_numpy(np.int64)
+        sa = np.repeat(ta, len(ha))
+        sb = np.tile(ha, len(ta))
+        n = (tn[:, None] * hn[None, :]).ravel()
+        out = pd.DataFrame({"source_a": sa, "source_b": sb, "n_pairs": n})
+        if not diag.empty:
+            d = pd.DataFrame(
+                {
+                    "source_a": diag["source"].to_numpy(),
+                    "source_b": diag["source"].to_numpy(),
+                    "n_pairs": -diag["n_sum"].to_numpy(np.int64),
+                }
+            )
+            out = pd.concat([out, d], ignore_index=True)
+        return out
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source_a", "source_b"]).aggregate(
+            [("n_pairs", "sum")]
+        )
+        g = g.filter(pc.greater(g.column("n_pairs_sum"), 0))
+        g = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[
+                    ("source_a", "ascending"),
+                    ("source_b", "ascending"),
+                ],
+            )
+        )
+        return pa.table(
+            {
+                "source_a": g.column("source_a"),
+                "source_b": g.column("source_b"),
+                "n_pairs": pc.cast(g.column("n_pairs_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["text", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .map_groups(per_key, batch_format="pandas")
+        .repartition(1)  # bounded |source|^2 rows
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+# Fixed placement hubs on the synthetic 1024x1024 integer grid: the
+# "regions" a placement planner assigns customers to. Deterministic and
+# replicated verbatim in the oracle.
+_HUBS = [
+    (0, 128, 128),
+    (1, 128, 896),
+    (2, 896, 128),
+    (3, 896, 896),
+    (4, 512, 512),
+    (5, 128, 512),
+    (6, 896, 512),
+    (7, 512, 128),
+]
+
+
+def nearest_hub_assign(sf_dir: str):
+    """Broadcast nearest-hub assignment: each customer maps to a point
+    on a 1024x1024 integer grid (multiplicative hash of custkey) and is
+    assigned the nearest of 8 fixed placement hubs by exact integer
+    squared Euclidean distance (ties -> lowest hub id) — the
+    data-placement primitive (route a record to its closest region)
+    with the small side broadcast, never shuffled.
+
+    Scale shape: hubs are a constant broadcast inside the map; pure
+    vectorized argmin per batch + bounded |hubs| fold.
+
+    Output: (hub_id, n_customers, sum_sqdist).
+    """
+    hx = np.array([h[1] for h in _HUBS], np.int64)
+    hy = np.array([h[2] for h in _HUBS], np.int64)
+    hid = np.array([h[0] for h in _HUBS], np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ck = pc.cast(batch.column("c_custkey"), pa.int64()).to_numpy()
+        if len(ck):
+            assert 0 <= ck.min() and ck.max() < (1 << 31), \
+                "c_custkey outside 31-bit multiplicative-hash domain"
+        x = (ck * np.int64(2654435761)) % np.int64(1024)
+        y = (ck * np.int64(40503)) % np.int64(1024)
+        d = (x[:, None] - hx[None, :]) ** 2 + (y[:, None] - hy[None, :]) ** 2
+        best = np.argmin(d, axis=1)  # argmin takes FIRST min -> lowest id
+        t = pa.table(
+            {
+                "hub_id": pa.array(hid[best]),
+                "n_customers": pa.array(np.ones(len(ck), np.int64)),
+                "sum_sqdist": pa.array(d[np.arange(len(ck)), best]),
+            }
+        )
+        return t.group_by("hub_id").aggregate(
+            [("n_customers", "sum"), ("sum_sqdist", "sum")]
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("hub_id").aggregate(
+            [("n_customers_sum", "sum"), ("sum_sqdist_sum", "sum")]
+        )
+        g = g.take(pc.sort_indices(g, sort_keys=[("hub_id", "ascending")]))
+        return pa.table(
+            {
+                "hub_id": pc.cast(g.column("hub_id"), pa.int64()),
+                "n_customers": pc.cast(
+                    g.column("n_customers_sum_sum"), pa.int64()
+                ),
+                "sum_sqdist": pc.cast(
+                    g.column("sum_sqdist_sum_sum"), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "customer", ["c_custkey"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # bounded |hubs| rows per input block
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def source_report_card(sf_dir: str):
+    """Per-source corpus report card: the dataset-card summary a
+    curation job publishes per ingest source — document count, total
+    characters, total whitespace tokens, distinct languages, and the
+    longest document (in tokens).
+
+    Scale shape: vectorized per-batch combiner (token counts via
+    np.char.count), bounded |source x lang| partials, bounded fold.
+
+    Output: (source, n_docs, total_chars, total_tokens, n_langs,
+    max_tokens).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # len(split(' ')) semantics: spaces + 1, including empty string -> 1
+        toks = pc.add(
+            pc.cast(pc.count_substring(batch.column("text"), " "),
+                    pa.int64()),
+            1,
+        )
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "lang": batch.column("lang"),
+                "n_docs": pa.array(np.ones(batch.num_rows, np.int64)),
+                "total_chars": pc.cast(batch.column("n_chars"), pa.int64()),
+                "total_tokens": toks,
+                "max_tokens": toks,
+            }
+        )
+        return t.group_by(["source", "lang"]).aggregate(
+            [
+                ("n_docs", "sum"),
+                ("total_chars", "sum"),
+                ("total_tokens", "sum"),
+                ("max_tokens", "max"),
+            ]
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("n_docs_sum", "sum"),
+            total_chars=("total_chars_sum", "sum"),
+            total_tokens=("total_tokens_sum", "sum"),
+            n_langs=("lang", "nunique"),
+            max_tokens=("max_tokens_max", "max"),
+        )
+        g = g.sort_values("source", kind="mergesort")
+        return pa.table(
+            {
+                "source": pa.array(g["source"], pa.string()),
+                "n_docs": pa.array(g["n_docs"].to_numpy(np.int64)),
+                "total_chars": pa.array(g["total_chars"].to_numpy(np.int64)),
+                "total_tokens": pa.array(
+                    g["total_tokens"].to_numpy(np.int64)
+                ),
+                "n_langs": pa.array(g["n_langs"].to_numpy(np.int64)),
+                "max_tokens": pa.array(g["max_tokens"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["text", "source", "lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # bounded |source| x |lang| rows per block
+        .map_batches(finish, batch_format="pyarrow")
+    )
