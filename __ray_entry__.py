@@ -3402,6 +3402,36 @@ def _q_source_report_card(sf_dir: str):
     return source_report_card(sf_dir)
 
 
+def _q_join_stats_audit(sf_dir: str):
+    from ray_extract.pipelines.mlstats import join_stats_audit
+
+    return join_stats_audit(sf_dir)
+
+
+def _q_stratified_kfold_assign(sf_dir: str):
+    from ray_extract.pipelines.mlstats import stratified_kfold_assign
+
+    return stratified_kfold_assign(sf_dir)
+
+
+def _q_tokenizer_fertility_terms(sf_dir: str):
+    from ray_extract.pipelines.mlstats import tokenizer_fertility_terms
+
+    return tokenizer_fertility_terms(sf_dir)
+
+
+def _q_fold_leakage_audit(sf_dir: str):
+    from ray_extract.pipelines.mlstats import fold_leakage_audit
+
+    return fold_leakage_audit(sf_dir)
+
+
+def _q_id_gap_audit(sf_dir: str):
+    from ray_extract.pipelines.mlstats import id_gap_audit
+
+    return id_gap_audit(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -3749,6 +3779,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stitch_pairs": _q_doc_stitch_pairs,
         "nearest_hub_assign": _q_nearest_hub_assign,
         "source_report_card": _q_source_report_card,
+        "join_stats_audit": _q_join_stats_audit,
+        "stratified_kfold_assign": _q_stratified_kfold_assign,
+        "tokenizer_fertility_terms": _q_tokenizer_fertility_terms,
+        "fold_leakage_audit": _q_fold_leakage_audit,
+        "id_gap_audit": _q_id_gap_audit,
     }
 
 
@@ -8402,5 +8437,70 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
        CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
 FROM documents GROUP BY 1
+"""
+    d["join_stats_audit"] = """
+WITH l AS (SELECT o_orderkey AS key, count(*) AS nl FROM orders GROUP BY 1),
+r AS (SELECT l_orderkey AS key, count(*) AS nr FROM lineitem GROUP BY 1),
+f AS (SELECT COALESCE(l.key, r.key) AS key, COALESCE(nl, 0) AS nl,
+             COALESCE(nr, 0) AS nr
+      FROM l FULL OUTER JOIN r ON l.key = r.key)
+SELECT CAST(count(*) FILTER (WHERE nl > 0) AS BIGINT) AS n_keys_left,
+       CAST(count(*) FILTER (WHERE nr > 0) AS BIGINT) AS n_keys_right,
+       CAST(count(*) FILTER (WHERE nl > 0 AND nr > 0) AS BIGINT)
+         AS n_keys_both,
+       CAST(count(*) FILTER (WHERE nl > 0 AND nr = 0) AS BIGINT)
+         AS n_left_only,
+       CAST(count(*) FILTER (WHERE nl = 0 AND nr > 0) AS BIGINT)
+         AS n_right_only,
+       CAST(COALESCE(sum(nl * nr) FILTER (WHERE nl > 0 AND nr > 0), 0)
+         AS BIGINT) AS join_rows,
+       CAST(COALESCE(max(nl * nr) FILTER (WHERE nl > 0 AND nr > 0), 0)
+         AS BIGINT) AS max_fanout
+FROM f
+"""
+    d["stratified_kfold_assign"] = """
+WITH d AS (SELECT lang, n_chars,
+  (row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1) % 5 AS fold
+  FROM documents)
+SELECT lang, CAST(fold AS BIGINT) AS fold,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM d GROUP BY 1, 2
+"""
+    d["tokenizer_fertility_terms"] = """
+WITH t AS (SELECT lang,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+  CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))
+    AS BIGINT) AS bpe
+  FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ws) AS BIGINT) AS sum_ws_tokens,
+       CAST(sum(bpe) AS BIGINT) AS sum_bpe_tokens,
+       CAST(sum(bpe) * 1000000 // sum(ws) AS BIGINT) AS fertility_ppm
+FROM t GROUP BY 1
+"""
+    d["fold_leakage_audit"] = """
+WITH d AS (SELECT doc_id, text,
+  (row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1) % 3 AS fold
+  FROM documents),
+ws AS (SELECT fold, string_split(text, ' ') AS w FROM d),
+sh AS (SELECT DISTINCT fold, array_to_string(w[u.i:u.i+2], ' ') AS shingle
+       FROM ws, unnest(range(1, len(w) - 1)) AS u(i))
+SELECT CAST(a.fold AS BIGINT) AS fold_a, CAST(b.fold AS BIGINT) AS fold_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.fold < b.fold
+GROUP BY 1, 2
+"""
+    d["id_gap_audit"] = """
+WITH d AS (SELECT source, doc_id,
+  doc_id - lag(doc_id) OVER (PARTITION BY source ORDER BY doc_id) - 1 AS gap
+  FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_id,
+       CAST(max(doc_id) AS BIGINT) AS max_id,
+       CAST(count(*) FILTER (WHERE gap > 0) AS BIGINT) AS n_gaps,
+       CAST(COALESCE(sum(gap) FILTER (WHERE gap > 0), 0) AS BIGINT)
+         AS sum_gap
+FROM d GROUP BY 1
 """
     return d

@@ -602,6 +602,22 @@ def run_bench() -> dict:
     timed("nearest_hub_assign", lambda: nearest_hub_assign(SF_DIR).count())
     timed("source_report_card", lambda: source_report_card(SF_DIR).count())
 
+    from ray_extract.pipelines.mlstats import (
+        fold_leakage_audit,
+        id_gap_audit,
+        join_stats_audit,
+        stratified_kfold_assign,
+        tokenizer_fertility_terms,
+    )
+
+    timed("join_stats_audit", lambda: join_stats_audit(SF_DIR).count())
+    timed("stratified_kfold_assign",
+          lambda: stratified_kfold_assign(SF_DIR).count())
+    timed("tokenizer_fertility_terms",
+          lambda: tokenizer_fertility_terms(SF_DIR).count())
+    timed("fold_leakage_audit", lambda: fold_leakage_audit(SF_DIR).count())
+    timed("id_gap_audit", lambda: id_gap_audit(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),

@@ -414,3 +414,314 @@ def zorder_locality_audit(sf_dir: str, bucket_shift: int = 4):
         .repartition(1)  # z-bucket x cell bounded domain
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def join_stats_audit(sf_dir: str):
+    """Join-planner statistics for the orders JOIN lineitem key: per-side
+    key counts, overlap, and exact fanout mass (sum over shared keys of
+    n_left x n_right = the join's output cardinality) plus the worst
+    single-key fanout — the stats a distributed planner consults before
+    choosing broadcast vs shuffle and before salting hot keys.
+
+    Scale shape: per-batch per-key count combiners on EACH side (nothing
+    row-scale crosses the wire), one hash(key) shuffle of (key, side
+    counts), vectorized per-key stats, bounded single-row fold.
+
+    Output: one row (n_keys_left, n_keys_right, n_keys_both, n_left_only,
+    n_right_only, join_rows, max_fanout).
+    """
+
+    def _partial(col: str, is_left: bool):
+        def partial(batch: pa.Table) -> pa.Table:
+            key = pc.cast(batch.column(col), pa.int64())
+            one = pa.array(np.ones(batch.num_rows, np.int64))
+            zero = pa.array(np.zeros(batch.num_rows, np.int64))
+            t = pa.table(
+                {
+                    "key": key,
+                    "nl": one if is_left else zero,
+                    "nr": zero if is_left else one,
+                }
+            )
+            g = t.group_by("key").aggregate([("nl", "sum"), ("nr", "sum")])
+            kb = pc.cast(g.column("key"), pa.int64()).to_numpy()
+            return g.append_column(
+                "kbucket", pa.array((kb * np.int64(2654435761)) % 256)
+            )
+
+        return partial
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        nl = g.groupby("key")["nl_sum"].sum().to_numpy(np.int64)
+        nr = g.groupby("key")["nr_sum"].sum().to_numpy(np.int64)
+        both = (nl > 0) & (nr > 0)
+        return pd.DataFrame(
+            {
+                "n_keys_left": [int((nl > 0).sum())],
+                "n_keys_right": [int((nr > 0).sum())],
+                "n_keys_both": [int(both.sum())],
+                "n_left_only": [int(((nl > 0) & (nr == 0)).sum())],
+                "n_right_only": [int(((nl == 0) & (nr > 0)).sum())],
+                "join_rows": [int((nl[both] * nr[both]).sum())],
+                "max_fanout": [
+                    int((nl[both] * nr[both]).max()) if both.any() else 0
+                ],
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = {}
+        for c in t.column_names:
+            arr = pc.cast(t.column(c), pa.int64())
+            agg = pc.max(arr) if c == "max_fanout" else pc.sum(arr)
+            cols[c] = pa.array([agg.as_py() or 0], pa.int64())
+        return pa.table(cols)
+
+    import ray.data as rd
+
+    left = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        _partial("o_orderkey", True), batch_format="pyarrow"
+    )
+    right = _read(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+        _partial("l_orderkey", False), batch_format="pyarrow"
+    )
+    return (
+        left.union(right)
+        .groupby("kbucket")  # 256 buckets, NOT one group per key
+        .map_groups(per_key, batch_format="pandas")
+        .repartition(1)  # one stats row per key-bucket
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def stratified_kfold_assign(sf_dir: str, k: int = 5):
+    """Deterministic stratified k-fold assignment: within each language
+    stratum documents are ranked by doc_id and dealt round-robin into k
+    folds — every fold gets an equal share of every stratum (the
+    cross-validation split that hash-based assignment cannot guarantee).
+
+    Scale shape: one hash(lang) shuffle of LIGHT columns only (doc_id,
+    lang, n_chars — never text); per-stratum kernel is a sort + arange.
+    A stratum too large for one kernel pre-splits on doc_id ranges and
+    offsets the round-robin by the prefix count, which this rule keeps
+    exact because rank is order-prefix additive.
+
+    Output: (lang, fold, n_docs, total_chars).
+    """
+
+    def per_lang(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        fold = np.arange(len(g), dtype=np.int64) % np.int64(k)
+        out = pd.DataFrame(
+            {
+                "lang": g["lang"].to_numpy(),
+                "fold": fold,
+                "sz": g["n_chars"].to_numpy(np.int64),
+            }
+        )
+        agg = out.groupby(["lang", "fold"], as_index=False).agg(
+            n_docs=("sz", "size"), total_chars=("sz", "sum")
+        )
+        agg["n_docs"] = agg["n_docs"].astype(np.int64)
+        return agg
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+        .groupby("lang")
+        .map_groups(per_lang, batch_format="pandas")
+    )
+
+
+def tokenizer_fertility_terms(sf_dir: str):
+    """Tokenizer fertility per language: whitespace-word and BPE-ish
+    pre-token totals with the fertility ratio in ppm (BPE tokens per
+    million whitespace words) — the "how much does tokenization inflate
+    this language" readout that sizes a training run's token budget.
+
+    Scale shape: vectorized per-batch combiner (two RE2/substring counts),
+    bounded |lang| fold; the ppm ratio is computed in Python ints so
+    corpus-scale token sums never wrap int64 when multiplied by 1e6.
+
+    Output: (lang, n_docs, sum_ws_tokens, sum_bpe_tokens, fertility_ppm).
+    """
+    from .text import BPE_PATTERN
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        n_ws = pc.add(
+            pc.cast(pc.count_substring(text, " "), pa.int64()), 1
+        )
+        n_bpe = pc.cast(
+            pc.count_substring_regex(text, BPE_PATTERN), pa.int64()
+        )
+        t = pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n_docs": pa.array(np.ones(batch.num_rows, np.int64)),
+                "sum_ws_tokens": n_ws,
+                "sum_bpe_tokens": n_bpe,
+            }
+        )
+        return t.group_by("lang").aggregate(
+            [("n_docs", "sum"), ("sum_ws_tokens", "sum"),
+             ("sum_bpe_tokens", "sum")]
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("lang").aggregate(
+            [("n_docs_sum", "sum"), ("sum_ws_tokens_sum", "sum"),
+             ("sum_bpe_tokens_sum", "sum")]
+        )
+        g = g.take(pc.sort_indices(g, sort_keys=[("lang", "ascending")]))
+        ws = pc.cast(g.column("sum_ws_tokens_sum_sum"), pa.int64()).to_pylist()
+        bpe = pc.cast(
+            g.column("sum_bpe_tokens_sum_sum"), pa.int64()
+        ).to_pylist()
+        ppm = [b * 1_000_000 // w for b, w in zip(bpe, ws)]
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "n_docs": pc.cast(g.column("n_docs_sum_sum"), pa.int64()),
+                "sum_ws_tokens": pa.array(ws, pa.int64()),
+                "sum_bpe_tokens": pa.array(bpe, pa.int64()),
+                "fertility_ppm": pa.array(ppm, pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["text", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # bounded |lang| rows per block
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def fold_leakage_audit(sf_dir: str, k: int = 3):
+    """Cross-fold leakage audit: after the stratified k-fold assignment,
+    the number of DISTINCT 3-word shingles shared by each fold pair —
+    the train/validation contamination check a curation job runs before
+    trusting a held-out score.
+
+    Scale shape: fold ids are computed over light columns via one
+    hash(lang) shuffle, joined back to text by a native hash join on
+    doc_id (big-big, never broadcast); shingles dedup per (shingle,
+    fold) in a per-batch combiner, one hash(shingle) shuffle emits the
+    bounded fold-pair matrix.
+
+    Output: (fold_a, fold_b, n_shared) for fold_a < fold_b.
+    """
+    from ..functions.hashing import word_shingles_batch
+
+    def per_lang(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "fold": np.arange(len(g), dtype=np.int64) % np.int64(k),
+            }
+        )
+
+    folds = (
+        _read(sf_dir, "documents", ["doc_id", "lang"])
+        .groupby("lang")
+        .map_groups(per_lang, batch_format="pandas")
+    )
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    joined = docs.join(
+        folds, join_type="inner", num_partitions=4, on=("doc_id",)
+    )
+
+    def shingle_partial(batch: pa.Table) -> pa.Table:
+        idx, sh, _ = word_shingles_batch(batch.column("text"), k=3)
+        fold = pc.cast(batch.column("fold"), pa.int64()).to_numpy()
+        t = pa.table({"shingle": sh, "fold": pa.array(fold[idx])})
+        t = t.group_by(["shingle", "fold"]).aggregate([])
+        sb = (
+            pd.util.hash_pandas_object(
+                t.column("shingle").to_pandas(), index=False
+            ).to_numpy(np.uint64)
+            % 256
+        ).astype(np.int64)
+        return t.append_column("sbucket", pa.array(sb))
+
+    def per_shingle(g: pd.DataFrame) -> pd.DataFrame:
+        # fold-presence bitmask per shingle (dedup across input batches),
+        # then each fold pair counts masks carrying both bits — fully
+        # vectorized, no per-shingle Python loop
+        g = g.drop_duplicates(["shingle", "fold"])
+        bit = (np.int64(1) << g["fold"].to_numpy(np.int64))
+        mask = pd.Series(bit).groupby(g["shingle"].to_numpy()).sum()
+        m = mask.to_numpy(np.int64)
+        fa, fb, n = [], [], []
+        for a in range(k):
+            for b in range(a + 1, k):
+                both = np.int64((1 << a) | (1 << b))
+                cnt = int(((m & both) == both).sum())
+                if cnt:
+                    fa.append(a)
+                    fb.append(b)
+                    n.append(cnt)
+        return pd.DataFrame(
+            {
+                "fold_a": np.array(fa, np.int64),
+                "fold_b": np.array(fb, np.int64),
+                "n_shared": np.array(n, np.int64),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["fold_a", "fold_b"]).aggregate([("n_shared", "sum")])
+        g = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[("fold_a", "ascending"), ("fold_b", "ascending")],
+            )
+        )
+        return pa.table(
+            {
+                "fold_a": pc.cast(g.column("fold_a"), pa.int64()),
+                "fold_b": pc.cast(g.column("fold_b"), pa.int64()),
+                "n_shared": pc.cast(g.column("n_shared_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(shingle_partial, batch_format="pyarrow")
+        .groupby("sbucket")  # 256 buckets, NOT one group per shingle
+        .map_groups(per_shingle, batch_format="pandas")
+        .repartition(1)  # bounded k*(k-1)/2 rows
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def id_gap_audit(sf_dir: str):
+    """Doc-id continuity audit per source: min/max id, gap count and gap
+    mass in the sorted id sequence — the frame-of-reference readout an
+    index layout uses to decide between delta and dense encoding.
+
+    Scale shape: one hash(source) shuffle of (doc_id, source) only;
+    per-source kernel is a sort + one diff.
+
+    Output: (source, n_docs, min_id, max_id, n_gaps, sum_gap).
+    """
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy(np.int64))
+        d = np.diff(ids)
+        gaps = d - 1
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "n_docs": np.array([len(ids)], np.int64),
+                "min_id": np.array([ids[0]], np.int64),
+                "max_id": np.array([ids[-1]], np.int64),
+                "n_gaps": np.array([(gaps > 0).sum()], np.int64),
+                "sum_gap": np.array([gaps[gaps > 0].sum()], np.int64),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "source"])
+        .groupby("source")
+        .map_groups(per_source, batch_format="pandas")
+    )
