@@ -3432,6 +3432,30 @@ def _q_id_gap_audit(sf_dir: str):
     return id_gap_audit(sf_dir)
 
 
+def _q_sole_late_supplier_blame(sf_dir: str):
+    from ray_extract.pipelines.relational import sole_late_supplier_blame
+
+    return sole_late_supplier_blame(sf_dir)
+
+
+def _q_frequent_brand_triples(sf_dir: str):
+    from ray_extract.pipelines.relational import frequent_brand_triples
+
+    return frequent_brand_triples(sf_dir)
+
+
+def _q_parts_never_shipped(sf_dir: str):
+    from ray_extract.pipelines.relational import parts_never_shipped
+
+    return parts_never_shipped(sf_dir)
+
+
+def _q_event_inversion_count(sf_dir: str):
+    from ray_extract.pipelines.events import event_inversion_count
+
+    return event_inversion_count(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -3784,6 +3808,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenizer_fertility_terms": _q_tokenizer_fertility_terms,
         "fold_leakage_audit": _q_fold_leakage_audit,
         "id_gap_audit": _q_id_gap_audit,
+        "sole_late_supplier_blame": _q_sole_late_supplier_blame,
+        "frequent_brand_triples": _q_frequent_brand_triples,
+        "parts_never_shipped": _q_parts_never_shipped,
+        "event_inversion_count": _q_event_inversion_count,
     }
 
 
@@ -8502,5 +8530,45 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(COALESCE(sum(gap) FILTER (WHERE gap > 0), 0) AS BIGINT)
          AS sum_gap
 FROM d GROUP BY 1
+"""
+    d["sole_late_supplier_blame"] = """
+WITH j AS (SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
+            max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                     THEN 1 ELSE 0 END) AS late
+     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+     GROUP BY 1, 2),
+b AS (SELECT ok, min(sk) FILTER (WHERE late = 1) AS blamed
+      FROM j GROUP BY ok
+      HAVING count(*) >= 2 AND count(*) FILTER (WHERE late = 1) = 1)
+SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_blamed_orders
+FROM b JOIN supplier s ON b.blamed = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1
+"""
+    d["frequent_brand_triples"] = """
+WITH ob AS (SELECT DISTINCT l_orderkey, p_brand
+            FROM lineitem JOIN part ON l_partkey = p_partkey)
+SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, c.p_brand AS brand_c,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+          JOIN ob c ON a.l_orderkey = c.l_orderkey AND b.p_brand < c.p_brand
+GROUP BY 1, 2, 3 HAVING count(*) >= 3
+"""
+    d["parts_never_shipped"] = """
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+  CAST(count(*) FILTER (WHERE p_partkey NOT IN
+    (SELECT l_partkey FROM lineitem)) AS BIGINT) AS n_never_shipped
+FROM part GROUP BY 1
+"""
+    d["event_inversion_count"] = """
+WITH inv AS (
+ SELECT a.user_id, count(*) AS n_inv
+ FROM events a JOIN events b ON a.user_id = b.user_id
+   AND a.event_id < b.event_id AND a.ts > b.ts
+ GROUP BY 1)
+SELECT CAST(e.user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(COALESCE(max(i.n_inv), 0) AS BIGINT) AS n_inversions
+FROM events e LEFT JOIN inv i ON e.user_id = i.user_id GROUP BY 1
 """
     return d

@@ -618,6 +618,22 @@ def run_bench() -> dict:
     timed("fold_leakage_audit", lambda: fold_leakage_audit(SF_DIR).count())
     timed("id_gap_audit", lambda: id_gap_audit(SF_DIR).count())
 
+    from ray_extract.pipelines.events import event_inversion_count
+    from ray_extract.pipelines.relational import (
+        frequent_brand_triples,
+        parts_never_shipped,
+        sole_late_supplier_blame,
+    )
+
+    timed("sole_late_supplier_blame",
+          lambda: sole_late_supplier_blame(SF_DIR).count())
+    timed("frequent_brand_triples",
+          lambda: frequent_brand_triples(SF_DIR).count())
+    timed("parts_never_shipped",
+          lambda: parts_never_shipped(SF_DIR).count())
+    timed("event_inversion_count",
+          lambda: event_inversion_count(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),

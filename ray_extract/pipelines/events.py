@@ -4347,3 +4347,72 @@ def interval_coverage(sf_dir: str, duration_seconds: int = 30,
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def event_inversion_count(sf_dir: str, num_buckets: int = 256):
+    """Stream-disorder audit: per user, the number of event pairs that
+    ARRIVED out of event-time order — pairs (a, b) with a.event_id <
+    b.event_id (arrival order) but a.ts > b.ts (event time). Equal
+    timestamps are in order. This is the "how late/shuffled is my
+    ingest" readout that sizes watermark allowances.
+
+    Scale shape: one hash(user) bucket shuffle of three light columns;
+    the per-user kernel is the vectorized O(n log^2 n) merge inversion
+    counter (functions/inversions.py) — never a pairwise expansion.
+
+    Output: (user_id, n_events, n_inversions).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.inversions import inversions_with_tiebreak
+    from ..functions.tables import strip_schema_metadata
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch.column("user_id"), pa.int64())
+        return pa.table(
+            {
+                "user_id": uid,
+                "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+                "sec": pc.cast(
+                    pc.cast(batch.column("ts"), pa.timestamp("us")),
+                    pa.int64(),
+                ),
+                "bucket": pc.cast(
+                    pc.bit_wise_and(uid, num_buckets - 1), pa.int64()
+                ),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uids, n_ev, n_inv = [], [], []
+        for uid, grp in g.groupby("user_id", sort=True):
+            order = np.argsort(grp["event_id"].to_numpy(np.int64),
+                               kind="mergesort")
+            ts = grp["sec"].to_numpy(np.int64)[order]
+            uids.append(int(uid))
+            n_ev.append(len(ts))
+            n_inv.append(
+                inversions_with_tiebreak(
+                    ts, np.arange(len(ts), dtype=np.int64)
+                )
+            )
+        return pd.DataFrame(
+            {
+                "user_id": np.array(uids, np.int64),
+                "n_events": np.array(n_ev, np.int64),
+                "n_inversions": np.array(n_inv, np.int64),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["event_id", "user_id", "ts"],
+            )
+        )
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

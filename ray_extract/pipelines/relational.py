@@ -8934,3 +8934,363 @@ def partition_boundaries(sf_dir: str, n_parts: int = 16,
         .repartition(1)  # O(|needed buckets| x bucket width) value rows
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def sole_late_supplier_blame(sf_dir: str, grace_days: int = 60,
+                             num_partitions: int | None = None):
+    """TPC-H Q21-shaped blame query (adapted to this schema's columns):
+    for multi-supplier orders where EXACTLY ONE supplier shipped late
+    (l_shipdate more than ``grace_days`` after o_orderdate), charge that
+    supplier — aggregated to the supplier's nation. The
+    exists/not-exists pair of the classic query becomes a per-order
+    group qualification.
+
+    Scale shape: lineitem JOIN orders is the native hash-shuffle big-big
+    join; per-(order, supplier) lateness collapses in a per-batch
+    combiner BEFORE the order-bucket shuffle; the per-order
+    qualification is a vectorized bucket kernel; supplier -> nation is a
+    dimension broadcast (ray.put once); bounded |nation| fold.
+
+    Output: (n_name, n_blamed_orders).
+    """
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    num_partitions = _join_partitions(num_partitions)
+
+    li = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+        )
+    )
+    orders = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate"],
+        )
+    )
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    supp_ref = ray.put(
+        pa.table(
+            {
+                "sk": pc.cast(supp.column("s_suppkey"), pa.int64()),
+                "nk": pc.cast(supp.column("s_nationkey"), pa.int64()),
+            }
+        )
+    )
+    nation_names = dict(
+        zip(
+            pc.cast(nation.column("n_nationkey"), pa.int64()).to_pylist(),
+            nation.column("n_name").to_pylist(),
+        )
+    )
+
+    def late_partial(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").to_numpy().astype(
+            "datetime64[D]"
+        ).astype(np.int64)
+        od = batch.column("o_orderdate").to_numpy().astype(
+            "datetime64[D]"
+        ).astype(np.int64)
+        ok = pc.cast(batch.column("l_orderkey"), pa.int64()).to_numpy()
+        t = pa.table(
+            {
+                "ok": pa.array(ok),
+                "sk": pc.cast(batch.column("l_suppkey"), pa.int64()),
+                "late": pa.array((ship > od + grace_days).astype(np.int64)),
+            }
+        )
+        g = t.group_by(["ok", "sk"]).aggregate([("late", "max")])
+        okk = pc.cast(g.column("ok"), pa.int64()).to_numpy()
+        return g.append_column(
+            "kbucket", pa.array((okk * np.int64(2654435761)) % 256)
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # per-batch partials may repeat (ok, sk): re-collapse, then
+        # qualify orders with >= 2 suppliers and exactly one late
+        d = g.groupby(["ok", "sk"], as_index=False)["late_max"].max()
+        ns = d.groupby("ok")["sk"].nunique()
+        late = d[d["late_max"] > 0]
+        nl = late.groupby("ok")["sk"].nunique()
+        blamed = late.groupby("ok")["sk"].min()
+        qual = ns.index[(ns >= 2)].intersection(nl.index[nl == 1])
+        sk = blamed[qual].to_numpy(np.int64)
+        out = pd.DataFrame({"sk": sk})
+        out["n"] = np.int64(1)
+        return out.groupby("sk", as_index=False).agg(n=("n", "sum"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        sliver = ray.get(supp_ref)
+        g = t.group_by("sk").aggregate([("n", "sum")])
+        sk = pc.cast(g.column("sk"), pa.int64()).to_numpy()
+        n = pc.cast(g.column("n_sum"), pa.int64()).to_numpy()
+        ssk = pc.cast(sliver.column("sk"), pa.int64()).to_numpy()
+        snk = pc.cast(sliver.column("nk"), pa.int64()).to_numpy()
+        order = np.argsort(ssk, kind="mergesort")
+        pos = order[np.searchsorted(ssk[order], sk)]
+        names = np.array(
+            [nation_names[int(k)] for k in snk[pos]], dtype=object
+        )
+        out = pd.DataFrame({"n_name": names, "n_blamed_orders": n})
+        out = out.groupby("n_name", as_index=False).agg(
+            n_blamed_orders=("n_blamed_orders", "sum")
+        )
+        out = out.sort_values("n_name", kind="mergesort")
+        return pa.table(
+            {
+                "n_name": pa.array(out["n_name"], pa.string()),
+                "n_blamed_orders": pa.array(
+                    out["n_blamed_orders"].to_numpy(np.int64)
+                ),
+            }
+        )
+
+    return (
+        joined.map_batches(late_partial, batch_format="pyarrow")
+        .groupby("kbucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # bounded |suppliers-with-blame| rows
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def frequent_brand_triples(sf_dir: str, min_support: int = 3):
+    """Frequent 3-itemsets over per-order brand baskets: brand triples
+    co-purchased in at least ``min_support`` orders — the apriori step
+    beyond the pairwise association_rules op.
+
+    Scale shape: part is a dimension broadcast (ray.put of the
+    partkey -> brand code map, Arrow index_in probe per batch);
+    per-order distinct brands collapse in a per-batch combiner before
+    the one order-bucket shuffle; triple enumeration is per order over
+    <= |brands-per-order| codes (tiny), and the triple domain is bounded
+    by C(|brands|, 3) so the fold is bounded.
+
+    Output: (brand_a, brand_b, brand_c, n_orders), support >= min_support.
+    """
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    brands = sorted(set(part.column("p_brand").to_pylist()))
+    brand_arr = pa.array(brands, type=pa.string())
+    dim_ref = ray.put(
+        pa.table(
+            {
+                "pk": pc.cast(part.column("p_partkey"), pa.int64()),
+                "code": pc.cast(
+                    pc.index_in(part.column("p_brand"), brand_arr),
+                    pa.int64(),
+                ),
+            }
+        )
+    )
+
+    def probe(batch: pa.Table) -> pa.Table:
+        dim = ray.get(dim_ref)
+        pk = pc.cast(batch.column("l_partkey"), pa.int64())
+        code = pc.take(
+            dim.column("code"),
+            pc.index_in(pk, dim.column("pk").combine_chunks()),
+        )
+        ok = pc.cast(batch.column("l_orderkey"), pa.int64())
+        t = pa.table({"ok": ok, "code": code})
+        t = t.group_by(["ok", "code"]).aggregate([])  # block-local distinct
+        okk = pc.cast(t.column("ok"), pa.int64()).to_numpy()
+        return t.append_column(
+            "kbucket", pa.array((okk * np.int64(2654435761)) % 256)
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        from itertools import combinations
+
+        d = g.drop_duplicates(["ok", "code"]).sort_values(
+            ["ok", "code"], kind="mergesort"
+        )
+        counts: dict = {}
+        for _, grp in d.groupby("ok"):
+            codes = grp["code"].to_numpy(np.int64)
+            for tri in combinations(codes.tolist(), 3):
+                counts[tri] = counts.get(tri, 0) + 1
+        ks = sorted(counts)
+        return pd.DataFrame(
+            {
+                "a": np.array([x[0] for x in ks], np.int64),
+                "b": np.array([x[1] for x in ks], np.int64),
+                "c": np.array([x[2] for x in ks], np.int64),
+                "n": np.array([counts[x] for x in ks], np.int64),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["a", "b", "c"]).aggregate([("n", "sum")])
+        g = g.filter(
+            pc.greater_equal(g.column("n_sum"), min_support)
+        )
+        g = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[("a", "ascending"), ("b", "ascending"),
+                           ("c", "ascending")],
+            )
+        )
+        names = np.array(brands, dtype=object)
+        return pa.table(
+            {
+                "brand_a": pa.array(
+                    names[pc.cast(g.column("a"), pa.int64()).to_numpy()],
+                    pa.string(),
+                ),
+                "brand_b": pa.array(
+                    names[pc.cast(g.column("b"), pa.int64()).to_numpy()],
+                    pa.string(),
+                ),
+                "brand_c": pa.array(
+                    names[pc.cast(g.column("c"), pa.int64()).to_numpy()],
+                    pa.string(),
+                ),
+                "n_orders": pc.cast(g.column("n_sum"), pa.int64()),
+            }
+        )
+
+    li = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_partkey"],
+        )
+    )
+    return (
+        li.map_batches(probe, batch_format="pyarrow")
+        .groupby("kbucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # bounded C(|brands|,3) triple domain
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def parts_never_shipped(sf_dir: str, num_partitions: int | None = None):
+    """Catalog dead-stock audit: per brand, how many parts never appear
+    in any lineitem — the distributed ANTI-JOIN on the part side (the
+    "which records have no usage" shape), with per-brand totals from the
+    same dimension scan.
+
+    Scale shape: the lineitem side reduces to block-local DISTINCT
+    partkeys before Ray Data's native hash-shuffle ``left_anti`` join;
+    brand totals are a bounded combiner off the part scan; both bounded
+    tables union into one |brand| fold.
+
+    Output: (p_brand, n_parts, n_never_shipped).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    num_partitions = _join_partitions(num_partitions)
+
+    part = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+        )
+    )
+    li_keys = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_partkey"]
+        )
+    ).map_batches(
+        lambda b: pa.table(
+            {"l_partkey": pc.cast(b.column("l_partkey"), pa.int64())}
+        ).group_by("l_partkey").aggregate([]),
+        batch_format="pyarrow",
+    )
+
+    def part_prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": pc.cast(batch.column("p_partkey"), pa.int64()),
+                "p_brand": batch.column("p_brand"),
+            }
+        )
+
+    never = part.map_batches(part_prep, batch_format="pyarrow").join(
+        li_keys,
+        join_type="left_anti",
+        num_partitions=num_partitions,
+        on=("p_partkey",),
+        right_on=("l_partkey",),
+    )
+
+    def count_never(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "p_brand": batch.column("p_brand"),
+                "n_parts": pa.array(np.zeros(batch.num_rows, np.int64)),
+                "n_never_shipped": pa.array(
+                    np.ones(batch.num_rows, np.int64)
+                ),
+            }
+        )
+        return t.group_by("p_brand").aggregate(
+            [("n_parts", "sum"), ("n_never_shipped", "sum")]
+        )
+
+    def count_total(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "p_brand": batch.column("p_brand"),
+                "n_parts": pa.array(np.ones(batch.num_rows, np.int64)),
+                "n_never_shipped": pa.array(
+                    np.zeros(batch.num_rows, np.int64)
+                ),
+            }
+        )
+        return t.group_by("p_brand").aggregate(
+            [("n_parts", "sum"), ("n_never_shipped", "sum")]
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("p_brand").aggregate(
+            [("n_parts_sum", "sum"), ("n_never_shipped_sum", "sum")]
+        )
+        g = g.take(pc.sort_indices(g, sort_keys=[("p_brand", "ascending")]))
+        return pa.table(
+            {
+                "p_brand": g.column("p_brand"),
+                "n_parts": pc.cast(g.column("n_parts_sum_sum"), pa.int64()),
+                "n_never_shipped": pc.cast(
+                    g.column("n_never_shipped_sum_sum"), pa.int64()
+                ),
+            }
+        )
+
+    totals = part.map_batches(count_total, batch_format="pyarrow")
+    return (
+        never.map_batches(count_never, batch_format="pyarrow")
+        .union(totals)
+        .repartition(1)  # bounded |brand| rows
+        .map_batches(finish, batch_format="pyarrow")
+    )
