@@ -3456,6 +3456,24 @@ def _q_event_inversion_count(sf_dir: str):
     return event_inversion_count(sf_dir)
 
 
+def _q_tar_member_walk(sf_dir: str):
+    from ray_extract.pipelines.containers import tar_member_walk
+
+    return tar_member_walk(sf_dir)
+
+
+def _q_decayed_event_mass(sf_dir: str):
+    from ray_extract.pipelines.events import decayed_event_mass
+
+    return decayed_event_mass(sf_dir)
+
+
+def _q_value_log2_histogram(sf_dir: str):
+    from ray_extract.pipelines.events import value_log2_histogram
+
+    return value_log2_histogram(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -3812,6 +3830,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_brand_triples": _q_frequent_brand_triples,
         "parts_never_shipped": _q_parts_never_shipped,
         "event_inversion_count": _q_event_inversion_count,
+        "tar_member_walk": _q_tar_member_walk,
+        "decayed_event_mass": _q_decayed_event_mass,
+        "value_log2_histogram": _q_value_log2_histogram,
     }
 
 
@@ -8570,5 +8591,39 @@ SELECT CAST(e.user_id AS BIGINT) AS user_id,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(COALESCE(max(i.n_inv), 0) AS BIGINT) AS n_inversions
 FROM events e LEFT JOIN inv i ON e.user_id = i.user_id GROUP BY 1
+"""
+    d["tar_member_walk"] = """
+WITH m AS (
+  SELECT d.doc_id, s.m, 10 + (d.doc_id * 7 + s.m * 13) % 90 AS size
+  FROM documents d JOIN generate_series(0, 3) s(m) ON s.m < 1 + d.doc_id % 4
+  WHERE d.doc_id % 7 = 0)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_members,
+  CAST(sum(size) AS BIGINT) AS total_payload,
+  CAST(sum(size * ((doc_id + m) % 256)) AS BIGINT) AS payload_byte_sum,
+  CAST(sum(doc_id * 100 + m) AS BIGINT) AS mtime_sum
+FROM m GROUP BY 1
+"""
+    d["decayed_event_mass"] = """
+WITH a AS (SELECT CAST(max(ts) AS DATE) AS anchor FROM events),
+e AS (SELECT event_type, date_diff('day', CAST(ts AS DATE), anchor) AS age
+      FROM events, a)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(*) FILTER (WHERE age <= 30) AS BIGINT) AS n_recent,
+  CAST(COALESCE(sum(1::BIGINT << (30 - age)) FILTER (WHERE age <= 30), 0)
+    AS BIGINT) AS decayed_mass
+FROM e GROUP BY 1
+"""
+    d["value_log2_histogram"] = """
+WITH e AS (SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+b AS (SELECT event_type,
+        CASE WHEN cents < 1 THEN -1 ELSE s.b END AS bucket, cents
+      FROM e LEFT JOIN generate_series(0, 40) s(b)
+        ON cents >= (1::BIGINT << s.b) AND cents < (1::BIGINT << (s.b + 1))
+      WHERE cents < 1 OR s.b IS NOT NULL)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM b GROUP BY 1, 2
 """
     return d

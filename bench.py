@@ -634,6 +634,18 @@ def run_bench() -> dict:
     timed("event_inversion_count",
           lambda: event_inversion_count(SF_DIR).count())
 
+    from ray_extract.pipelines.containers import tar_member_walk
+    from ray_extract.pipelines.events import (
+        decayed_event_mass,
+        value_log2_histogram,
+    )
+
+    timed("tar_member_walk", lambda: tar_member_walk(SF_DIR).count())
+    timed("decayed_event_mass",
+          lambda: decayed_event_mass(SF_DIR).count())
+    timed("value_log2_histogram",
+          lambda: value_log2_histogram(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),

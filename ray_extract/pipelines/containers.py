@@ -699,3 +699,110 @@ def content_manifest_digest(sf_dir: str):
         .map_groups(digest, batch_format="pandas")
         .sort("shard")
     )
+
+
+# ----------------------------------------------------------------- TAR
+
+
+def _tar_build(batch: pa.Table) -> pa.Table:
+    """Deterministic ustar archive per sampled doc: 1 + id%4 members,
+    member m named ``m<m>.txt`` with size 10 + (id*7 + m*13) % 90, mtime
+    id*100 + m, content byte (id + m) % 256 repeated — real 512-byte
+    header blocks with octal fields and the ustar checksum."""
+    ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+    ids = ids[ids % 7 == 0]
+    blobs = []
+    for did in ids:
+        did = int(did)
+        parts = []
+        for m in range(1 + did % 4):
+            size = 10 + (did * 7 + m * 13) % 90
+            hdr = bytearray(512)
+            name = f"m{m}.txt".encode()
+            hdr[0:len(name)] = name
+            hdr[100:108] = b"0000644\x00"          # mode
+            hdr[108:116] = b"0000000\x00"          # uid
+            hdr[116:124] = b"0000000\x00"          # gid
+            hdr[124:136] = f"{size:011o}".encode() + b"\x00"
+            hdr[136:148] = f"{did * 100 + m:011o}".encode() + b"\x00"
+            hdr[148:156] = b" " * 8                # checksum placeholder
+            hdr[156:157] = b"0"                    # typeflag: regular
+            hdr[257:263] = b"ustar\x00"            # magic
+            hdr[263:265] = b"00"                   # version
+            chk = sum(hdr)
+            hdr[148:156] = f"{chk:06o}".encode() + b"\x00 "
+            content = bytes([(did + m) % 256]) * size
+            pad = (-size) % 512
+            parts.append(bytes(hdr) + content + b"\x00" * pad)
+        parts.append(b"\x00" * 1024)  # end-of-archive
+        blobs.append(b"".join(parts))
+    return pa.table(
+        {"doc_id": pa.array(ids), "tar": pa.array(blobs, pa.binary())}
+    )
+
+
+class TarWalker:
+    """Actor-pool ustar walk: header checksum re-verified per member
+    (sum of header bytes with the checksum field as spaces), sizes read
+    from octal, payload bytes actually summed — a wrong block hop or
+    checksum defect breaks equality with the formula oracle."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_id, out_n, out_bytes, out_psum, out_mtime = [], [], [], [], []
+        tars = batch.column("tar")
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        for i in range(batch.num_rows):
+            buf = tars[i].as_py()
+            pos = 0
+            n = total = psum = msum = 0
+            while pos + 512 <= len(buf):
+                hdr = buf[pos:pos + 512]
+                if hdr[257:262] != b"ustar":
+                    break  # end-of-archive zero blocks
+                stored = int(hdr[148:155].rstrip(b"\x00 "), 8)
+                calc = sum(hdr[:148]) + 8 * 32 + sum(hdr[156:])
+                if stored != calc:
+                    raise ValueError("tar header checksum mismatch")
+                size = int(hdr[124:135].rstrip(b"\x00 "), 8)
+                mtime = int(hdr[136:147].rstrip(b"\x00 "), 8)
+                data = buf[pos + 512:pos + 512 + size]
+                n += 1
+                total += size
+                psum += int(np.frombuffer(data, np.uint8).sum())
+                msum += mtime
+                pos += 512 + size + ((-size) % 512)
+            out_id.append(int(ids[i]))
+            out_n.append(n)
+            out_bytes.append(total)
+            out_psum.append(psum)
+            out_mtime.append(msum)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_members": pa.array(out_n, pa.int64()),
+                "total_payload": pa.array(out_bytes, pa.int64()),
+                "payload_byte_sum": pa.array(out_psum, pa.int64()),
+                "mtime_sum": pa.array(out_mtime, pa.int64()),
+            }
+        )
+
+
+def tar_member_walk(sf_dir: str):
+    """TAR-archive ingest: sampled documents ship as real ustar archives
+    (octal headers, checksums, 512-block padding) and an actor-pool
+    walker extracts member counts, payload byte totals/sums and mtimes —
+    the oracle recomputes every value from the synthesis formula, so a
+    single misparsed octal field or block hop fails the query.
+
+    Scale shape: pure synth map + actor-pool walk (batch 64) + no
+    shuffle at all; output is one row per sampled archive.
+
+    Output: (doc_id, n_members, total_payload, payload_byte_sum,
+    mtime_sum).
+    """
+    return (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(_tar_build, batch_format="pyarrow")
+        .map_batches(TarWalker, batch_format="pyarrow",
+                     batch_size=64, concurrency=2)
+    )

@@ -4416,3 +4416,147 @@ def event_inversion_count(sf_dir: str, num_buckets: int = 256):
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def decayed_event_mass(sf_dir: str, horizon_days: int = 30):
+    """Time-decayed activity mass per event type: each event within
+    ``horizon_days`` of the stream's last day contributes
+    2^(horizon - age_days) — an exponentially-decayed counter kept in
+    EXACT integer arithmetic (the value is the decayed mass scaled by
+    2^horizon, so no floats cross the wire and the oracle is exact).
+
+    Scale shape: one tiny max(ts) aggregate pins the anchor day (a
+    scalar on the driver), then a pure vectorized map + bounded |type|
+    fold. At 100 TB the anchor would come from stream metadata instead
+    of a scan; the shape is otherwise unchanged.
+
+    Output: (event_type, n_events, n_recent, decayed_mass).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    ds = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+        )
+    )
+    anchor = np.datetime64(ds.max("ts"), "D").astype(np.int64)
+    hd = np.int64(horizon_days)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = batch.column("ts").to_numpy().astype(
+            "datetime64[D]"
+        ).astype(np.int64)
+        age = anchor - day
+        recent = age <= hd
+        mass = np.where(recent, np.int64(1) << (hd - np.minimum(age, hd)),
+                        np.int64(0))
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n_events": pa.array(np.ones(len(day), np.int64)),
+                "n_recent": pa.array(recent.astype(np.int64)),
+                "decayed_mass": pa.array(mass),
+            }
+        )
+        return t.group_by("event_type").aggregate(
+            [("n_events", "sum"), ("n_recent", "sum"),
+             ("decayed_mass", "sum")]
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate(
+            [("n_events_sum", "sum"), ("n_recent_sum", "sum"),
+             ("decayed_mass_sum", "sum")]
+        )
+        g = g.take(
+            pc.sort_indices(g, sort_keys=[("event_type", "ascending")])
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "n_events": pc.cast(g.column("n_events_sum_sum"),
+                                     pa.int64()),
+                "n_recent": pc.cast(g.column("n_recent_sum_sum"),
+                                    pa.int64()),
+                "decayed_mass": pc.cast(
+                    g.column("decayed_mass_sum_sum"), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # bounded |event_type| rows
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def value_log2_histogram(sf_dir: str):
+    """Log2-bucketed value histogram per event type: bucket b holds
+    events whose value in cents satisfies 2^b <= cents < 2^(b+1)
+    (cents = 0 events land in bucket -1) — the heavy-tail readout that
+    decides quantile-sketch bin layouts, computed with EXACT integer
+    bucket edges (a searchsorted against the power-of-two table, never a
+    float log).
+
+    Scale shape: pure vectorized map + bounded |type x 41| fold.
+
+    Output: (event_type, bucket, n_events, sum_cents).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    powers = np.int64(1) << np.arange(41, dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch.column("value").to_numpy() * 100 + 0.5
+        ).astype(np.int64)
+        bucket = np.searchsorted(powers, cents, side="right") - 1
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "bucket": pa.array(bucket.astype(np.int64)),
+                "n_events": pa.array(np.ones(len(cents), np.int64)),
+                "sum_cents": pa.array(cents),
+            }
+        )
+        return t.group_by(["event_type", "bucket"]).aggregate(
+            [("n_events", "sum"), ("sum_cents", "sum")]
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "bucket"]).aggregate(
+            [("n_events_sum", "sum"), ("sum_cents_sum", "sum")]
+        )
+        g = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[("event_type", "ascending"),
+                           ("bucket", "ascending")],
+            )
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "bucket": pc.cast(g.column("bucket"), pa.int64()),
+                "n_events": pc.cast(g.column("n_events_sum_sum"),
+                                    pa.int64()),
+                "sum_cents": pc.cast(g.column("sum_cents_sum_sum"),
+                                     pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+            )
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # bounded |type| x 41 buckets
+        .map_batches(finish, batch_format="pyarrow")
+    )
