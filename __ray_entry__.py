@@ -3474,6 +3474,24 @@ def _q_value_log2_histogram(sf_dir: str):
     return value_log2_histogram(sf_dir)
 
 
+def _q_scd2_intervals(sf_dir: str):
+    from ray_extract.pipelines.events import scd2_intervals
+
+    return scd2_intervals(sf_dir)
+
+
+def _q_alert_debounce_tumbling(sf_dir: str):
+    from ray_extract.pipelines.events import alert_debounce_tumbling
+
+    return alert_debounce_tumbling(sf_dir)
+
+
+def _q_watermark_drop_audit(sf_dir: str):
+    from ray_extract.pipelines.events import watermark_drop_audit
+
+    return watermark_drop_audit(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -3833,6 +3851,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tar_member_walk": _q_tar_member_walk,
         "decayed_event_mass": _q_decayed_event_mass,
         "value_log2_histogram": _q_value_log2_histogram,
+        "scd2_intervals": _q_scd2_intervals,
+        "alert_debounce_tumbling": _q_alert_debounce_tumbling,
+        "watermark_drop_audit": _q_watermark_drop_audit,
     }
 
 
@@ -8625,5 +8646,50 @@ SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
   CAST(count(*) AS BIGINT) AS n_events,
   CAST(sum(cents) AS BIGINT) AS sum_cents
 FROM b GROUP BY 1, 2
+"""
+    d["scd2_intervals"] = """
+WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+             CAST(ts AS TIMESTAMP) AS ts, event_id,
+             LEAST(CAST(floor(value * 100 + 0.5) AS BIGINT) // 2000, 4)
+               AS seg FROM events),
+o AS (SELECT *, lag(seg) OVER (PARTITION BY user_id
+        ORDER BY ts, event_id) AS prev_seg FROM e),
+s AS (SELECT *, count(*) FILTER (WHERE prev_seg IS NULL
+        OR seg <> prev_seg)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS run_id FROM o),
+r AS (SELECT user_id, run_id, min(seg) AS segment,
+             min(ts) AS valid_from, max(ts) AS run_last
+      FROM s GROUP BY 1, 2)
+SELECT user_id, CAST(segment AS BIGINT) AS segment, valid_from,
+       COALESCE(lead(valid_from) OVER (PARTITION BY user_id
+                                       ORDER BY run_id), run_last)
+         AS valid_to
+FROM r
+"""
+    d["alert_debounce_tumbling"] = """
+WITH q AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec
+           FROM events
+           WHERE CAST(floor(value * 100 + 0.5) AS BIGINT) >= 5000),
+a AS (SELECT user_id, sec // 604800 AS w, min(sec) AS alert_sec
+      FROM q GROUP BY 1, 2)
+SELECT q2.user_id, CAST(q2.n_qualifying AS BIGINT) AS n_qualifying,
+       CAST(a2.n_alerts AS BIGINT) AS n_alerts,
+       CAST(a2.first_alert_sec AS BIGINT) AS first_alert_sec
+FROM (SELECT user_id, count(*) AS n_qualifying FROM q GROUP BY 1) q2
+JOIN (SELECT user_id, count(*) AS n_alerts,
+             min(alert_sec) AS first_alert_sec FROM a GROUP BY 1) a2
+USING (user_id)
+"""
+    d["watermark_drop_audit"] = """
+WITH p AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+             max(CAST(ts AS TIMESTAMP)) OVER (ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+           FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(*) FILTER (WHERE wm IS NOT NULL
+    AND ts < wm - INTERVAL 3600 SECOND) AS BIGINT) AS n_dropped
+FROM p GROUP BY 1
 """
     return d

@@ -646,6 +646,18 @@ def run_bench() -> dict:
     timed("value_log2_histogram",
           lambda: value_log2_histogram(SF_DIR).count())
 
+    from ray_extract.pipelines.events import (
+        alert_debounce_tumbling,
+        scd2_intervals,
+        watermark_drop_audit,
+    )
+
+    timed("scd2_intervals", lambda: scd2_intervals(SF_DIR).count())
+    timed("alert_debounce_tumbling",
+          lambda: alert_debounce_tumbling(SF_DIR).count())
+    timed("watermark_drop_audit",
+          lambda: watermark_drop_audit(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),

@@ -4560,3 +4560,280 @@ def value_log2_histogram(sf_dir: str):
         .repartition(1)  # bounded |type| x 41 buckets
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def scd2_intervals(sf_dir: str, num_buckets: int = 256):
+    """Slowly-changing-dimension (type-2) history build: each user's
+    event stream is banded into a value segment (cents // 2000, capped
+    at 4) and collapsed into validity intervals — one row per run of
+    equal segments, valid_from = first event of the run, valid_to =
+    first event of the NEXT run (the change point; the open last run
+    closes at the user's final event). This is the warehouse CDC
+    operator that turns an event log into a dimension history.
+
+    Scale shape: one hash(user) bucket shuffle of light columns; the
+    per-user kernel is a sort + one change-point diff, fully vectorized
+    per bucket.
+
+    Output: (user_id, segment, valid_from, valid_to).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch.column("user_id"), pa.int64())
+        cents = np.floor(
+            batch.column("value").to_numpy() * 100 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": uid,
+                "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+                "us": pc.cast(
+                    pc.cast(batch.column("ts"), pa.timestamp("us")),
+                    pa.int64(),
+                ),
+                "seg": pa.array(np.minimum(cents // 2000, 4)),
+                "bucket": pc.cast(
+                    pc.bit_wise_and(uid, num_buckets - 1), pa.int64()
+                ),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        seg = g["seg"].to_numpy(np.int64)
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        change = new_user | np.r_[True, seg[1:] != seg[:-1]]
+        starts = np.flatnonzero(change)
+        ends = np.r_[starts[1:], len(g)]
+        # valid_to: next run's first ts within the same user, else the
+        # user's last event ts
+        nxt_start_us = np.where(
+            ends < len(g), us[np.minimum(ends, len(g) - 1)], 0
+        )
+        same_user_next = (ends < len(g)) & (
+            uid[np.minimum(ends, len(g) - 1)] == uid[starts]
+        )
+        # last event index of each user run-block
+        last_us = us[ends - 1]
+        # find each user's overall last ts: per run, the last run of the
+        # user closes at that user's max ts == us[ends-1] of the user's
+        # final run; since runs are contiguous per user, for non-final
+        # runs valid_to is next run start
+        valid_to = np.where(same_user_next, nxt_start_us, last_us)
+        return pd.DataFrame(
+            {
+                "user_id": uid[starts],
+                "segment": seg[starts],
+                "valid_from": us[starts].astype("datetime64[us]"),
+                "valid_to": valid_to.astype("datetime64[us]"),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["event_id", "user_id", "ts", "value"],
+            )
+        )
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def alert_debounce_tumbling(sf_dir: str, threshold_cents: int = 5000,
+                            window_seconds: int = 604800,
+                            num_buckets: int = 256):
+    """Debounced alerting: events whose value crosses the threshold fire
+    at most ONE alert per user per tumbling cooldown window (epoch-
+    aligned) — the alert-storm suppression a monitoring pipeline applies
+    before paging.
+
+    Scale shape: one hash(user) bucket shuffle of light columns; alerts
+    are the per-(user, window) minimum (ts, event_id) among qualifying
+    events, a vectorized group-min per bucket.
+
+    Output: (user_id, n_qualifying, n_alerts, first_alert_sec).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    win = np.int64(window_seconds)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch.column("user_id"), pa.int64())
+        cents = np.floor(
+            batch.column("value").to_numpy() * 100 + 0.5
+        ).astype(np.int64)
+        sec = (batch.column("ts").to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // np.int64(1_000_000))
+        t = pa.table(
+            {
+                "user_id": uid,
+                "sec": pa.array(sec),
+                "qual": pa.array((cents >= threshold_cents)
+                                 .astype(np.int64)),
+                "bucket": pc.cast(
+                    pc.bit_wise_and(uid, num_buckets - 1), pa.int64()
+                ),
+            }
+        )
+        return t.filter(pc.equal(t.column("qual"), 1))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["window"] = g["sec"].to_numpy(np.int64) // win
+        alerts = g.groupby(["user_id", "window"], as_index=False).agg(
+            alert_sec=("sec", "min")
+        )
+        out = alerts.groupby("user_id", as_index=False).agg(
+            n_alerts=("alert_sec", "size"),
+            first_alert_sec=("alert_sec", "min"),
+        )
+        nq = g.groupby("user_id", as_index=False).agg(
+            n_qualifying=("sec", "size")
+        )
+        out = out.merge(nq, on="user_id")
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].to_numpy(np.int64),
+                "n_qualifying": out["n_qualifying"].to_numpy(np.int64),
+                "n_alerts": out["n_alerts"].to_numpy(np.int64),
+                "first_alert_sec": out["first_alert_sec"]
+                .to_numpy(np.int64),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["user_id", "ts", "value"],
+            )
+        )
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def watermark_drop_audit(sf_dir: str, delay_seconds: int = 3600,
+                         bucket_size: int = 1 << 16):
+    """Watermark drop simulation: replaying the stream in ARRIVAL order
+    (event_id), an event is dropped when its event time lags the
+    high-water mark (max event time seen strictly before it) by more
+    than ``delay_seconds`` — the exact count a streaming engine with
+    that allowed-lateness would discard, per event type.
+
+    Scale shape: a distributed PREFIX-MAX scan. Pass A folds per-batch
+    (arrival-bucket, max event time) partials into one bounded carry
+    table (bucket count = n / bucket_size; size bucket_size so the
+    carry stays metadata-scale, documented); the exclusive running max
+    over bucket maxima broadcasts in the closure; pass B re-buckets rows
+    once and applies carry + an in-bucket cumulative max. No global
+    sort, no row-scale driver pull.
+
+    Output: (event_type, n_events, n_dropped).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    w_us = np.int64(delay_seconds) * np.int64(1_000_000)
+
+    ds = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "event_type", "ts"],
+        )
+    )
+
+    def partial_max(batch: pa.Table) -> pa.Table:
+        eid = pc.cast(batch.column("event_id"), pa.int64()).to_numpy()
+        us = (batch.column("ts").to_numpy().astype("datetime64[us]")
+              .astype(np.int64))
+        t = pa.table(
+            {
+                "abucket": pa.array(eid // np.int64(bucket_size)),
+                "max_us": pa.array(us),
+            }
+        )
+        return t.group_by("abucket").aggregate([("max_us", "max")])
+
+    # pass A: bounded carry table (one row per arrival bucket)
+    maxima = (
+        ds.map_batches(partial_max, batch_format="pyarrow")
+        .groupby("abucket")
+        .max("max_us_max")
+        .to_pandas()  # bounded: n_events / bucket_size rows
+        .sort_values("abucket")
+    )
+    buckets = maxima["abucket"].to_numpy(np.int64)
+    bmax = maxima["max(max_us_max)"].to_numpy(np.int64)
+    run = np.maximum.accumulate(bmax)
+    # sentinel well below any timestamp but with headroom so the later
+    # ``prefix - w_us`` cannot wrap int64
+    carry_vals = np.r_[np.int64(-(1 << 62)), run[:-1]]
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        eid = pc.cast(batch.column("event_id"), pa.int64()).to_numpy()
+        us = (batch.column("ts").to_numpy().astype("datetime64[us]")
+              .astype(np.int64))
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "event_type": batch.column("event_type"),
+                "us": pa.array(us),
+                "abucket": pa.array(eid // np.int64(bucket_size)),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id", kind="mergesort")
+        us = g["us"].to_numpy(np.int64)
+        b = int(g["abucket"].iloc[0])
+        carry = carry_vals[np.searchsorted(buckets, b)]
+        prefix = np.r_[carry, np.maximum.accumulate(us)[:-1]]
+        prefix = np.maximum(prefix, carry)
+        dropped = us < prefix - w_us
+        out = pd.DataFrame(
+            {"event_type": g["event_type"].to_numpy(),
+             "n_events": np.ones(len(g), np.int64),
+             "n_dropped": dropped.astype(np.int64)}
+        )
+        return out.groupby("event_type", as_index=False).agg(
+            n_events=("n_events", "sum"), n_dropped=("n_dropped", "sum")
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate(
+            [("n_events", "sum"), ("n_dropped", "sum")]
+        )
+        g = g.take(
+            pc.sort_indices(g, sort_keys=[("event_type", "ascending")])
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "n_events": pc.cast(g.column("n_events_sum"), pa.int64()),
+                "n_dropped": pc.cast(g.column("n_dropped_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("abucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # bounded |event_type| rows
+        .map_batches(finish, batch_format="pyarrow")
+    )
