@@ -3492,6 +3492,24 @@ def _q_watermark_drop_audit(sf_dir: str):
     return watermark_drop_audit(sf_dir)
 
 
+def _q_lww_merge_audit(sf_dir: str):
+    from ray_extract.pipelines.events import lww_merge_audit
+
+    return lww_merge_audit(sf_dir)
+
+
+def _q_partition_prune_audit(sf_dir: str):
+    from ray_extract.pipelines.events import partition_prune_audit
+
+    return partition_prune_audit(sf_dir)
+
+
+def _q_regex_route_counts(sf_dir: str):
+    from ray_extract.pipelines.text import regex_route_counts
+
+    return regex_route_counts(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -3854,6 +3872,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_intervals": _q_scd2_intervals,
         "alert_debounce_tumbling": _q_alert_debounce_tumbling,
         "watermark_drop_audit": _q_watermark_drop_audit,
+        "lww_merge_audit": _q_lww_merge_audit,
+        "partition_prune_audit": _q_partition_prune_audit,
+        "regex_route_counts": _q_regex_route_counts,
     }
 
 
@@ -8691,5 +8712,43 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
   CAST(count(*) FILTER (WHERE wm IS NOT NULL
     AND ts < wm - INTERVAL 3600 SECOND) AS BIGINT) AS n_dropped
 FROM p GROUP BY 1
+"""
+    d["lww_merge_audit"] = """
+WITH last AS (SELECT user_id, event_type,
+  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+  row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+ CAST(count(*) FILTER (WHERE event_type <> 'error') AS BIGINT) AS n_live,
+ CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_deleted,
+ CAST(COALESCE(sum(cents) FILTER (WHERE event_type <> 'error'), 0)
+   AS BIGINT) AS sum_live_cents
+FROM last WHERE rn = 1
+"""
+    d["partition_prune_audit"] = """
+WITH z AS (SELECT CAST(ts AS DATE) AS day,
+             min(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS mn,
+             max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS mx,
+             count(*) AS n
+           FROM events GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_partitions,
+ CAST(count(*) FILTER (WHERE mx >= 2000 AND mn <= 2500) AS BIGINT)
+   AS n_scanned,
+ CAST(count(*) FILTER (WHERE NOT (mx >= 2000 AND mn <= 2500)) AS BIGINT)
+   AS n_pruned,
+ CAST(COALESCE(sum(n) FILTER (WHERE mx >= 2000 AND mn <= 2500), 0)
+   AS BIGINT) AS rows_scanned,
+ CAST(sum(n) AS BIGINT) AS rows_total
+FROM z
+"""
+    d["regex_route_counts"] = """
+SELECT source,
+  CASE WHEN regexp_matches(text, 'spark') THEN 'spark'
+       WHEN regexp_matches(text, 'window') THEN 'window'
+       WHEN regexp_matches(text, 'join') THEN 'join'
+       WHEN regexp_matches(text, 'scan') THEN 'scan'
+       ELSE 'none' END AS route,
+  CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1, 2
 """
     return d

@@ -658,6 +658,18 @@ def run_bench() -> dict:
     timed("watermark_drop_audit",
           lambda: watermark_drop_audit(SF_DIR).count())
 
+    from ray_extract.pipelines.events import (
+        lww_merge_audit,
+        partition_prune_audit,
+    )
+    from ray_extract.pipelines.text import regex_route_counts
+
+    timed("lww_merge_audit", lambda: lww_merge_audit(SF_DIR).count())
+    timed("partition_prune_audit",
+          lambda: partition_prune_audit(SF_DIR).count())
+    timed("regex_route_counts",
+          lambda: regex_route_counts(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),

@@ -4837,3 +4837,140 @@ def watermark_drop_audit(sf_dir: str, delay_seconds: int = 3600,
         .repartition(1)  # bounded |event_type| rows
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def lww_merge_audit(sf_dir: str):
+    """Last-writer-wins merge WITH TOMBSTONES (merge-on-read compaction):
+    the event log is a CDC stream keyed by user — 'error' events are
+    deletes, everything else upserts the user's value — and the merged
+    state keeps each key's highest event_id. The audit reports the
+    compacted table's shape, the delete/live split, and the surviving
+    value mass.
+
+    Scale shape: the winning row rides a PACKED ARGMAX through an
+    ordinary max aggregate (event_id dominant, tombstone bit + cents in
+    the low bits), so the merge is a per-batch combiner + ONE key
+    shuffle, never a sort. Packing bounds asserted per batch.
+
+    Output: one row (n_keys, n_live, n_deleted, sum_live_cents).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        eid = pc.cast(batch.column("event_id"), pa.int64()).to_numpy()
+        cents = np.floor(
+            batch.column("value").to_numpy() * 100 + 0.5
+        ).astype(np.int64)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        tomb = (et == "error").astype(np.int64)
+        if len(eid):
+            assert 0 <= eid.min() and eid.max() < (1 << 42), \
+                "event_id outside packed 42-bit field"
+            assert 0 <= cents.min() and cents.max() < (1 << 19), \
+                "cents outside packed 19-bit field"
+        pack = eid * (np.int64(1) << 20) + tomb * (np.int64(1) << 19) + cents
+        t = pa.table(
+            {
+                "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+                "pack": pa.array(pack),
+            }
+        )
+        return t.group_by("user_id").aggregate([("pack", "max")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("user_id").aggregate([("pack_max", "max")])
+        pack = pc.cast(g.column("pack_max_max"), pa.int64()).to_numpy()
+        tomb = (pack >> 19) & 1
+        cents = pack & ((np.int64(1) << 19) - 1)
+        live = tomb == 0
+        return pa.table(
+            {
+                "n_keys": pa.array([np.int64(len(pack))]),
+                "n_live": pa.array([np.int64(live.sum())]),
+                "n_deleted": pa.array([np.int64((~live).sum())]),
+                "sum_live_cents": pa.array([np.int64(cents[live].sum())]),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["event_id", "user_id", "event_type", "value"],
+            )
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # one packed row per distinct user per block
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def partition_prune_audit(sf_dir: str, lo_cents: int = 2000,
+                          hi_cents: int = 2500):
+    """Zone-map pruning audit: with the stream laid out in daily
+    partitions, each partition's (min, max) value statistics decide
+    whether a range predicate [lo, hi] needs to scan it at all — the
+    file-skipping arithmetic every lakehouse reader runs against its
+    manifest. The audit reports how many partitions and rows the zone
+    maps save.
+
+    Scale shape: per-batch per-day min/max/count combiner (bounded by
+    the calendar, not the row count), one bounded fold computing the
+    overlap test per partition.
+
+    Output: one row (n_partitions, n_scanned, n_pruned, rows_scanned,
+    rows_total).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = batch.column("ts").to_numpy().astype(
+            "datetime64[D]"
+        ).astype(np.int64)
+        cents = np.floor(
+            batch.column("value").to_numpy() * 100 + 0.5
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "day": pa.array(day),
+                "mn": pa.array(cents),
+                "mx": pa.array(cents),
+                "n": pa.array(np.ones(len(day), np.int64)),
+            }
+        )
+        return t.group_by("day").aggregate(
+            [("mn", "min"), ("mx", "max"), ("n", "sum")]
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("day").aggregate(
+            [("mn_min", "min"), ("mx_max", "max"), ("n_sum", "sum")]
+        )
+        mn = pc.cast(g.column("mn_min_min"), pa.int64()).to_numpy()
+        mx = pc.cast(g.column("mx_max_max"), pa.int64()).to_numpy()
+        n = pc.cast(g.column("n_sum_sum"), pa.int64()).to_numpy()
+        scanned = (mx >= lo_cents) & (mn <= hi_cents)
+        return pa.table(
+            {
+                "n_partitions": pa.array([np.int64(len(mn))]),
+                "n_scanned": pa.array([np.int64(scanned.sum())]),
+                "n_pruned": pa.array([np.int64((~scanned).sum())]),
+                "rows_scanned": pa.array([np.int64(n[scanned].sum())]),
+                "rows_total": pa.array([np.int64(n.sum())]),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet", columns=["ts", "value"]
+            )
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # bounded |days| rows per block
+        .map_batches(finish, batch_format="pyarrow")
+    )
