@@ -3510,6 +3510,24 @@ def _q_regex_route_counts(sf_dir: str):
     return regex_route_counts(sf_dir)
 
 
+def _q_label_source_contingency(sf_dir: str):
+    from ray_extract.pipelines.similarity import label_source_contingency
+
+    return label_source_contingency(sf_dir)
+
+
+def _q_embedding_coverage_audit(sf_dir: str):
+    from ray_extract.pipelines.similarity import embedding_coverage_audit
+
+    return embedding_coverage_audit(sf_dir)
+
+
+def _q_textlen_label_corr_terms(sf_dir: str):
+    from ray_extract.pipelines.similarity import textlen_label_corr_terms
+
+    return textlen_label_corr_terms(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -3875,6 +3893,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lww_merge_audit": _q_lww_merge_audit,
         "partition_prune_audit": _q_partition_prune_audit,
         "regex_route_counts": _q_regex_route_counts,
+        "label_source_contingency": _q_label_source_contingency,
+        "embedding_coverage_audit": _q_embedding_coverage_audit,
+        "textlen_label_corr_terms": _q_textlen_label_corr_terms,
     }
 
 
@@ -8750,5 +8771,27 @@ SELECT source,
        ELSE 'none' END AS route,
   CAST(count(*) AS BIGINT) AS n_docs
 FROM documents GROUP BY 1, 2
+"""
+    d["label_source_contingency"] = """
+SELECT d.source, CAST(e.label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY 1, 2
+"""
+    d["embedding_coverage_audit"] = """
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(*) FILTER (WHERE d.doc_id NOT IN
+    (SELECT vec_id FROM embeddings WHERE label <> 9)) AS BIGINT)
+    AS n_missing
+FROM documents d GROUP BY 1
+"""
+    d["textlen_label_corr_terms"] = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(d.n_chars) AS BIGINT) AS sum_x,
+  CAST(sum(e.label) AS BIGINT) AS sum_y,
+  CAST(sum(d.n_chars * e.label) AS BIGINT) AS sum_xy,
+  CAST(sum(d.n_chars * d.n_chars) AS BIGINT) AS sum_xx,
+  CAST(sum(e.label * e.label) AS BIGINT) AS sum_yy
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 """
     return d

@@ -670,6 +670,19 @@ def run_bench() -> dict:
     timed("regex_route_counts",
           lambda: regex_route_counts(SF_DIR).count())
 
+    from ray_extract.pipelines.similarity import (
+        embedding_coverage_audit,
+        label_source_contingency,
+        textlen_label_corr_terms,
+    )
+
+    timed("label_source_contingency",
+          lambda: label_source_contingency(SF_DIR).count())
+    timed("embedding_coverage_audit",
+          lambda: embedding_coverage_audit(SF_DIR).count())
+    timed("textlen_label_corr_terms",
+          lambda: textlen_label_corr_terms(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),

@@ -1825,3 +1825,232 @@ def embedding_pca_power_terms(sf_dir: str, iters: int = 2, shift: int = 20):
     return pa.table(
         {"dim": pa.array(np.arange(dim, dtype=np.int64)), "v": pa.array(v)}
     )
+
+
+def label_source_contingency(sf_dir: str, num_partitions: int = 4):
+    """Cross-modal contingency: the embedding label joined back to the
+    document's ingest source on the shared id — the "does label mix
+    drift by source" audit that catches a mislabeled ingest feed.
+
+    Scale shape: native hash-shuffle big-big join on the id (neither
+    side broadcast), per-batch bounded |source x label| combiner after
+    the join, one bounded fold.
+
+    Output: (source, label, n_docs).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    docs = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        )
+    )
+    embs = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+        )
+    )
+    joined = docs.join(
+        embs,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("doc_id",),
+        right_on=("vec_id",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "label": pc.cast(batch.column("label"), pa.int64()),
+                "n_docs": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        return t.group_by(["source", "label"]).aggregate([("n_docs", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source", "label"]).aggregate([("n_docs_sum",
+                                                        "sum")])
+        g = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[("source", "ascending"), ("label", "ascending")],
+            )
+        )
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "label": pc.cast(g.column("label"), pa.int64()),
+                "n_docs": pc.cast(g.column("n_docs_sum_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # bounded |source| x |label| rows
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def embedding_coverage_audit(sf_dir: str, quarantined_label: int = 9,
+                             num_partitions: int = 4):
+    """Embedding coverage: per source, how many documents lack a USABLE
+    embedding — embeddings carrying the quarantined label are treated as
+    failed (the re-embed backlog a multimodal pipeline tracks). The
+    anti-join is on the shared id.
+
+    Scale shape: the embedding side filters AT THE READ and reduces to
+    ids; Ray Data's native ``left_anti`` hash join keeps both sides
+    distributed; per-source counts are bounded combiners off the
+    document scan and the anti-join survivors.
+
+    Output: (source, n_docs, n_missing).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    docs = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        )
+    )
+    usable = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+        )
+    ).map_batches(
+        lambda b: pa.table(
+            {"vec_id": pc.cast(b.column("vec_id"), pa.int64())}
+        ).filter(
+            pc.not_equal(
+                pc.cast(b.column("label"), pa.int64()), quarantined_label
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+    def docs_prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "source": batch.column("source"),
+            }
+        )
+
+    missing = docs.map_batches(docs_prep, batch_format="pyarrow").join(
+        usable,
+        join_type="left_anti",
+        num_partitions=num_partitions,
+        on=("doc_id",),
+        right_on=("vec_id",),
+    )
+
+    def count(col_missing: int):
+        def partial(batch: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "source": batch.column("source"),
+                    "n_docs": pa.array(
+                        np.full(batch.num_rows, 1 - col_missing, np.int64)
+                    ),
+                    "n_missing": pa.array(
+                        np.full(batch.num_rows, col_missing, np.int64)
+                    ),
+                }
+            )
+            return t.group_by("source").aggregate(
+                [("n_docs", "sum"), ("n_missing", "sum")]
+            )
+
+        return partial
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate(
+            [("n_docs_sum", "sum"), ("n_missing_sum", "sum")]
+        )
+        g = g.take(pc.sort_indices(g, sort_keys=[("source", "ascending")]))
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "n_docs": pc.cast(g.column("n_docs_sum_sum"), pa.int64()),
+                "n_missing": pc.cast(
+                    g.column("n_missing_sum_sum"), pa.int64()
+                ),
+            }
+        )
+
+    totals = docs.map_batches(count(0), batch_format="pyarrow")
+    return (
+        missing.map_batches(count(1), batch_format="pyarrow")
+        .union(totals)
+        .repartition(1)  # bounded |source| rows
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def textlen_label_corr_terms(sf_dir: str, num_partitions: int = 4):
+    """Cross-modal correlation terms: does document length predict the
+    embedding label? Exact integer Pearson sufficient statistics
+    (n, Sx, Sy, Sxy, Sxx, Syy with x = n_chars, y = label) over the
+    id-joined pair — nothing lossy crosses the wire.
+
+    Scale shape: native hash join on the id, per-batch single-row
+    combiner, one-row fold.
+
+    Output: one row (n, sum_x, sum_y, sum_xy, sum_xx, sum_yy).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    docs = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        )
+    )
+    embs = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+        )
+    )
+    joined = docs.join(
+        embs,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("doc_id",),
+        right_on=("vec_id",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch.column("n_chars"), pa.int64()).to_numpy()
+        y = pc.cast(batch.column("label"), pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "n": pa.array([np.int64(len(x))]),
+                "sum_x": pa.array([x.sum()]),
+                "sum_y": pa.array([y.sum()]),
+                "sum_xy": pa.array([(x * y).sum()]),
+                "sum_xx": pa.array([(x * x).sum()]),
+                "sum_yy": pa.array([(y * y).sum()]),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                c: pa.array(
+                    [pc.sum(pc.cast(t.column(c), pa.int64())).as_py() or 0],
+                    pa.int64(),
+                )
+                for c in t.column_names
+            }
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # one term row per block
+        .map_batches(finish, batch_format="pyarrow")
+    )
