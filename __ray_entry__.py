@@ -3528,6 +3528,42 @@ def _q_textlen_label_corr_terms(sf_dir: str):
     return textlen_label_corr_terms(sf_dir)
 
 
+def _q_bipartite_projection_weights(sf_dir: str):
+    from ray_extract.pipelines.events import bipartite_projection_weights
+
+    return bipartite_projection_weights(sf_dir)
+
+
+def _q_brand_quartile_band_join(sf_dir: str):
+    from ray_extract.pipelines.relational import brand_quartile_band_join
+
+    return brand_quartile_band_join(sf_dir)
+
+
+def _q_source_lang_purity(sf_dir: str):
+    from ray_extract.pipelines.text import source_lang_purity
+
+    return source_lang_purity(sf_dir)
+
+
+def _q_hist_intersection_matrix(sf_dir: str):
+    from ray_extract.pipelines.text import hist_intersection_matrix
+
+    return hist_intersection_matrix(sf_dir)
+
+
+def _q_length_emd_matrix(sf_dir: str):
+    from ray_extract.pipelines.text import length_emd_matrix
+
+    return length_emd_matrix(sf_dir)
+
+
+def _q_quota_largest_remainder(sf_dir: str):
+    from ray_extract.pipelines.layout import quota_largest_remainder
+
+    return quota_largest_remainder(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -3896,6 +3932,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_source_contingency": _q_label_source_contingency,
         "embedding_coverage_audit": _q_embedding_coverage_audit,
         "textlen_label_corr_terms": _q_textlen_label_corr_terms,
+        "bipartite_projection_weights": _q_bipartite_projection_weights,
+        "brand_quartile_band_join": _q_brand_quartile_band_join,
+        "source_lang_purity": _q_source_lang_purity,
+        "hist_intersection_matrix": _q_hist_intersection_matrix,
+        "length_emd_matrix": _q_length_emd_matrix,
+        "quota_largest_remainder": _q_quota_largest_remainder,
     }
 
 
@@ -8793,5 +8835,89 @@ SELECT CAST(count(*) AS BIGINT) AS n,
   CAST(sum(d.n_chars * d.n_chars) AS BIGINT) AS sum_xx,
   CAST(sum(e.label * e.label) AS BIGINT) AS sum_yy
 FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+"""
+    d["bipartite_projection_weights"] = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ut a JOIN ut b ON a.user_id = b.user_id
+  AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+    d["brand_quartile_band_join"] = """
+WITH p AS (SELECT p_partkey, p_brand,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM part),
+r AS (SELECT p_brand, cents,
+        row_number() OVER (PARTITION BY p_brand ORDER BY cents) - 1 AS rk,
+        count(*) OVER (PARTITION BY p_brand) AS n FROM p),
+b AS (SELECT p_brand,
+        max(CASE WHEN rk = (n - 1) * 1 // 4 THEN cents END) AS q1,
+        max(CASE WHEN rk = (n - 1) * 2 // 4 THEN cents END) AS q2,
+        max(CASE WHEN rk = (n - 1) * 3 // 4 THEN cents END) AS q3
+      FROM r GROUP BY 1),
+j AS (SELECT p.p_brand,
+        (CASE WHEN p.cents > b.q1 THEN 1 ELSE 0 END
+         + CASE WHEN p.cents > b.q2 THEN 1 ELSE 0 END
+         + CASE WHEN p.cents > b.q3 THEN 1 ELSE 0 END) AS quartile,
+        CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS rev
+      FROM lineitem l JOIN p ON l.l_partkey = p.p_partkey
+      JOIN b ON p.p_brand = b.p_brand)
+SELECT p_brand, CAST(quartile AS BIGINT) AS quartile,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(rev) AS BIGINT) AS revenue_cents
+FROM j GROUP BY 1, 2
+"""
+    d["source_lang_purity"] = """
+WITH c AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+t AS (SELECT source, sum(n) AS n_docs FROM c GROUP BY 1),
+m AS (SELECT source, lang AS majority_lang, n AS majority_n,
+        row_number() OVER (PARTITION BY source
+                           ORDER BY n DESC, lang ASC) AS rn FROM c)
+SELECT m.source, CAST(t.n_docs AS BIGINT) AS n_docs, m.majority_lang,
+       CAST(m.majority_n AS BIGINT) AS majority_n,
+       CAST(m.majority_n * 1000000 // t.n_docs AS BIGINT) AS purity_ppm
+FROM m JOIN t USING (source) WHERE rn = 1
+"""
+    d["hist_intersection_matrix"] = """
+WITH c AS (
+  SELECT source, u.t AS t, count(*) AS n
+  FROM (SELECT source, string_split(text, ' ') AS w FROM documents),
+       unnest(w) AS u(t)
+  GROUP BY 1, 2)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(sum(least(a.n, b.n)) AS BIGINT) AS intersection
+FROM c a JOIN c b ON a.t = b.t AND a.source < b.source
+GROUP BY 1, 2
+"""
+    d["length_emd_matrix"] = """
+WITH h AS (SELECT source, least(n_chars // 50, 63) AS bin, count(*) AS n
+           FROM documents GROUP BY 1, 2),
+d AS (SELECT s.source, g.b AS bin, COALESCE(h.n, 0) AS n
+      FROM (SELECT DISTINCT source FROM documents) s
+      CROSS JOIN generate_series(0, 63) g(b)
+      LEFT JOIN h ON h.source = s.source AND h.bin = g.b),
+c AS (SELECT source, bin,
+        (sum(n) OVER (PARTITION BY source ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) * 1000000)
+        // (sum(n) OVER (PARTITION BY source)) AS cum_ppm
+      FROM d)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(sum(abs(a.cum_ppm - b.cum_ppm)) AS BIGINT) AS emd_ppm
+FROM c a JOIN c b ON a.bin = b.bin AND a.source < b.source
+GROUP BY 1, 2
+"""
+    d["quota_largest_remainder"] = """
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+t AS (SELECT sum(n) AS total FROM c),
+a AS (SELECT source, n, (n * 100) // total AS base,
+             (n * 100) % total AS rem FROM c, t),
+l AS (SELECT 100 - sum(base) AS leftover FROM a),
+r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+      FROM a)
+SELECT source, CAST(n AS BIGINT) AS n_docs,
+       CAST(base + CASE WHEN rk <= (SELECT leftover FROM l)
+                        THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM r
 """
     return d

@@ -683,6 +683,29 @@ def run_bench() -> dict:
     timed("textlen_label_corr_terms",
           lambda: textlen_label_corr_terms(SF_DIR).count())
 
+    from ray_extract.pipelines.events import bipartite_projection_weights
+    from ray_extract.pipelines.relational import brand_quartile_band_join
+    from ray_extract.pipelines.text import source_lang_purity
+
+    timed("bipartite_projection_weights",
+          lambda: bipartite_projection_weights(SF_DIR).count())
+    timed("brand_quartile_band_join",
+          lambda: brand_quartile_band_join(SF_DIR).count())
+    timed("source_lang_purity",
+          lambda: source_lang_purity(SF_DIR).count())
+
+    from ray_extract.pipelines.layout import quota_largest_remainder
+    from ray_extract.pipelines.text import (
+        hist_intersection_matrix,
+        length_emd_matrix,
+    )
+
+    timed("hist_intersection_matrix",
+          lambda: hist_intersection_matrix(SF_DIR).count())
+    timed("length_emd_matrix", lambda: length_emd_matrix(SF_DIR).count())
+    timed("quota_largest_remainder",
+          lambda: quota_largest_remainder(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),

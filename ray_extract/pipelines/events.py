@@ -4974,3 +4974,81 @@ def partition_prune_audit(sf_dir: str, lo_cents: int = 2000,
         .repartition(1)  # bounded |days| rows per block
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def bipartite_projection_weights(sf_dir: str, num_buckets: int = 256):
+    """Bipartite projection: the user/event-type graph projected onto
+    event types, edge weight = number of users exhibiting BOTH types —
+    the co-engagement graph a recommender bootstraps from. Unordered
+    type pairs, types compared lexicographically.
+
+    Scale shape: per-batch distinct (user, type) combiner, one
+    hash(user) bucket shuffle, per-user pair enumeration over <= |types|
+    codes (bounded), bounded |types|^2 fold.
+
+    Output: (type_a, type_b, n_users) with type_a < type_b.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch.column("user_id"), pa.int64())
+        t = pa.table(
+            {"user_id": uid, "event_type": batch.column("event_type")}
+        )
+        t = t.group_by(["user_id", "event_type"]).aggregate([])
+        u = pc.cast(t.column("user_id"), pa.int64())
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(u, num_buckets - 1),
+                              pa.int64())
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "event_type"])
+        counts: dict = {}
+        for _, grp in g.groupby("user_id"):
+            types = sorted(grp["event_type"].tolist())
+            for i in range(len(types)):
+                for j in range(i + 1, len(types)):
+                    key = (types[i], types[j])
+                    counts[key] = counts.get(key, 0) + 1
+        ks = sorted(counts)
+        return pd.DataFrame(
+            {
+                "type_a": [k[0] for k in ks],
+                "type_b": [k[1] for k in ks],
+                "n_users": np.array([counts[k] for k in ks], np.int64),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["type_a", "type_b"]).aggregate([("n_users", "sum")])
+        g = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[("type_a", "ascending"), ("type_b", "ascending")],
+            )
+        )
+        return pa.table(
+            {
+                "type_a": g.column("type_a"),
+                "type_b": g.column("type_b"),
+                "n_users": pc.cast(g.column("n_users_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["user_id", "event_type"],
+            )
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # bounded |types|^2 rows
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -400,3 +400,55 @@ def source_report_card(sf_dir: str):
         .repartition(1)  # bounded |source| x |lang| rows per block
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def quota_largest_remainder(sf_dir: str, total_quota: int = 100):
+    """Largest-remainder proportional allocation: a fixed sampling
+    budget of ``total_quota`` documents is split across sources in
+    proportion to their sizes — floor shares first, then the leftover
+    seats go to the largest remainders (ties to the lexicographically
+    smaller source). The survey-sampling allocation that hash quotas
+    cannot make exactly proportional.
+
+    Scale shape: one bounded |source| count fold; the apportionment
+    itself is driver-side arithmetic over the bounded table.
+
+    Output: (source, n_docs, quota).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "n_docs": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        return t.group_by("source").aggregate([("n_docs", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate([("n_docs_sum", "sum")])
+        g = g.take(pc.sort_indices(g, sort_keys=[("source", "ascending")]))
+        n = pc.cast(g.column("n_docs_sum_sum"), pa.int64()).to_numpy()
+        srcs = g.column("source").to_pylist()
+        total = int(n.sum())
+        base = (n * np.int64(total_quota)) // total
+        rem = (n * np.int64(total_quota)) % total
+        leftover = total_quota - int(base.sum())
+        # seats to largest remainders; ties broken by source ascending
+        order = np.lexsort((np.array(srcs, dtype=object), -rem))
+        quota = base.copy()
+        quota[order[:leftover]] += 1
+        return pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "n_docs": pa.array(n),
+                "quota": pa.array(quota),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # bounded |source| rows
+        .map_batches(finish, batch_format="pyarrow")
+    )

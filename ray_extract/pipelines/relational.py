@@ -9294,3 +9294,118 @@ def parts_never_shipped(sf_dir: str, num_partitions: int | None = None):
         .repartition(1)  # bounded |brand| rows
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def brand_quartile_band_join(sf_dir: str):
+    """Two-phase stats-then-probe BAND JOIN: phase 1 computes each
+    brand's retail-price quartile boundaries from the part dimension
+    (exact rank-based cut points: sorted index floor((n-1) * q)); phase
+    2 classifies every lineitem into its part's brand quartile by a
+    broadcast probe and folds revenue per (brand, quartile) — the
+    "bucket facts by dimension statistics" shape that at 100 TB must
+    broadcast the bounded stats table, never shuffle the facts twice.
+
+    Scale shape: the dimension is read once (driver, bounded), the
+    (partkey -> brand, cents) map and the |brand| x 3 boundary table are
+    ray.put once; lineitem streams through one vectorized probe; bounded
+    |brand| x 4 fold.
+
+    Output: (p_brand, quartile, n_items, revenue_cents).
+    """
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_retailprice"],
+    )
+    brands = sorted(set(part.column("p_brand").to_pylist()))
+    brand_arr = pa.array(brands, type=pa.string())
+    code = pc.cast(pc.index_in(part.column("p_brand"), brand_arr),
+                   pa.int64()).to_numpy()
+    cents = _cents(part.column("p_retailprice"))
+    # exact rank-based quartile boundaries per brand code
+    bounds = np.zeros((len(brands), 3), np.int64)
+    for b in range(len(brands)):
+        v = np.sort(cents[code == b])
+        n = len(v)
+        bounds[b] = [v[(n - 1) * 1 // 4], v[(n - 1) * 2 // 4],
+                     v[(n - 1) * 3 // 4]]
+    dim_ref = ray.put(
+        pa.table(
+            {
+                "pk": pc.cast(part.column("p_partkey"), pa.int64()),
+                "code": pa.array(code),
+                "cents": pa.array(cents),
+            }
+        )
+    )
+    bounds_ref = ray.put(bounds)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        dim = ray.get(dim_ref)
+        bnd = ray.get(bounds_ref)
+        idx = pc.index_in(
+            pc.cast(batch.column("l_partkey"), pa.int64()),
+            dim.column("pk").combine_chunks(),
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        bcode = pc.cast(dim.column("code"), pa.int64()).to_numpy()[idx]
+        pcents = pc.cast(dim.column("cents"), pa.int64()).to_numpy()[idx]
+        b = bnd[bcode]
+        quart = (
+            (pcents > b[:, 0]).astype(np.int64)
+            + (pcents > b[:, 1]).astype(np.int64)
+            + (pcents > b[:, 2]).astype(np.int64)
+        )
+        rev = _cents(batch.column("l_extendedprice"))
+        t = pa.table(
+            {
+                "code": pa.array(bcode),
+                "quartile": pa.array(quart),
+                "n_items": pa.array(np.ones(len(bcode), np.int64)),
+                "revenue_cents": pa.array(rev),
+            }
+        )
+        return t.group_by(["code", "quartile"]).aggregate(
+            [("n_items", "sum"), ("revenue_cents", "sum")]
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["code", "quartile"]).aggregate(
+            [("n_items_sum", "sum"), ("revenue_cents_sum", "sum")]
+        )
+        g = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[("code", "ascending"), ("quartile", "ascending")],
+            )
+        )
+        names = np.array(brands, dtype=object)
+        return pa.table(
+            {
+                "p_brand": pa.array(
+                    names[pc.cast(g.column("code"), pa.int64()).to_numpy()],
+                    pa.string(),
+                ),
+                "quartile": pc.cast(g.column("quartile"), pa.int64()),
+                "n_items": pc.cast(g.column("n_items_sum_sum"), pa.int64()),
+                "revenue_cents": pc.cast(
+                    g.column("revenue_cents_sum_sum"), pa.int64()
+                ),
+            }
+        )
+
+    li = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice"],
+        )
+    )
+    return (
+        li.map_batches(probe, batch_format="pyarrow")
+        .repartition(1)  # bounded |brand| x 4 rows
+        .map_batches(finish, batch_format="pyarrow")
+    )

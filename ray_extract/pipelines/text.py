@@ -5033,3 +5033,242 @@ def regex_route_counts(sf_dir: str):
         .repartition(1)  # bounded |source| x |route| rows
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def source_lang_purity(sf_dir: str):
+    """Source language purity: per ingest source, the majority
+    language's share in ppm (integer arithmetic) — the "is this feed
+    monolingual" gate a curation pipeline applies before routing a
+    source to language-specific cleaning.
+
+    Scale shape: per-batch bounded |source x lang| combiner, bounded
+    fold; the majority pick is an argmax over the folded counts.
+
+    Output: (source, n_docs, majority_lang, majority_n, purity_ppm).
+    """
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "lang": batch.column("lang"),
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        return t.group_by(["source", "lang"]).aggregate([("n", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        g = df.groupby(["source", "lang"], as_index=False)["n_sum"].sum()
+        # majority lang with lexicographic tiebreak: sort by (count desc,
+        # lang asc) and take the first row per source
+        g = g.sort_values(["source", "n_sum", "lang"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = g.groupby("source", as_index=False).first()
+        tot = g.groupby("source", as_index=False)["n_sum"].sum().rename(
+            columns={"n_sum": "n_docs"}
+        )
+        out = top.merge(tot, on="source").sort_values(
+            "source", kind="mergesort"
+        )
+        maj = out["n_sum"].to_numpy(np.int64)
+        tot_n = out["n_docs"].to_numpy(np.int64)
+        ppm = np.array(
+            [int(m) * 1_000_000 // int(n) for m, n in zip(maj, tot_n)],
+            np.int64,
+        )
+        return pa.table(
+            {
+                "source": pa.array(out["source"], pa.string()),
+                "n_docs": pa.array(tot_n),
+                "majority_lang": pa.array(out["lang"], pa.string()),
+                "majority_n": pa.array(maj),
+                "purity_ppm": pa.array(ppm),
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "lang"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # bounded |source| x |lang| rows
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def hist_intersection_matrix(sf_dir: str, num_buckets: int = 256):
+    """Histogram-intersection kernel between sources' unigram count
+    distributions: HIK(a, b) = sum over tokens of min(count_a, count_b)
+    — the corpus-mix similarity readout (how much of source a's token
+    mass source b reproduces).
+
+    Scale shape: per-batch (token, source) count combiner, one
+    hash(token) shuffle, per-bucket pairwise min-sum over a bounded
+    |token-in-bucket| x |source| pivot, bounded |source|^2 fold. Pair
+    arithmetic happens on counts, never rows.
+
+    Output: (source_a, source_b, intersection) with source_a < source_b.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text")
+        src = batch.column("source")
+        words = pc.split_pattern(pc.cast(txt, pa.string()), " ")
+        n_words = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = pc.list_flatten(words)
+        srcs = np.asarray(
+            src.to_numpy(zero_copy_only=False), dtype=object
+        ).repeat(n_words)
+        t = pa.table(
+            {
+                "t": flat,
+                "source": pa.array(srcs, pa.string()),
+                "n": pa.array(np.ones(len(flat), np.int64)),
+            }
+        )
+        t = t.group_by(["t", "source"]).aggregate([("n", "sum")])
+        sb = (
+            pd.util.hash_pandas_object(
+                t.column("t").to_pandas(), index=False
+            ).to_numpy(np.uint64)
+            % num_buckets
+        ).astype(np.int64)
+        return t.append_column("tbucket", pa.array(sb))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["t", "source"], as_index=False)["n_sum"].sum()
+        pivot = g.pivot_table(
+            index="t", columns="source", values="n_sum", fill_value=0
+        )
+        srcs = sorted(pivot.columns)
+        m = pivot[srcs].to_numpy(np.int64)
+        sa, sb_, inter = [], [], []
+        for i in range(len(srcs)):
+            for j in range(i + 1, len(srcs)):
+                v = int(np.minimum(m[:, i], m[:, j]).sum())
+                if v:
+                    sa.append(srcs[i])
+                    sb_.append(srcs[j])
+                    inter.append(v)
+        return pd.DataFrame(
+            {
+                "source_a": sa,
+                "source_b": sb_,
+                "intersection": np.array(inter, np.int64),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source_a", "source_b"]).aggregate(
+            [("intersection", "sum")]
+        )
+        g = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[("source_a", "ascending"),
+                           ("source_b", "ascending")],
+            )
+        )
+        return pa.table(
+            {
+                "source_a": g.column("source_a"),
+                "source_b": g.column("source_b"),
+                "intersection": pc.cast(
+                    g.column("intersection_sum"), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["text", "source"]
+            )
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("tbucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # bounded |source|^2 rows
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def length_emd_matrix(sf_dir: str, bin_width: int = 50, n_bins: int = 64):
+    """1-D earth-mover's distance between sources' document-length
+    distributions: lengths bin at ``bin_width`` chars into a FIXED
+    ``n_bins`` grid (top bin absorbs the tail), each source's cumulative
+    share is held in exact ppm integers, and EMD(a, b) = sum over bins
+    |cum_a - cum_b| — the distribution-drift matrix in integer
+    arithmetic (1-D EMD equals the area between CDFs; the fixed grid
+    keeps the bin domain constant for oracle and engine alike).
+
+    Scale shape: per-batch bounded (source, bin) combiner, one bounded
+    fold that densifies to the fixed grid and does the pairwise
+    cumulative-difference sums on a |source| x |bins| matrix.
+
+    Output: (source_a, source_b, emd_ppm) with source_a < source_b.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sz = pc.cast(batch.column("n_chars"), pa.int64()).to_numpy()
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "bin": pa.array(
+                    np.minimum(sz // np.int64(bin_width), n_bins - 1)
+                ),
+                "n": pa.array(np.ones(len(sz), np.int64)),
+            }
+        )
+        return t.group_by(["source", "bin"]).aggregate([("n", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["source", "bin"], as_index=False)["n_sum"].sum()
+        srcs = sorted(g["source"].unique())
+        m = np.zeros((len(srcs), n_bins), np.int64)
+        sidx = {s: i for i, s in enumerate(srcs)}
+        for _, r in g.iterrows():
+            m[sidx[r["source"]], int(r["bin"])] = int(r["n_sum"])
+        tot = m.sum(axis=1)
+        cum = np.cumsum(m, axis=1)
+        cum_ppm = (cum * np.int64(1_000_000)) // tot[:, None]
+        sa, sb_, emd = [], [], []
+        for i in range(len(srcs)):
+            for j in range(i + 1, len(srcs)):
+                sa.append(srcs[i])
+                sb_.append(srcs[j])
+                emd.append(int(np.abs(cum_ppm[i] - cum_ppm[j]).sum()))
+        return pa.table(
+            {
+                "source_a": pa.array(sa, pa.string()),
+                "source_b": pa.array(sb_, pa.string()),
+                "emd_ppm": pa.array(np.array(emd, np.int64)),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/documents.parquet",
+                columns=["source", "n_chars"],
+            )
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # bounded |source| x |bins| rows
+        .map_batches(finish, batch_format="pyarrow")
+    )
