@@ -3564,6 +3564,24 @@ def _q_quota_largest_remainder(sf_dir: str):
     return quota_largest_remainder(sf_dir)
 
 
+def _q_cdc_chunk_stats(sf_dir: str):
+    from ray_extract.pipelines.text import cdc_chunk_stats
+
+    return cdc_chunk_stats(sf_dir)
+
+
+def _q_prefix_trie_fanout(sf_dir: str):
+    from ray_extract.pipelines.text import prefix_trie_fanout
+
+    return prefix_trie_fanout(sf_dir)
+
+
+def _q_quantile_sketch_error_audit(sf_dir: str):
+    from ray_extract.pipelines.relational import quantile_sketch_error_audit
+
+    return quantile_sketch_error_audit(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -3938,6 +3956,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hist_intersection_matrix": _q_hist_intersection_matrix,
         "length_emd_matrix": _q_length_emd_matrix,
         "quota_largest_remainder": _q_quota_largest_remainder,
+        "cdc_chunk_stats": _q_cdc_chunk_stats,
+        "prefix_trie_fanout": _q_prefix_trie_fanout,
+        "quantile_sketch_error_audit": _q_quantile_sketch_error_audit,
     }
 
 
@@ -8919,5 +8940,55 @@ SELECT source, CAST(n AS BIGINT) AS n_docs,
        CAST(base + CASE WHEN rk <= (SELECT leftover FROM l)
                         THEN 1 ELSE 0 END AS BIGINT) AS quota
 FROM r
+"""
+    d["cdc_chunk_stats"] = """
+WITH pos AS (
+  SELECT doc_id, u.i AS i, ascii(substr(text, u.i + 1, 1)) AS c,
+         len(text) AS n
+  FROM documents, unnest(range(0, len(text))) AS u(i)),
+w AS (SELECT doc_id, i, n,
+        c + lag(c, 1) OVER ww + lag(c, 2) OVER ww + lag(c, 3) OVER ww AS s
+      FROM pos WINDOW ww AS (PARTITION BY doc_id ORDER BY i)),
+b AS (SELECT doc_id, i FROM w
+      WHERE i >= 3 AND i < n - 1 AND s % 32 = 0)
+SELECT d.doc_id,
+       CAST(count(b.i) + 1 AS BIGINT) AS n_chunks,
+       CAST(COALESCE(min(b.i), -1) AS BIGINT) AS first_boundary
+FROM documents d LEFT JOIN b ON d.doc_id = b.doc_id
+GROUP BY 1
+"""
+    d["prefix_trie_fanout"] = """
+WITH words AS (SELECT DISTINCT u.w AS w
+  FROM (SELECT string_split(text, ' ') AS ws FROM documents),
+       unnest(ws) AS u(w)),
+p AS (SELECT g.l AS prefix_len, substr(w, 1, g.l) AS prefix
+      FROM words CROSS JOIN generate_series(1, 3) g(l)),
+c AS (SELECT prefix_len, prefix, count(*) AS fanout
+      FROM p GROUP BY 1, 2)
+SELECT CAST(prefix_len AS BIGINT) AS prefix_len,
+       CAST(count(*) AS BIGINT) AS n_prefixes,
+       CAST(sum(fanout) AS BIGINT) AS n_words,
+       CAST(max(fanout) AS BIGINT) AS max_fanout
+FROM c GROUP BY 1
+"""
+    d["quantile_sketch_error_audit"] = """
+WITH h AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 8192
+             AS bin, count(*) AS n FROM orders GROUP BY 1),
+c AS (SELECT bin, sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+        AS cum FROM h),
+t AS (SELECT sum(n) AS total FROM h),
+q AS (SELECT unnest([25, 50, 75, 90, 99]) AS q),
+tr AS (SELECT q.q, (t.total - 1) * q.q // 100 + 1 AS target FROM q, t),
+best AS (SELECT tr.q, tr.target, min(c.bin) AS bin
+         FROM tr JOIN c ON c.cum >= tr.target GROUP BY 1, 2),
+j AS (SELECT b.q, b.target, b.bin, c.cum FROM best b
+      JOIN c ON c.bin = b.bin)
+SELECT CAST(j.q AS BIGINT) AS q,
+       CAST((j.bin + 1) * 8192 - 1 AS BIGINT) AS approx_value_cents,
+       CAST(j.target AS BIGINT) AS target_rank,
+       CAST(j.cum AS BIGINT) AS achieved_rank,
+       CAST(abs(j.cum - j.target) * 1000000 // t.total AS BIGINT)
+         AS rank_error_ppm
+FROM j, t
 """
     return d

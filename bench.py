@@ -706,6 +706,14 @@ def run_bench() -> dict:
     timed("quota_largest_remainder",
           lambda: quota_largest_remainder(SF_DIR).count())
 
+    from ray_extract.pipelines.relational import quantile_sketch_error_audit
+    from ray_extract.pipelines.text import cdc_chunk_stats, prefix_trie_fanout
+
+    timed("cdc_chunk_stats", lambda: cdc_chunk_stats(SF_DIR).count())
+    timed("prefix_trie_fanout", lambda: prefix_trie_fanout(SF_DIR).count())
+    timed("quantile_sketch_error_audit",
+          lambda: quantile_sketch_error_audit(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),

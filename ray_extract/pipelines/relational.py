@@ -9409,3 +9409,73 @@ def brand_quartile_band_join(sf_dir: str):
         .repartition(1)  # bounded |brand| x 4 rows
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def quantile_sketch_error_audit(sf_dir: str, bin_cents: int = 8192,
+                                quantiles: tuple = (25, 50, 75, 90, 99)):
+    """Quantile-sketch quality gate (the ann_recall pattern applied to
+    quantiles): order totals are summarized into fixed ``bin_cents``
+    histogram bins, each requested quantile is answered from the sketch
+    (upper edge of the covering bin), and the audit reports the EXACT
+    rank error of that answer in ppm — the error bound a planner needs
+    before trusting sketch-served percentiles.
+
+    Scale shape: per-batch bounded histogram combiner, one bounded fold;
+    the rank of the sketch answer IS the histogram's own cumulative
+    count at the covering bin, so no second scan is needed.
+
+    Output: (q, approx_value_cents, target_rank, achieved_rank,
+    rank_error_ppm).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch.column("o_totalprice"))
+        t = pa.table(
+            {
+                "bin": pa.array(cents // np.int64(bin_cents)),
+                "n": pa.array(np.ones(len(cents), np.int64)),
+            }
+        )
+        return t.group_by("bin").aggregate([("n", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("bin").aggregate([("n_sum", "sum")])
+        g = g.take(pc.sort_indices(g, sort_keys=[("bin", "ascending")]))
+        bins = pc.cast(g.column("bin"), pa.int64()).to_numpy()
+        n = pc.cast(g.column("n_sum_sum"), pa.int64()).to_numpy()
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        qs, vals, targets, achieved, errs = [], [], [], [], []
+        for q in quantiles:
+            target = (total - 1) * q // 100 + 1  # 1-based target rank
+            i = int(np.searchsorted(cum, target))
+            qs.append(q)
+            vals.append(int((bins[i] + 1) * bin_cents - 1))
+            targets.append(target)
+            achieved.append(int(cum[i]))
+            errs.append(
+                abs(int(cum[i]) - target) * 1_000_000 // total
+            )
+        return pa.table(
+            {
+                "q": pa.array(np.array(qs, np.int64)),
+                "approx_value_cents": pa.array(np.array(vals, np.int64)),
+                "target_rank": pa.array(np.array(targets, np.int64)),
+                "achieved_rank": pa.array(np.array(achieved, np.int64)),
+                "rank_error_ppm": pa.array(np.array(errs, np.int64)),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+            )
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # bounded |bins| rows
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -5272,3 +5272,151 @@ def length_emd_matrix(sf_dir: str, bin_width: int = 50, n_bins: int = 64):
         .repartition(1)  # bounded |source| x |bins| rows
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def cdc_chunk_stats(sf_dir: str, window: int = 4, modulus: int = 32):
+    """Content-defined chunking (CDC): a rolling ``window``-byte sum
+    marks a chunk boundary wherever it hits 0 mod ``modulus`` — the
+    storage-dedup primitive that keeps chunk boundaries stable under
+    insertions (unlike fixed-size blocks). Reports each document's chunk
+    count and first boundary.
+
+    Scale shape: ONE pass over the batch's flat Arrow byte buffer — the
+    rolling sums, the boundary mask, and the per-doc counts (bincount /
+    unique over the offsets) are all whole-batch numpy; no per-document
+    Python. Boundaries are only valid strictly inside a document
+    (window fully contained, not at the last byte).
+
+    Output: (doc_id, n_chunks, first_boundary) — first_boundary is the
+    0-based index of the first boundary byte, -1 when the doc has none.
+    """
+    import ray.data as rd
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        arr = pc.cast(batch.column("text").combine_chunks(),
+                      pa.large_string())
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        off_buf = np.frombuffer(arr.buffers()[1], np.int64)
+        off = off_buf[arr.offset:arr.offset + len(arr) + 1].copy()
+        buf = np.frombuffer(arr.buffers()[2], np.uint8)[
+            off[0]:off[-1]
+        ].astype(np.int64)
+        off = off - off[0]
+        n_docs = len(ids)
+        lens = np.diff(off)
+        if len(buf) < window:
+            w4 = np.zeros(0, np.int64)
+        else:
+            w4 = np.zeros(len(buf) - window + 1, np.int64)
+            for k in range(window):
+                w4 += buf[k:len(buf) - window + 1 + k]
+        # global index of the window END byte
+        end_idx = np.arange(window - 1, len(buf), dtype=np.int64)
+        hit = (w4 % modulus) == 0
+        ends = end_idx[hit]
+        # doc owning each boundary; valid iff the window starts inside
+        # the same doc AND the boundary is not the doc's final byte
+        d = np.searchsorted(off, ends, side="right") - 1
+        start_ok = (ends - (window - 1)) >= off[d]
+        not_last = ends < off[d + 1] - 1
+        keep = start_ok & not_last
+        ends, d = ends[keep], d[keep]
+        counts = np.bincount(d, minlength=n_docs).astype(np.int64)
+        first = np.full(n_docs, -1, np.int64)
+        ud, first_pos = np.unique(d, return_index=True)
+        first[ud] = ends[first_pos] - off[ud]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_chunks": pa.array(counts + 1),
+                "first_boundary": pa.array(first),
+            }
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(kernel, batch_format="pyarrow")
+
+
+def prefix_trie_fanout(sf_dir: str, max_len: int = 3):
+    """Trie fanout profile of the corpus vocabulary: for each prefix
+    length 1..``max_len``, how many distinct prefixes exist, how many
+    distinct words they cover, and the largest single-prefix fanout —
+    the statistics an autocomplete / prefix-index planner sizes nodes
+    with. Words shorter than the prefix length count under their full
+    spelling.
+
+    Scale shape: per-batch distinct-word combiner, one hash(word)
+    shuffle for the global distinct, bounded per-prefix fold (prefix
+    domain <= alphabet^max_len).
+
+    Output: (prefix_len, n_prefixes, n_words, max_fanout).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    def words_partial(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(
+            pc.split_pattern(
+                pc.cast(batch.column("text"), pa.string()), " "
+            )
+        )
+        t = pa.table({"w": flat})
+        t = t.group_by("w").aggregate([])  # block-local distinct
+        h = (
+            pd.util.hash_pandas_object(
+                t.column("w").to_pandas(), index=False
+            ).to_numpy(np.uint64)
+            % 64
+        ).astype(np.int64)
+        return t.append_column("wbucket", pa.array(h))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        words = g["w"].drop_duplicates()
+        out = []
+        for plen in range(1, max_len + 1):
+            pref = words.str.slice(0, plen)
+            counts = pref.value_counts()
+            out.append(
+                pd.DataFrame(
+                    {
+                        "prefix_len": np.int64(plen),
+                        "prefix": counts.index,
+                        "fanout": counts.to_numpy(np.int64),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["prefix_len", "prefix"], as_index=False)[
+            "fanout"
+        ].sum()
+        agg = g.groupby("prefix_len").agg(
+            n_prefixes=("prefix", "size"),
+            n_words=("fanout", "sum"),
+            max_fanout=("fanout", "max"),
+        )
+        agg = agg.sort_index()
+        return pa.table(
+            {
+                "prefix_len": pa.array(
+                    agg.index.to_numpy(np.int64)
+                ),
+                "n_prefixes": pa.array(agg["n_prefixes"]
+                                       .to_numpy(np.int64)),
+                "n_words": pa.array(agg["n_words"].to_numpy(np.int64)),
+                "max_fanout": pa.array(agg["max_fanout"]
+                                       .to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(words_partial, batch_format="pyarrow")
+        .groupby("wbucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # bounded prefix domain
+        .map_batches(finish, batch_format="pyarrow")
+    )
