@@ -3582,6 +3582,18 @@ def _q_quantile_sketch_error_audit(sf_dir: str):
     return quantile_sketch_error_audit(sf_dir)
 
 
+def _q_stock_dip_audit(sf_dir: str):
+    from ray_extract.pipelines.relational import stock_dip_audit
+
+    return stock_dip_audit(sf_dir)
+
+
+def _q_sla_band_by_priority(sf_dir: str):
+    from ray_extract.pipelines.relational import sla_band_by_priority
+
+    return sla_band_by_priority(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -3959,6 +3971,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunk_stats": _q_cdc_chunk_stats,
         "prefix_trie_fanout": _q_prefix_trie_fanout,
         "quantile_sketch_error_audit": _q_quantile_sketch_error_audit,
+        "stock_dip_audit": _q_stock_dip_audit,
+        "sla_band_by_priority": _q_sla_band_by_priority,
     }
 
 
@@ -8990,5 +9004,36 @@ SELECT CAST(j.q AS BIGINT) AS q,
        CAST(abs(j.cum - j.target) * 1000000 // t.total AS BIGINT)
          AS rank_error_ppm
 FROM j, t
+"""
+    d["stock_dip_audit"] = """
+WITH l AS (SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+             CASE WHEN l_returnflag = 'R'
+                  THEN -CAST(floor(l_quantity + 0.5) AS BIGINT)
+                  ELSE CAST(floor(l_quantity + 0.5) AS BIGINT) END AS s
+           FROM lineitem),
+r AS (SELECT l_partkey, s,
+        sum(s) OVER (PARTITION BY l_partkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS UNBOUNDED PRECEDING) AS bal
+      FROM l),
+p AS (SELECT l_partkey, min(bal) AS min_bal,
+             sum(s) AS final FROM r GROUP BY 1)
+SELECT pt.p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+  CAST(count(*) FILTER (WHERE p.min_bal < 0) AS BIGINT) AS n_dip_parts,
+  CAST(sum(p.final) AS BIGINT) AS final_balance_sum
+FROM p JOIN part pt ON p.l_partkey = pt.p_partkey
+GROUP BY 1
+"""
+    d["sla_band_by_priority"] = """
+WITH d AS (SELECT l.l_orderkey, o.o_orderpriority,
+             max(date_diff('day', o.o_orderdate, l.l_shipdate)) AS delay
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           GROUP BY 1, 2)
+SELECT o_orderpriority,
+  CAST((CASE WHEN delay > 30 THEN 1 ELSE 0 END
+      + CASE WHEN delay > 60 THEN 1 ELSE 0 END
+      + CASE WHEN delay > 90 THEN 1 ELSE 0 END) AS BIGINT) AS band,
+  CAST(count(*) AS BIGINT) AS n_orders
+FROM d GROUP BY 1, 2
 """
     return d

@@ -714,6 +714,15 @@ def run_bench() -> dict:
     timed("quantile_sketch_error_audit",
           lambda: quantile_sketch_error_audit(SF_DIR).count())
 
+    from ray_extract.pipelines.relational import (
+        sla_band_by_priority,
+        stock_dip_audit,
+    )
+
+    timed("stock_dip_audit", lambda: stock_dip_audit(SF_DIR).count())
+    timed("sla_band_by_priority",
+          lambda: sla_band_by_priority(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),

@@ -9479,3 +9479,250 @@ def quantile_sketch_error_audit(sf_dir: str, bin_cents: int = 8192,
         .repartition(1)  # bounded |bins| rows
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def stock_dip_audit(sf_dir: str, num_buckets: int = 256):
+    """Running-balance sweep per part: lineitems replay in ship order
+    (returns subtract, shipments add) and the audit reports, per brand,
+    how many parts ever dip to a negative running balance plus the final
+    balance mass — the inventory-consistency scan that needs a per-key
+    ORDERED prefix sum, not just an aggregate.
+
+    Scale shape: one hash(part) bucket shuffle of light columns; the
+    per-bucket kernel sorts once by (part, shipdate, orderkey,
+    linenumber) and takes ONE cumsum with per-part rebasing (vectorized
+    via the subtract-offset trick, no per-part Python loop); brand comes
+    from a ray.put dimension broadcast; bounded |brand| fold.
+
+    Output: (p_brand, n_parts, n_dip_parts, final_balance_sum).
+    """
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    brands = sorted(set(part.column("p_brand").to_pylist()))
+    brand_arr = pa.array(brands, type=pa.string())
+    dim_ref = ray.put(
+        pa.table(
+            {
+                "pk": pc.cast(part.column("p_partkey"), pa.int64()),
+                "code": pc.cast(
+                    pc.index_in(part.column("p_brand"), brand_arr),
+                    pa.int64(),
+                ),
+            }
+        )
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        pk = pc.cast(batch.column("l_partkey"), pa.int64()).to_numpy()
+        qty = np.floor(
+            batch.column("l_quantity").to_numpy() + 0.5
+        ).astype(np.int64)
+        rf = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
+        signed = np.where(rf == "R", -qty, qty)
+        day = batch.column("l_shipdate").to_numpy().astype(
+            "datetime64[D]"
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "pk": pa.array(pk),
+                "day": pa.array(day),
+                "ok": pc.cast(batch.column("l_orderkey"), pa.int64()),
+                "ln": pc.cast(batch.column("l_linenumber"), pa.int64()),
+                "signed": pa.array(signed),
+                "bucket": pa.array(
+                    (pk * np.int64(2654435761)) % np.int64(num_buckets)
+                ),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pk", "day", "ok", "ln"], kind="mergesort")
+        pk = g["pk"].to_numpy(np.int64)
+        s = g["signed"].to_numpy(np.int64)
+        cum = np.cumsum(s)
+        # rebase each part's prefix: subtract the cumsum just before the
+        # part's first row (vectorized per-part prefix sums)
+        starts = np.r_[0, np.flatnonzero(pk[1:] != pk[:-1]) + 1]
+        reps = np.diff(np.r_[starts, len(s)])
+        part_base = np.repeat(np.r_[0, cum[starts[1:] - 1]], reps)
+        bal = cum - part_base
+        ends = np.r_[starts[1:], len(s)] - 1
+        final = bal[ends]
+        dip = (
+            pd.Series(bal < 0).groupby(np.repeat(np.arange(len(starts)),
+                                                 reps)).any()
+        ).to_numpy()
+        return pd.DataFrame(
+            {
+                "pk": pk[starts],
+                "final": final,
+                "dip": dip.astype(np.int64),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        dim = ray.get(dim_ref)
+        pk = pc.cast(t.column("pk"), pa.int64())
+        code = pc.take(
+            dim.column("code"),
+            pc.index_in(pk, dim.column("pk").combine_chunks()),
+        )
+        g = pa.table(
+            {
+                "code": pc.cast(code, pa.int64()),
+                "n_parts": pa.array(np.ones(t.num_rows, np.int64)),
+                "n_dip_parts": pc.cast(t.column("dip"), pa.int64()),
+                "final_balance_sum": pc.cast(t.column("final"), pa.int64()),
+            }
+        ).group_by("code").aggregate(
+            [("n_parts", "sum"), ("n_dip_parts", "sum"),
+             ("final_balance_sum", "sum")]
+        )
+        g = g.take(pc.sort_indices(g, sort_keys=[("code", "ascending")]))
+        names = np.array(brands, dtype=object)
+        return pa.table(
+            {
+                "p_brand": pa.array(
+                    names[pc.cast(g.column("code"), pa.int64()).to_numpy()],
+                    pa.string(),
+                ),
+                "n_parts": pc.cast(g.column("n_parts_sum"), pa.int64()),
+                "n_dip_parts": pc.cast(g.column("n_dip_parts_sum"),
+                                       pa.int64()),
+                "final_balance_sum": pc.cast(
+                    g.column("final_balance_sum_sum"), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_partkey", "l_quantity", "l_returnflag",
+                         "l_shipdate", "l_orderkey", "l_linenumber"],
+            )
+        )
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # one row per part -> bounded after brand fold
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def sla_band_by_priority(sf_dir: str, num_partitions: int | None = None):
+    """Order-level SLA banding with an ALL-ITEMS qualification: an order
+    lands in the band of its WORST lineitem delay (ship minus order
+    date: <=30, <=60, <=90, >90 days) — the whole-group max that a
+    row-level filter cannot express, folded per priority.
+
+    Scale shape: lineitem JOIN orders native hash join; the per-order
+    max delay rides a per-batch (order, max) combiner then one bounded
+    groupby; priority x 4 bands fold.
+
+    Output: (o_orderpriority, band, n_orders).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    num_partitions = _join_partitions(num_partitions)
+
+    li = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_shipdate"],
+        )
+    )
+    orders = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        )
+    )
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def delay_partial(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").to_numpy().astype(
+            "datetime64[D]"
+        ).astype(np.int64)
+        od = batch.column("o_orderdate").to_numpy().astype(
+            "datetime64[D]"
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "ok": pc.cast(batch.column("l_orderkey"), pa.int64()),
+                "prio": batch.column("o_orderpriority"),
+                "delay": pa.array(ship - od),
+            }
+        )
+        g = t.group_by(["ok", "prio"]).aggregate([("delay", "max")])
+        okk = pc.cast(g.column("ok"), pa.int64()).to_numpy()
+        return g.append_column(
+            "kbucket", pa.array((okk * np.int64(2654435761)) % 256)
+        )
+
+    def band_fold(g):
+        import pandas as pd
+
+        # re-collapse per order across input blocks, then band
+        d = g.groupby(["ok", "prio"], as_index=False)["delay_max"].max()
+        delay = d["delay_max"].to_numpy(np.int64)
+        band = (
+            (delay > 30).astype(np.int64)
+            + (delay > 60).astype(np.int64)
+            + (delay > 90).astype(np.int64)
+        )
+        out = pd.DataFrame(
+            {
+                "o_orderpriority": d["prio"].to_numpy(),
+                "band": band,
+                "n_orders": np.ones(len(delay), np.int64),
+            }
+        )
+        return out.groupby(["o_orderpriority", "band"],
+                           as_index=False).agg(n_orders=("n_orders",
+                                                         "sum"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_orderpriority", "band"]).aggregate(
+            [("n_orders", "sum")]
+        )
+        g = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[("o_orderpriority", "ascending"),
+                           ("band", "ascending")],
+            )
+        )
+        return pa.table(
+            {
+                "o_orderpriority": g.column("o_orderpriority"),
+                "band": pc.cast(g.column("band"), pa.int64()),
+                "n_orders": pc.cast(g.column("n_orders_sum"),
+                                    pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(delay_partial, batch_format="pyarrow")
+        .groupby("kbucket")  # 256 order buckets, NOT one group per order
+        .map_groups(band_fold, batch_format="pandas")
+        .repartition(1)  # bounded |priority| x 4 bands
+        .map_batches(finish, batch_format="pyarrow")
+    )
