@@ -3594,6 +3594,18 @@ def _q_sla_band_by_priority(sf_dir: str):
     return sla_band_by_priority(sf_dir)
 
 
+def _q_negative_sampling_audit(sf_dir: str):
+    from ray_extract.pipelines.layout import negative_sampling_audit
+
+    return negative_sampling_audit(sf_dir)
+
+
+def _q_shuffle_displacement_audit(sf_dir: str):
+    from ray_extract.pipelines.layout import shuffle_displacement_audit
+
+    return shuffle_displacement_audit(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -3973,6 +3985,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_sketch_error_audit": _q_quantile_sketch_error_audit,
         "stock_dip_audit": _q_stock_dip_audit,
         "sla_band_by_priority": _q_sla_band_by_priority,
+        "negative_sampling_audit": _q_negative_sampling_audit,
+        "shuffle_displacement_audit": _q_shuffle_displacement_audit,
     }
 
 
@@ -9035,5 +9049,29 @@ SELECT o_orderpriority,
       + CASE WHEN delay > 90 THEN 1 ELSE 0 END) AS BIGINT) AS band,
   CAST(count(*) AS BIGINT) AS n_orders
 FROM d GROUP BY 1, 2
+"""
+    d["negative_sampling_audit"] = """
+WITH t AS (SELECT count(*) AS n FROM documents),
+neg AS (SELECT d.doc_id, d.source AS anchor_source,
+          (d.doc_id * 48271 + g.j * 2654435761) % t.n AS neg_id
+        FROM documents d CROSS JOIN generate_series(1, 4) g(j), t),
+r AS (SELECT neg.anchor_source, neg.neg_id,
+        CASE WHEN neg.neg_id = neg.doc_id THEN 1 ELSE 0 END AS is_self,
+        CASE WHEN d2.source = neg.anchor_source THEN 1 ELSE 0 END AS same
+      FROM neg JOIN documents d2 ON neg.neg_id = d2.doc_id)
+SELECT anchor_source AS source, CAST(count(*) AS BIGINT) AS n_negatives,
+  CAST(sum(same) AS BIGINT) AS n_same_source,
+  CAST(sum(is_self) AS BIGINT) AS n_self
+FROM r GROUP BY 1
+"""
+    d["shuffle_displacement_audit"] = """
+WITH h AS (SELECT doc_id, source,
+             (doc_id * 2654435761) % 2147483648 AS hv FROM documents),
+r AS (SELECT source, doc_id,
+        row_number() OVER (ORDER BY hv, doc_id) - 1 AS rank FROM h)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(abs(rank - doc_id)) AS BIGINT) AS sum_displacement,
+  CAST(max(abs(rank - doc_id)) AS BIGINT) AS max_displacement
+FROM r GROUP BY 1
 """
     return d

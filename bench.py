@@ -723,6 +723,16 @@ def run_bench() -> dict:
     timed("sla_band_by_priority",
           lambda: sla_band_by_priority(SF_DIR).count())
 
+    from ray_extract.pipelines.layout import (
+        negative_sampling_audit,
+        shuffle_displacement_audit,
+    )
+
+    timed("negative_sampling_audit",
+          lambda: negative_sampling_audit(SF_DIR).count())
+    timed("shuffle_displacement_audit",
+          lambda: shuffle_displacement_audit(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),

@@ -452,3 +452,213 @@ def quota_largest_remainder(sf_dir: str, total_quota: int = 100):
         .repartition(1)  # bounded |source| rows
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def negative_sampling_audit(sf_dir: str, k: int = 4,
+                            num_partitions: int = 4):
+    """Deterministic negative-sampling quality audit: every document
+    draws ``k`` pseudo-random negatives (a fixed LCG over the dense id
+    space) and the audit reports how often a negative collides with the
+    anchor itself or lands in the anchor's own source — the
+    contrastive-training sanity check (same-source negatives are often
+    too easy or accidentally positive).
+
+    Scale shape: negatives generate vectorized per batch; resolving each
+    negative's source is a native hash join against the corpus (never a
+    broadcast of the full table); bounded |source| fold.
+
+    Output: (source, n_negatives, n_same_source, n_self).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    n_total = docs.count()
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        src = np.asarray(
+            batch.column("source").to_numpy(zero_copy_only=False),
+            dtype=object,
+        )
+        anchors = np.repeat(ids, k)
+        a_src = np.repeat(src, k)
+        j = np.tile(np.arange(1, k + 1, dtype=np.int64), len(ids))
+        neg = (anchors * np.int64(48271)
+               + j * np.int64(2654435761)) % np.int64(n_total)
+        return pa.table(
+            {
+                "anchor_source": pa.array(a_src, pa.string()),
+                "neg_id": pa.array(neg),
+                "is_self": pa.array((neg == anchors).astype(np.int64)),
+            }
+        )
+
+    negs = docs.map_batches(gen, batch_format="pyarrow")
+    resolved = negs.join(
+        docs.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                    "neg_source": b.column("source"),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("neg_id",),
+        right_on=("doc_id",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        same = pc.cast(
+            pc.equal(batch.column("anchor_source"),
+                     batch.column("neg_source")),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                "source": batch.column("anchor_source"),
+                "n_negatives": pa.array(
+                    np.ones(batch.num_rows, np.int64)
+                ),
+                "n_same_source": same,
+                "n_self": pc.cast(batch.column("is_self"), pa.int64()),
+            }
+        )
+        return t.group_by("source").aggregate(
+            [("n_negatives", "sum"), ("n_same_source", "sum"),
+             ("n_self", "sum")]
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate(
+            [("n_negatives_sum", "sum"), ("n_same_source_sum", "sum"),
+             ("n_self_sum", "sum")]
+        )
+        g = g.take(pc.sort_indices(g, sort_keys=[("source", "ascending")]))
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "n_negatives": pc.cast(g.column("n_negatives_sum_sum"),
+                                       pa.int64()),
+                "n_same_source": pc.cast(
+                    g.column("n_same_source_sum_sum"), pa.int64()
+                ),
+                "n_self": pc.cast(g.column("n_self_sum_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        resolved.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # bounded |source| rows
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def shuffle_displacement_audit(sf_dir: str, bucket_shift: int = 22):
+    """Global-shuffle quality audit: documents are re-ordered by a
+    multiplicative hash (the deterministic pre-training shuffle) and the
+    audit reports, per source, the total and maximum displacement
+    |original position - shuffled position| — near-zero displacement
+    means the "shuffle" left the corpus in ingest order (the correlation
+    a training run must not see).
+
+    Scale shape: the shuffled GLOBAL rank decomposes into bounded
+    hash-range buckets — per-batch bucket histograms fold to one carry
+    table of exclusive prefix counts (metadata-scale, broadcast in the
+    closure), then one bucket shuffle assigns in-bucket ranks by sorted
+    (hash, id). Original position is the dense doc_id itself.
+
+    Output: (source, n_docs, sum_displacement, max_displacement).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def hash_of(ids: np.ndarray) -> np.ndarray:
+        return (ids * np.int64(2654435761)) % np.int64(1 << 31)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        hb = hash_of(ids) >> np.int64(bucket_shift)
+        t = pa.table(
+            {
+                "hbucket": pa.array(hb),
+                "n": pa.array(np.ones(len(ids), np.int64)),
+            }
+        )
+        return t.group_by("hbucket").aggregate([("n", "sum")])
+
+    counts = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby("hbucket")
+        .sum("n_sum")
+        .to_pandas()  # bounded: 2^31 >> bucket_shift buckets (512)
+        .sort_values("hbucket")
+    )
+    buckets = counts["hbucket"].to_numpy(np.int64)
+    carry = np.r_[np.int64(0), np.cumsum(
+        counts["sum(n_sum)"].to_numpy(np.int64)
+    )[:-1]]
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        h = hash_of(ids)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "source": batch.column("source"),
+                "h": pa.array(h),
+                "hbucket": pa.array(h >> np.int64(bucket_shift)),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"], kind="mergesort")
+        b = int(g["hbucket"].iloc[0])
+        base = carry[np.searchsorted(buckets, b)]
+        rank = base + np.arange(len(g), dtype=np.int64)
+        disp = np.abs(rank - g["doc_id"].to_numpy(np.int64))
+        out = pd.DataFrame(
+            {"source": g["source"].to_numpy(), "disp": disp}
+        )
+        agg = out.groupby("source", as_index=False).agg(
+            n_docs=("disp", "size"),
+            sum_displacement=("disp", "sum"),
+            max_displacement=("disp", "max"),
+        )
+        agg["n_docs"] = agg["n_docs"].astype(np.int64)
+        return agg
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate(
+            [("n_docs", "sum"), ("sum_displacement", "sum"),
+             ("max_displacement", "max")]
+        )
+        g = g.take(pc.sort_indices(g, sort_keys=[("source", "ascending")]))
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "n_docs": pc.cast(g.column("n_docs_sum"), pa.int64()),
+                "sum_displacement": pc.cast(
+                    g.column("sum_displacement_sum"), pa.int64()
+                ),
+                "max_displacement": pc.cast(
+                    g.column("max_displacement_max"), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("hbucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # bounded |source| rows
+        .map_batches(finish, batch_format="pyarrow")
+    )

