@@ -3606,6 +3606,12 @@ def _q_shuffle_displacement_audit(sf_dir: str):
     return shuffle_displacement_audit(sf_dir)
 
 
+def _q_nation_top_spenders_ties(sf_dir: str):
+    from ray_extract.pipelines.relational import nation_top_spenders_ties
+
+    return nation_top_spenders_ties(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -3987,6 +3993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sla_band_by_priority": _q_sla_band_by_priority,
         "negative_sampling_audit": _q_negative_sampling_audit,
         "shuffle_displacement_audit": _q_shuffle_displacement_audit,
+        "nation_top_spenders_ties": _q_nation_top_spenders_ties,
     }
 
 
@@ -9073,5 +9080,17 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(abs(rank - doc_id)) AS BIGINT) AS sum_displacement,
   CAST(max(abs(rank - doc_id)) AS BIGINT) AS max_displacement
 FROM r GROUP BY 1
+"""
+    d["nation_top_spenders_ties"] = """
+WITH s AS (SELECT o_custkey, CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+             AS BIGINT)) AS BIGINT) AS spend FROM orders GROUP BY 1),
+j AS (SELECT c.c_nationkey AS nationkey, s.o_custkey AS c_custkey,
+             s.spend FROM s JOIN customer c ON s.o_custkey = c.c_custkey),
+r AS (SELECT *, rank() OVER (PARTITION BY nationkey
+                             ORDER BY spend DESC) AS rk FROM j)
+SELECT CAST(nationkey AS BIGINT) AS nationkey,
+       CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(spend AS BIGINT) AS spend_cents
+FROM r WHERE rk = 1
 """
     return d

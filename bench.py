@@ -733,6 +733,11 @@ def run_bench() -> dict:
     timed("shuffle_displacement_audit",
           lambda: shuffle_displacement_audit(SF_DIR).count())
 
+    from ray_extract.pipelines.relational import nation_top_spenders_ties
+
+    timed("nation_top_spenders_ties",
+          lambda: nation_top_spenders_ties(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),

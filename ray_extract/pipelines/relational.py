@@ -9726,3 +9726,142 @@ def sla_band_by_priority(sf_dir: str, num_partitions: int | None = None):
         .repartition(1)  # bounded |priority| x 4 bands
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def nation_top_spenders_ties(sf_dir: str):
+    """Per-nation top spender WITH TIES (RANK() = 1, not ROW_NUMBER):
+    every customer tied at the nation's maximum total spend survives —
+    the argmax-with-ties shape the packed-argmax trick cannot express,
+    done as the two-pass broadcast pattern: (1) per-nation max spend is
+    a bounded fold, (2) the bounded max table broadcasts into a filter
+    pass over the same per-customer partials.
+
+    Scale shape: per-batch per-customer spend combiner, one hash
+    shuffle to per-customer totals, bounded |nation| max fold, broadcast
+    filter — no sort, no row_number over the corpus.
+
+    Output: (nationkey, c_custkey, spend_cents).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    cust = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_nationkey"],
+        )
+    )
+    orders = strip_schema_metadata(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_totalprice"],
+        )
+    )
+
+    def spend_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_custkey": pc.cast(batch.column("o_custkey"), pa.int64()),
+                "spend": pa.array(_cents(batch.column("o_totalprice"))),
+            }
+        )
+        return t.group_by("o_custkey").aggregate([("spend", "sum")])
+
+    joined = orders.map_batches(spend_partial, batch_format="pyarrow").join(
+        cust.map_batches(
+            lambda b: pa.table(
+                {
+                    "c_custkey": pc.cast(b.column("c_custkey"), pa.int64()),
+                    "nationkey": pc.cast(b.column("c_nationkey"),
+                                         pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        join_type="inner",
+        num_partitions=4,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        # re-collapse per customer across blocks (order partials split)
+        d = g.groupby(["o_custkey", "nationkey"], as_index=False)[
+            "spend_sum"
+        ].sum()
+        return pd.DataFrame(
+            {
+                "c_custkey": d["o_custkey"].to_numpy(np.int64),
+                "nationkey": d["nationkey"].to_numpy(np.int64),
+                "spend_cents": d["spend_sum"].to_numpy(np.int64),
+            }
+        )
+
+    def add_cbucket(batch: pa.Table) -> pa.Table:
+        ck = pc.cast(batch.column("o_custkey"), pa.int64()).to_numpy()
+        return batch.append_column(
+            "cbucket", pa.array((ck * np.int64(2654435761)) % 256)
+        )
+
+    per_customer = (
+        joined.map_batches(add_cbucket, batch_format="pyarrow")
+        .groupby("cbucket")
+        .map_groups(per_cust, batch_format="pandas")
+    )
+    # pass 1: bounded per-nation max
+    maxes = (
+        per_customer.map_batches(
+            lambda b: pa.table(
+                {
+                    "nationkey": b.column("nationkey"),
+                    "mx": b.column("spend_cents"),
+                }
+            ).group_by("nationkey").aggregate([("mx", "max")]),
+            batch_format="pyarrow",
+        )
+        .groupby("nationkey")
+        .max("mx_max")
+        .to_pandas()  # bounded |nation| rows
+    )
+    import ray
+
+    max_map = dict(
+        zip(
+            maxes["nationkey"].to_numpy(np.int64).tolist(),
+            maxes["max(mx_max)"].to_numpy(np.int64).tolist(),
+        )
+    )
+    max_ref = ray.put(max_map)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        mm = ray.get(max_ref)
+        nk = pc.cast(batch.column("nationkey"), pa.int64()).to_numpy()
+        sp = pc.cast(batch.column("spend_cents"), pa.int64()).to_numpy()
+        thr = np.array([mm[int(k)] for k in nk], np.int64)
+        keep = sp == thr
+        t = pa.table(
+            {
+                "nationkey": pa.array(nk[keep]),
+                "c_custkey": pc.cast(batch.column("c_custkey"),
+                                     pa.int64()).filter(pa.array(keep)),
+                "spend_cents": pa.array(sp[keep]),
+            }
+        )
+        return t
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[("nationkey", "ascending"),
+                           ("c_custkey", "ascending")],
+            )
+        )
+
+    return (
+        per_customer.map_batches(filt, batch_format="pyarrow")
+        .repartition(1)  # survivors: <= |nation| x ties rows
+        .map_batches(finish, batch_format="pyarrow")
+    )

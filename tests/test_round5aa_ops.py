@@ -38,3 +38,21 @@ def test_shuffle_rank_is_permutation(ray_session):
     # fraction of n (uniform permutation expectation is n/3)
     assert int(df["sum_displacement"].sum()) > n * n // 10
     assert int(df["max_displacement"].max()) < n
+
+
+def test_top_spenders_includes_all_ties(ray_session):
+    import duckdb
+
+    from ray_extract.pipelines.relational import nation_top_spenders_ties
+
+    df = nation_top_spenders_ties(SF).to_pandas()
+    # one or more rows per nation; all rows of a nation share the max
+    for nk, g in df.groupby("nationkey"):
+        assert g["spend_cents"].nunique() == 1
+    # the global maximum spender is present
+    top = duckdb.sql(f"""
+      SELECT o_custkey FROM (SELECT o_custkey,
+        sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) AS s
+        FROM '{SF}/orders.parquet' GROUP BY 1 ORDER BY s DESC LIMIT 1)
+    """).fetchone()[0]
+    assert top in set(df["c_custkey"])
