@@ -3612,6 +3612,18 @@ def _q_nation_top_spenders_ties(sf_dir: str):
     return nation_top_spenders_ties(sf_dir)
 
 
+def _q_k_anonymity_audit(sf_dir: str):
+    from ray_extract.pipelines.mlstats import k_anonymity_audit
+
+    return k_anonymity_audit(sf_dir)
+
+
+def _q_l_diversity_audit(sf_dir: str):
+    from ray_extract.pipelines.mlstats import l_diversity_audit
+
+    return l_diversity_audit(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -3994,6 +4006,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "negative_sampling_audit": _q_negative_sampling_audit,
         "shuffle_displacement_audit": _q_shuffle_displacement_audit,
         "nation_top_spenders_ties": _q_nation_top_spenders_ties,
+        "k_anonymity_audit": _q_k_anonymity_audit,
+        "l_diversity_audit": _q_l_diversity_audit,
     }
 
 
@@ -9092,5 +9106,31 @@ SELECT CAST(nationkey AS BIGINT) AS nationkey,
        CAST(c_custkey AS BIGINT) AS c_custkey,
        CAST(spend AS BIGINT) AS spend_cents
 FROM r WHERE rk = 1
+"""
+    d["k_anonymity_audit"] = """
+WITH c AS (SELECT c_nationkey,
+    (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000) // 100000
+      AS band,
+    count(*) AS n FROM customer GROUP BY 1, 2),
+sb AS (SELECT c.n, s.b FROM c JOIN generate_series(0, 40) s(b)
+        ON c.n >= (1::BIGINT << s.b) AND c.n < (1::BIGINT << (s.b + 1)))
+SELECT CAST(b AS BIGINT) AS size_band,
+ CAST(count(*) AS BIGINT) AS n_classes,
+ CAST(sum(n) AS BIGINT) AS n_customers,
+ CAST(COALESCE(sum(n) FILTER (WHERE n < 5), 0) AS BIGINT) AS at_risk
+FROM sb GROUP BY 1
+"""
+    d["l_diversity_audit"] = """
+WITH c AS (SELECT c_nationkey,
+    (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000) // 100000
+      AS band,
+    c_mktsegment, count(*) AS n FROM customer GROUP BY 1, 2, 3),
+cls AS (SELECT c_nationkey, band,
+    count(DISTINCT c_mktsegment) AS n_segments,
+    sum(n) AS n_customers FROM c GROUP BY 1, 2)
+SELECT CAST(n_segments AS BIGINT) AS n_segments,
+ CAST(count(*) AS BIGINT) AS n_classes,
+ CAST(sum(n_customers) AS BIGINT) AS n_customers
+FROM cls GROUP BY 1
 """
     return d

@@ -738,6 +738,14 @@ def run_bench() -> dict:
     timed("nation_top_spenders_ties",
           lambda: nation_top_spenders_ties(SF_DIR).count())
 
+    from ray_extract.pipelines.mlstats import (
+        k_anonymity_audit,
+        l_diversity_audit,
+    )
+
+    timed("k_anonymity_audit", lambda: k_anonymity_audit(SF_DIR).count())
+    timed("l_diversity_audit", lambda: l_diversity_audit(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),

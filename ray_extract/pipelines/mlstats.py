@@ -725,3 +725,153 @@ def id_gap_audit(sf_dir: str):
         .groupby("source")
         .map_groups(per_source, batch_format="pandas")
     )
+
+
+def k_anonymity_audit(sf_dir: str, k: int = 5, band_cents: int = 100000):
+    """k-anonymity audit over the customer quasi-identifiers
+    (nation, account-balance band): an equivalence class smaller than
+    ``k`` re-identifies its members — the privacy gate a release
+    pipeline runs before publishing joined aggregates. Reports the
+    class-size histogram (log2 bands) and the at-risk population.
+
+    Scale shape: per-batch QI-class count combiner, one bounded fold
+    (class domain = |nation| x |balance bands|).
+
+    Output: (size_band, n_classes, n_customers, at_risk) where
+    size_band = floor(log2(class size)) and at_risk marks bands whose
+    classes are all below k.
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nk = pc.cast(batch.column("c_nationkey"), pa.int64()).to_numpy()
+        bal = np.floor(
+            batch.column("c_acctbal").to_numpy() * 100 + 0.5
+        ).astype(np.int64)
+        # offset keeps the dividend non-negative: numpy floors negative
+        # division while DuckDB truncates toward zero (the repo's
+        # division-semantics guard, cf. spatial_grid_bin)
+        assert len(bal) == 0 or bal.min() >= -band_cents, \
+            "acctbal below the non-negativity offset"
+        band = (bal + np.int64(band_cents)) // np.int64(band_cents)
+        t = pa.table(
+            {
+                "nationkey": pa.array(nk),
+                "band": pa.array(band),
+                "n": pa.array(np.ones(len(nk), np.int64)),
+            }
+        )
+        return t.group_by(["nationkey", "band"]).aggregate([("n", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["nationkey", "band"]).aggregate([("n_sum", "sum")])
+        sz = pc.cast(g.column("n_sum_sum"), pa.int64()).to_numpy()
+        powers = np.int64(1) << np.arange(41, dtype=np.int64)
+        size_band = np.searchsorted(powers, sz, side="right") - 1
+        out = pa.table(
+            {
+                "size_band": pa.array(size_band.astype(np.int64)),
+                "n_classes": pa.array(np.ones(len(sz), np.int64)),
+                "n_customers": pa.array(sz),
+                "at_risk": pa.array((sz < k).astype(np.int64) * sz),
+            }
+        )
+        o = out.group_by("size_band").aggregate(
+            [("n_classes", "sum"), ("n_customers", "sum"),
+             ("at_risk", "sum")]
+        )
+        o = o.take(pc.sort_indices(o, sort_keys=[("size_band",
+                                                  "ascending")]))
+        return pa.table(
+            {
+                "size_band": pc.cast(o.column("size_band"), pa.int64()),
+                "n_classes": pc.cast(o.column("n_classes_sum"), pa.int64()),
+                "n_customers": pc.cast(o.column("n_customers_sum"),
+                                       pa.int64()),
+                "at_risk": pc.cast(o.column("at_risk_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # bounded QI-class domain
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def l_diversity_audit(sf_dir: str, band_cents: int = 100000):
+    """l-diversity audit: within each quasi-identifier class (nation,
+    balance band), how diverse is the sensitive attribute (market
+    segment)? Classes where one segment dominates leak membership even
+    when k-anonymous. Reports per diversity level (distinct segments in
+    the class) the class count and population.
+
+    Scale shape: per-batch (QI, segment) count combiner, one bounded
+    fold over |nation| x |bands| x |segments|.
+
+    Output: (n_segments, n_classes, n_customers).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nk = pc.cast(batch.column("c_nationkey"), pa.int64()).to_numpy()
+        bal = np.floor(
+            batch.column("c_acctbal").to_numpy() * 100 + 0.5
+        ).astype(np.int64)
+        assert len(bal) == 0 or bal.min() >= -band_cents, \
+            "acctbal below the non-negativity offset"
+        t = pa.table(
+            {
+                "nationkey": pa.array(nk),
+                "band": pa.array(
+                    (bal + np.int64(band_cents)) // np.int64(band_cents)
+                ),
+                "seg": batch.column("c_mktsegment"),
+                "n": pa.array(np.ones(len(nk), np.int64)),
+            }
+        )
+        return t.group_by(["nationkey", "band", "seg"]).aggregate(
+            [("n", "sum")]
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        g = df.groupby(["nationkey", "band", "seg"], as_index=False)[
+            "n_sum"
+        ].sum()
+        cls = g.groupby(["nationkey", "band"]).agg(
+            n_segments=("seg", "nunique"), n_customers=("n_sum", "sum")
+        )
+        out = cls.groupby("n_segments", as_index=False).agg(
+            n_classes=("n_customers", "size"),
+            n_customers=("n_customers", "sum"),
+        )
+        out = out.sort_values("n_segments", kind="mergesort")
+        return pa.table(
+            {
+                "n_segments": pa.array(
+                    out["n_segments"].to_numpy(np.int64)
+                ),
+                "n_classes": pa.array(
+                    out["n_classes"].to_numpy(np.int64)
+                ),
+                "n_customers": pa.array(
+                    out["n_customers"].to_numpy(np.int64)
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "customer",
+              ["c_nationkey", "c_acctbal", "c_mktsegment"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # bounded QI x segment domain
+        .map_batches(finish, batch_format="pyarrow")
+    )

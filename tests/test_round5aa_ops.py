@@ -56,3 +56,34 @@ def test_top_spenders_includes_all_ties(ray_session):
         FROM '{SF}/orders.parquet' GROUP BY 1 ORDER BY s DESC LIMIT 1)
     """).fetchone()[0]
     assert top in set(df["c_custkey"])
+
+
+def test_k_anonymity_closure(ray_session):
+    import duckdb
+
+    from ray_extract.pipelines.mlstats import k_anonymity_audit
+
+    df = k_anonymity_audit(SF).to_pandas()
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/customer.parquet'"
+    ).fetchone()[0]
+    assert int(df["n_customers"].sum()) == n
+    # at-risk mass only appears in bands whose sizes can be < k=5
+    assert (df[df["size_band"] >= 3]["at_risk"] == 0).all()
+
+
+def test_l_diversity_closure(ray_session):
+    import duckdb
+
+    from ray_extract.pipelines.mlstats import l_diversity_audit
+
+    df = l_diversity_audit(SF).to_pandas()
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/customer.parquet'"
+    ).fetchone()[0]
+    assert int(df["n_customers"].sum()) == n
+    segs = duckdb.sql(
+        f"SELECT count(DISTINCT c_mktsegment) "
+        f"FROM '{SF}/customer.parquet'"
+    ).fetchone()[0]
+    assert int(df["n_segments"].max()) <= segs
