@@ -3624,6 +3624,18 @@ def _q_l_diversity_audit(sf_dir: str):
     return l_diversity_audit(sf_dir)
 
 
+def _q_vocab_venn_counts(sf_dir: str):
+    from ray_extract.pipelines.text import vocab_venn_counts
+
+    return vocab_venn_counts(sf_dir)
+
+
+def _q_orphan_purchase_counts(sf_dir: str):
+    from ray_extract.pipelines.events import orphan_purchase_counts
+
+    return orphan_purchase_counts(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -4008,6 +4020,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_top_spenders_ties": _q_nation_top_spenders_ties,
         "k_anonymity_audit": _q_k_anonymity_audit,
         "l_diversity_audit": _q_l_diversity_audit,
+        "vocab_venn_counts": _q_vocab_venn_counts,
+        "orphan_purchase_counts": _q_orphan_purchase_counts,
     }
 
 
@@ -9132,5 +9146,33 @@ SELECT CAST(n_segments AS BIGINT) AS n_segments,
  CAST(count(*) AS BIGINT) AS n_classes,
  CAST(sum(n_customers) AS BIGINT) AS n_customers
 FROM cls GROUP BY 1
+"""
+    d["vocab_venn_counts"] = """
+WITH d AS (SELECT source, string_split(text, ' ') AS ws FROM documents
+          WHERE source IN ('src0', 'src1', 'src2')),
+w AS (SELECT DISTINCT array_to_string(ws[u.i:u.i+2], ' ') AS w, source
+      FROM d, unnest(range(1, len(ws) - 1)) AS u(i)),
+m AS (SELECT w, sum(CASE source WHEN 'src0' THEN 1 WHEN 'src1' THEN 2
+                    WHEN 'src2' THEN 4 END) AS mask
+      FROM w GROUP BY 1)
+SELECT CAST(mask AS BIGINT) AS mask,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM m GROUP BY 1
+"""
+    d["orphan_purchase_counts"] = """
+WITH e AS (SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec
+           FROM events WHERE event_type IN ('purchase', 'click')),
+p AS (SELECT user_id, sec FROM e WHERE event_type = 'purchase'),
+c AS (SELECT user_id, sec FROM e WHERE event_type = 'click'),
+o AS (SELECT p.user_id, p.sec,
+        CASE WHEN EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+          AND c.sec < p.sec AND c.sec >= p.sec - 86400)
+        THEN 0 ELSE 1 END AS orphan
+      FROM p)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(orphan) AS BIGINT) AS n_orphans
+FROM o GROUP BY 1
 """
     return d

@@ -746,6 +746,13 @@ def run_bench() -> dict:
     timed("k_anonymity_audit", lambda: k_anonymity_audit(SF_DIR).count())
     timed("l_diversity_audit", lambda: l_diversity_audit(SF_DIR).count())
 
+    from ray_extract.pipelines.events import orphan_purchase_counts
+    from ray_extract.pipelines.text import vocab_venn_counts
+
+    timed("vocab_venn_counts", lambda: vocab_venn_counts(SF_DIR).count())
+    timed("orphan_purchase_counts",
+          lambda: orphan_purchase_counts(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),

@@ -5052,3 +5052,79 @@ def bipartite_projection_weights(sf_dir: str, num_buckets: int = 256):
         .repartition(1)  # bounded |types|^2 rows
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def orphan_purchase_counts(sf_dir: str, window_seconds: int = 86400,
+                           num_buckets: int = 64):
+    """ANTI window join: purchases with NO same-user click in the
+    preceding ``window_seconds`` — the negation of
+    ``purchase_click_window`` (cold conversions that attribution cannot
+    explain), reported per user.
+
+    Scale shape: identical to the window join — one hash(user) bucket
+    shuffle, packed (uid << 40 | sec) searchsorted — except the
+    predicate keeps the ZERO-match purchases; per-user counts are the
+    bounded output.
+
+    Output: (user_id, n_purchases, n_orphans).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    SHIFT = np.int64(1) << np.int64(40)
+    win = np.int64(window_seconds)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        keep = (et == "purchase") | (et == "click")
+        uid = pc.cast(batch.column("user_id"), pa.int64()).to_numpy()[keep]
+        sec = (batch.column("ts").to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // np.int64(1_000_000))[keep]
+        if len(sec):
+            assert 0 <= sec.min() and sec.max() < int(SHIFT) - window_seconds
+            assert 0 <= uid.min() and uid.max() < (1 << 23)
+        bucket = np.abs((uid * np.int64(2654435761)) % np.int64(num_buckets))
+        return pa.table(
+            {
+                "key": pa.array(uid * SHIFT + sec),
+                "is_purchase": pa.array(et[keep] == "purchase"),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["key"].to_numpy()
+        isp = g["is_purchase"].to_numpy()
+        ck = np.sort(key[~isp])
+        pk = key[isp]
+        if len(pk) == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series(dtype="int64"),
+                 "n_purchases": pd.Series(dtype="int64"),
+                 "n_orphans": pd.Series(dtype="int64")})
+        hi = np.searchsorted(ck, pk, side="left")
+        lo = np.searchsorted(ck, pk - win, side="left")
+        orphan = (hi - lo) == 0
+        uid = (pk // int(SHIFT)).astype(np.int64)
+        out = pd.DataFrame(
+            {"user_id": uid, "n_purchases": np.ones(len(uid), np.int64),
+             "n_orphans": orphan.astype(np.int64)}
+        )
+        return out.groupby("user_id", as_index=False).agg(
+            n_purchases=("n_purchases", "sum"),
+            n_orphans=("n_orphans", "sum"),
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["user_id", "ts", "event_type"],
+            )
+        )
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -5420,3 +5420,88 @@ def prefix_trie_fanout(sf_dir: str, max_len: int = 3):
         .repartition(1)  # bounded prefix domain
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def vocab_venn_counts(sf_dir: str, sources: tuple = ("src0", "src1",
+                                                     "src2")):
+    """Three-way SHINGLE Venn decomposition: every distinct 3-word
+    shingle is classified by WHICH of the three chosen sources contain
+    it (a 3-bit membership mask) and the audit returns the size of each
+    non-empty region — the exact inclusion/exclusion a corpus-mixing
+    plan needs (pairwise overlaps alone cannot give the triple).
+    Shingles, not unigrams: the tiny shared vocabulary makes unigram
+    regions degenerate while shingle regions discriminate.
+
+    Scale shape: per-batch distinct (shingle, source-bit) combiner, one
+    hash(shingle) shuffle folding bits by OR, bounded 7-row fold.
+
+    Output: (mask, n_tokens) where bit i of mask = shingle in
+    sources[i].
+    """
+    from ..functions.hashing import word_shingles_batch
+    import pandas as pd
+    import ray.data as rd
+
+    src_bit = {s: 1 << i for i, s in enumerate(sources)}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            batch.column("source"),
+            value_set=pa.array(list(sources), pa.string()),
+        )
+        b = batch.filter(keep)
+        if b.num_rows == 0:
+            return pa.table(
+                {"w": pa.array([], pa.string()),
+                 "bit": pa.array([], pa.int64()),
+                 "wbucket": pa.array([], pa.int64())}
+            )
+        idx, flat, _ = word_shingles_batch(b.column("text"), k=3)
+        bits = np.array(
+            [src_bit[s] for s in
+             b.column("source").to_numpy(zero_copy_only=False)],
+            np.int64,
+        )[idx]
+        t = pa.table({"w": flat, "bit": pa.array(bits)})
+        t = t.group_by(["w", "bit"]).aggregate([])
+        h = (
+            pd.util.hash_pandas_object(
+                t.column("w").to_pandas(), index=False
+            ).to_numpy(np.uint64)
+            % 64
+        ).astype(np.int64)
+        return t.append_column("wbucket", pa.array(h))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["w", "bit"])
+        mask = g.groupby("w")["bit"].sum()  # bits distinct per word -> OR
+        counts = mask.value_counts()
+        return pd.DataFrame(
+            {
+                "mask": counts.index.to_numpy(np.int64),
+                "n_tokens": counts.to_numpy(np.int64),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("mask").aggregate([("n_tokens", "sum")])
+        g = g.take(pc.sort_indices(g, sort_keys=[("mask", "ascending")]))
+        return pa.table(
+            {
+                "mask": pc.cast(g.column("mask"), pa.int64()),
+                "n_tokens": pc.cast(g.column("n_tokens_sum"), pa.int64()),
+            }
+        )
+
+    import ray.data as rd
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["text", "source"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("wbucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # 7 rows
+        .map_batches(finish, batch_format="pyarrow")
+    )

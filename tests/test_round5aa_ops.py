@@ -87,3 +87,35 @@ def test_l_diversity_closure(ray_session):
         f"FROM '{SF}/customer.parquet'"
     ).fetchone()[0]
     assert int(df["n_segments"].max()) <= segs
+
+
+def test_venn_regions_partition_shingle_union(ray_session):
+    import duckdb
+
+    from ray_extract.pipelines.text import vocab_venn_counts
+
+    df = vocab_venn_counts(SF).to_pandas()
+    assert set(df["mask"]).issubset(set(range(1, 8)))
+    union = duckdb.sql(f"""
+      WITH d AS (SELECT string_split(text,' ') AS ws
+                 FROM '{SF}/documents.parquet'
+                 WHERE source IN ('src0','src1','src2'))
+      SELECT count(DISTINCT array_to_string(ws[u.i:u.i+2],' '))
+      FROM d, unnest(range(1, len(ws)-1)) AS u(i)
+    """).fetchone()[0]
+    assert int(df["n_tokens"].sum()) == union
+
+
+def test_orphans_complement_window_join(ray_session):
+    from ray_extract.pipelines.events import (
+        orphan_purchase_counts,
+        purchase_click_window,
+    )
+
+    orphans = orphan_purchase_counts(SF).to_pandas()
+    hist = purchase_click_window(SF).to_pandas()
+    zero_bucket = hist[hist["n_preceding_clicks"] == 0]["n_purchases"]
+    want = int(zero_bucket.iloc[0]) if len(zero_bucket) else 0
+    assert int(orphans["n_orphans"].sum()) == want
+    total = int(hist["n_purchases"].sum())
+    assert int(orphans["n_purchases"].sum()) == total
