@@ -3636,6 +3636,12 @@ def _q_orphan_purchase_counts(sf_dir: str):
     return orphan_purchase_counts(sf_dir)
 
 
+def _q_arrival_dispersion_terms(sf_dir: str):
+    from ray_extract.pipelines.events import arrival_dispersion_terms
+
+    return arrival_dispersion_terms(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -4022,6 +4028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "l_diversity_audit": _q_l_diversity_audit,
         "vocab_venn_counts": _q_vocab_venn_counts,
         "orphan_purchase_counts": _q_orphan_purchase_counts,
+        "arrival_dispersion_terms": _q_arrival_dispersion_terms,
     }
 
 
@@ -9174,5 +9181,15 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(count(*) AS BIGINT) AS n_purchases,
        CAST(sum(orphan) AS BIGINT) AS n_orphans
 FROM o GROUP BY 1
+"""
+    d["arrival_dispersion_terms"] = """
+WITH h AS (SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS slot,
+             count(*) AS n FROM events GROUP BY 1, 2),
+r AS (SELECT max(slot) - min(slot) + 1 AS n_hours FROM h)
+SELECT event_type, CAST(r.n_hours AS BIGINT) AS n_hours,
+       CAST(sum(n) AS BIGINT) AS sum_events,
+       CAST(sum(n * n) AS BIGINT) AS sum_sq_events
+FROM h, r GROUP BY 1, 2
 """
     return d

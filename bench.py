@@ -753,6 +753,11 @@ def run_bench() -> dict:
     timed("orphan_purchase_counts",
           lambda: orphan_purchase_counts(SF_DIR).count())
 
+    from ray_extract.pipelines.events import arrival_dispersion_terms
+
+    timed("arrival_dispersion_terms",
+          lambda: arrival_dispersion_terms(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),

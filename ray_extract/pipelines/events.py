@@ -5128,3 +5128,74 @@ def orphan_purchase_counts(sf_dir: str, window_seconds: int = 86400,
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def arrival_dispersion_terms(sf_dir: str):
+    """Poisson-dispersion sufficient statistics for the arrival process:
+    per event type, the per-hour arrival counts' (n_hours, sum, sum of
+    squares) over the DENSE hour range — variance/mean >> 1 means bursty
+    arrivals and invalidates Poisson capacity planning. Dense hours
+    matter: empty hours are real observations of zero.
+
+    Scale shape: per-batch bounded (type, hour-slot) combiner, one
+    bounded fold that densifies against the global [min, max] slot range
+    (terms for empty slots contribute n_hours only).
+
+    Output: (event_type, n_hours, sum_events, sum_sq_events).
+    """
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = (batch.column("ts").to_numpy().astype("datetime64[h]")
+                .astype(np.int64))
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "slot": pa.array(hour),
+                "n": pa.array(np.ones(len(hour), np.int64)),
+            }
+        )
+        return t.group_by(["event_type", "slot"]).aggregate([("n", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        g = df.groupby(["event_type", "slot"], as_index=False)[
+            "n_sum"
+        ].sum()
+        lo, hi = int(g["slot"].min()), int(g["slot"].max())
+        n_hours = np.int64(hi - lo + 1)
+        agg = g.groupby("event_type").agg(
+            sum_events=("n_sum", "sum"),
+            sum_sq_events=("n_sum", lambda s: int((s.to_numpy(np.int64)
+                                                   ** 2).sum())),
+        )
+        agg = agg.sort_index()
+        return pa.table(
+            {
+                "event_type": pa.array(agg.index, pa.string()),
+                "n_hours": pa.array(
+                    np.full(len(agg), n_hours, np.int64)
+                ),
+                "sum_events": pa.array(
+                    agg["sum_events"].to_numpy(np.int64)
+                ),
+                "sum_sq_events": pa.array(
+                    agg["sum_sq_events"].to_numpy(np.int64)
+                ),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+            )
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # bounded |type| x |hours| rows
+        .map_batches(finish, batch_format="pyarrow")
+    )

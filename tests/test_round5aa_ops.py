@@ -119,3 +119,23 @@ def test_orphans_complement_window_join(ray_session):
     assert int(orphans["n_orphans"].sum()) == want
     total = int(hist["n_purchases"].sum())
     assert int(orphans["n_purchases"].sum()) == total
+
+
+def test_dispersion_terms_reconstruct_vmr(ray_session):
+    import duckdb
+
+    from ray_extract.pipelines.events import arrival_dispersion_terms
+
+    df = arrival_dispersion_terms(SF).to_pandas()
+    n_events = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/events.parquet'"
+    ).fetchone()[0]
+    assert int(df["sum_events"].sum()) == n_events
+    # variance-to-mean from the terms is finite and positive
+    for _, r in df.iterrows():
+        n, s, ss = int(r["n_hours"]), int(r["sum_events"]), int(
+            r["sum_sq_events"]
+        )
+        mean = s / n
+        var = ss / n - mean * mean
+        assert var >= 0 and mean > 0
