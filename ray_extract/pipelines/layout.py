@@ -190,28 +190,35 @@ def doc_stitch_pairs(sf_dir: str):
             )
         t = pa.concat_tables(parts)
         t = t.filter(pc.is_valid(t.column("key")))
-        return t.group_by(["key", "source", "ht"]).aggregate([("n", "sum")])
+        t = t.group_by(["key", "source", "ht"]).aggregate([("n", "sum")])
+        kb = (
+            pd.util.hash_pandas_object(
+                t.column("key").to_pandas(), index=False
+            ).to_numpy(np.uint64)
+            % 256
+        ).astype(np.int64)
+        return t.append_column("kbucket", pa.array(kb))
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        tails = g[g["ht"] == "t"]
-        heads = g[g["ht"] == "h"]
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # many keys per bucket: one vectorized key-equi merge of the
+        # tail counts against the head counts (never one call per key)
+        g = g.groupby(["key", "source", "ht"], as_index=False)[
+            "n_sum"
+        ].sum()
+        tails = g[g["ht"] == "t"][["key", "source", "n_sum"]]
+        heads = g[g["ht"] == "h"][["key", "source", "n_sum"]]
         diag = g[g["ht"] == "d"]
-        if tails.empty or heads.empty:
-            return pd.DataFrame(
-                {
-                    "source_a": pd.Series(dtype=object),
-                    "source_b": pd.Series(dtype=object),
-                    "n_pairs": pd.Series(dtype="int64"),
-                }
-            )
-        ta = tails["source"].to_numpy()
-        tn = tails["n_sum"].to_numpy(np.int64)
-        ha = heads["source"].to_numpy()
-        hn = heads["n_sum"].to_numpy(np.int64)
-        sa = np.repeat(ta, len(ha))
-        sb = np.tile(ha, len(ta))
-        n = (tn[:, None] * hn[None, :]).ravel()
-        out = pd.DataFrame({"source_a": sa, "source_b": sb, "n_pairs": n})
+        m = tails.merge(heads, on="key", suffixes=("_a", "_b"))
+        out = pd.DataFrame(
+            {
+                "source_a": m["source_a"].to_numpy(),
+                "source_b": m["source_b"].to_numpy(),
+                "n_pairs": (
+                    m["n_sum_a"].to_numpy(np.int64)
+                    * m["n_sum_b"].to_numpy(np.int64)
+                ),
+            }
+        )
         if not diag.empty:
             d = pd.DataFrame(
                 {
@@ -221,7 +228,9 @@ def doc_stitch_pairs(sf_dir: str):
                 }
             )
             out = pd.concat([out, d], ignore_index=True)
-        return out
+        return out.groupby(["source_a", "source_b"], as_index=False).agg(
+            n_pairs=("n_pairs", "sum")
+        )
 
     def finish(t: pa.Table) -> pa.Table:
         g = t.group_by(["source_a", "source_b"]).aggregate(
@@ -248,8 +257,8 @@ def doc_stitch_pairs(sf_dir: str):
     return (
         _read(sf_dir, "documents", ["text", "source"])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("key")
-        .map_groups(per_key, batch_format="pandas")
+        .groupby("kbucket")  # 256 buckets, NOT one group per stitch key
+        .map_groups(per_bucket, batch_format="pandas")
         .repartition(1)  # bounded |source|^2 rows
         .map_batches(finish, batch_format="pyarrow")
     )
