@@ -5006,20 +5006,29 @@ def bipartite_projection_weights(sf_dir: str, num_buckets: int = 256):
         )
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # type-presence bitmask per user, then each type pair counts
+        # masks carrying both bits — no per-user Python loop
         g = g.drop_duplicates(["user_id", "event_type"])
-        counts: dict = {}
-        for _, grp in g.groupby("user_id"):
-            types = sorted(grp["event_type"].tolist())
-            for i in range(len(types)):
-                for j in range(i + 1, len(types)):
-                    key = (types[i], types[j])
-                    counts[key] = counts.get(key, 0) + 1
-        ks = sorted(counts)
+        types = sorted(g["event_type"].unique())
+        code = {t: i for i, t in enumerate(types)}
+        bit = np.int64(1) << g["event_type"].map(code).to_numpy(np.int64)
+        mask = pd.Series(bit).groupby(
+            g["user_id"].to_numpy()
+        ).sum().to_numpy(np.int64)
+        ta, tb, n = [], [], []
+        for i in range(len(types)):
+            for j in range(i + 1, len(types)):
+                both = np.int64((1 << i) | (1 << j))
+                cnt = int(((mask & both) == both).sum())
+                if cnt:
+                    ta.append(types[i])
+                    tb.append(types[j])
+                    n.append(cnt)
         return pd.DataFrame(
             {
-                "type_a": [k[0] for k in ks],
-                "type_b": [k[1] for k in ks],
-                "n_users": np.array([counts[k] for k in ks], np.int64),
+                "type_a": ta,
+                "type_b": tb,
+                "n_users": np.array(n, np.int64),
             }
         )
 
