@@ -3642,6 +3642,12 @@ def _q_arrival_dispersion_terms(sf_dir: str):
     return arrival_dispersion_terms(sf_dir)
 
 
+def _q_max_burst_window(sf_dir: str):
+    from ray_extract.pipelines.events import max_burst_window
+
+    return max_burst_window(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -4029,6 +4035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_venn_counts": _q_vocab_venn_counts,
         "orphan_purchase_counts": _q_orphan_purchase_counts,
         "arrival_dispersion_terms": _q_arrival_dispersion_terms,
+        "max_burst_window": _q_max_burst_window,
     }
 
 
@@ -9191,5 +9198,18 @@ SELECT event_type, CAST(r.n_hours AS BIGINT) AS n_hours,
        CAST(sum(n) AS BIGINT) AS sum_events,
        CAST(sum(n * n) AS BIGINT) AS sum_sq_events
 FROM h, r GROUP BY 1, 2
+"""
+    d["max_burst_window"] = """
+WITH e AS (SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec
+           FROM events),
+c AS (SELECT event_type, sec,
+        count(*) OVER (PARTITION BY event_type ORDER BY sec
+          RANGE BETWEEN CURRENT ROW AND 3599 FOLLOWING) AS cnt FROM e),
+m AS (SELECT event_type, max(cnt) AS max_burst FROM c GROUP BY 1)
+SELECT c.event_type, CAST(m.max_burst AS BIGINT) AS max_burst,
+       CAST(min(c.sec) AS BIGINT) AS first_start_sec
+FROM c JOIN m ON c.event_type = m.event_type AND c.cnt = m.max_burst
+GROUP BY 1, 2
 """
     return d

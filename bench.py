@@ -758,6 +758,10 @@ def run_bench() -> dict:
     timed("arrival_dispersion_terms",
           lambda: arrival_dispersion_terms(SF_DIR).count())
 
+    from ray_extract.pipelines.events import max_burst_window
+
+    timed("max_burst_window", lambda: max_burst_window(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),

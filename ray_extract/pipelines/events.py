@@ -5208,3 +5208,101 @@ def arrival_dispersion_terms(sf_dir: str):
         .repartition(1)  # bounded |type| x |hours| rows
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def max_burst_window(sf_dir: str, window_seconds: int = 3600):
+    """Maximum-burst detection: per event type, the largest number of
+    events in ANY ``window_seconds`` sliding window (window starts at an
+    event, closed-open [s, s+w)) and the earliest second achieving it —
+    the capacity-planning number a tumbling histogram underestimates
+    (bursts straddle tumbling boundaries).
+
+    Scale shape: events bucket by (type, day) with each bucket also
+    reading the FIRST ``window_seconds`` of the next day (a window
+    starting on day d ends strictly inside d+1, so the overlap makes
+    every bucket self-contained); the per-bucket kernel is two
+    searchsorted calls; bounded (type, day)-local maxima fold to the
+    global answer. Window ownership is by start day, so no double
+    counting.
+
+    Output: (event_type, max_burst, first_start_sec).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    w = np.int64(window_seconds)
+    DAY = np.int64(86400)
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        sec = (batch.column("ts").to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // np.int64(1_000_000))
+        et = batch.column("event_type")
+        day = sec // DAY
+        # each event belongs to its own day AND (when inside the first
+        # window of a day) to the previous day's overlap region
+        own = pa.table(
+            {"event_type": et, "sec": pa.array(sec),
+             "day": pa.array(day),
+             "is_start": pa.array(np.ones(len(sec), np.int64))}
+        )
+        in_overlap = (sec % DAY) < w
+        ov = pa.table(
+            {"event_type": et, "sec": pa.array(sec),
+             "day": pa.array(day - 1),
+             "is_start": pa.array(np.zeros(len(sec), np.int64))}
+        ).filter(pa.array(in_overlap))
+        return pa.concat_tables([own, ov])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_t, out_c, out_s = [], [], []
+        for et, grp in g.groupby("event_type"):
+            allsec = np.sort(grp["sec"].to_numpy(np.int64))
+            starts = np.sort(
+                grp[grp["is_start"] == 1]["sec"].to_numpy(np.int64)
+            )
+            if len(starts) == 0:
+                continue
+            lo = np.searchsorted(allsec, starts, side="left")
+            hi = np.searchsorted(allsec, starts + w, side="left")
+            cnt = hi - lo
+            best = int(cnt.max())
+            out_t.append(et)
+            out_c.append(best)
+            out_s.append(int(starts[cnt == best].min()))
+        return pd.DataFrame(
+            {"event_type": out_t,
+             "max_burst": np.array(out_c, np.int64),
+             "first_start_sec": np.array(out_s, np.int64)}
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        mx = df.groupby("event_type")["max_burst"].max()
+        rows = []
+        for et, m in mx.items():
+            cand = df[(df["event_type"] == et) & (df["max_burst"] == m)]
+            rows.append((et, int(m), int(cand["first_start_sec"].min())))
+        rows.sort()
+        return pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+                "max_burst": pa.array([r[1] for r in rows], pa.int64()),
+                "first_start_sec": pa.array([r[2] for r in rows],
+                                            pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+            )
+        )
+        .map_batches(fan_out, batch_format="pyarrow")
+        .groupby("day")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # bounded |type| x |days| local maxima
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -139,3 +139,36 @@ def test_dispersion_terms_reconstruct_vmr(ray_session):
         mean = s / n
         var = ss / n - mean * mean
         assert var >= 0 and mean > 0
+
+
+def test_max_burst_dominates_tumbling(ray_session):
+    import duckdb
+
+    from ray_extract.pipelines.events import max_burst_window
+
+    df = max_burst_window(SF).to_pandas()
+    # the sliding max is >= the best tumbling-hour count for every type
+    tumb = duckdb.sql(f"""
+      SELECT event_type, max(n) AS m FROM (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+               count(*) AS n
+        FROM '{SF}/events.parquet' GROUP BY 1, 2)
+      GROUP BY 1
+    """).df().set_index("event_type")["m"]
+    for _, r in df.iterrows():
+        assert int(r["max_burst"]) >= int(tumb[r["event_type"]])
+    # day-bucket decomposition is exact even with tiny windows: a
+    # 60-second window run must still match a serial recompute
+    small = max_burst_window(SF, window_seconds=60).to_pandas()
+    raw = duckdb.sql(f"""
+      WITH e AS (SELECT event_type,
+        epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec
+        FROM '{SF}/events.parquet'),
+      c AS (SELECT event_type, count(*) OVER (PARTITION BY event_type
+        ORDER BY sec RANGE BETWEEN CURRENT ROW AND 59 FOLLOWING) AS cnt
+        FROM e)
+      SELECT event_type, max(cnt) AS m FROM c GROUP BY 1
+    """).df().set_index("event_type")["m"]
+    for _, r in small.iterrows():
+        assert int(r["max_burst"]) == int(raw[r["event_type"]])
