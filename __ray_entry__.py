@@ -3648,6 +3648,12 @@ def _q_max_burst_window(sf_dir: str):
     return max_burst_window(sf_dir)
 
 
+def _q_duplicate_line_audit(sf_dir: str):
+    from ray_extract.pipelines.relational import duplicate_line_audit
+
+    return duplicate_line_audit(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -4036,6 +4042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orphan_purchase_counts": _q_orphan_purchase_counts,
         "arrival_dispersion_terms": _q_arrival_dispersion_terms,
         "max_burst_window": _q_max_burst_window,
+        "duplicate_line_audit": _q_duplicate_line_audit,
     }
 
 
@@ -9211,5 +9218,13 @@ SELECT c.event_type, CAST(m.max_burst AS BIGINT) AS max_burst,
        CAST(min(c.sec) AS BIGINT) AS first_start_sec
 FROM c JOIN m ON c.event_type = m.event_type AND c.cnt = m.max_burst
 GROUP BY 1, 2
+"""
+    d["duplicate_line_audit"] = """
+WITH c AS (SELECT l_orderkey, l_partkey, l_suppkey, count(*) AS n
+           FROM lineitem GROUP BY 1, 2, 3),
+o AS (SELECT l_orderkey, sum(n - 1) AS dups FROM c GROUP BY 1)
+SELECT CAST(dups AS BIGINT) AS n_dup_lines,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM o GROUP BY 1
 """
     return d

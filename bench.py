@@ -762,6 +762,11 @@ def run_bench() -> dict:
 
     timed("max_burst_window", lambda: max_burst_window(SF_DIR).count())
 
+    from ray_extract.pipelines.relational import duplicate_line_audit
+
+    timed("duplicate_line_audit",
+          lambda: duplicate_line_audit(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),

@@ -9865,3 +9865,74 @@ def nation_top_spenders_ties(sf_dir: str):
         .repartition(1)  # survivors: <= |nation| x ties rows
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def duplicate_line_audit(sf_dir: str):
+    """Order integrity audit: lineitems that repeat the same
+    (part, supplier) within one order are suspect double-entries; the
+    audit histograms ALL orders by how many duplicated lines they carry
+    (the 0 bucket counts clean orders, so the result is never empty).
+
+    Scale shape: per-batch (order, part, supp) count combiner, one
+    order-bucket shuffle, vectorized per-bucket dup counting, bounded
+    histogram fold.
+
+    Output: (n_dup_lines, n_orders) including n_dup_lines = 0.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "ok": pc.cast(batch.column("l_orderkey"), pa.int64()),
+                "pk": pc.cast(batch.column("l_partkey"), pa.int64()),
+                "sk": pc.cast(batch.column("l_suppkey"), pa.int64()),
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        g = t.group_by(["ok", "pk", "sk"]).aggregate([("n", "sum")])
+        okk = pc.cast(g.column("ok"), pa.int64()).to_numpy()
+        return g.append_column(
+            "kbucket", pa.array((okk * np.int64(2654435761)) % 256)
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby(["ok", "pk", "sk"], as_index=False)["n_sum"].sum()
+        d["dups"] = d["n_sum"].to_numpy(np.int64) - 1
+        per_order = d.groupby("ok")["dups"].sum()
+        counts = per_order.value_counts()
+        return pd.DataFrame(
+            {
+                "n_dup_lines": counts.index.to_numpy(np.int64),
+                "n_orders": counts.to_numpy(np.int64),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("n_dup_lines").aggregate([("n_orders", "sum")])
+        g = g.take(
+            pc.sort_indices(g, sort_keys=[("n_dup_lines", "ascending")])
+        )
+        return pa.table(
+            {
+                "n_dup_lines": pc.cast(g.column("n_dup_lines"), pa.int64()),
+                "n_orders": pc.cast(g.column("n_orders_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_orderkey", "l_partkey", "l_suppkey"],
+            )
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("kbucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)  # bounded histogram
+        .map_batches(finish, batch_format="pyarrow")
+    )

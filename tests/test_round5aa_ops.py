@@ -172,3 +172,20 @@ def test_max_burst_dominates_tumbling(ray_session):
     """).df().set_index("event_type")["m"]
     for _, r in small.iterrows():
         assert int(r["max_burst"]) == int(raw[r["event_type"]])
+
+
+def test_duplicate_line_audit_mass(ray_session):
+    import duckdb
+
+    from ray_extract.pipelines.relational import duplicate_line_audit
+
+    df = duplicate_line_audit(SF).to_pandas()
+    # total duplicated lines equal raw rows minus distinct triples
+    raw, distinct, orders = duckdb.sql(f"""
+      SELECT count(*), count(DISTINCT (l_orderkey, l_partkey, l_suppkey)),
+             count(DISTINCT l_orderkey)
+      FROM '{SF}/lineitem.parquet'
+    """).fetchone()
+    assert int((df["n_dup_lines"] * df["n_orders"]).sum()) == raw - distinct
+    # every order appears exactly once (0 bucket included)
+    assert int(df["n_orders"].sum()) == orders
