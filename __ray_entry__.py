@@ -3654,6 +3654,12 @@ def _q_duplicate_line_audit(sf_dir: str):
     return duplicate_line_audit(sf_dir)
 
 
+def _q_leadlag_xcorr_terms(sf_dir: str):
+    from ray_extract.pipelines.events import leadlag_xcorr_terms
+
+    return leadlag_xcorr_terms(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -4043,6 +4049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "arrival_dispersion_terms": _q_arrival_dispersion_terms,
         "max_burst_window": _q_max_burst_window,
         "duplicate_line_audit": _q_duplicate_line_audit,
+        "leadlag_xcorr_terms": _q_leadlag_xcorr_terms,
     }
 
 
@@ -9226,5 +9233,28 @@ o AS (SELECT l_orderkey, sum(n - 1) AS dups FROM c GROUP BY 1)
 SELECT CAST(dups AS BIGINT) AS n_dup_lines,
        CAST(count(*) AS BIGINT) AS n_orders
 FROM o GROUP BY 1
+"""
+    d["leadlag_xcorr_terms"] = """
+WITH e AS (SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+           FROM events WHERE event_type IN ('click', 'purchase')),
+c AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2),
+r AS (SELECT min(day) AS lo, max(day) AS hi FROM c),
+l AS (SELECT unnest(range(-3, 4)) AS lag),
+ca AS (SELECT day, n FROM c WHERE event_type = 'click'),
+cb AS (SELECT day, n FROM c WHERE event_type = 'purchase')
+SELECT CAST(l.lag AS BIGINT) AS lag,
+  CAST((SELECT hi - lo + 1 FROM r) - abs(l.lag) AS BIGINT) AS n_days,
+  CAST(COALESCE((SELECT sum(ca.n * cb.n) FROM ca
+    JOIN cb ON cb.day = ca.day + l.lag), 0) AS BIGINT) AS sum_ab,
+  CAST(COALESCE((SELECT sum(n) FROM ca
+    WHERE day BETWEEN (SELECT lo FROM r) + GREATEST(-l.lag, 0)
+                  AND (SELECT hi FROM r) - GREATEST(l.lag, 0)), 0)
+    AS BIGINT) AS sum_a,
+  CAST(COALESCE((SELECT sum(n) FROM cb
+    WHERE day BETWEEN (SELECT lo FROM r) + GREATEST(l.lag, 0)
+                  AND (SELECT hi FROM r) + LEAST(l.lag, 0)), 0)
+    AS BIGINT) AS sum_b
+FROM l
 """
     return d

@@ -767,6 +767,11 @@ def run_bench() -> dict:
     timed("duplicate_line_audit",
           lambda: duplicate_line_audit(SF_DIR).count())
 
+    from ray_extract.pipelines.events import leadlag_xcorr_terms
+
+    timed("leadlag_xcorr_terms",
+          lambda: leadlag_xcorr_terms(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),

@@ -5306,3 +5306,79 @@ def max_burst_window(sf_dir: str, window_seconds: int = 3600):
         .repartition(1)  # bounded |type| x |days| local maxima
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def leadlag_xcorr_terms(sf_dir: str, type_a: str = "click",
+                        type_b: str = "purchase", max_lag: int = 3):
+    """Lead-lag cross-correlation terms between two event types' DAILY
+    series: for each lag in [-max_lag, +max_lag], the exact integer
+    inner product sum_d a(d) * b(d + lag) plus the marginal sums — does
+    click volume lead purchase volume, and by how many days? The float
+    correlation is one driver expression away.
+
+    Scale shape: per-batch bounded (type, day) combiner; the day-domain
+    is calendar-bounded so the lag products fold on one node.
+
+    Output: (lag, n_days, sum_ab, sum_a, sum_b).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions.tables import strip_schema_metadata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        keep = (et == type_a) | (et == type_b)
+        day = (batch.column("ts").to_numpy().astype("datetime64[D]")
+               .astype(np.int64))[keep]
+        t = pa.table(
+            {
+                "event_type": pa.array(et[keep]),
+                "day": pa.array(day),
+                "n": pa.array(np.ones(len(day), np.int64)),
+            }
+        )
+        return t.group_by(["event_type", "day"]).aggregate([("n", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["event_type", "day"], as_index=False)["n_sum"].sum()
+        lo, hi = int(g["day"].min()), int(g["day"].max())
+        n_days = hi - lo + 1
+        a = np.zeros(n_days, np.int64)
+        b = np.zeros(n_days, np.int64)
+        for _, r in g.iterrows():
+            (a if r["event_type"] == type_a else b)[
+                int(r["day"]) - lo
+            ] = int(r["n_sum"])
+        lags, sab, sa, sb, nd = [], [], [], [], []
+        for lag in range(-max_lag, max_lag + 1):
+            if lag >= 0:
+                av, bv = a[: n_days - lag], b[lag:]
+            else:
+                av, bv = a[-lag:], b[: n_days + lag]
+            lags.append(lag)
+            nd.append(len(av))
+            sab.append(int((av * bv).sum()))
+            sa.append(int(av.sum()))
+            sb.append(int(bv.sum()))
+        return pa.table(
+            {
+                "lag": pa.array(np.array(lags, np.int64)),
+                "n_days": pa.array(np.array(nd, np.int64)),
+                "sum_ab": pa.array(np.array(sab, np.int64)),
+                "sum_a": pa.array(np.array(sa, np.int64)),
+                "sum_b": pa.array(np.array(sb, np.int64)),
+            }
+        )
+
+    return (
+        strip_schema_metadata(
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+            )
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # bounded |type| x |days| rows
+        .map_batches(finish, batch_format="pyarrow")
+    )

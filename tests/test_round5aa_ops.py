@@ -189,3 +189,24 @@ def test_duplicate_line_audit_mass(ray_session):
     assert int((df["n_dup_lines"] * df["n_orders"]).sum()) == raw - distinct
     # every order appears exactly once (0 bucket included)
     assert int(df["n_orders"].sum()) == orders
+
+
+def test_leadlag_zero_lag_is_plain_inner_product(ray_session):
+    import duckdb
+
+    from ray_extract.pipelines.events import leadlag_xcorr_terms
+
+    df = leadlag_xcorr_terms(SF).to_pandas().set_index("lag")
+    daily = duckdb.sql(f"""
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             count(*) AS n
+      FROM '{SF}/events.parquet'
+      WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2
+    """).df()
+    a = daily[daily["event_type"] == "click"].set_index("day")["n"]
+    b = daily[daily["event_type"] == "purchase"].set_index("day")["n"]
+    want = int(sum(int(a[d]) * int(b[d]) for d in a.index if d in b.index))
+    assert int(df.loc[0, "sum_ab"]) == want
+    # symmetric day-window sizes
+    assert int(df.loc[3, "n_days"]) == int(df.loc[-3, "n_days"])
