@@ -3660,6 +3660,12 @@ def _q_leadlag_xcorr_terms(sf_dir: str):
     return leadlag_xcorr_terms(sf_dir)
 
 
+def _q_incremental_rebuild_plan(sf_dir: str):
+    from ray_extract.pipelines.layout import incremental_rebuild_plan
+
+    return incremental_rebuild_plan(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -4050,6 +4056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_burst_window": _q_max_burst_window,
         "duplicate_line_audit": _q_duplicate_line_audit,
         "leadlag_xcorr_terms": _q_leadlag_xcorr_terms,
+        "incremental_rebuild_plan": _q_incremental_rebuild_plan,
     }
 
 
@@ -9256,5 +9263,20 @@ SELECT CAST(l.lag AS BIGINT) AS lag,
                   AND (SELECT hi FROM r) + LEAST(l.lag, 0)), 0)
     AS BIGINT) AS sum_b
 FROM l
+"""
+    d["incremental_rebuild_plan"] = """
+WITH s AS (
+  SELECT source, doc_id,
+         COALESCE(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // 4096 AS grp,
+         CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END AS chg
+  FROM documents),
+g AS (SELECT source, grp, max(chg) AS dirty, sum(chg) AS n_chg
+      FROM s GROUP BY 1, 2)
+SELECT source, CAST(count(*) AS BIGINT) AS n_groups_total,
+       CAST(sum(dirty) AS BIGINT) AS n_groups_dirty,
+       CAST(sum(n_chg) AS BIGINT) AS n_docs_changed
+FROM g GROUP BY 1
 """
     return d

@@ -772,6 +772,11 @@ def run_bench() -> dict:
     timed("leadlag_xcorr_terms",
           lambda: leadlag_xcorr_terms(SF_DIR).count())
 
+    from ray_extract.pipelines.layout import incremental_rebuild_plan
+
+    timed("incremental_rebuild_plan",
+          lambda: incremental_rebuild_plan(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),

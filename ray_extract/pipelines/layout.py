@@ -671,3 +671,48 @@ def shuffle_displacement_audit(sf_dir: str, bucket_shift: int = 22):
         .repartition(1)  # bounded |source| rows
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def incremental_rebuild_plan(sf_dir: str, target_chars: int = 4096):
+    """Incremental-materialization planning: given the CDC delta rule
+    (documents with doc_id % 10 == 3 changed — the same derived delta
+    upsert_merge uses), which byte-budget compaction groups are DIRTY
+    and must rebuild? The ratio of dirty to total groups is the payoff
+    readout of incremental recompute vs full rebuild.
+
+    Scale shape: identical to compaction_plan — one hash(source)
+    shuffle, vectorized cumsum group assignment — plus a per-group any()
+    over the changed flag; bounded |source| fold.
+
+    Output: (source, n_groups_total, n_groups_dirty, n_docs_changed).
+    """
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        ids = g["doc_id"].to_numpy(np.int64)
+        sz = g["n_chars"].to_numpy(np.int64)
+        before = np.cumsum(sz) - sz
+        grp = before // np.int64(target_chars)
+        changed = (ids % 10 == 3)
+        out = pd.DataFrame(
+            {"group_id": grp, "changed": changed.astype(np.int64)}
+        )
+        agg = out.groupby("group_id")["changed"].agg(["max", "sum"])
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "n_groups_total": np.array([len(agg)], np.int64),
+                "n_groups_dirty": np.array(
+                    [int(agg["max"].sum())], np.int64
+                ),
+                "n_docs_changed": np.array(
+                    [int(agg["sum"].sum())], np.int64
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+        .groupby("source")
+        .map_groups(per_source, batch_format="pandas")
+    )

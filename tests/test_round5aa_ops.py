@@ -210,3 +210,18 @@ def test_leadlag_zero_lag_is_plain_inner_product(ray_session):
     assert int(df.loc[0, "sum_ab"]) == want
     # symmetric day-window sizes
     assert int(df.loc[3, "n_days"]) == int(df.loc[-3, "n_days"])
+
+
+def test_incremental_plan_consistent_with_compaction(ray_session):
+    from ray_extract.pipelines.layout import (
+        compaction_plan,
+        incremental_rebuild_plan,
+    )
+
+    plan = incremental_rebuild_plan(SF).to_pandas().set_index("source")
+    groups = compaction_plan(SF).to_pandas().groupby("source").size()
+    for src, n in groups.items():
+        assert int(plan.loc[src, "n_groups_total"]) == int(n)
+    assert (plan["n_groups_dirty"] <= plan["n_groups_total"]).all()
+    # the delta rule touches ~10% of docs
+    assert int(plan["n_docs_changed"].sum()) > 0
