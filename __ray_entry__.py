@@ -3666,6 +3666,12 @@ def _q_incremental_rebuild_plan(sf_dir: str):
     return incremental_rebuild_plan(sf_dir)
 
 
+def _q_split_balance_audit(sf_dir: str):
+    from ray_extract.pipelines.text import split_balance_audit
+
+    return split_balance_audit(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -4057,6 +4063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_line_audit": _q_duplicate_line_audit,
         "leadlag_xcorr_terms": _q_leadlag_xcorr_terms,
         "incremental_rebuild_plan": _q_incremental_rebuild_plan,
+        "split_balance_audit": _q_split_balance_audit,
     }
 
 
@@ -9278,5 +9285,16 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_groups_total,
        CAST(sum(dirty) AS BIGINT) AS n_groups_dirty,
        CAST(sum(n_chg) AS BIGINT) AS n_docs_changed
 FROM g GROUP BY 1
+"""
+    d["split_balance_audit"] = """
+WITH h AS (SELECT source, (list_reduce(list_transform(split(CAST(doc_id AS VARCHAR), ''), x -> unicode(x)::BIGINT), (a, b) -> (a * 1000003 + b) % 2147483647) * 2147483648 + list_reduce(list_transform(split(CAST(doc_id AS VARCHAR), ''), x -> unicode(x)::BIGINT), (a, b) -> (a * 999983 + b) % 2147483647)) % 1000 AS slot FROM documents),
+a AS (SELECT source, CASE WHEN slot < 800 THEN 'train'
+        WHEN slot < 900 THEN 'val' ELSE 'test' END AS split,
+        count(*) AS n FROM h GROUP BY 1, 2)
+SELECT a.source, a.split, CAST(a.n AS BIGINT) AS n_obs,
+  CAST(sum(a.n) OVER (PARTITION BY a.source) AS BIGINT) AS n_source,
+  CAST(sum(a.n) OVER (PARTITION BY a.split) AS BIGINT) AS n_split,
+  CAST(sum(a.n) OVER () AS BIGINT) AS n_total
+FROM a
 """
     return d

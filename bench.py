@@ -777,6 +777,11 @@ def run_bench() -> dict:
     timed("incremental_rebuild_plan",
           lambda: incremental_rebuild_plan(SF_DIR).count())
 
+    from ray_extract.pipelines.text import split_balance_audit
+
+    timed("split_balance_audit",
+          lambda: split_balance_audit(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),

@@ -5505,3 +5505,66 @@ def vocab_venn_counts(sf_dir: str, sources: tuple = ("src0", "src1",
         .repartition(1)  # 7 rows
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def split_balance_audit(sf_dir: str, train_permille: int = 800,
+                        val_permille: int = 900):
+    """Split-bias audit: does the deterministic train/val/test hash
+    split preserve each source's share? Per (source, split) the observed
+    count plus the source and split marginals — the chi-square
+    independence terms that catch a biased split before training sees
+    it (same contingency-terms convention as mutual_information_terms).
+
+    Scale shape: one pure map reusing deterministic_split's hash rule,
+    bounded |source| x 3 combiner + fold; marginals derived from the
+    folded joint.
+
+    Output: (source, split, n_obs, n_source, n_split, n_total).
+    """
+    import ray.data as rd
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64())
+        slots = hash62_batch([str(i) for i in ids.to_pylist()]) % 1000
+        split = np.where(
+            slots < train_permille, "train",
+            np.where(slots < val_permille, "val", "test"),
+        )
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "split": pa.array(split, pa.string()),
+                "n": pa.array(np.ones(len(ids), np.int64)),
+            }
+        )
+        return t.group_by(["source", "split"]).aggregate([("n", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        g = df.groupby(["source", "split"], as_index=False)["n_sum"].sum()
+        g = g.rename(columns={"n_sum": "n_obs"})
+        ms = g.groupby("source")["n_obs"].sum()
+        mp = g.groupby("split")["n_obs"].sum()
+        tot = int(g["n_obs"].sum())
+        g = g.sort_values(["source", "split"], ignore_index=True)
+        return pa.table(
+            {
+                "source": pa.array(g["source"], pa.string()),
+                "split": pa.array(g["split"], pa.string()),
+                "n_obs": pa.array(g["n_obs"].to_numpy(np.int64)),
+                "n_source": pa.array(ms[g["source"]].to_numpy(np.int64)),
+                "n_split": pa.array(mp[g["split"]].to_numpy(np.int64)),
+                "n_total": pa.array(np.full(len(g), tot, np.int64)),
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        )
+        .map_batches(assign, batch_format="pyarrow")
+        .repartition(1)  # bounded |source| x 3 rows
+        .map_batches(finish, batch_format="pyarrow")
+    )

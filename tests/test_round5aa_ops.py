@@ -225,3 +225,18 @@ def test_incremental_plan_consistent_with_compaction(ray_session):
     assert (plan["n_groups_dirty"] <= plan["n_groups_total"]).all()
     # the delta rule touches ~10% of docs
     assert int(plan["n_docs_changed"].sum()) > 0
+
+
+def test_split_balance_consistent_with_split(ray_session):
+    from ray_extract.pipelines.text import (
+        deterministic_split,
+        split_balance_audit,
+    )
+
+    audit = split_balance_audit(SF).to_pandas()
+    split = deterministic_split(SF).to_pandas()
+    want = split["split"].value_counts()
+    got = audit.groupby("split")["n_obs"].sum()
+    assert dict(got) == {k: int(v) for k, v in want.items()}
+    assert (audit.groupby("source")["n_obs"].sum().to_numpy()
+            == audit.groupby("source")["n_source"].first().to_numpy()).all()
