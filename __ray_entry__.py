@@ -3672,6 +3672,12 @@ def _q_split_balance_audit(sf_dir: str):
     return split_balance_audit(sf_dir)
 
 
+def _q_media_mp4_boxes(sf_dir: str):
+    from ray_extract.pipelines.media import media_mp4_boxes
+
+    return media_mp4_boxes(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -4064,6 +4070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leadlag_xcorr_terms": _q_leadlag_xcorr_terms,
         "incremental_rebuild_plan": _q_incremental_rebuild_plan,
         "split_balance_audit": _q_split_balance_audit,
+        "media_mp4_boxes": _q_media_mp4_boxes,
     }
 
 
@@ -9296,5 +9303,18 @@ SELECT a.source, a.split, CAST(a.n AS BIGINT) AS n_obs,
   CAST(sum(a.n) OVER (PARTITION BY a.split) AS BIGINT) AS n_split,
   CAST(sum(a.n) OVER () AS BIGINT) AS n_total
 FROM a
+"""
+    d["media_mp4_boxes"] = """
+WITH m AS (
+  SELECT d.doc_id, s.m
+  FROM documents d JOIN generate_series(0, 2) s(m) ON s.m < 1 + d.doc_id % 3
+  WHERE d.doc_id % 13 = 0)
+SELECT doc_id,
+  CAST(1000 + doc_id % 9000 AS BIGINT) AS timescale,
+  CAST(doc_id * 37 % 100000 AS BIGINT) AS duration,
+  CAST(count(*) AS BIGINT) AS n_traks,
+  CAST(sum((doc_id * 13 + m * 7) % 50000) AS BIGINT) AS sum_track_duration,
+  CAST(sum(64 + m) AS BIGINT) AS sum_width_px
+FROM m GROUP BY 1
 """
     return d

@@ -782,6 +782,10 @@ def run_bench() -> dict:
     timed("split_balance_audit",
           lambda: split_balance_audit(SF_DIR).count())
 
+    from ray_extract.pipelines.media import media_mp4_boxes
+
+    timed("media_mp4_boxes", lambda: media_mp4_boxes(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),

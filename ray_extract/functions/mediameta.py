@@ -249,3 +249,93 @@ def id3_parse(blob: bytes) -> dict:
     if pos != end:
         raise ValueError("frame walk missed tag end")
     return out
+
+
+# ----------------------------------------------------------- MP4 / BMFF
+
+
+def mp4_build(doc_id: int) -> bytes:
+    """Deterministic ISO-BMFF container: ftyp + moov(mvhd + k traks of
+    tkhd) with REAL box sizes (mvhd v0 = 108 bytes, tkhd v0 = 92) —
+    timescale 1000 + id%9000, movie duration id*37 % 100000, track m
+    duration (id*13 + m*7) % 50000, width (64+m) px, height (48+m) px
+    in 16.16 fixed point."""
+    import struct
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", doc_id % 1000))
+    mvhd_payload = (
+        b"\x00\x00\x00\x00"                       # version + flags
+        + struct.pack(">II", 0, 0)                  # ctime, mtime
+        + struct.pack(">I", 1000 + doc_id % 9000)   # timescale
+        + struct.pack(">I", doc_id * 37 % 100000)   # duration
+        + struct.pack(">I", 0x00010000)             # rate
+        + struct.pack(">H", 0x0100)                 # volume
+        + b"\x00" * 10                               # reserved
+        + b"\x00" * 36                               # matrix
+        + b"\x00" * 24                               # predefined
+        + struct.pack(">I", 2)                       # next track id
+    )
+    assert len(mvhd_payload) == 100
+    traks = b""
+    for m in range(1 + doc_id % 3):
+        tkhd_payload = (
+            b"\x00\x00\x00\x07"                      # version + flags
+            + struct.pack(">II", 0, 0)                # ctime, mtime
+            + struct.pack(">I", m + 1)                # track id
+            + b"\x00" * 4                              # reserved
+            + struct.pack(">I", (doc_id * 13 + m * 7) % 50000)  # duration
+            + b"\x00" * 8                              # reserved
+            + struct.pack(">HHHH", 0, 0, 0, 0)        # layer/alt/vol/res
+            + b"\x00" * 36                             # matrix
+            + struct.pack(">I", (64 + m) << 16)       # width 16.16
+            + struct.pack(">I", (48 + m) << 16)       # height 16.16
+        )
+        assert len(tkhd_payload) == 84
+        traks += box(b"trak", box(b"tkhd", tkhd_payload))
+    moov = box(b"moov", box(b"mvhd", mvhd_payload) + traks)
+    return ftyp + moov
+
+
+def mp4_walk(buf: bytes) -> dict:
+    """Walk the top-level and moov box trees: sizes must nest EXACTLY
+    (a single bad length raises), mvhd yields timescale/duration, each
+    trak's tkhd yields duration and width."""
+    import struct
+
+    def boxes(b: bytes, lo: int, hi: int):
+        pos = lo
+        while pos < hi:
+            if pos + 8 > hi:
+                raise ValueError("truncated box header")
+            size = struct.unpack(">I", b[pos:pos + 4])[0]
+            btype = b[pos + 4:pos + 8]
+            if size < 8 or pos + size > hi:
+                raise ValueError("box size escapes its container")
+            yield btype, pos + 8, pos + size
+            pos += size
+        if pos != hi:
+            raise ValueError("container not exactly filled")
+
+    out = {"timescale": 0, "duration": 0, "n_traks": 0,
+           "sum_track_duration": 0, "sum_width_px": 0}
+    for btype, lo, hi in boxes(buf, 0, len(buf)):
+        if btype != b"moov":
+            continue
+        for ityp, ilo, ihi in boxes(buf, lo, hi):
+            if ityp == b"mvhd":
+                out["timescale"] = struct.unpack(
+                    ">I", buf[ilo + 12:ilo + 16])[0]
+                out["duration"] = struct.unpack(
+                    ">I", buf[ilo + 16:ilo + 20])[0]
+            elif ityp == b"trak":
+                for ttyp, tlo, thi in boxes(buf, ilo, ihi):
+                    if ttyp == b"tkhd":
+                        out["n_traks"] += 1
+                        out["sum_track_duration"] += struct.unpack(
+                            ">I", buf[tlo + 20:tlo + 24])[0]
+                        out["sum_width_px"] += struct.unpack(
+                            ">I", buf[thi - 8:thi - 4])[0] >> 16
+    return out

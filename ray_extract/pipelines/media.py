@@ -635,3 +635,57 @@ def media_id3_tags(sf_dir: str, sample_mod: int = 37):
         )
 
     return _codec_query(sf_dir, sample_mod, synth, Id3TagParser)
+
+
+class Mp4BoxWalker:
+    """Actor-pool ISO-BMFF walk (functions/mediameta.py): nested box
+    sizes are load-bearing — a single wrong length fails containment."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.mediameta import mp4_walk
+
+        ids, ts, dur, nt, std, sw = [], [], [], [], [], []
+        blobs = batch.column("mp4")
+        did = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        for i in range(batch.num_rows):
+            r = mp4_walk(blobs[i].as_py())
+            ids.append(int(did[i]))
+            ts.append(r["timescale"])
+            dur.append(r["duration"])
+            nt.append(r["n_traks"])
+            std.append(r["sum_track_duration"])
+            sw.append(r["sum_width_px"])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "timescale": pa.array(ts, pa.int64()),
+                "duration": pa.array(dur, pa.int64()),
+                "n_traks": pa.array(nt, pa.int64()),
+                "sum_track_duration": pa.array(std, pa.int64()),
+                "sum_width_px": pa.array(sw, pa.int64()),
+            }
+        )
+
+
+def media_mp4_boxes(sf_dir: str, sample_mod: int = 13):
+    """REAL ISO-BMFF (MP4) metadata walk: sampled docs ship as correctly
+    nested ftyp/moov/mvhd/trak/tkhd containers (true v0 box sizes: mvhd
+    108, tkhd 92) and the actor-pool walker re-derives movie timescale
+    and duration plus per-track durations and pixel widths — every value
+    recomputed by the oracle from the synthesis formulas, and a single
+    bad box length breaks containment.
+
+    Output: (doc_id, timescale, duration, n_traks, sum_track_duration,
+    sum_width_px).
+    """
+    from ..functions.mediameta import mp4_build
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        ids = ids[ids % sample_mod == 0]
+        blobs = [mp4_build(int(d)) for d in ids]
+        return pa.table(
+            {"doc_id": pa.array(ids), "mp4": pa.array(blobs, pa.binary())}
+        )
+
+    return _codec_query(sf_dir, sample_mod, synth, Mp4BoxWalker)

@@ -240,3 +240,22 @@ def test_split_balance_consistent_with_split(ray_session):
     assert dict(got) == {k: int(v) for k, v in want.items()}
     assert (audit.groupby("source")["n_obs"].sum().to_numpy()
             == audit.groupby("source")["n_source"].first().to_numpy()).all()
+
+
+def test_mp4_walker_rejects_bad_box_size():
+    import pytest
+    import struct
+
+    from ray_extract.functions.mediameta import mp4_build, mp4_walk
+
+    blob = bytearray(mp4_build(13))
+    good = mp4_walk(bytes(blob))
+    assert good["timescale"] == 1000 + 13 % 9000
+    assert good["n_traks"] == 1 + 13 % 3
+    # corrupt the moov size field: containment must fail loudly
+    ftyp_size = struct.unpack(">I", blob[0:4])[0]
+    blob[ftyp_size:ftyp_size + 4] = struct.pack(
+        ">I", struct.unpack(">I", blob[ftyp_size:ftyp_size + 4])[0] + 4
+    )
+    with pytest.raises(ValueError):
+        mp4_walk(bytes(blob))
