@@ -3678,6 +3678,12 @@ def _q_media_mp4_boxes(sf_dir: str):
     return media_mp4_boxes(sf_dir)
 
 
+def _q_media_gif_headers(sf_dir: str):
+    from ray_extract.pipelines.media import media_gif_headers
+
+    return media_gif_headers(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -4071,6 +4077,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_rebuild_plan": _q_incremental_rebuild_plan,
         "split_balance_audit": _q_split_balance_audit,
         "media_mp4_boxes": _q_media_mp4_boxes,
+        "media_gif_headers": _q_media_gif_headers,
     }
 
 
@@ -9316,5 +9323,22 @@ SELECT doc_id,
   CAST(sum((doc_id * 13 + m * 7) % 50000) AS BIGINT) AS sum_track_duration,
   CAST(sum(64 + m) AS BIGINT) AS sum_width_px
 FROM m GROUP BY 1
+"""
+    d["media_gif_headers"] = """
+WITH g AS (SELECT doc_id, 10 + doc_id % 300 AS width,
+    8 + doc_id % 200 AS height,
+    (1::BIGINT << (2 + doc_id % 3)) AS n_palette,
+    doc_id % 256 AS bg
+  FROM documents WHERE doc_id % 17 = 0),
+p AS (SELECT g.doc_id, sum((g.doc_id + 3 * s.i + c.ch) % 256) AS ps
+      FROM g JOIN generate_series(0, 15) s(i) ON s.i < g.n_palette
+             JOIN generate_series(0, 2) c(ch) ON TRUE
+      GROUP BY 1)
+SELECT g.doc_id, CAST(width AS BIGINT) AS width,
+  CAST(height AS BIGINT) AS height,
+  CAST(n_palette AS BIGINT) AS n_palette,
+  CAST(p.ps AS BIGINT) AS palette_byte_sum,
+  CAST(bg AS BIGINT) AS bg_index
+FROM g JOIN p USING (doc_id)
 """
     return d

@@ -786,6 +786,11 @@ def run_bench() -> dict:
 
     timed("media_mp4_boxes", lambda: media_mp4_boxes(SF_DIR).count())
 
+    from ray_extract.pipelines.media import media_gif_headers
+
+    timed("media_gif_headers",
+          lambda: media_gif_headers(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),

@@ -339,3 +339,50 @@ def mp4_walk(buf: bytes) -> dict:
                         out["sum_width_px"] += struct.unpack(
                             ">I", buf[thi - 8:thi - 4])[0] >> 16
     return out
+
+
+# ------------------------------------------------------------------ GIF
+
+
+def gif_build(doc_id: int) -> bytes:
+    """Deterministic GIF89a: header + logical screen descriptor (LE
+    width 10 + id%300, height 8 + id%200, global color table of
+    2^(1 + id%3 + 1) entries) + the color table + trailer."""
+    import struct
+
+    w = 10 + doc_id % 300
+    h = 8 + doc_id % 200
+    gct_exp = 1 + doc_id % 3                   # table size = 2^(exp+1)
+    packed = 0x80 | (gct_exp & 0x07)           # GCT flag + size bits
+    lsd = struct.pack("<HH", w, h) + bytes([packed, doc_id % 256, 0])
+    n_entries = 1 << (gct_exp + 1)
+    gct = bytes(
+        (doc_id + 3 * i + ch) % 256
+        for i in range(n_entries) for ch in range(3)
+    )
+    return b"GIF89a" + lsd + gct + b"\x3b"
+
+
+def gif_parse(buf: bytes) -> dict:
+    """Parse header + LSD + global color table: little-endian fields,
+    size-bits decode, and the palette byte sum — a wrong LE read or
+    table length breaks equality."""
+    import struct
+
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("bad GIF signature")
+    w, h = struct.unpack("<HH", buf[6:10])
+    packed = buf[10]
+    if not packed & 0x80:
+        raise ValueError("missing global color table")
+    n_entries = 1 << ((packed & 0x07) + 1)
+    gct = buf[13:13 + 3 * n_entries]
+    if len(gct) != 3 * n_entries or buf[13 + 3 * n_entries:14 + 3 * n_entries] != b"\x3b":
+        raise ValueError("truncated color table")
+    return {
+        "width": w,
+        "height": h,
+        "n_palette": n_entries,
+        "palette_byte_sum": int(sum(gct)),
+        "bg_index": buf[11],
+    }

@@ -689,3 +689,49 @@ def media_mp4_boxes(sf_dir: str, sample_mod: int = 13):
         )
 
     return _codec_query(sf_dir, sample_mod, synth, Mp4BoxWalker)
+
+
+class GifHeaderParser:
+    """Actor-pool GIF header/LSD parse (functions/mediameta.py):
+    little-endian dimensions and size-bit palette decode."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.mediameta import gif_parse
+
+        did = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        rows = {k: [] for k in ("doc_id", "width", "height", "n_palette",
+                                "palette_byte_sum", "bg_index")}
+        blobs = batch.column("gif")
+        for i in range(batch.num_rows):
+            r = gif_parse(blobs[i].as_py())
+            rows["doc_id"].append(int(did[i]))
+            for k in ("width", "height", "n_palette", "palette_byte_sum",
+                      "bg_index"):
+                rows[k].append(int(r[k]))
+        return pa.table(
+            {k: pa.array(v, pa.int64()) for k, v in rows.items()}
+        )
+
+
+def media_gif_headers(sf_dir: str, sample_mod: int = 17):
+    """REAL GIF header decode: sampled docs ship as GIF89a containers
+    (little-endian logical screen descriptor, size-bit-encoded global
+    color table) and the actor-pool parser re-derives dimensions,
+    palette size and the palette byte sum — all recomputed by the
+    oracle from the synthesis formulas. Complements the big-endian MP4
+    walk with the little-endian format family.
+
+    Output: (doc_id, width, height, n_palette, palette_byte_sum,
+    bg_index).
+    """
+    from ..functions.mediameta import gif_build
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        ids = ids[ids % sample_mod == 0]
+        blobs = [gif_build(int(d)) for d in ids]
+        return pa.table(
+            {"doc_id": pa.array(ids), "gif": pa.array(blobs, pa.binary())}
+        )
+
+    return _codec_query(sf_dir, sample_mod, synth, GifHeaderParser)

@@ -259,3 +259,18 @@ def test_mp4_walker_rejects_bad_box_size():
     )
     with pytest.raises(ValueError):
         mp4_walk(bytes(blob))
+
+
+def test_gif_parser_rejects_bad_signature_and_truncation():
+    import pytest
+
+    from ray_extract.functions.mediameta import gif_build, gif_parse
+
+    blob = gif_build(34)
+    r = gif_parse(blob)
+    assert r["width"] == 10 + 34 % 300
+    assert r["n_palette"] == 1 << (2 + 34 % 3)
+    with pytest.raises(ValueError):
+        gif_parse(b"NOTGIF" + blob[6:])
+    with pytest.raises(ValueError):
+        gif_parse(blob[:-2])  # trailer gone -> truncated table check
