@@ -3684,6 +3684,12 @@ def _q_media_gif_headers(sf_dir: str):
     return media_gif_headers(sf_dir)
 
 
+def _q_media_ico_directory(sf_dir: str):
+    from ray_extract.pipelines.media import media_ico_directory
+
+    return media_ico_directory(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: full extraction pipeline at sf0.001, flattened blocks."""
     return _q_extract_spans("/root/testdata/sf0.001")
@@ -4078,6 +4084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_balance_audit": _q_split_balance_audit,
         "media_mp4_boxes": _q_media_mp4_boxes,
         "media_gif_headers": _q_media_gif_headers,
+        "media_ico_directory": _q_media_ico_directory,
     }
 
 
@@ -9340,5 +9347,17 @@ SELECT g.doc_id, CAST(width AS BIGINT) AS width,
   CAST(p.ps AS BIGINT) AS palette_byte_sum,
   CAST(bg AS BIGINT) AS bg_index
 FROM g JOIN p USING (doc_id)
+"""
+    d["media_ico_directory"] = """
+WITH m AS (
+  SELECT d.doc_id, s.m, 40 + (d.doc_id % 1000) + s.m AS size,
+         (16 + 8 * s.m) % 256 AS w
+  FROM documents d JOIN generate_series(0, 3) s(m) ON s.m < 1 + d.doc_id % 4
+  WHERE d.doc_id % 19 = 0)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_images,
+  CAST(sum(size) AS BIGINT) AS total_bytes,
+  CAST(sum(size * ((doc_id + m) % 256)) AS BIGINT) AS payload_byte_sum,
+  CAST(sum(w) AS BIGINT) AS width_sum
+FROM m GROUP BY 1
 """
     return d

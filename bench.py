@@ -791,6 +791,11 @@ def run_bench() -> dict:
     timed("media_gif_headers",
           lambda: media_gif_headers(SF_DIR).count())
 
+    from ray_extract.pipelines.media import media_ico_directory
+
+    timed("media_ico_directory",
+          lambda: media_ico_directory(SF_DIR).count())
+
     result = {
         "metric": "extract_headline",
         "value": round(headline, 3),

@@ -386,3 +386,53 @@ def gif_parse(buf: bytes) -> dict:
         "palette_byte_sum": int(sum(gct)),
         "bg_index": buf[11],
     }
+
+
+# ------------------------------------------------------------------ ICO
+
+
+def ico_build(doc_id: int) -> bytes:
+    """Deterministic ICO: ICONDIR (reserved 0, type 1, count 1+id%4) +
+    one ICONDIRENTRY per image m (width (16+8m)%256, height (16+8m)%256,
+    bpp 32, payload size 40+id%1000+m, offset chained) + opaque
+    payloads of the declared sizes filled with byte (id+m)%256."""
+    import struct
+
+    n = 1 + doc_id % 4
+    sizes = [40 + (doc_id % 1000) + m for m in range(n)]
+    header = struct.pack("<HHH", 0, 1, n)
+    offset = 6 + 16 * n
+    entries = b""
+    for m in range(n):
+        w = (16 + 8 * m) % 256
+        entries += struct.pack(
+            "<BBBBHHII", w, w, 0, 0, 1, 32, sizes[m], offset
+        )
+        offset += sizes[m]
+    payloads = b"".join(
+        bytes([(doc_id + m) % 256]) * sizes[m] for m in range(n)
+    )
+    return header + entries + payloads
+
+
+def ico_parse(buf: bytes) -> dict:
+    """Parse ICONDIR + entries, follow each offset, and actually sum the
+    payload bytes — a wrong offset chain or size field breaks equality
+    with the formula oracle."""
+    import struct
+
+    reserved, ftype, n = struct.unpack("<HHH", buf[0:6])
+    if reserved != 0 or ftype != 1:
+        raise ValueError("bad ICO header")
+    total = psum = wsum = 0
+    for m in range(n):
+        e = buf[6 + 16 * m:6 + 16 * (m + 1)]
+        w, h, _, _, planes, bpp, size, off = struct.unpack("<BBBBHHII", e)
+        data = buf[off:off + size]
+        if len(data) != size:
+            raise ValueError("payload escapes file")
+        total += size
+        psum += int(sum(data))
+        wsum += w
+    return {"n_images": n, "total_bytes": total,
+            "payload_byte_sum": psum, "width_sum": wsum}

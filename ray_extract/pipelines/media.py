@@ -735,3 +735,48 @@ def media_gif_headers(sf_dir: str, sample_mod: int = 17):
         )
 
     return _codec_query(sf_dir, sample_mod, synth, GifHeaderParser)
+
+
+class IcoDirectoryParser:
+    """Actor-pool ICO directory walk (functions/mediameta.py): the
+    offset chain and declared sizes are load-bearing."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.mediameta import ico_parse
+
+        did = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        rows = {k: [] for k in ("doc_id", "n_images", "total_bytes",
+                                "payload_byte_sum", "width_sum")}
+        blobs = batch.column("ico")
+        for i in range(batch.num_rows):
+            r = ico_parse(blobs[i].as_py())
+            rows["doc_id"].append(int(did[i]))
+            for k in ("n_images", "total_bytes", "payload_byte_sum",
+                      "width_sum"):
+                rows[k].append(int(r[k]))
+        return pa.table(
+            {k: pa.array(v, pa.int64()) for k, v in rows.items()}
+        )
+
+
+def media_ico_directory(sf_dir: str, sample_mod: int = 19):
+    """REAL ICO directory decode: sampled docs ship as multi-image ICO
+    containers (little-endian ICONDIR, 16-byte entries, chained payload
+    offsets) and the actor-pool parser follows every offset and sums the
+    actual payload bytes — all recomputed by the oracle from the
+    synthesis formulas.
+
+    Output: (doc_id, n_images, total_bytes, payload_byte_sum,
+    width_sum).
+    """
+    from ..functions.mediameta import ico_build
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        ids = ids[ids % sample_mod == 0]
+        blobs = [ico_build(int(d)) for d in ids]
+        return pa.table(
+            {"doc_id": pa.array(ids), "ico": pa.array(blobs, pa.binary())}
+        )
+
+    return _codec_query(sf_dir, sample_mod, synth, IcoDirectoryParser)

@@ -274,3 +274,21 @@ def test_gif_parser_rejects_bad_signature_and_truncation():
         gif_parse(b"NOTGIF" + blob[6:])
     with pytest.raises(ValueError):
         gif_parse(blob[:-2])  # trailer gone -> truncated table check
+
+
+def test_ico_parser_rejects_escaping_payload():
+    import pytest
+    import struct
+
+    from ray_extract.functions.mediameta import ico_build, ico_parse
+
+    blob = bytearray(ico_build(19))
+    good = ico_parse(bytes(blob))
+    assert good["n_images"] == 1 + 19 % 4
+    # inflate the last entry's size so its payload escapes the file
+    n = struct.unpack("<H", blob[4:6])[0]
+    size_off = 6 + 16 * (n - 1) + 8
+    size = struct.unpack("<I", blob[size_off:size_off + 4])[0]
+    blob[size_off:size_off + 4] = struct.pack("<I", size + 1)
+    with pytest.raises(ValueError):
+        ico_parse(bytes(blob))
